@@ -1,0 +1,151 @@
+"""Text-analysis column expressions for the documents / knowledge-base surface.
+
+Reference parity: the "growing knowledge base" of resolution text (reference
+README.md:11) plus the free-text columns of outage records (README.md:101-103).
+Extended with the training-data-pipeline text operators the north star asks
+for: tokenization, token counting, quality scoring, language ID, document
+fingerprinting (SURVEY.md §2.8 F7).
+
+All hot-path expressions are native pyspark.sql.functions (codegen'd); nothing
+here shuffles — these are per-row projections that compose into any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English stopword list for quality heuristics (public-domain words).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens dropped)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish sub-word segmentation: split on whitespace AND punctuation
+    boundaries, keeping punctuation as its own token (a regex approximation
+    of byte-pair pre-tokenization; deterministic, JVM-side)."""
+    text = F.col(text) if isinstance(text, str) else text
+    spaced = F.regexp_replace(text, r"([^\w\s])", r" $1 ")
+    return F.filter(F.split(F.trim(spaced), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    """Mean token length; NULL for empty documents (ANSI-safe division)."""
+    toks = tokens(text)
+    return F.try_divide(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)),
+        F.size(toks).cast("double"),
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return F.try_divide(stop.cast("double"), F.size(toks).cast("double"))
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / tokens (quality signal)."""
+    toks = tokens(text)
+    return F.try_divide(
+        F.size(F.array_distinct(toks)).cast("double"), F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards mid-length
+    docs, lexical diversity, and a sane stopword share. Deterministic and
+    SQL-expressible (oracle-checkable)."""
+    n = token_count(text).cast("double")
+    length_term = F.least(n / F.lit(64.0), F.lit(1.0))
+    diversity = F.coalesce(type_token_ratio(text), F.lit(0.0))
+    stop = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    stop_term = F.lit(1.0) - F.least(stop * F.lit(2.0), F.lit(1.0))
+    return F.round((length_term + diversity + stop_term) / F.lit(3.0), 6)
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles → array<string> (for Jaccard / MinHash)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.substring(text, i, n),
+        ),
+        lambda s: F.length(s) == F.lit(n),
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles (space-joined) → array<string>; distinct set."""
+    toks = tokens(text)
+    n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i + F.lit(1), k), " "),
+        )
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: sort distinct tokens, re-join,
+    md5. Catches token-permuted duplicates that raw-text hashing misses."""
+    text = F.col(text) if isinstance(text, str) else text
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " ")
+    return F.md5(canon.cast("binary"))
+
+
+def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over each window of char
+    n-grams; returns a small array<long> sketch of the document."""
+    grams = char_ngrams(text, 4)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n_win = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_win - F.lit(1)),
+            lambda i: F.array_min(F.slice(hashes, i + F.lit(1), window)),
+        )
+    )
+
+
+# --- language identification (heuristic n-gram scoring) ---------------------
+# The test corpus is synthetic (same vocabulary across langs), so this is a
+# *mechanism* demonstration: score each language by stopword-profile hits and
+# pick argmax. Real profiles would be learned from labeled data with the same
+# pipeline. Rows-only checkable (no SQL oracle needed — deterministic though).
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": (),  # non-latin profile would be char-range based
+}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language over stopword-profile hit counts; 'und' if no hits."""
+    toks_l = F.transform(tokens(text), F.lower)
+    scores = [
+        F.struct(
+            F.size(F.filter(toks_l, lambda t: t.isin(*words) if words else F.lit(False))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in _LANG_PROFILES.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,321 @@
+"""Named query registry — the engine's oracle-checked surface.
+
+Each entry is ``name -> fn(spark, sf_dir) -> DataFrame`` and has a matching
+ANSI-SQL oracle in :mod:`.oracles` (DuckDB-runnable) unless the operation is
+not SQL-expressible (those get rows-only checks; see ORACLES keys).
+
+Conventions for oracle parity (FIXTURES.md "gotchas"):
+- every computed column is aliased identically here and in the oracle SQL;
+- integer-valued computed columns are cast to bigint (DuckDB aggregates
+  default to 64/128-bit; Spark row_number etc. are 32-bit);
+- double aggregates that feed the value-hash are rounded to 6 dp on both
+  sides where the quantity is a per-row/window result; large sums rely on
+  the driver's tolerance-aware hash;
+- window orderings always carry a unique tiebreak column;
+- timestamp literals are TIMESTAMP_NTZ (the sources layer normalizes all
+  event-time columns to NTZ, matching DuckDB's naive timestamps).
+
+Reference parity notes are per-query docstrings (reference README.md:line).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..operators import timeseries as TS
+from ..sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ntz(lit: str) -> F.Column:
+    return F.expr(f"TIMESTAMP_NTZ '{lit}'")
+
+
+# --------------------------------------------------------------------------
+# q0 — flagship: per-entity risk scoring with top-k report (SURVEY.md §7.2).
+# Restates the reference's headline question "What outages are expected
+# tomorrow in the North East zone?" (README.md:68) over the test schema:
+# score entities by recent error behavior, rank, take top-k.
+# Operators: W4 row_number, A1/A2 grouped + conditional aggs, F2 logistic
+# score, O1 top-k.
+# --------------------------------------------------------------------------
+def q0_flagship_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    agg = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_err).alias("n_errors"),
+        F.max("ts").alias("last_seen"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.avg(F.when(F.col("rn") <= 10, is_err.cast("double"))), 6
+        ).alias("recent_error_rate"),
+    )
+    risk = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(4.0) * F.col("recent_error_rate")
+                    + F.col("n_errors") / F.col("n_events")
+                    - F.lit(0.5)
+                )
+            )
+        ),
+        6,
+    )
+    return (
+        agg.withColumn("risk_score", risk)
+        .orderBy(F.col("risk_score").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+def flagship_report(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """entry() surface: flagship + formatted report column (README.md:58
+    'Formats chat response'); the report string is presentation-only and
+    not part of the oracle-checked query."""
+    df = q0_flagship_risk(spark, sf_dir)
+    return df.withColumn(
+        "report",
+        F.format_string(
+            "entity %d: risk=%.3f (%d errors in %d events)",
+            F.col("user_id"),
+            F.col("risk_score"),
+            F.col("n_errors"),
+            F.col("n_events"),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q1 — pricing summary (TPC-H Q1 shape): scan + filter + 8-agg groupBy + sort.
+# SURVEY.md A1/P4 (grouped telemetry rollups, README.md:43-44).
+# --------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ntz("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q2 — 5-table star join + group + top-n (TPC-H Q5 shape). SURVEY.md J1/O1:
+# fact↔dimension correlation (README.md:32,98) with zone-style grouping
+# (README.md:68). nation/region broadcast automatically (tiny dims).
+# --------------------------------------------------------------------------
+def q2_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= _ntz("1995-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ntz("1997-01-01 00:00:00"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q3 — per-group ranking, keep top-3 (urgency ranking, README.md:61,71-75).
+# SURVEY.md W4/O2.
+# --------------------------------------------------------------------------
+def q3_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q4 — 10-row trailing moving average per entity (README.md:44 "moving
+# average"). SURVEY.md W2; uses the timeseries library operator.
+# --------------------------------------------------------------------------
+def q4_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = TS.with_rolling(
+        ev, "user_id", "ts", "value", window_rows=10, aggs=("avg",), tiebreak="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.col("value_roll_avg10"), 6).alias("rolling_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q5 — lag-gap sessionization + per-session aggregation (alarm episodes /
+# incidents, README.md:32,52). SURVEY.md T3 batch form via the timeseries
+# library; interval arithmetic, no epoch casts.
+# --------------------------------------------------------------------------
+def q5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sess = TS.sessionize(ev, "user_id", "ts", gap="30 minutes", tiebreak="event_id")
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q6 — JSON extraction from semi-structured props + group agg (raw logs,
+# README.md:33). SURVEY.md F4/A1.
+# --------------------------------------------------------------------------
+def q6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q7 — exact distinct per group (scope of affected entities, README.md:71-75).
+# SURVEY.md A3. The approximate variant is q7_approx (rows-only).
+# --------------------------------------------------------------------------
+def q7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — scale path for 100 TB cardinalities.
+    Not oracle-checkable (approximate); rows-only."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q8 — exact-duplicate detection by content hash per language (knowledge-base
+# dedup tier 1, README.md:11; north-star dedup). SURVEY.md U3 exact tier.
+# --------------------------------------------------------------------------
+def q8_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+    return (
+        h.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text_hash").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("text_hash")).alias("n_dups"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q9 — cosine top-10 against one query vector (knowledge-base retrieval,
+# README.md:11,52). SURVEY.md J8/F5: broadcast the 1-row query side; the
+# scan side streams — no shuffle until the final top-k (TakeOrdered).
+# --------------------------------------------------------------------------
+def q9_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", V.cosine_similarity("embedding", "qv"))
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cosine_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — set intersection of entity populations (new-vs-known issues,
+# README.md:11). SURVEY.md U2.
+# --------------------------------------------------------------------------
+def q10_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(erroring)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q0_flagship_risk": q0_flagship_risk,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q2_join_topn": q2_join_topn,
+    "q3_window_rank": q3_window_rank,
+    "q4_rolling_avg": q4_rolling_avg,
+    "q5_sessionize": q5_sessionize,
+    "q6_json_extract": q6_json_extract,
+    "q7_distinct": q7_distinct,
+    "q7_approx_distinct": q7_approx_distinct,
+    "q8_dedup_docs": q8_dedup_docs,
+    "q9_knn": q9_knn,
+    "q10_setops": q10_setops,
+}

@@ -1,0 +1,73 @@
+"""Table registry over the driver-generated parquet test data.
+
+Reference parity: the reference system stores telemetry in PostgreSQL plus raw
+logs in object storage (reference README.md:23,33). Spark-first, both become
+columnar parquet scans read natively by executors; a JDBC reader for real
+PostgreSQL deployments lives in :mod:`.readers` (S1 in SURVEY.md §2.1).
+
+The only irregular table is ``events``: its ``ts`` column is parquet
+TIMESTAMP(NANOS), which Spark 4.x refuses to read. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.tune) it arrives
+as a nanosecond epoch long; the generator only uses microsecond precision
+(ns % 1000 == 0 for every row), so converting via integer division is
+lossless. We convert to TIMESTAMP_NTZ with pure interval arithmetic so the
+result is independent of the session time zone — matching DuckDB's naive
+reading of the same file for the oracle comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# TZ-independent ns-epoch → TIMESTAMP_NTZ (micros) conversion.
+_NS_TO_TS_NTZ = (
+    "timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table as a DataFrame with normalized column types.
+
+    Column pruning and predicate pushdown still reach the parquet scan: the
+    ``events`` timestamp conversion is a projection on top of the scan, and
+    Catalyst pushes filters on the remaining columns below it.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    tune(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register every table as a temp view (for the SQL API surface)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
