@@ -90,13 +90,17 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Word k-shingles (space-joined) → array<string>; distinct set."""
+    """Word k-shingles (space-joined) → array<string>; distinct set.
+    Documents with fewer than k tokens yield an empty array (guarded:
+    Spark's ``sequence(0, -1)`` would otherwise count DOWN)."""
     toks = tokens(text)
-    n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - F.lit(1)),
-            lambda i: F.array_join(F.slice(toks, i + F.lit(1), k), " "),
+    n_sh = F.size(toks) - F.lit(k - 1)
+    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - F.lit(1)),
+                lambda i: F.array_join(F.slice(toks, i + F.lit(1), k), " "),
+            )
         )
     )
 

@@ -1,0 +1,304 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star requirement (BASELINE.json): training-data dedup at 100 TB scale;
+reference parity: knowledge-base growth dedup (reference README.md:11).
+
+Tier design (each tier trades exactness for scale):
+1. exact — hash-groupBy on content (or canonical fingerprint). One shuffle.
+2. n-gram Jaccard — exact set similarity on shingles via an inverted-index
+   join (explode → equi-join on shingle → count). Exact but O(pairs sharing
+   a shingle); a document-frequency cap drops stop-shingles so hot shingles
+   can't produce quadratic bucket blowups at scale.
+3. MinHash + LSH banding — probabilistic; signature is a fixed-width array
+   computed per-row with native expressions (no UDF, no shuffle), candidate
+   generation is an equi-join on (band, band_hash) buckets: the classic
+   shingle→minhash→band→bucket-join pipeline. Scales linearly in corpus
+   size for bounded bucket sizes.
+4. SimHash — 64-bit per-row signature via higher-order aggregate (no
+   explode); near-dup = Hamming ≤ k, found by joining on 16-bit bands
+   (pigeonhole: k ≤ 3 ⇒ one of four bands equal).
+
+All hash functions are xxhash64 with fixed string salts → deterministic
+across runs and partitionings; seeds are plan constants.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+
+
+# --- tier 1: exact -----------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """U3 exact tier: keep one row per distinct key set (hash aggregate)."""
+    return df.dropDuplicates(list(cols) if cols else None)
+
+
+def dup_group_stats(df: DataFrame, key: Column | str, id_col: str) -> DataFrame:
+    """Groups with >1 member, with member ids (for audit/removal joins)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# --- tier 2: exact n-gram Jaccard -------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-k-shingles via inverted-index join.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (stop-shingles) — at 100 TB this bound is what keeps bucket sizes and the
+    pair count linear-ish; dropped shingles slightly underestimate Jaccard
+    for affected pairs (standard trade-off, disclosed here).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(text_col, shingle_k).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+    inv = sh.select(
+        "doc", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        inv = inv.join(hot, "shingle", "left_anti")
+    a = inv.select(
+        F.col("doc").alias("id_a"),
+        F.col("n_shingles").alias("na"),
+        "shingle",
+    )
+    b = inv.select(
+        F.col("doc").alias("id_b"),
+        F.col("n_shingles").alias("nb"),
+        "shingle",
+    )
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.try_divide(
+        F.col("common").cast("double"),
+        (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- tier 3: MinHash + LSH ---------------------------------------------------
+
+def minhash_signature(
+    text_or_shingles: Column | str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    from_shingles: bool = False,
+) -> Column:
+    """MinHash signature as array<bigint>, computed per-row with native
+    expressions: sig[i] = min over shingles of xxhash64(shingle, salt_i).
+    Empty shingle sets yield nulls in the signature (filtered by callers)."""
+    sh = (
+        (F.col(text_or_shingles) if isinstance(text_or_shingles, str) else text_or_shingles)
+        if from_shingles
+        else word_shingles(text_or_shingles, shingle_k)
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(f"mh{i}")))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH banding: band hash = xxhash64 over a signature slice; candidates
+    are pairs sharing ≥1 (band, band_hash) bucket. Equi-join → AQE handles
+    skewed buckets; rows_per_band = num_hashes // bands sets the S-curve."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(text_col, num_hashes, shingle_k).alias("sig"),
+    ).filter(~F.array_contains(F.transform("sig", F.isnull), F.lit(True)))
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidates via LSH, then exact Jaccard verification on shingle sets
+    (array_intersect/array_union — per-pair, JVM-side). The verify join is
+    only over candidate pairs, so the quadratic term never materializes."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_k).alias("sh")
+    )
+    joined = (
+        cands.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    jac = F.try_divide(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double"),
+        F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+    )
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- tier 4: SimHash ---------------------------------------------------------
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash computed per-row with a higher-order aggregate — no
+    explode, no shuffle: fold tokens into 64 signed counters (+1/-1 per bit
+    of each token's xxhash64), then pack sign bits into one bigint.
+
+    Bit indices are unrolled in Python (shiftleft/shiftright take literal
+    shift amounts); the pack step consumes the counters array exactly once
+    via zip_with against a literal power-of-two array."""
+    toks = tokens(text)
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def tok_bits(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for j in range(64)
+            ]
+        )
+
+    counters = F.aggregate(
+        toks, zeros, lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b)
+    )
+    pow2 = F.array(*[F.shiftleft(F.lit(1).cast("long"), j) for j in range(64)])
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            pow2,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash Hamming distance ≤ k (k ≤ 3): by pigeonhole, at
+    least one of four 16-bit bands is identical → equi-join per band, then
+    exact Hamming verify. Linear-ish for bounded band collision rates."""
+    sig = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64("sig_a", "sig_b").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns: exact top-k and LSH/IVF ANN.
+
+Reference parity: knowledge-base retrieval ("Suggests resolutions from a
+growing knowledge base", reference README.md:11) over root-cause embeddings
+(README.md:52). North-star: similarity search as a first-class training-data
+operator (SURVEY.md §2.3 J8).
+
+Scale design:
+- exact :func:`brute_force_topk` — broadcast the (small) query side, stream
+  the corpus, per-query windowed top-k. Linear in corpus size, no corpus
+  shuffle until the final k rows; the baseline and the correctness oracle.
+- :func:`random_hyperplane_lsh` — sign-bit bucket of seeded hyperplanes
+  (plan constants, deterministic); ANN = equi-join on bucket (optionally
+  multi-probe via Hamming-adjacent buckets). Sub-linear candidate sets.
+- :func:`ivf_assign` / :func:`ivf_topk` — inverted-file index: MLlib KMeans
+  (seeded) centroids; search only the ``nprobe`` nearest cells. The
+  centroid table is tiny → broadcast; corpus is partitioned by cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query (queries broadcast; corpus streamed)."""
+    score = (
+        V.cosine_similarity(corpus_vec, query_vec)
+        if metric == "cosine"
+        else -V.l2_distance(corpus_vec, query_vec)
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select(query_id, corpus_id, "score", "rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def random_hyperplane_lsh(
+    vec: Column | str, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Bucket id = sign bits of <vec, plane_i> packed into a bigint. The
+    planes are derived from ``seed`` at plan-build time and inlined as
+    literals → deterministic across runs and cluster layouts."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda a, p: a.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: candidates share the query's LSH bucket; exact re-rank within.
+    Recall < 1 by construction (rows-only checked); candidate volume is
+    corpus/2^n_planes per bucket in expectation."""
+    c = corpus.withColumn(
+        "bucket", random_hyperplane_lsh(corpus_vec, dim, n_planes, seed)
+    )
+    q = queries.withColumn(
+        "bucket", random_hyperplane_lsh(query_vec, dim, n_planes, seed)
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "score", V.cosine_similarity(corpus_vec, query_vec)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select(query_id, corpus_id, "score", "rn")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, vec_col: str = "embedding", n_cells: int = 16, seed: int = 42
+) -> DataFrame:
+    """KMeans cell centroids (MLlib, seeded) → DataFrame(cell, centroid)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    assembled = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(assembled)
+    spark = corpus.sparkSession
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], ["cell", "centroid"]
+    ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest cell (broadcast centroid table,
+    windowed argmin — one pass, no MLlib dependency at query time)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", V.l2_distance(corpus_vec, "centroid")
+    )
+    w = Window.partitionBy(*corpus.columns).orderBy(F.col("dist").asc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dist", "centroid")
+    )
+
+
+def ivf_topk(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search only the ``nprobe`` nearest cells per query (ANN; rows-only)."""
+    qcells = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", V.l2_distance(query_vec, "centroid")
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col("cell"))
+    probe = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, query_vec, "cell")
+    )
+    scored = assigned_corpus.join(F.broadcast(probe), "cell").withColumn(
+        "score", V.cosine_similarity(corpus_vec, query_vec)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select(query_id, corpus_id, "score", "rn")
+    )

@@ -275,7 +275,35 @@ ORACLES_EXT: dict[str, str] = {
         )
         SELECT id_a, id_b, round(cos, 6) AS cosine_sim
         FROM pairs
-        WHERE cos >= 0.9
+        ORDER BY cos DESC, id_a, id_b
+        LIMIT 20
+    """,
+    "q41_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM toks
+        ),
+        ex AS (
+            SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
+                   any_value(a.n) AS na, any_value(b.n) AS nb
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(common * 1.0 / (na + nb - common), 6) AS jaccard
+        FROM pairs
+        WHERE round(common * 1.0 / (na + nb - common), 6) >= 0.5
         ORDER BY id_a, id_b
     """,
     "q36_knn_batch": """

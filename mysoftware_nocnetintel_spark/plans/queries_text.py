@@ -82,8 +82,9 @@ def q39_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# U3/J8: embedding-cosine near-duplicate pairs — exact O(n²) baseline tier
-# (the LSH tier in operators.dedup is the 100 TB path, rows-only checked).
+# U3/J8: embedding-cosine near-duplicates — exact O(n²) baseline tier, top-20
+# most-similar pairs (threshold-free so the result is non-trivial at every
+# scale; the LSH tier in operators.similarity is the 100 TB path).
 def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(
@@ -96,9 +97,9 @@ def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_raw", V.cosine_similarity("va", "vb")
     )
     return (
-        pairs.filter(F.col("cos_raw") >= 0.9)
+        pairs.orderBy(F.col("cos_raw").desc(), "id_a", "id_b")
+        .limit(20)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine_sim"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -124,11 +125,90 @@ def q36_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# U3 tier 2: exact n-gram Jaccard near-dup pairs via inverted-index join
+# (operators.dedup). Oracle replicates shingling + pair join in DuckDB SQL.
+def q41_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+# U3 tier 3: MinHash+LSH near-dup (rows-only: signature hashes are engine-
+# specific). The pytest suite separately asserts recall vs the exact tier.
+def q37_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8
+    ).orderBy("id_a", "id_b")
+
+
+# U3 tier 4: SimHash near-dup (rows-only).
+def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# F7: heuristic language ID vs declared lang (rows-only: heuristic).
+def q40_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "detected")
+    )
+
+
+# J8 scale path: LSH-bucketed ANN top-k (rows-only: approximate).
+def q42_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return SIM.lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") >= 5), q, dim=64, k=5, n_planes=8
+    ).select("qid", "vec_id", F.round("score", 6).alias("cosine_sim"), "rn")
+
+
+# J8 scale path: IVF (inverted-file) ANN top-k (rows-only: approximate,
+# KMeans-seeded).
+def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    centroids = SIM.ivf_centroids(corpus, n_cells=8)
+    assigned = SIM.ivf_assign(corpus, centroids)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return SIM.ivf_topk(assigned, centroids, q, k=5, nprobe=3).select(
+        "qid", "vec_id", F.round("score", 6).alias("cosine_sim"), "rn"
+    )
+
+
 TEXT_QUERIES = {
     "q31_token_stats": q31_token_stats,
     "q32_term_df": q32_term_df,
     "q33_quality_scores": q33_quality_scores,
     "q35_embedding_neardup": q35_embedding_neardup,
     "q36_knn_batch": q36_knn_batch,
+    "q37_minhash_neardup": q37_minhash_neardup,
+    "q38_simhash_neardup": q38_simhash_neardup,
     "q39_fingerprint_dedup": q39_fingerprint_dedup,
+    "q40_lang_id": q40_lang_id,
+    "q41_ngram_jaccard": q41_ngram_jaccard,
+    "q42_ann_lsh": q42_ann_lsh,
+    "q48_ann_ivf": q48_ann_ivf,
 }

