@@ -1,0 +1,96 @@
+"""Field-engineer dispatch: urgency ranking → location clustering → greedy
+team assignment.
+
+Reference parity: the scheduling pipeline — "Ranks urgency, location
+clustering", "Optimizes FME routing using heuristic or ML-based dispatch"
+(reference README.md:60-63), emitting plans like "Team Alpha, report at
+06:30 AM" (README.md:79). SURVEY.md §2.10 X3.
+
+The test schema has no geo coordinates, so entity "locations" are a
+deterministic 2-D stand-in derived from the entity id (documented fake —
+the mechanism under test is ranking + clustering + per-cluster grouped-map
+assignment, which is geometry-agnostic).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TEAMS = ("Team Alpha", "Team Bravo", "Team Charlie")
+
+
+def pseudo_locations(entities: DataFrame, id_col: str = "user_id") -> DataFrame:
+    """Deterministic 2-D pseudo-coordinates from the entity id hash."""
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    return entities.withColumn(
+        "loc_x", (F.pmod(h, F.lit(1000)) / 1000.0)
+    ).withColumn("loc_y", (F.pmod(F.shiftright(h, 10), F.lit(1000)) / 1000.0))
+
+
+def rank_urgency(risk: DataFrame, score_col: str = "risk_score") -> DataFrame:
+    """W4: global urgency ranking (README.md:61 'Ranks urgency')."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col("user_id"))
+    return risk.withColumn("urgency_rank", F.row_number().over(w).cast("bigint"))
+
+
+def cluster_locations(
+    located: DataFrame, n_clusters: int = 4, seed: int = 42
+) -> DataFrame:
+    """README.md:61 'location clustering' — seeded MLlib KMeans on the 2-D
+    coordinates; returns the input plus a cluster id."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    assembled = VectorAssembler(
+        inputCols=["loc_x", "loc_y"], outputCol="features"
+    ).transform(located)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(assembled)
+    return (
+        model.transform(assembled)
+        .withColumnRenamed("prediction", "cluster")
+        .drop("features")
+    )
+
+
+def assign_teams(clustered: DataFrame, teams: tuple[str, ...] = TEAMS) -> DataFrame:
+    """README.md:62 heuristic dispatch: within each cluster, walk entities in
+    urgency order and deal them round-robin to teams (greedy balance).
+    Grouped-map applyInPandas per cluster — clusters are the natural
+    parallelism unit; each is small after clustering."""
+    team_list = list(teams)
+
+    def deal(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("urgency_rank").reset_index(drop=True)
+        pdf["team"] = [team_list[i % len(team_list)] for i in range(len(pdf))]
+        pdf["dispatch_order"] = range(1, len(pdf) + 1)
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in clustered.schema.fields
+    ) + ", team STRING, dispatch_order INT"
+    return clustered.groupBy("cluster").applyInPandas(deal, schema)
+
+
+def dispatch_plan(risk: DataFrame, n_clusters: int = 4) -> DataFrame:
+    """Full pipeline: rank → locate → cluster → assign → formatted report
+    (README.md:79 style)."""
+    ranked = rank_urgency(risk)
+    located = pseudo_locations(ranked)
+    clustered = cluster_locations(located, n_clusters)
+    assigned = assign_teams(clustered)
+    return assigned.select(
+        "user_id",
+        "urgency_rank",
+        "cluster",
+        "team",
+        "dispatch_order",
+        F.format_string(
+            "%s: dispatch #%d in cluster %d for entity %d",
+            F.col("team"),
+            F.col("dispatch_order"),
+            F.col("cluster"),
+            F.col("user_id"),
+        ).alias("plan"),
+    )

@@ -1,0 +1,172 @@
+"""Forecasting pipeline: feature assembly → model scoring → metrics.
+
+Reference parity: the model stage of the reference pipeline — "Multi-head
+LSTM → Dense heads (classification + regression)" over "Sequence of
+multivariate time series" (reference README.md:46-53), evaluated with
+"F1, AUC ... RMSE" (README.md:53). SURVEY.md §2.10 X1/X2/X4, §2.4 A5.
+
+Spark-first split (SURVEY.md §7.4 risk 7):
+- the FEATURE pipeline is pure DataFrame ops (lag/rolling windows — one
+  shuffle on the entity key), shared by training and serving;
+- the MODEL is MLlib logistic regression (distributed, seeded) standing in
+  for the reference's LSTM head; swapping in a deep model is a
+  ``predict_batch_udf`` at the same seam, no plan changes;
+- per-entity custom models (X2) run as ``applyInPandas`` per key — the
+  grouped-map pattern the reference's per-site scoring implies; the OLS
+  variant is closed-form, so the DuckDB oracle (regr_slope/regr_intercept)
+  can check the Arrow/pandas plumbing exactly;
+- METRICS are SQL-expressible confusion/ RMSE aggregates (oracle-checkable)
+  plus MLlib's AUC evaluator for parity with README.md:53.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as TS
+
+# epoch reference for TZ-independent numeric time (NTZ-safe)
+_EPOCH_SECONDS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+def build_features(events: DataFrame) -> DataFrame:
+    """Per-event feature row: lag/rolling signals per entity + binary label
+    (is this event an error?). One shuffle on user_id; every feature is a
+    window expression (README.md:43-44 lag / moving average / failure rate)."""
+    is_err = F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
+    df = events.withColumn("is_error", is_err)
+    df = TS.with_lag_features(df, "user_id", "ts", "value", lags=(1, 2), tiebreak="event_id")
+    df = TS.with_rolling(
+        df, "user_id", "ts", "value", window_rows=10, aggs=("avg", "stddev"), tiebreak="event_id"
+    )
+    df = TS.with_rolling(
+        df, "user_id", "ts", "is_error", window_rows=20, aggs=("avg",), tiebreak="event_id"
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.coalesce("value_lag1", F.lit(0.0)).alias("f_lag1"),
+        F.coalesce("value_lag2", F.lit(0.0)).alias("f_lag2"),
+        F.coalesce("value_roll_avg10", F.lit(0.0)).alias("f_roll_avg"),
+        F.coalesce("value_roll_stddev10", F.lit(0.0)).alias("f_roll_std"),
+        F.coalesce("is_error_roll_avg20", F.lit(0.0)).alias("f_err_rate"),
+        F.col("is_error").alias("label"),
+    )
+
+
+_FEATURES = ["f_lag1", "f_lag2", "f_roll_avg", "f_roll_std", "f_err_rate"]
+
+
+def fit_logistic(features: DataFrame, seed: int = 42):
+    """X1: MLlib logistic regression over the feature pipeline (seeded)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml import Pipeline
+
+    assembler = VectorAssembler(inputCols=_FEATURES, outputCol="features")
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
+    )
+    return Pipeline(stages=[assembler, lr]).fit(features)
+
+
+def score(model, features: DataFrame) -> DataFrame:
+    """Batch scoring; probability of the positive class as risk_prob."""
+    from pyspark.ml.functions import vector_to_array
+
+    out = model.transform(features)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "label",
+        vector_to_array("probability").getItem(1).alias("risk_prob"),
+        F.col("prediction").alias("predicted"),
+    )
+
+
+def per_entity_ols(events: DataFrame) -> DataFrame:
+    """X2: per-entity model fitting via applyInPandas — closed-form OLS of
+    value against elapsed seconds. Arrow-batched grouped-map; one shuffle on
+    the entity key. Deterministic → oracle-checkable against DuckDB
+    regr_slope/regr_intercept."""
+    src = events.select(
+        "user_id", F.expr(_EPOCH_SECONDS).cast("double").alias("x"), F.col("value").alias("y")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        n = len(x)
+        mx, my = x.mean(), y.mean()
+        sxx = ((x - mx) ** 2).sum()
+        slope = float(((x - mx) * (y - my)).sum() / sxx) if sxx > 0 else 0.0
+        intercept = float(my - slope * mx)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n": n,
+                    "slope": slope,
+                    "intercept": intercept,
+                }
+            ]
+        )
+
+    return src.groupBy("user_id").applyInPandas(
+        fit, "user_id LONG, n LONG, slope DOUBLE, intercept DOUBLE"
+    )
+
+
+def rule_based_metrics(events: DataFrame, threshold: float = 250.0) -> DataFrame:
+    """A5/X4: confusion-matrix metrics for a deterministic rule predictor
+    (value ≥ threshold ⇒ predict error) — the SQL-expressible stand-in that
+    lets the oracle check the metric arithmetic (precision/recall/F1) the
+    MLlib evaluator otherwise hides."""
+    label = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    pred = F.when(F.col("value") >= threshold, 1).otherwise(0)
+    scored = events.select(label.alias("label"), pred.alias("pred"))
+    agg = scored.agg(
+        F.sum(F.when((F.col("label") == 1) & (F.col("pred") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("pred") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("pred") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("pred") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    precision = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    recall = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    f1 = F.try_divide(2 * precision * recall, precision + recall)
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def auc(scored: DataFrame) -> float:
+    """README.md:53 AUC via MLlib evaluator (rows-only; not oracle-checked)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol="raw", labelCol="label", metricName="areaUnderROC"
+    )
+    prepared = scored.select(
+        array_to_vector(F.array(F.lit(0.0) + (1 - F.col("risk_prob")), F.col("risk_prob"))).alias("raw"),
+        F.col("label").cast("double").alias("label"),
+    )
+    return float(ev.evaluate(prepared))

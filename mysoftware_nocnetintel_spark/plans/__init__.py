@@ -2,8 +2,9 @@ from .queries import QUERIES as _CORE, flagship_report  # noqa: F401
 from .queries_relational import RELATIONAL_QUERIES as _REL
 from .queries_timeseries import TIMESERIES_QUERIES as _TS
 from .queries_text import TEXT_QUERIES as _TXT
+from .queries_ml import ML_QUERIES as _ML, ML_ORACLES as _O_ML
 from .oracles import ORACLES as _O_CORE
 from .oracles_ext import ORACLES_EXT as _O_EXT
 
-QUERIES = {**_CORE, **_REL, **_TS, **_TXT}
-ORACLES = {**_O_CORE, **_O_EXT}
+QUERIES = {**_CORE, **_REL, **_TS, **_TXT, **_ML}
+ORACLES = {**_O_CORE, **_O_EXT, **_O_ML}

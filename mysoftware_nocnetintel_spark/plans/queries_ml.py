@@ -1,0 +1,130 @@
+"""Model-pipeline query surface: MLlib scoring, per-entity grouped-map
+models, dispatch planning, metric aggregates. SURVEY.md §2.10 X1-X4, §2.4 A5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml import dispatch as DP
+from ..ml import forecast as FC
+from ..sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# X1: feature pipeline → MLlib logistic regression → batch scoring
+# (rows-only: trained-model outputs are not SQL-expressible).
+def q49_forecast_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    feats = FC.build_features(ev)
+    model = FC.fit_logistic(feats)
+    scored = FC.score(model, feats)
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("risk_prob"), 6).alias("avg_risk"),
+            F.round(F.avg("label"), 6).alias("error_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# X2: per-entity OLS via applyInPandas (Arrow grouped-map); DuckDB's
+# regr_slope/regr_intercept is the oracle — this checks the pandas plumbing
+# bit-for-bit, not just shapes.
+def q50_per_entity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fitted = FC.per_entity_ols(ev)
+    return fitted.select(
+        "user_id",
+        "n",
+        F.round("slope", 9).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    ).orderBy("user_id")
+
+
+# X3: dispatch plan — rank → cluster → greedy team assignment (rows-only:
+# KMeans cluster ids are seed-stable but not SQL-expressible).
+def q51_dispatch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import q0_flagship_risk
+
+    risk = q0_flagship_risk(spark, sf_dir)
+    return DP.dispatch_plan(risk, n_clusters=4)
+
+
+# A5/X4: confusion-matrix metrics of the deterministic rule predictor —
+# fully SQL-expressible, so the metric arithmetic is oracle-checked.
+def q52_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return FC.rule_based_metrics(ev, threshold=250.0)
+
+
+# Multimodal plumbing: binary media columns → mapInPandas feature extraction
+# (rows-only: the decode step is a documented deterministic stub — the
+# container ships no codecs; Spark-side schema/batching is the real surface).
+def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.resize_meta(MM.attach_fake_media(docs), max_dim=256)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("media_meta.format").alias("media_format"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_l1"
+        ),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    ).orderBy("doc_id")
+
+
+ML_QUERIES = {
+    "q49_forecast_score": q49_forecast_score,
+    "q50_per_entity_ols": q50_per_entity_ols,
+    "q51_dispatch_plan": q51_dispatch_plan,
+    "q52_model_metrics": q52_model_metrics,
+    "q53_multimodal_features": q53_multimodal_features,
+}
+
+ML_ORACLES = {
+    "q50_per_entity_ols": """
+        SELECT user_id,
+               count(*) AS n,
+               round(regr_slope(value, date_diff('second',
+                   TIMESTAMP '1970-01-01 00:00:00', ts)), 9) AS slope,
+               round(regr_intercept(value, date_diff('second',
+                   TIMESTAMP '1970-01-01 00:00:00', ts)), 6) AS intercept
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q52_model_metrics": """
+        WITH scored AS (
+            SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label,
+                   CASE WHEN value >= 250.0 THEN 1 ELSE 0 END AS pred
+            FROM events
+        ),
+        c AS (
+            SELECT
+                CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM scored
+        )
+        SELECT tp, fp, fn, tn,
+               round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+               round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+               round(2.0 * (tp * 1.0 / nullif(tp + fp, 0)) * (tp * 1.0 / nullif(tp + fn, 0))
+                     / nullif((tp * 1.0 / nullif(tp + fp, 0)) + (tp * 1.0 / nullif(tp + fn, 0)), 0),
+                     6) AS f1
+        FROM c
+    """,
+}

@@ -1,0 +1,48 @@
+"""Sinks (SURVEY.md §2.1 S4-S6): partitioned parquet, append fact writes,
+streaming alert delivery.
+
+Reference parity: persisting forecasts (reference README.md:93-103,140) and
+pushing alerts/tickets outward (README.md:63,141).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """S4: date/key-partitioned parquet layout — partition pruning is what
+    makes the 100 TB time-horizon queries (P4) skip cold data entirely."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_events_by_day(events: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Canonical event layout: partition by event date (SURVEY.md §7.1)."""
+    write_partitioned(
+        events.withColumn("event_date", F.to_date("ts")), path, ["event_date"], mode
+    )
+
+
+def append_forecasts(forecasts: DataFrame, path: str) -> None:
+    """S4: append-mode forecast persistence (README.md:140 'logs all
+    predictions')."""
+    forecasts.write.mode("append").parquet(path)
+
+
+def alert_stream_sink(alerts: DataFrame, path: str, checkpoint: str):
+    """S6: streaming alert delivery to a parquet topic directory; swap the
+    format for kafka in deployment — the plan upstream is unchanged."""
+    return (
+        alerts.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,192 @@
+"""Structured Streaming operators: windowed rollups, watermarking, stateful
+dedup, drift detection, threshold alerting.
+
+Reference parity: the reference realizes "streaming" as scheduled worker
+tasks over a queue (reference README.md:24,26) with threshold alerting and
+drift monitoring (README.md:141); BASELINE.json mandates re-expressing that
+as Spark Structured Streaming. SURVEY.md §2.9 T1-T7, §2.1 S3/S6.
+
+Design: every transformation here is expressed identically to its batch
+twin in plans/queries_timeseries.py — micro-batch streaming and batch share
+one Catalyst expression, so stream-batch parity tests (tests/test_streaming)
+are exact, and at scale the same code serves both the backfill and the live
+path (kappa-style).
+
+The test-source reader replays the driver's events parquet as a file
+source; in production this is a kafka/cloud-files source with the same
+downstream plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import tune
+
+# events schema as stored (ts is ns-epoch long under nanosAsLong)
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: continuous ingestion — file source replay of the events table.
+
+    Watermark note: Spark requires event-time to be TIMESTAMP (instant),
+    not TIMESTAMP_NTZ — so unlike the batch reader we convert the ns epoch
+    to an instant via ``timestamp_micros``. Window boundaries are
+    epoch-aligned and therefore absolute; only *rendering* of window starts
+    depends on the session time zone (pin UTC for reproducible output).
+    """
+    tune(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T1/T4: watermarked tumbling 1-hour rollup (same exprs as batch q45)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def sliding_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T2: sliding 1-hour/30-minute windows (batch twin: q46)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_rollup(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """T3: session windows per entity (batch twin: q47)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """T5: stateful in-stream dedup; state is bounded by the watermark
+    horizon (dropDuplicatesWithinWatermark), so it survives unbounded
+    streams — the 100 TB/day ingest answer to exact dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def threshold_alerts(events: DataFrame, threshold: float = 300.0) -> DataFrame:
+    """T7/S6: threshold breach alert rows (README.md:141), append-mode safe."""
+    return events.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= threshold)
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lit("value_threshold").alias("alert_kind"),
+    )
+
+
+# --- T6: arbitrary stateful processing — per-entity drift detector ----------
+
+_DRIFT_STATE_SCHEMA = "n LONG, mean DOUBLE"
+_DRIFT_OUT_SCHEMA = (
+    "user_id LONG, n LONG, mean DOUBLE, batch_mean DOUBLE, drift DOUBLE"
+)
+
+
+def _drift_fn(key, pdf_iter, state):
+    """Running-mean drift score per entity (Welford-style incremental)."""
+    (user_id,) = key
+    if state.exists:
+        n, mean = state.get
+    else:
+        n, mean = 0, 0.0
+    batch_n, batch_sum = 0, 0.0
+    for pdf in pdf_iter:
+        batch_n += len(pdf)
+        batch_sum += float(pdf["value"].sum())
+    if batch_n:
+        batch_mean = batch_sum / batch_n
+        new_n = n + batch_n
+        new_mean = (mean * n + batch_sum) / new_n
+        drift = abs(batch_mean - new_mean)
+        state.update((new_n, new_mean))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n": new_n,
+                    "mean": new_mean,
+                    "batch_mean": batch_mean,
+                    "drift": drift,
+                }
+            ]
+        )
+
+
+def with_drift_state(events: DataFrame) -> DataFrame:
+    """T6: applyInPandasWithState drift monitor (README.md:141 "model
+    drift") — per-entity state: observation count + running mean; emits a
+    drift score per micro-batch. State size is O(entities), not O(events)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _drift_fn,
+            outputStructType=_DRIFT_OUT_SCHEMA,
+            stateStructType=_DRIFT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Test/ops harness: drain all available input through a memory sink and
+    return the result table (micro-batch, availableNow trigger)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,55 @@
+"""Unit tests for the forecast/dispatch layer (SURVEY.md X1-X4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysoftware_nocnetintel_spark.ml import dispatch as DP
+from mysoftware_nocnetintel_spark.ml import forecast as FC
+from mysoftware_nocnetintel_spark.plans.queries import q0_flagship_risk
+from mysoftware_nocnetintel_spark.sources import load_table
+
+
+def test_feature_pipeline_shapes(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    feats = FC.build_features(ev)
+    assert feats.count() == ev.count()
+    row = feats.filter(F.col("f_lag1") != 0.0).first()
+    assert row is not None  # lags populated past the first event per user
+
+
+def test_logistic_scores_are_probabilities(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    feats = FC.build_features(ev)
+    model = FC.fit_logistic(feats)
+    scored = FC.score(model, feats)
+    bad = scored.filter(
+        (F.col("risk_prob") < 0) | (F.col("risk_prob") > 1)
+    ).count()
+    assert bad == 0
+    a = FC.auc(scored)
+    assert 0.0 <= a <= 1.0
+
+
+def test_dispatch_plan_balanced(spark, sf_dir):
+    risk = q0_flagship_risk(spark, sf_dir)
+    plan = DP.dispatch_plan(risk, n_clusters=3)
+    rows = plan.collect()
+    assert len(rows) == risk.count()
+    # round-robin within each cluster → team sizes differ by at most 1
+    from collections import Counter
+
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, Counter())[r.team] += 1
+    for counts in by_cluster.values():
+        assert max(counts.values()) - min(counts.values()) <= 1
+    # report string formatted
+    assert rows[0].plan.startswith("Team ")
+
+
+def test_dispatch_deterministic(spark, sf_dir):
+    risk = q0_flagship_risk(spark, sf_dir)
+    a = sorted(map(tuple, DP.dispatch_plan(risk).collect()))
+    b = sorted(map(tuple, DP.dispatch_plan(risk).collect()))
+    assert a == b
