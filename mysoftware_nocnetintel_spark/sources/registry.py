@@ -39,6 +39,24 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Optional in-memory table cache (hot-table pinning — the Spark analogue of
+# an in-process engine's buffer pool). Off by default; bench/serving enable
+# it. Keyed per SparkSession: cached plans are session-owned.
+_CACHE_ENABLED = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "0") == "1"
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def enable_table_cache(on: bool = True) -> None:
+    global _CACHE_ENABLED
+    _CACHE_ENABLED = on
+    if not on:
+        for df in _TABLE_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _TABLE_CACHE.clear()
+
 # TZ-independent ns-epoch → TIMESTAMP_NTZ (micros) conversion.
 _NS_TO_TS_NTZ = (
     "timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
@@ -58,10 +76,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (id(spark._jsparkSession), sf_dir, name)
+    if _CACHE_ENABLED and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     tune(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+    if _CACHE_ENABLED:
+        df = df.cache()
+        _TABLE_CACHE[key] = df
     return df
 
 
