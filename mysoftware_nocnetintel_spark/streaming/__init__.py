@@ -4,6 +4,7 @@ from .ops import (  # noqa: F401
     session_rollup,
     sliding_rollup,
     stream_dedup,
+    stream_stream_join,
     threshold_alerts,
     tumbling_rollup,
     with_drift_state,

@@ -122,6 +122,47 @@ def threshold_alerts(events: DataFrame, threshold: float = 300.0) -> DataFrame:
     )
 
 
+def stream_stream_join(
+    events: DataFrame,
+    left_kind: str = "error",
+    right_kind: str = "purchase",
+    within: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """J7: watermarked stream-stream join — correlate two event kinds per
+    entity within a time bound (alarms↔tickets, reference README.md:32).
+    Both sides carry watermarks; the time-range condition lets Spark expire
+    join state past ``watermark + within`` — bounded state on unbounded
+    streams. Batch twin: q29_range_join.
+    """
+    num, _, unit = within.partition(" ")
+    left = (
+        events.filter(F.col("event_type") == left_kind)
+        .select(
+            F.col("user_id").alias("u1"),
+            F.col("ts").alias("left_ts"),
+            F.col("event_id").alias("left_id"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_kind)
+        .select(
+            F.col("user_id").alias("u2"),
+            F.col("ts").alias("right_ts"),
+            F.col("event_id").alias("right_id"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    cond = F.expr(
+        f"u1 = u2 AND right_ts > left_ts "
+        f"AND right_ts <= left_ts + INTERVAL '{int(num)}' {unit.rstrip('s').upper()}"
+    )
+    return left.join(right, cond).select(
+        F.col("u1").alias("user_id"), "left_id", "left_ts", "right_id", "right_ts"
+    )
+
+
 # --- T6: arbitrary stateful processing — per-entity drift detector ----------
 
 _DRIFT_STATE_SCHEMA = "n LONG, mean DOUBLE"

@@ -1,0 +1,59 @@
+"""Plan-shape assertions: the SCALING.md claims, verified mechanically.
+
+These tests read `.explain("formatted")` output and pin the physical-plan
+properties the 100 TB design depends on — pushdown reaching scans, column
+pruning, broadcast join selection, top-k without global sort. A regression
+here means a silent scale cliff even while correctness stays green.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from mysoftware_nocnetintel_spark.plans import QUERIES
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q2_pushdown_and_broadcast(spark, sf_dir):
+    p = _plan(QUERIES["q2_join_topn"](spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate" in p  # date filter reached scan
+    assert "EqualTo(r_name,ASIA)" in p            # region filter reached scan
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p           # top-n, no global sort
+    assert "SortMergeJoin" not in p               # nothing shuffles at this SF
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    p = _plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in p
+    assert "HashAggregate" in p  # partial+final hash agg, not sort-based
+
+
+def test_q7_column_pruning(spark, sf_dir):
+    p = _plan(QUERIES["q7_distinct"](spark, sf_dir))
+    # events has 6 columns; this query needs 2 — props/value must not be read
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read, p
+    assert "props" not in read[0] and "value" not in read[0]
+
+
+def test_q20_take_ordered_not_global_sort(spark, sf_dir):
+    p = _plan(QUERIES["q20_topk_global"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q9_broadcasts_query_vector(spark, sf_dir):
+    p = _plan(QUERIES["q9_knn"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_q27_stats_join_is_broadcast(spark, sf_dir):
+    p = _plan(QUERIES["q27_zscore_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # 5-row stats side must never shuffle events

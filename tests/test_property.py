@@ -1,0 +1,68 @@
+"""Property-based differential tests (SURVEY.md §5.2 layer 5): random
+filter/group/aggregate combinations must match DuckDB on the same parquet.
+Catches null handling, type coercion, and grouping edge cases the
+hand-written queries don't reach."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mysoftware_nocnetintel_spark.sources import table_path
+
+from .oracle_harness import assert_matches_oracle
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+GROUP_KEYS = ["event_type", "user_id"]
+
+
+@st.composite
+def query_params(draw):
+    types = draw(
+        st.lists(st.sampled_from(EVENT_TYPES), min_size=1, max_size=5, unique=True)
+    )
+    lo = draw(st.integers(min_value=-50, max_value=200))
+    hi = lo + draw(st.integers(min_value=1, max_value=400))
+    keys = draw(
+        st.lists(st.sampled_from(GROUP_KEYS), min_size=1, max_size=2, unique=True)
+    )
+    agg = draw(st.sampled_from(["count", "sum", "avg", "min", "max"]))
+    return types, lo, hi, sorted(keys), agg
+
+
+def _sql(types, lo, hi, keys, agg) -> str:
+    tlist = ", ".join(f"'{t}'" for t in types)
+    key_cols = ", ".join(keys)
+    agg_expr = {
+        "count": "count(*)",
+        "sum": "round(sum(value), 6)",
+        "avg": "round(avg(value), 6)",
+        "min": "min(value)",
+        "max": "max(value)",
+    }[agg]
+    return (
+        f"SELECT {key_cols}, {agg_expr} AS agg_val FROM events "
+        f"WHERE event_type IN ({tlist}) AND value >= {lo} AND value < {hi} "
+        f"GROUP BY {key_cols}"
+    )
+
+
+@pytest.mark.usefixtures("spark")
+class TestRandomizedParity:
+    @settings(
+        max_examples=20,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(params=query_params())
+    def test_random_filter_group_agg(self, spark, sf_dir, params):
+        types, lo, hi, keys, agg = params
+        sql = _sql(types, lo, hi, keys, agg)
+        from mysoftware_nocnetintel_spark.sources import register_views
+
+        register_views(spark, sf_dir, ("events",))
+        got = spark.sql(sql)
+        assert_matches_oracle(got, sql, sf_dir)

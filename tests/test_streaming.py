@@ -68,6 +68,20 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     assert n == distinct_keys
 
 
+def test_stream_stream_join_parity(spark, sf_dir):
+    """J7: watermarked stream-stream join == batch range join (q29)."""
+    from mysoftware_nocnetintel_spark.plans.queries_relational import q29_range_join
+
+    stream = STR.read_events_stream(spark, sf_dir)
+    got = STR.run_to_memory(
+        STR.stream_stream_join(stream), "t_ssj", output_mode="append"
+    )
+    got_counts = got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+    want = q29_range_join(spark, sf_dir)
+    cols = ["user_id", "n_pairs"]
+    assert _rows(got_counts, cols) == _rows(want, cols)
+
+
 def test_threshold_alerts_parity(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     stream = STR.read_events_stream(spark, sf_dir)
