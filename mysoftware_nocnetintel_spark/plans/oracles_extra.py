@@ -1,0 +1,111 @@
+"""DuckDB oracles for queries_extra. Notes:
+- Spark ``datediff`` counts calendar days (end - start) = DuckDB
+  date_diff('day', start, end) on date-truncated values; shipdate/orderdate
+  are midnight timestamps so both count whole days.
+- DuckDB RANGE INTERVAL frames == Spark rangeBetween on epoch seconds
+  (both inclusive bounds).
+- percent_rank/ntile need a total order → unique tiebreak everywhere.
+"""
+
+ORACLES_EXTRA: dict[str, str] = {
+    "q54_scalar_subquery": """
+        SELECT p_type, count(*) AS n_premium,
+               round(avg(p_retailprice), 6) AS avg_premium_price
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        GROUP BY p_type
+        ORDER BY p_type
+    """,
+    "q55_in_subquery": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q56_lead_window": """
+        SELECT event_id, user_id, ts,
+               CAST(date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               ) // 1000000 AS BIGINT) AS gap_seconds
+        FROM events
+    """,
+    "q57_first_last_value": """
+        SELECT event_id, user_id, value,
+               first_value(value) OVER w AS first_value,
+               last_value(value) OVER w AS last_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "q58_ntile_percent_rank": """
+        SELECT event_id, value,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM events
+        WINDOW w AS (ORDER BY value, event_id)
+    """,
+    "q59_time_range_frame": """
+        SELECT event_id, user_id, ts,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ), 6) AS trailing_1h_avg
+        FROM events
+    """,
+    "q60_union_distinct": """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "q61_except_all": """
+        SELECT user_id FROM events WHERE event_type = 'view'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "q62_like_filter": """
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE c_name LIKE '%001%'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "q63_date_arithmetic": """
+        SELECT o_orderpriority,
+               round(avg(date_diff('day', o_orderdate, l_shipdate)), 6)
+                   AS avg_latency_days,
+               CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+                   AS max_latency_days,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q64_resample_asof": """
+        WITH bounds AS (
+            SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+            FROM bounds
+        )
+        SELECT g.user_id, g.ts, e.ts AS obs_ts, e.value AS last_value
+        FROM grid g
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
+          ON g.user_id = e.user_id AND g.ts >= e.ts
+    """,
+    "q65_conditional_agg": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+}

@@ -1,0 +1,208 @@
+"""Additional oracle-paired coverage: subquery shapes, remaining window
+functions (lead, first/last value, ntile, percent_rank, time-range frames),
+set-op variants, LIKE predicates, date arithmetic, and the grid-alignment
+pipeline (resample + as-of) the reference's preprocessing implies
+(reference README.md:37 "Timestamp alignment, interpolation").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as TS
+from ..sources import load_table, register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Scalar subquery: parts above the average retail price, per type.
+def q54_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_type, count(*) AS n_premium,
+               round(avg(p_retailprice), 6) AS avg_premium_price
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        GROUP BY p_type
+        ORDER BY p_type
+        """
+    )
+
+
+# IN subquery over a filtered set (decorrelates to a semi join).
+def q55_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# W-family: lead — time-to-next-event per entity. Gap is computed as
+# floor(microsecond diff / 1e6) on BOTH engines: Spark's timestampdiff(SECOND)
+# counts full elapsed seconds while DuckDB's date_diff('second') counts
+# boundary crossings — they disagree on sub-second offsets.
+def q56_lead_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    next_ts = F.lead("ts").over(w)
+    gap_sec = F.expr("timestampdiff(MICROSECOND, ts, __next_ts) div 1000000")
+    return (
+        ev.withColumn("__next_ts", next_ts)
+        .withColumn("gap_seconds", gap_sec.cast("bigint"))
+        .select("event_id", "user_id", "ts", "gap_seconds")
+    )
+
+
+# W-family: first/last value with explicit frames per entity.
+def q57_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.first("value").over(w_full).alias("first_value"),
+        F.last("value").over(w_full).alias("last_value"),
+    )
+
+
+# W-family: ntile quartiles + percent_rank over global value order.
+def q58_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "value",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# Time-range window frame: trailing 1-hour average per entity (rangeBetween
+# on epoch seconds — Spark's numeric-range equivalent of DuckDB's
+# RANGE INTERVAL frame).
+def q59_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__sec"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.withColumn("__sec", sec)
+        .withColumn("trailing_1h_avg", F.round(F.avg("value").over(w), 6))
+        .select("event_id", "user_id", "ts", "trailing_1h_avg")
+    )
+
+
+# Set-op variant: UNION (distinct) of entity populations.
+def q60_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct()
+
+
+# Set-op variant: EXCEPT ALL (multiplicity-preserving difference).
+def q61_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.exceptAll(buys)
+
+
+# LIKE predicates (F3): pattern filters on entity names.
+def q62_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_name").like("%001%"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# Date arithmetic (F1): order-to-ship latency in days.
+def q63_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(lat), 6).alias("avg_latency_days"),
+            F.max(lat).cast("bigint").alias("max_latency_days"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# Grid alignment pipeline: per-entity hourly resample grid + backward as-of
+# carry of the latest observation (README.md:37 "Timestamp alignment") —
+# resample_grid and asof_join composed; oracle uses generate_series + native
+# ASOF JOIN.
+def q64_resample_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grid = TS.resample_grid(ev, "user_id", "ts", "1 hour")
+    obs = ev.select("user_id", "ts", "value")
+    out = TS.asof_join(grid, obs, keys="user_id", right_cols=["value"], suffix="_obs")
+    return out.select(
+        "user_id",
+        "ts",
+        F.col("ts_obs").alias("obs_ts"),
+        F.col("value_obs").alias("last_value"),
+    )
+
+
+# Conditional aggregation over a join (TPC-H Q12 shape): urgent-vs-other
+# order mix per line status.
+def q65_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+EXTRA_QUERIES = {
+    "q54_scalar_subquery": q54_scalar_subquery,
+    "q55_in_subquery": q55_in_subquery,
+    "q56_lead_window": q56_lead_window,
+    "q57_first_last_value": q57_first_last_value,
+    "q58_ntile_percent_rank": q58_ntile_percent_rank,
+    "q59_time_range_frame": q59_time_range_frame,
+    "q60_union_distinct": q60_union_distinct,
+    "q61_except_all": q61_except_all,
+    "q62_like_filter": q62_like_filter,
+    "q63_date_arithmetic": q63_date_arithmetic,
+    "q64_resample_asof": q64_resample_asof,
+    "q65_conditional_agg": q65_conditional_agg,
+}
