@@ -98,6 +98,50 @@ ORACLES_EXTRA: dict[str, str] = {
         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
           ON g.user_id = e.user_id AND g.ts >= e.ts
     """,
+    "q66_salted_agg": """
+        SELECT event_type,
+               round(sum(value), 6) AS sum_value,
+               count(value) AS count_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               round(sum(value) / count(value), 6) AS avg_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q67_tfidf": """
+        WITH terms AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM terms GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM terms)
+            GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS tfidf_raw
+            FROM tf JOIN dfreq USING (term), n
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf_raw,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf_raw DESC, term) AS rn
+            FROM scored
+            WHERE doc_id < 10
+        )
+        SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf,
+               CAST(rn AS BIGINT) AS rn
+        FROM ranked
+        WHERE rn <= 3
+    """,
     "q65_conditional_agg": """
         SELECT l_linestatus,
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')

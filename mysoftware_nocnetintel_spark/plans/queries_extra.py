@@ -192,6 +192,55 @@ def q65_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Skew-mitigation: two-phase salted aggregation ≡ plain aggregation (the
+# oracle is the PLAIN SQL aggregate — proving the salted plan is
+# result-identical, which is the whole point of the technique).
+def q66_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew as SK
+
+    ev = _t(spark, sf_dir, "events")
+    out = SK.salted_agg(ev, "event_type", "value", n_salts=16)
+    return out.select(
+        "event_type",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.col("count_value").alias("count_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 6).alias("avg_value"),
+    ).orderBy("event_type")
+
+
+# F7: native TF-IDF (tf × ln(N/df)), top-3 terms per document — fully
+# SQL-expressible, no MLlib hashing trick, so exactly oracle-checkable.
+def q67_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("term")
+    )
+    return (
+        scored.filter(F.col("doc_id") < 10)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rn")
+    )
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -205,4 +254,6 @@ EXTRA_QUERIES = {
     "q63_date_arithmetic": q63_date_arithmetic,
     "q64_resample_asof": q64_resample_asof,
     "q65_conditional_agg": q65_conditional_agg,
+    "q66_salted_agg": q66_salted_agg,
+    "q67_tfidf": q67_tfidf,
 }
