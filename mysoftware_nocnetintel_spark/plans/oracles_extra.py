@@ -142,6 +142,52 @@ ORACLES_EXTRA: dict[str, str] = {
         FROM ranked
         WHERE rn <= 3
     """,
+    "q68_variance_corr": """
+        SELECT event_type,
+               round(var_samp(value), 6) AS var_samp_v,
+               round(var_pop(value), 6) AS var_pop_v,
+               round(stddev_pop(value), 6) AS stddev_pop_v,
+               round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+               round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS covar_vk
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q69_array_ops": """
+        WITH per_vec AS (
+            SELECT label,
+                   sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+                   list_sum(list_transform(
+                       list_slice(list_reverse_sort(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE))), 1, 3),
+                       x -> x)) AS top3_sum,
+                   len(embedding) AS dim
+            FROM embeddings
+        )
+        SELECT label,
+               count(*) AS n_vectors,
+               round(avg(nrm), 6) AS avg_norm,
+               round(avg(top3_sum), 6) AS avg_top3_sum,
+               CAST(max(dim) AS BIGINT) AS dim
+        FROM per_vec
+        GROUP BY label
+        ORDER BY label
+    """,
+    "q70_null_handling": """
+        WITH masked AS (
+            SELECT event_type,
+                   CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_total,
+               CAST(count(v) AS BIGINT) AS n_kept,
+               round(sum(coalesce(v, 0.0)), 6) AS sum_filled
+        FROM masked
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q65_conditional_agg": """
         SELECT l_linestatus,
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')

@@ -241,6 +241,82 @@ def q67_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A4 completion: variance family (sample + population — both engines use
+# the standard definitions) and Pearson correlation / sample covariance.
+def q68_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.var_samp("value"), 6).alias("var_samp_v"),
+            F.round(F.var_pop("value"), 6).alias("var_pop_v"),
+            F.round(F.stddev_pop("value"), 6).alias("stddev_pop_v"),
+            F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+            F.round(F.covar_samp("value", "k"), 6).alias("covar_vk"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# F5 completion: array transforms over embeddings — per-cluster norm stats
+# computed with higher-order functions (sort/slice/aggregate).
+def q69_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    head3 = F.slice(F.reverse(F.array_sort(V.as_double("embedding"))), 1, 3)
+    return (
+        emb.select(
+            "label",
+            V.l2_norm("embedding").alias("nrm"),
+            F.aggregate(head3, F.lit(0.0), lambda a, x: a + x).alias("top3_sum"),
+            F.size("embedding").alias("dim"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.avg("top3_sum"), 6).alias("avg_top3_sum"),
+            F.max("dim").cast("bigint").alias("dim"),
+        )
+        .orderBy("label")
+    )
+
+
+# P2: explicit null-cleansing surface — mask, then dropna vs fillna tallies.
+def q70_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.withColumn(
+        "v",
+        F.when(F.col("event_type") == "view", F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    dropped = masked.na.drop(subset=["v"])
+    filled = masked.na.fill({"v": 0.0})
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.sum("v"), 6).alias("sum_filled"),
+        )
+        .join(
+            dropped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept")),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "sum_filled",
+        )
+        .orderBy("event_type")
+    )
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -256,4 +332,7 @@ EXTRA_QUERIES = {
     "q65_conditional_agg": q65_conditional_agg,
     "q66_salted_agg": q66_salted_agg,
     "q67_tfidf": q67_tfidf,
+    "q68_variance_corr": q68_variance_corr,
+    "q69_array_ops": q69_array_ops,
+    "q70_null_handling": q70_null_handling,
 }
