@@ -157,6 +157,29 @@ def rule_based_metrics(events: DataFrame, threshold: float = 250.0) -> DataFrame
     )
 
 
+def score_with_pandas_udf(
+    features: DataFrame, coefficients: dict[str, float], bias: float = -0.5
+) -> DataFrame:
+    """X1 alternate seam: vectorized scalar pandas UDF scoring (the
+    Arrow-batched path a torch/LSTM model plugs into via predict_batch_udf).
+    The logistic form over fixed coefficients is deterministic, so — unlike
+    the trained MLlib model — this path IS oracle-checkable, pinning the
+    pandas-UDF numeric plumbing exactly (q71)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    names = sorted(coefficients)
+    weights = np.array([coefficients[n] for n in names])
+
+    @pandas_udf("double")
+    def logistic(*cols: pd.Series) -> pd.Series:
+        x = np.column_stack([c.to_numpy(dtype=float) for c in cols])
+        z = x @ weights + bias
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    return features.withColumn("risk_prob", logistic(*[F.col(n) for n in names]))
+
+
 def auc(scored: DataFrame) -> float:
     """README.md:53 AUC via MLlib evaluator (rows-only; not oracle-checked)."""
     from pyspark.ml.evaluation import BinaryClassificationEvaluator

@@ -85,15 +85,58 @@ def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# X1 pandas-UDF seam, oracle-checked: fixed-coefficient logistic scoring via
+# a vectorized Arrow UDF must equal the same formula in SQL.
+def q71_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    feats = FC.build_features(ev)
+    coeffs = {"f_err_rate": 4.0, "f_roll_std": 0.01}
+    scored = FC.score_with_pandas_udf(
+        feats.select("event_id", "user_id", "f_err_rate", "f_roll_std"),
+        coeffs,
+        bias=-0.5,
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("risk_prob"), 6).alias("avg_risk"),
+        )
+        .orderBy("user_id")
+    )
+
+
 ML_QUERIES = {
     "q49_forecast_score": q49_forecast_score,
     "q50_per_entity_ols": q50_per_entity_ols,
     "q51_dispatch_plan": q51_dispatch_plan,
     "q52_model_metrics": q52_model_metrics,
     "q53_multimodal_features": q53_multimodal_features,
+    "q71_pandas_udf_score": q71_pandas_udf_score,
 }
 
 ML_ORACLES = {
+    "q71_pandas_udf_score": """
+        WITH feat AS (
+            SELECT user_id,
+                   avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS f_err,
+                   coalesce(stddev_samp(value)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 0.0) AS f_std
+            FROM events
+        ),
+        s AS (
+            SELECT user_id,
+                   1.0 / (1.0 + exp(-(4.0 * f_err + 0.01 * f_std - 0.5))) AS p
+            FROM feat
+        )
+        SELECT user_id, count(*) AS n_events, round(avg(p), 6) AS avg_risk
+        FROM s
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "q50_per_entity_ols": """
         SELECT user_id,
                count(*) AS n,

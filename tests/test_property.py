@@ -66,3 +66,30 @@ class TestRandomizedParity:
         register_views(spark, sf_dir, ("events",))
         got = spark.sql(sql)
         assert_matches_oracle(got, sql, sf_dir)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        join_type=st.sampled_from(["JOIN", "LEFT JOIN"]),
+        bal=st.integers(min_value=-1000, max_value=9000),
+        kind=st.sampled_from(EVENT_TYPES),
+    )
+    def test_random_join_agg(self, spark, sf_dir, join_type, bal, kind):
+        # events.user_id overlaps customer.c_custkey by construction
+        sql = (
+            f"SELECT c_mktsegment, count(*) AS n, "
+            f"count(user_id) AS n_matched "
+            f"FROM customer {join_type} "
+            f"(SELECT user_id FROM events WHERE event_type = '{kind}') e "
+            f"ON c_custkey = e.user_id "
+            f"WHERE c_acctbal > {bal} "
+            f"GROUP BY c_mktsegment"
+        )
+        from mysoftware_nocnetintel_spark.sources import register_views
+
+        register_views(spark, sf_dir, ("events", "customer"))
+        assert_matches_oracle(spark.sql(sql), sql, sf_dir)
