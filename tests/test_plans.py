@@ -57,3 +57,14 @@ def test_q9_broadcasts_query_vector(spark, sf_dir):
 def test_q27_stats_join_is_broadcast(spark, sf_dir):
     p = _plan(QUERIES["q27_zscore_outliers"](spark, sf_dir))
     assert "BroadcastHashJoin" in p  # 5-row stats side must never shuffle events
+
+
+def test_q28_asof_join_single_shuffle(spark, sf_dir):
+    """The union-grid as-of join must cost exactly ONE hash exchange (on the
+    entity key) — the core SCALING.md claim vs per-key merge_asof designs."""
+    p = _plan(QUERIES["q28_asof_join"](spark, sf_dir))
+    # each physical op appears once as a numbered detail section
+    n_exchanges = sum(
+        1 for ln in p.splitlines() if ln.strip().startswith("(") and "Exchange" in ln
+    )
+    assert n_exchanges == 1, p
