@@ -22,7 +22,7 @@ Spark-first split (SURVEY.md §7.4 risk 7):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import timeseries as TS

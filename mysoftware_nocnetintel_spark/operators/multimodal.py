@@ -16,7 +16,6 @@ so no executor ever holds a partition of raw media in memory at once.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np

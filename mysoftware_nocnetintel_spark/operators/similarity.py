@@ -130,7 +130,7 @@ def ivf_centroids(
 ) -> DataFrame:
     """KMeans cell centroids (MLlib, seeded) → DataFrame(cell, centroid)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     assembled = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(assembled)

@@ -325,11 +325,9 @@ def q44_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "user_id",
-        F.map_keys(F.map_filter("type_counts", lambda k, v: v > 0)).alias("_k"),
-        "type_counts",
-    ).select(
-        "user_id",
-        F.size("type_counts").cast("bigint").alias("n_types"),
+        F.size(F.map_filter("type_counts", lambda k, v: v > 0))
+        .cast("bigint")
+        .alias("n_types"),
         F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0))
         .cast("bigint")
         .alias("n_purchase"),
