@@ -142,6 +142,15 @@ ORACLES_EXTRA: dict[str, str] = {
         FROM ranked
         WHERE rn <= 3
     """,
+    "q72_variant_json": """
+        SELECT event_type,
+               count(*) AS n,
+               round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q68_variance_corr": """
         SELECT event_type,
                round(var_samp(value), 6) AS var_samp_v,

@@ -317,6 +317,26 @@ def q70_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F4 scale path: Spark 4 VARIANT — parse semi-structured JSON once into a
+# binary-encoded column, then cheap typed extraction (vs re-parsing the
+# string per access as get_json_object does). The 100 TB answer for raw-log
+# props; results must equal the string-path q6 semantics.
+def q72_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(F.variant_get(F.col("pv"), "$.k", "double")), 6
+            ).alias("avg_k"),
+            F.max(F.variant_get(F.col("pv"), "$.k", "bigint")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -335,4 +355,5 @@ EXTRA_QUERIES = {
     "q68_variance_corr": q68_variance_corr,
     "q69_array_ops": q69_array_ops,
     "q70_null_handling": q70_null_handling,
+    "q72_variant_json": q72_variant_json,
 }
