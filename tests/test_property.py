@@ -68,6 +68,34 @@ class TestRandomizedParity:
         assert_matches_oracle(got, sql, sf_dir)
 
     @settings(
+        max_examples=12,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        k=st.integers(min_value=1, max_value=30),
+        agg=st.sampled_from(["avg", "sum", "min", "max", "count"]),
+    )
+    def test_random_rolling_window(self, spark, sf_dir, k, agg):
+        expr = {
+            "avg": "round(avg(value) OVER w, 6)",
+            "sum": "round(sum(value) OVER w, 6)",
+            "min": "min(value) OVER w",
+            "max": "max(value) OVER w",
+            "count": "count(*) OVER w",
+        }[agg]
+        sql = (
+            f"SELECT event_id, {expr} AS agg_val FROM events "
+            f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)"
+        )
+        from mysoftware_nocnetintel_spark.sources import register_views
+
+        register_views(spark, sf_dir, ("events",))
+        assert_matches_oracle(spark.sql(sql), sql, sf_dir)
+
+    @settings(
         max_examples=10,
         deadline=None,
         derandomize=True,

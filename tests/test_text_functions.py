@@ -1,0 +1,72 @@
+"""Direct unit tests for the text-analysis column functions (F7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysoftware_nocnetintel_spark.functions import text as TX
+
+
+def _one(spark, text, col):
+    return (
+        spark.createDataFrame([(text,)], ["text"]).select(col.alias("out")).first().out
+    )
+
+
+def test_tokens_and_counts(spark):
+    assert _one(spark, "  a  b   c ", TX.tokens("text")) == ["a", "b", "c"]
+    assert _one(spark, "a b a", TX.token_count("text")) == 3
+    assert _one(spark, "a b a", TX.distinct_token_count("text")) == 2
+    assert _one(spark, "", TX.token_count("text")) == 0
+
+
+def test_bpe_ish_tokens_split_punctuation(spark):
+    out = _one(spark, "hello, world!", TX.bpe_ish_tokens("text"))
+    assert out == ["hello", ",", "world", "!"]
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    rich = _one(
+        spark,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        TX.quality_score("text"),
+    )
+    stuffed = _one(
+        spark, "the the the the the the the the the the", TX.quality_score("text")
+    )
+    assert 0.0 <= stuffed < rich <= 1.0
+
+
+def test_char_ngrams(spark):
+    assert _one(spark, "abcd", TX.char_ngrams("text", 3)) == ["abc", "bcd"]
+    assert _one(spark, "ab", TX.char_ngrams("text", 3)) == []
+
+
+def test_fingerprint_permutation_insensitive(spark):
+    a = _one(spark, "spark filter join", TX.fingerprint("text"))
+    b = _one(spark, "join  SPARK filter", TX.fingerprint("text"))
+    c = _one(spark, "join spark merge", TX.fingerprint("text"))
+    assert a == b  # order- and case-insensitive
+    assert a != c
+
+
+def test_rolling_hash_fingerprint_stable_and_overlapping(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    a = set(_one(spark, base, TX.rolling_hash_fingerprint("text")))
+    b = set(_one(spark, base + " tail", TX.rolling_hash_fingerprint("text")))
+    assert a and a == set(_one(spark, base, TX.rolling_hash_fingerprint("text")))
+    # winnowing property: a suffix edit preserves most leading fingerprints
+    assert len(a & b) >= len(a) // 2
+
+
+def test_lang_id_profiles(spark):
+    assert _one(spark, "the cat and the dog of it", TX.lang_id("text")) == "en"
+    assert _one(spark, "el gato y la casa de que", TX.lang_id("text")) == "es"
+    assert _one(spark, "zzz qqq xxx", TX.lang_id("text")) == "und"
+
+
+def test_stopword_and_type_token_ratio(spark):
+    assert _one(spark, "the a of", TX.stopword_ratio("text")) == 1.0
+    assert _one(spark, "x y z", TX.stopword_ratio("text")) == 0.0
+    assert _one(spark, "x x y y", TX.type_token_ratio("text")) == 0.5
+    assert _one(spark, "", TX.stopword_ratio("text")) is None  # ANSI-safe null
