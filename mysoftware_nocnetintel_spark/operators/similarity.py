@@ -102,18 +102,36 @@ def lsh_bucketed_topk(
     k: int = 10,
     n_planes: int = 12,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN: candidates share the query's LSH bucket; exact re-rank within.
     Recall < 1 by construction (rows-only checked); candidate volume is
-    corpus/2^n_planes per bucket in expectation."""
+    corpus/2^n_planes per bucket in expectation.
+
+    ``multiprobe`` ≥ 1 also probes every bucket at Hamming distance 1 from
+    the query's bucket (each near-miss of one hyperplane) — the standard
+    multi-probe LSH recall lift: the QUERY side fans out ×(n_planes+1),
+    the corpus is untouched, so cost stays sub-linear in corpus size."""
     c = corpus.withColumn(
         "bucket", random_hyperplane_lsh(corpus_vec, dim, n_planes, seed)
     )
     q = queries.withColumn(
         "bucket", random_hyperplane_lsh(query_vec, dim, n_planes, seed)
     )
-    scored = c.join(F.broadcast(q), "bucket").withColumn(
-        "score", V.cosine_similarity(corpus_vec, query_vec)
+    if multiprobe >= 1:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+            ],
+        )
+        q = (
+            q.withColumn("bucket", F.explode(flips))
+        )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .dropDuplicates([query_id, corpus_id])
+        .withColumn("score", V.cosine_similarity(corpus_vec, query_vec))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id)

@@ -177,7 +177,7 @@ def q42_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return SIM.lsh_bucketed_topk(
-        emb.filter(F.col("vec_id") >= 5), q, dim=64, k=5, n_planes=8
+        emb.filter(F.col("vec_id") >= 5), q, dim=64, k=5, n_planes=6, multiprobe=1
     ).select("qid", "vec_id", F.round("score", 6).alias("cosine_sim"), "rn")
 
 

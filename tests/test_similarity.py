@@ -45,6 +45,25 @@ def test_lsh_results_subset_and_self_consistent(spark, sf_dir):
     assert sorted(map(tuple, ann)) == sorted(map(tuple, ann2))
 
 
+def test_multiprobe_lifts_recall(spark, sf_dir):
+    """Probing Hamming-1 buckets must find at least as many true top-k
+    neighbors as single-probe (and no duplicate candidates)."""
+    corpus, q = _corpus_queries(spark, sf_dir)
+    exact = SIM.brute_force_topk(corpus, q, k=5).collect()
+    etop = {}
+    for r in exact:
+        etop.setdefault(r.qid, set()).add(r.vec_id)
+
+    def recall(mp):
+        ann = SIM.lsh_bucketed_topk(
+            corpus, q, dim=64, k=5, n_planes=6, multiprobe=mp
+        ).collect()
+        assert len(ann) == len({(r.qid, r.vec_id) for r in ann})  # no dups
+        return sum(1 for r in ann if r.vec_id in etop.get(r.qid, set()))
+
+    assert recall(1) >= recall(0)
+
+
 def test_ivf_recall_reasonable(spark, sf_dir):
     corpus, q = _corpus_queries(spark, sf_dir)
     centroids = SIM.ivf_centroids(corpus, n_cells=8)
