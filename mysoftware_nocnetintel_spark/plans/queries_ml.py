@@ -106,6 +106,25 @@ def q71_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A5 completion: RMSE of a deterministic baseline regressor (per-entity mean
+# prediction) — the regression metric of reference README.md:53, fully
+# SQL-expressible so the arithmetic is oracle-checked.
+def q73_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    means = ev.groupBy("user_id").agg(F.avg("value").alias("pred"))
+    joined = ev.join(F.broadcast(means), "user_id")
+    err2 = (F.col("value") - F.col("pred")) * (F.col("value") - F.col("pred"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sqrt(F.avg(err2)), 6).alias("rmse"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("pred"))), 6).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ML_QUERIES = {
     "q49_forecast_score": q49_forecast_score,
     "q50_per_entity_ols": q50_per_entity_ols,
@@ -113,9 +132,22 @@ ML_QUERIES = {
     "q52_model_metrics": q52_model_metrics,
     "q53_multimodal_features": q53_multimodal_features,
     "q71_pandas_udf_score": q71_pandas_udf_score,
+    "q73_rmse": q73_rmse,
 }
 
 ML_ORACLES = {
+    "q73_rmse": """
+        WITH means AS (
+            SELECT user_id, avg(value) AS pred FROM events GROUP BY user_id
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               round(sqrt(avg((e.value - m.pred) * (e.value - m.pred))), 6) AS rmse,
+               round(avg(abs(e.value - m.pred)), 6) AS mae
+        FROM events e JOIN means m USING (user_id)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
     "q71_pandas_udf_score": """
         WITH feat AS (
             SELECT user_id,
