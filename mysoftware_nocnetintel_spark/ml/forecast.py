@@ -189,7 +189,7 @@ def auc(scored: DataFrame) -> float:
         rawPredictionCol="raw", labelCol="label", metricName="areaUnderROC"
     )
     prepared = scored.select(
-        array_to_vector(F.array(F.lit(0.0) + (1 - F.col("risk_prob")), F.col("risk_prob"))).alias("raw"),
+        array_to_vector(F.array(1 - F.col("risk_prob"), F.col("risk_prob"))).alias("raw"),
         F.col("label").cast("double").alias("label"),
     )
     return float(ev.evaluate(prepared))

@@ -61,28 +61,37 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Capability check evaluated ONCE at import (plan-build) time — never inside
+# the Arrow batch loop, so an unexpected codec install fails fast at plan
+# construction with a clear message instead of a mid-job executor exception.
+try:
+    import PIL.Image  # noqa: F401 — not installed in this container
+
+    _REAL_CODECS_PRESENT = True
+except ImportError:
+    _REAL_CODECS_PRESENT = False
+
+
 def decode_media(payload: bytes, fmt: str) -> np.ndarray:
     """STUB: real decode requires an image/audio codec not present in this
     environment. The deterministic fake below keeps the pipeline testable;
     swap this function for PIL/torchvision/ffmpeg in deployment."""
-    try:
-        import PIL.Image  # noqa: F401 — not installed here
-
-        raise NotImplementedError(
-            "real decode path not wired: plug PIL/ffmpeg decode here"
-        )
-    except ImportError:
-        # deterministic fake: byte histogram over 16 buckets, L1-normalized
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-        total = hist.sum()
-        return hist / total if total else hist
+    # deterministic fake: byte histogram over 16 buckets, L1-normalized
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+    total = hist.sum()
+    return hist / total if total else hist
 
 
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """mapInPandas feature extraction: binary payload → float feature vector.
     Batches stream through Arrow; output schema is explicit; metadata
     columns pass through untouched (column pruning still applies upstream)."""
+    if _REAL_CODECS_PRESENT:
+        raise NotImplementedError(
+            "image codecs detected but the real decode path is not wired: "
+            "replace decode_media's fake with PIL/ffmpeg decode before use"
+        )
     fields = [f for f in df.schema.fields if f.name != "media"]
     out_schema = T.StructType(
         fields + [T.StructField("features", T.ArrayType(T.DoubleType()))]

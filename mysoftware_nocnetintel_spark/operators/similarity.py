@@ -161,20 +161,57 @@ def ivf_centroids(
 
 def ivf_assign(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest cell (broadcast centroid table,
-    windowed argmin — one pass, no MLlib dependency at query time)."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", V.l2_distance(corpus_vec, "centroid")
+    """Assign each vector to its nearest cell — ZERO shuffle.
+
+    The centroid table is tiny and already driver-materialized (it comes from
+    ``model.clusterCenters()``), so it is inlined as a literal
+    array<struct<cell,centroid>> and the argmin is a per-row ``aggregate``
+    fold over that literal — a pure narrow projection, no join, no exchange
+    (mirrors how the LSH planes are inlined above). Ties break toward the
+    lowest cell id, same as the previous windowed-argmin formulation."""
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select("cell", "centroid").collect()
+        cents = sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
+    else:
+        cents = sorted((int(c), list(v)) for c, v in centroids)
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("centroid"),
+            )
+            for cell, cvec in cents
+        ]
     )
-    w = Window.partitionBy(*corpus.columns).orderBy(F.col("dist").asc(), F.col("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "dist", "centroid")
+    vec = F.col(corpus_vec)
+
+    def _step(acc, c):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                c["centroid"],
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        better = d < acc["dist"]
+        return F.struct(
+            F.when(better, c["cell"]).otherwise(acc["cell"]).alias("cell"),
+            F.when(better, d).otherwise(acc["dist"]).alias("dist"),
+        )
+
+    best = F.aggregate(
+        cent_lits,
+        F.struct(
+            F.lit(-1).alias("cell"), F.lit(float("inf")).alias("dist")
+        ),
+        _step,
     )
+    return corpus.withColumn("cell", best["cell"])
 
 
 def ivf_topk(

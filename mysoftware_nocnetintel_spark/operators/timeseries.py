@@ -127,9 +127,16 @@ def asof_join(
     tolerance: str | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """J3: as-of join — for each left row, the latest right row with
     ``right_ts <= left_ts`` per key (backward; forward = earliest >=).
+
+    ``right_tiebreak`` names a right-side column that totally orders right
+    rows sharing the same (key, ts); the row with the LARGEST tiebreak wins
+    (pick-latest rule), making the matched payload deterministic across
+    partitionings. Without it, equal-(key, ts) right rows have no total
+    order and the carried payload is partitioning-dependent.
 
     Union-grid formulation (Spark has no native ASOF JOIN as of 4.x):
     union both sides with a side tag, one window pass per key ordered by
@@ -149,10 +156,12 @@ def asof_join(
         F.col(right_ts).alias("__asof_ts"),
         *[F.col(c).alias(c) for c in right_cols],
     )
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
     r = right.select(
         *key_list,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        tb.alias("__tb"),
         payload.alias("__payload"),
     )
     left_struct = F.struct(*[F.col(c) for c in left.columns]).alias("__row")
@@ -160,23 +169,27 @@ def asof_join(
         *key_list,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         left_struct,
     )
     r = r.withColumn("__row", F.lit(None).cast(l.schema["__row"].dataType))
 
     if direction == "backward":
-        # right rows sort before left rows at equal ts → ties match
+        # right rows sort before left rows at equal ts → ties match;
+        # __tb asc makes F.last pick the max-tiebreak right row on (key, ts)
+        # collisions (left rows carry a NULL __tb but sort after on __side)
         w = (
             Window.partitionBy(*key_list)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         carried = F.last("__payload", ignorenulls=True).over(w)
     elif direction == "forward":
+        # __tb desc makes F.first hit the max-tiebreak right row first
         w = (
             Window.partitionBy(*key_list)
-            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tb").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
         carried = F.first("__payload", ignorenulls=True).over(w)

@@ -396,8 +396,10 @@ ORACLES_EXT: dict[str, str] = {
     "q47_session_window": """
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
+                   -- >= : Spark's native session_window end is [start, last+gap)
+                   -- EXCLUSIVE, so a gap of exactly 30min starts a new session
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

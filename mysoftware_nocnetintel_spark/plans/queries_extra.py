@@ -83,32 +83,77 @@ def q57_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # W-family: ntile quartiles + percent_rank over global value order.
+#
+# Scale-safe formulation: a global `Window.orderBy` would funnel every row
+# through ONE task. Instead: (1) approxQuantile picks ~P value boundaries,
+# (2) each row gets a deterministic range-bucket from those literal
+# boundaries, (3) exact per-bucket counts (tiny, ≤P rows) are collected and
+# turned into literal rank offsets, (4) a PER-BUCKET window assigns local
+# row_number, and global_rank = offset[bucket] + local_rn. percent_rank and
+# ntile(4) are then closed-form in the global rank — bit-identical to the
+# single-window answer, but the big side never leaves P-way parallelism.
 def q58_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
-    return ev.select(
-        "event_id",
-        "value",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    n_buckets = 32
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    boundaries = sorted(set(ev.approxQuantile("value", qs, 0.001)))
+    if boundaries:
+        blit = F.array(*[F.lit(float(b)) for b in boundaries])
+        bucket = F.size(F.filter(blit, lambda b: b <= F.col("value")))
+    else:  # constant column → single bucket
+        bucket = F.lit(0)
+    bucketed = ev.withColumn("__b", bucket)
+    counts = {
+        r["__b"]: r["n"]
+        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = F.element_at(
+        F.create_map(
+            *[x for b in sorted(offsets) for x in (F.lit(b), F.lit(offsets[b]))]
+        ),
+        F.col("__b"),
+    )
+    w_local = Window.partitionBy("__b").orderBy("value", "event_id")
+    grn = (off + F.row_number().over(w_local)).cast("bigint")
+    # ntile(N into 4): first (N mod 4) buckets get (N div 4)+1 rows
+    q, r = divmod(n_total, 4)
+    cut = r * (q + 1)
+    quartile = (
+        F.when(F.col("__grn") <= cut, ((F.col("__grn") - 1) / (q + 1)).cast("bigint") + 1)
+        .otherwise(r + ((F.col("__grn") - cut - 1) / max(q, 1)).cast("bigint") + 1)
+        .cast("bigint")
+    )
+    return (
+        bucketed.withColumn("__grn", grn)
+        .select(
+            "event_id",
+            "value",
+            quartile.alias("quartile"),
+            F.round((F.col("__grn") - 1) / max(n_total - 1, 1), 6).alias("pct_rank"),
+        )
     )
 
 
 # Time-range window frame: trailing 1-hour average per entity (rangeBetween
-# on epoch seconds — Spark's numeric-range equivalent of DuckDB's
-# RANGE INTERVAL frame).
+# on epoch MICROseconds — exact precision, matching DuckDB's RANGE INTERVAL
+# frame bit-for-bit even when a pair's gap straddles a whole-second boundary).
 def q59_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    sec = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    usec = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     ).cast("long")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("__sec"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.col("__usec"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
-        ev.withColumn("__sec", sec)
+        ev.withColumn("__usec", usec)
         .withColumn("trailing_1h_avg", F.round(F.avg("value").over(w), 6))
         .select("event_id", "user_id", "ts", "trailing_1h_avg")
     )

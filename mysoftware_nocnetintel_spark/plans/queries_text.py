@@ -84,9 +84,21 @@ def q39_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # U3/J8: embedding-cosine near-duplicates — exact O(n²) baseline tier, top-20
 # most-similar pairs (threshold-free so the result is non-trivial at every
-# scale; the LSH tier in operators.similarity is the 100 TB path).
+# scale; the LSH tier in operators.similarity is the 100 TB path). The guard
+# below makes the tier un-misusable: above ~1M pairwise-feasible rows you
+# MUST take the banded path instead.
+_EXACT_PAIRS_MAX_ROWS = int(1e6)
+
+
 def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > _EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"exact all-pairs tier refused for {n} rows (> {_EXACT_PAIRS_MAX_ROWS}): "
+            "use operators.similarity.lsh_bucketed_topk / ivf_topk (the banded "
+            "100 TB path) for corpora of this size"
+        )
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )

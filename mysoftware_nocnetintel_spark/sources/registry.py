@@ -41,9 +41,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Optional in-memory table cache (hot-table pinning — the Spark analogue of
 # an in-process engine's buffer pool). Off by default; bench/serving enable
-# it. Keyed per SparkSession: cached plans are session-owned.
+# it. Keyed per SparkSession via (applicationId, sessionUUID) — stable
+# identifiers that cannot be recycled the way a py4j proxy's id() can, so a
+# new session never inherits DataFrames bound to a stopped one.
 _CACHE_ENABLED = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "0") == "1"
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> tuple:
+    try:
+        return (
+            spark.sparkContext.applicationId,
+            str(spark._jsparkSession.sessionUUID()),
+        )
+    except Exception:  # stopped context or non-JVM session stub
+        return ("pyid", id(spark))
 
 
 def enable_table_cache(on: bool = True) -> None:
@@ -76,7 +88,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (id(spark._jsparkSession), sf_dir, name)
+    key = (*_session_key(spark), sf_dir, name)
     if _CACHE_ENABLED and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     tune(spark)

@@ -68,3 +68,26 @@ def test_q28_asof_join_single_shuffle(spark, sf_dir):
         1 for ln in p.splitlines() if ln.strip().startswith("(") and "Exchange" in ln
     )
     assert n_exchanges == 1, p
+
+
+def test_q58_no_single_partition_exchange(spark, sf_dir):
+    """Global ranking must never funnel the big side through one task: the
+    two-pass range-bucketed formulation keeps the window partitioned by
+    bucket, so no SinglePartition exchange may appear anywhere in the plan."""
+    p = _plan(QUERIES["q58_ntile_percent_rank"](spark, sf_dir))
+    assert "SinglePartition" not in p, p
+    assert "Window" in p  # per-bucket window still present
+
+
+def test_ivf_assign_zero_exchanges(spark, sf_dir):
+    """Cell assignment is a pure narrow projection (centroids inlined as
+    literals) — zero joins, zero exchanges in the assign stage."""
+    from mysoftware_nocnetintel_spark.operators import similarity as S
+    from mysoftware_nocnetintel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(emb, n_cells=4, seed=7)
+    assigned = S.ivf_assign(emb, cents)
+    p = _plan(assigned)
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
