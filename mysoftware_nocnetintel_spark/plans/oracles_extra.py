@@ -8,6 +8,22 @@
 """
 
 ORACLES_EXTRA: dict[str, str] = {
+    "q75_sequence_assembly": """
+        WITH ranked AS (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS seq_len,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               round(sum(rn * value), 4) AS ord_checksum
+        FROM ranked
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "q54_scalar_subquery": """
         SELECT p_type, count(*) AS n_premium,
                round(avg(p_retailprice), 6) AS avg_premium_price

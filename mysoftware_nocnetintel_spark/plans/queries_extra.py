@@ -382,6 +382,34 @@ def q72_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A7: per-entity time-ordered sequence assembly (LSTM model input, reference
+# README.md:47). The query materializes the array<struct> via
+# assemble_sequences, then projects SQL-comparable facts DERIVED FROM the
+# array — length, first/last element timestamps, and an order-sensitive
+# Σ i·valueᵢ checksum over the array elements — so the oracle verifies both
+# membership and the internal sort order without brittle nested-type hashing.
+def q75_sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seqs = TS.assemble_sequences(
+        ev, "user_id", "ts", ["value"], tiebreak="event_id"
+    )
+    idx = F.sequence(F.lit(1), F.size("sequence"))
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("sequence"), idx, lambda s, i: i.cast("double") * s["value"]
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return seqs.select(
+        "user_id",
+        F.col("seq_len").cast("bigint").alias("seq_len"),
+        F.element_at("sequence", 1)["__ts"].alias("first_ts"),
+        F.element_at("sequence", -1)["__ts"].alias("last_ts"),
+        F.round(checksum, 4).alias("ord_checksum"),
+    ).orderBy("user_id")
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -401,4 +429,5 @@ EXTRA_QUERIES = {
     "q69_array_ops": q69_array_ops,
     "q70_null_handling": q70_null_handling,
     "q72_variant_json": q72_variant_json,
+    "q75_sequence_assembly": q75_sequence_assembly,
 }

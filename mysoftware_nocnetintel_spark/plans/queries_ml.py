@@ -125,6 +125,41 @@ def q73_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A5 completion: ROC AUC via the tie-corrected Mann-Whitney rank statistic —
+# AUC = Σ_s n_pos(s)·(cum_neg(<s) + n_neg(s)/2) / (n⁺·n⁻) — fully
+# SQL-expressible, so the classification metric of reference README.md:53 is
+# oracle-checked (the MLlib evaluator is asserted equal in tests/test_ml.py).
+#
+# Scale shape: scores are binned to integers first, so the ordered running
+# sum runs over a BOUNDED table (≤ #bins rows) — the per-row global ranking
+# a naive rank-based AUC needs never happens. The binned classifier's AUC is
+# exact for the binned score (and the bin width is the caller's precision
+# knob at 100 TB).
+def q74_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    s = ev.select(
+        F.floor("value").cast("bigint").alias("score"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("lab"),
+    )
+    agg = s.groupBy("score").agg(
+        F.sum("lab").alias("n_pos"),
+        F.sum(1 - F.col("lab")).alias("n_neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = agg.withColumn("cum_neg", F.coalesce(F.sum("n_neg").over(w), F.lit(0)))
+    return cum.agg(
+        F.round(
+            F.sum(F.col("n_pos") * (F.col("cum_neg") + F.col("n_neg") / 2.0))
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+    )
+
+
 ML_QUERIES = {
     "q49_forecast_score": q49_forecast_score,
     "q50_per_entity_ols": q50_per_entity_ols,
@@ -133,9 +168,33 @@ ML_QUERIES = {
     "q53_multimodal_features": q53_multimodal_features,
     "q71_pandas_udf_score": q71_pandas_udf_score,
     "q73_rmse": q73_rmse,
+    "q74_auc": q74_auc,
 }
 
 ML_ORACLES = {
+    "q74_auc": """
+        WITH s AS (
+            SELECT CAST(floor(value) AS BIGINT) AS score,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS lab
+            FROM events
+        ),
+        agg AS (
+            SELECT score, sum(lab) AS n_pos, sum(1 - lab) AS n_neg
+            FROM s GROUP BY score
+        ),
+        cum AS (
+            SELECT score, n_pos, n_neg,
+                   coalesce(sum(n_neg) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_neg
+            FROM agg
+        )
+        SELECT round(sum(n_pos * (cum_neg + n_neg / 2.0))
+                     / (sum(n_pos) * sum(n_neg)), 6) AS auc,
+               CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(n_neg) AS BIGINT) AS n_neg
+        FROM cum
+    """,
     "q73_rmse": """
         WITH means AS (
             SELECT user_id, avg(value) AS pred FROM events GROUP BY user_id

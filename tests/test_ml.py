@@ -53,3 +53,19 @@ def test_dispatch_deterministic(spark, sf_dir):
     a = sorted(map(tuple, DP.dispatch_plan(risk).collect()))
     b = sorted(map(tuple, DP.dispatch_plan(risk).collect()))
     assert a == b
+
+
+def test_q74_auc_equals_mllib_evaluator(spark, sf_dir):
+    """The rank-statistic AUC (q74) must equal MLlib's trapezoidal
+    BinaryClassificationEvaluator on the same binned score — the two
+    formulations are mathematically identical under tie correction."""
+    from mysoftware_nocnetintel_spark.plans.queries_ml import q74_auc
+
+    got = q74_auc(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.floor("value") / 1000.0).alias("risk_prob"),  # monotone in the bin
+        F.when(F.col("event_type") == "error", 1.0).otherwise(0.0).alias("label"),
+    )
+    want = FC.auc(scored)
+    assert abs(got["auc"] - want) < 1e-6, (got["auc"], want)
