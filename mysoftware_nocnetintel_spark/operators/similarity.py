@@ -103,6 +103,7 @@ def lsh_bucketed_topk(
     n_planes: int = 12,
     seed: int = 42,
     multiprobe: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN: candidates share the query's LSH bucket; exact re-rank within.
     Recall < 1 by construction (rows-only checked); candidate volume is
@@ -111,12 +112,37 @@ def lsh_bucketed_topk(
     ``multiprobe`` ≥ 1 also probes every bucket at Hamming distance 1 from
     the query's bucket (each near-miss of one hyperplane) — the standard
     multi-probe LSH recall lift: the QUERY side fans out ×(n_planes+1),
-    the corpus is untouched, so cost stays sub-linear in corpus size."""
-    c = corpus.withColumn(
-        "bucket", random_hyperplane_lsh(corpus_vec, dim, n_planes, seed)
+    the corpus is untouched, so cost stays sub-linear in corpus size.
+
+    ``n_tables`` > 1 is OR-amplification: L independent plane sets (seeded
+    seed+1000t), a candidate matches if it collides in ANY table — recall
+    1-(1-p^b)^L at the cost of an ×L corpus index (the classic LSH-forest
+    trade; the corpus explode stays one narrow stage, the join is still an
+    equi-join on (table, bucket))."""
+    tables = list(range(max(1, n_tables)))
+
+    def buckets(vec_col: str) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    random_hyperplane_lsh(
+                        vec_col, dim, n_planes, seed + 1000 * t
+                    ).alias("bucket"),
+                )
+                for t in tables
+            ]
+        )
+
+    c = corpus.withColumn("__tb", F.explode(buckets(corpus_vec))).select(
+        F.col("__tb.tbl").alias("tbl"),
+        F.col("__tb.bucket").alias("bucket"),
+        *[F.col(x) for x in corpus.columns],
     )
-    q = queries.withColumn(
-        "bucket", random_hyperplane_lsh(query_vec, dim, n_planes, seed)
+    q = queries.withColumn("__tb", F.explode(buckets(query_vec))).select(
+        F.col("__tb.tbl").alias("tbl"),
+        F.col("__tb.bucket").alias("bucket"),
+        *[F.col(x) for x in queries.columns],
     )
     if multiprobe >= 1:
         flips = F.array(
@@ -129,7 +155,7 @@ def lsh_bucketed_topk(
             q.withColumn("bucket", F.explode(flips))
         )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .dropDuplicates([query_id, corpus_id])
         .withColumn("score", V.cosine_similarity(corpus_vec, query_vec))
     )

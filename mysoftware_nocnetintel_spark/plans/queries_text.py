@@ -180,7 +180,10 @@ def q40_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# J8 scale path: LSH-bucketed ANN top-k (rows-only: approximate).
+# J8 scale path: LSH-bucketed ANN top-k (rows-only: approximate). Operating
+# point: 12 OR-amplified tables × 6 planes + Hamming-1 multiprobe — measured
+# recall@5 = 1.0 on the (near-random, hence LSH-hostile) synthetic embeddings
+# (tests/test_similarity.py pins ≥ 0.8).
 def q42_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as SIM
 
@@ -189,7 +192,13 @@ def q42_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return SIM.lsh_bucketed_topk(
-        emb.filter(F.col("vec_id") >= 5), q, dim=64, k=5, n_planes=6, multiprobe=1
+        emb.filter(F.col("vec_id") >= 5),
+        q,
+        dim=64,
+        k=5,
+        n_planes=6,
+        multiprobe=1,
+        n_tables=12,
     ).select("qid", "vec_id", F.round("score", 6).alias("cosine_sim"), "rn")
 
 
@@ -205,7 +214,7 @@ def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return SIM.ivf_topk(assigned, centroids, q, k=5, nprobe=3).select(
+    return SIM.ivf_topk(assigned, centroids, q, k=5, nprobe=5).select(
         "qid", "vec_id", F.round("score", 6).alias("cosine_sim"), "rn"
     )
 

@@ -54,14 +54,19 @@ def test_multiprobe_lifts_recall(spark, sf_dir):
     for r in exact:
         etop.setdefault(r.qid, set()).add(r.vec_id)
 
-    def recall(mp):
+    def recall(mp, tables=1):
         ann = SIM.lsh_bucketed_topk(
-            corpus, q, dim=64, k=5, n_planes=6, multiprobe=mp
+            corpus, q, dim=64, k=5, n_planes=6, multiprobe=mp, n_tables=tables
         ).collect()
         assert len(ann) == len({(r.qid, r.vec_id) for r in ann})  # no dups
         return sum(1 for r in ann if r.vec_id in etop.get(r.qid, set()))
 
     assert recall(1) >= recall(0)
+    # OR-amplification at the q42 operating point (12 tables × 6 planes,
+    # Hamming-1 multiprobe) must clear production recall on the synthetic
+    # near-random embeddings — the hardest case for sign-bucket LSH
+    n_exact = sum(len(v) for v in etop.values())
+    assert recall(1, tables=12) >= 0.8 * n_exact
 
 
 def test_ivf_recall_reasonable(spark, sf_dir):
@@ -70,10 +75,10 @@ def test_ivf_recall_reasonable(spark, sf_dir):
     assigned = SIM.ivf_assign(corpus, centroids)
     # every corpus vector lands in exactly one cell
     assert assigned.count() == corpus.count()
-    ann = SIM.ivf_topk(assigned, centroids, q, k=3, nprobe=4).collect()
+    ann = SIM.ivf_topk(assigned, centroids, q, k=3, nprobe=5).collect()
     exact = SIM.brute_force_topk(corpus, q, k=3).collect()
     exact_top = {}
     for r in exact:
         exact_top.setdefault(r.qid, set()).add(r.vec_id)
     hits = sum(1 for r in ann if r.vec_id in exact_top.get(r.qid, set()))
-    assert hits >= 0.5 * len(exact)  # nprobe=4/8 cells → decent recall
+    assert hits >= 0.8 * len(exact)  # nprobe=5/8 cells → production recall
