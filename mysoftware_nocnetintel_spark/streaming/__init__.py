@@ -1,4 +1,5 @@
 from .ops import (  # noqa: F401
+    read_events_kafka,
     read_events_stream,
     run_to_memory,
     session_rollup,
@@ -8,4 +9,5 @@ from .ops import (  # noqa: F401
     threshold_alerts,
     tumbling_rollup,
     with_drift_state,
+    with_drift_state_v2,
 )

@@ -128,12 +128,20 @@ def stream_stream_join(
     right_kind: str = "purchase",
     within: str = "5 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """J7: watermarked stream-stream join — correlate two event kinds per
     entity within a time bound (alarms↔tickets, reference README.md:32).
     Both sides carry watermarks; the time-range condition lets Spark expire
     join state past ``watermark + within`` — bounded state on unbounded
     streams. Batch twin: q29_range_join.
+
+    ``how="left_outer"`` emits the unmatched-alarm rows too (alarm with no
+    ticket in the correlation window, right columns NULL) — but only once
+    the watermark passes the row's join-state expiry, so late tickets can't
+    be missed. On a finite replay the tail younger than the final watermark
+    never expires and is withheld; the parity test accounts for exactly that
+    region.
     """
     num, _, unit = within.partition(" ")
     left = (
@@ -158,7 +166,7 @@ def stream_stream_join(
         f"u1 = u2 AND right_ts > left_ts "
         f"AND right_ts <= left_ts + INTERVAL '{int(num)}' {unit.rstrip('s').upper()}"
     )
-    return left.join(right, cond).select(
+    return left.join(right, cond, how).select(
         F.col("u1").alias("user_id"), "left_id", "left_ts", "right_id", "right_ts"
     )
 
@@ -216,6 +224,138 @@ def with_drift_state(events: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# --- T6 (state v2): the same drift detector on transformWithStateInPandas --
+#
+# Spark 4's arbitrary-state API: explicit named state variables managed by a
+# StatefulProcessor, TTL support, and a state-store-backed handle — the
+# deployment-grade replacement for applyInPandasWithState (kept above for
+# comparison/parity). Same math, same output schema.
+#
+# Capability gate: the state-v2 Python protocol speaks protobuf to the JVM
+# state server; this container ships no google.protobuf, so execution would
+# crash the streaming runner mid-query. Checked ONCE here so callers fail
+# fast at plan-build with a clear message (tests skip on the same flag).
+try:
+    import google.protobuf  # noqa: F401
+
+    STATE_V2_AVAILABLE = True
+except ImportError:
+    STATE_V2_AVAILABLE = False
+
+
+def _make_drift_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DriftProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", _DRIFT_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._agg.exists():
+                n, mean = self._agg.get()
+            else:
+                n, mean = 0, 0.0
+            batch_n, batch_sum = 0, 0.0
+            for pdf in rows:
+                batch_n += len(pdf)
+                batch_sum += float(pdf["value"].sum())
+            if batch_n:
+                batch_mean = batch_sum / batch_n
+                new_n = n + batch_n
+                new_mean = (mean * n + batch_sum) / new_n
+                self._agg.update((new_n, new_mean))
+                yield pd.DataFrame(
+                    [
+                        {
+                            "user_id": user_id,
+                            "n": new_n,
+                            "mean": new_mean,
+                            "batch_mean": batch_mean,
+                            "drift": abs(batch_mean - new_mean),
+                        }
+                    ]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return DriftProcessor()
+
+
+def with_drift_state_v2(events: DataFrame) -> DataFrame:
+    """T6 on the state-v2 API: transformWithStateInPandas drift monitor —
+    identical semantics to :func:`with_drift_state`, asserted equal in
+    tests/test_streaming.py (skipped where protobuf is unavailable)."""
+    if not STATE_V2_AVAILABLE:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pip install protobuf) — unavailable in this environment; "
+            "use with_drift_state (applyInPandasWithState) instead"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_drift_processor(),
+        outputStructType=_DRIFT_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S3 deployment path: kafka source → JSON value → events schema.
+
+    The downstream plan is identical to the file-replay source, so every
+    operator in this module serves both. Requires the spark-sql-kafka
+    connector on the classpath; this sandbox ships none, so construction is
+    gated with a clear error instead of a mid-stream failure.
+    """
+    tune(spark)
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # connector jar missing
+        raise RuntimeError(
+            "kafka source unavailable: add the spark-sql-kafka-0-10 package "
+            "to the session (--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+        ) from e
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts_us", T.LongType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("props", T.StringType()),
+                ]
+            ),
+        ).alias("e")
+    )
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("e.ts_us")).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
     )
 
 

@@ -137,3 +137,102 @@ def test_streaming_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
     ).count()
     got = spark.read.parquet(out).count() if want else 0
     assert got == want
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir):
+    """J7 left-outer: matched pairs == inner join; null-extended rows are
+    exactly the unmatched alarms old enough for their join state to have
+    expired before the final watermark (the withheld tail is the documented
+    semantics of outer stream-stream joins on a finite replay)."""
+    stream = STR.read_events_stream(spark, sf_dir)
+    got = STR.run_to_memory(
+        STR.stream_stream_join(stream, how="left_outer"),
+        "t_ssj_outer",
+        output_mode="append",
+    ).collect()
+    matched = {(r.user_id, r.left_id, r.right_id) for r in got if r.right_id is not None}
+    inner = STR.run_to_memory(
+        STR.stream_stream_join(STR.read_events_stream(spark, sf_dir)),
+        "t_ssj_inner2",
+        output_mode="append",
+    ).collect()
+    assert matched == {(r.user_id, r.left_id, r.right_id) for r in inner}
+
+    # batch truth: alarms with no purchase in (ts, ts+5min] per user
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("lts")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("rts")
+    )
+    pair_cond = (
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("rts") > F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL '5' MINUTE"))
+    )
+    unmatched_batch = {
+        r.left_id for r in left.join(right, pair_cond, "left_anti").collect()
+    }
+    null_rows = {r.left_id for r in got if r.right_id is None}
+    # every emitted null-extension is truly unmatched
+    assert null_rows <= unmatched_batch
+    # every unmatched alarm whose state surely expired was emitted. The
+    # global watermark is the MIN across both watermarked sides (each delayed
+    # 1h), and left join state is droppable once wm > lts + 5min.
+    wm_final = min(
+        ev.filter(F.col("event_type") == "error").agg(F.max("ts")).collect()[0][0],
+        ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0],
+    )
+    horizon = (
+        left.join(right, pair_cond, "left_anti")
+        .filter(
+            F.col("lts")
+            < F.lit(wm_final)
+            - F.expr("INTERVAL '1' HOUR")
+            - F.expr("INTERVAL '6' MINUTE")
+        )
+    )
+    must_emit = {r.left_id for r in horizon.collect()}
+    assert must_emit <= null_rows
+
+
+def test_drift_state_v2_equals_v1(spark, sf_dir):
+    """T6: the transformWithStateInPandas processor must produce exactly the
+    applyInPandasWithState result (same math, state-v2 plumbing). Skipped
+    where the state-v2 protobuf dependency is absent — the gate itself is
+    then asserted instead."""
+    import pytest
+
+    if not STR.ops.STATE_V2_AVAILABLE:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            STR.with_drift_state_v2(STR.read_events_stream(spark, sf_dir))
+        pytest.skip("protobuf not installed: state-v2 execution unavailable")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = STR.run_to_memory(
+            STR.with_drift_state_v2(STR.read_events_stream(spark, sf_dir)),
+            "t_drift_v2",
+            output_mode="append",
+        ).collect()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    want = STR.run_to_memory(
+        STR.with_drift_state(STR.read_events_stream(spark, sf_dir)),
+        "t_drift_v1b",
+        output_mode="append",
+    ).collect()
+    key = lambda r: r.user_id  # noqa: E731
+    got_m = {r.user_id: (r.n, round(r.mean, 9), round(r.drift, 9)) for r in got}
+    want_m = {r.user_id: (r.n, round(r.mean, 9), round(r.drift, 9)) for r in want}
+    assert got_m == want_m
+
+
+def test_kafka_source_gate(spark):
+    """S3 deployment path: without the kafka connector jar the reader must
+    fail fast at plan construction with an actionable message."""
+    with pytest.raises(RuntimeError, match="kafka source unavailable"):
+        STR.read_events_kafka(spark, "localhost:9092", "events")
