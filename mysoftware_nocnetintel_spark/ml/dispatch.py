@@ -54,16 +54,48 @@ def cluster_locations(
     )
 
 
+def _team_bases(teams: list[str]) -> list[tuple[float, float]]:
+    """Deterministic 2-D base location per team (hash of the team name),
+    matching the pseudo-coordinate space of :func:`pseudo_locations`."""
+    import hashlib
+
+    bases = []
+    for t in teams:
+        h = int(hashlib.md5(t.encode()).hexdigest(), 16)
+        bases.append(((h % 1000) / 1000.0, ((h >> 10) % 1000) / 1000.0))
+    return bases
+
+
 def assign_teams(clustered: DataFrame, teams: tuple[str, ...] = TEAMS) -> DataFrame:
     """README.md:62 heuristic dispatch: within each cluster, walk entities in
-    urgency order and deal them round-robin to teams (greedy balance).
-    Grouped-map applyInPandas per cluster — clusters are the natural
-    parallelism unit; each is small after clustering."""
+    urgency order and greedily assign each to a LEAST-LOADED team, breaking
+    load ties by squared distance to the team's base, then team index —
+    lexicographic (load, distance, index) cost. The load-first ordering
+    makes the balance bound provable (per-cluster max−min load ≤ 1, asserted
+    in tests/test_ml.py) while the distance term routes work to the nearest
+    eligible team; fully deterministic. Grouped-map applyInPandas per
+    cluster — clusters are the natural parallelism unit; each is small
+    after clustering (the top-k risk input is driver-bounded upstream)."""
     team_list = list(teams)
+    bases = _team_bases(team_list)
 
     def deal(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("urgency_rank").reset_index(drop=True)
-        pdf["team"] = [team_list[i % len(team_list)] for i in range(len(pdf))]
+        loads = [0] * len(team_list)
+        chosen = []
+        for i in range(len(pdf)):
+            x, y = float(pdf.loc[i, "loc_x"]), float(pdf.loc[i, "loc_y"])
+            best = min(
+                range(len(team_list)),
+                key=lambda t: (
+                    loads[t],
+                    (x - bases[t][0]) ** 2 + (y - bases[t][1]) ** 2,
+                    t,
+                ),
+            )
+            loads[best] += 1
+            chosen.append(team_list[best])
+        pdf["team"] = chosen
         pdf["dispatch_order"] = range(1, len(pdf) + 1)
         return pdf
 

@@ -1,1 +1,8 @@
-from .registry import TABLES, load_table, register_views, table_path  # noqa: F401
+from .registry import (  # noqa: F401
+    TABLES,
+    load_table,
+    policy_view,
+    register_policy_view,
+    register_views,
+    table_path,
+)

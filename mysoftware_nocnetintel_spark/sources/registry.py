@@ -107,3 +107,45 @@ def register_views(
     """Register every table as a temp view (for the SQL API surface)."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def policy_view(
+    df: DataFrame,
+    row_filter: str | None = None,
+    visible_cols: list[str] | None = None,
+    masks: dict[str, str] | None = None,
+) -> DataFrame:
+    """P7: row/column security policy as a plain plan transformation.
+
+    ``row_filter`` is a SQL predicate (row-level security), ``visible_cols``
+    whitelists columns (column-level security), ``masks`` maps column name →
+    SQL expression replacing its value (e.g. ``{"c_phone": "'***'"}``).
+    Because the policy is ordinary Catalyst plan surface, the row predicate
+    still pushes down to the parquet scan underneath the view (asserted in
+    tests/test_plans.py) — policies cost nothing extra at 100 TB.
+    """
+    out = df
+    if row_filter:
+        out = out.filter(F.expr(row_filter))
+    if masks:
+        for col, expr in masks.items():
+            out = out.withColumn(col, F.expr(expr).alias(col))
+    if visible_cols:
+        out = out.select(*visible_cols)
+    return out
+
+
+def register_policy_view(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    view_name: str,
+    row_filter: str | None = None,
+    visible_cols: list[str] | None = None,
+    masks: dict[str, str] | None = None,
+) -> None:
+    """Register a policy-wrapped temp view over a base table (the tenant- or
+    role-scoped surface a deployment hands to restricted consumers)."""
+    policy_view(
+        load_table(spark, sf_dir, table), row_filter, visible_cols, masks
+    ).createOrReplaceTempView(view_name)

@@ -46,6 +46,20 @@ def test_dispatch_plan_balanced(spark, sf_dir):
         assert max(counts.values()) - min(counts.values()) <= 1
     # report string formatted
     assert rows[0].plan.startswith("Team ")
+    # distance cost: each cluster's most urgent entity (all loads 0) goes to
+    # the team whose base is nearest to it
+    bases = DP._team_bases(list(DP.TEAMS))
+    first = {}
+    for r in sorted(rows, key=lambda r: r.urgency_rank):
+        first.setdefault(r.cluster, r)
+    located = {r.user_id: (r.loc_x, r.loc_y) for r in DP.pseudo_locations(risk).collect()}
+    for r in first.values():
+        x, y = located[r.user_id]
+        want = min(
+            range(len(bases)),
+            key=lambda t: ((x - bases[t][0]) ** 2 + (y - bases[t][1]) ** 2, t),
+        )
+        assert r.team == DP.TEAMS[want]
 
 
 def test_dispatch_deterministic(spark, sf_dir):

@@ -91,3 +91,23 @@ def test_ivf_assign_zero_exchanges(spark, sf_dir):
     p = _plan(assigned)
     assert "Exchange" not in p, p
     assert "Join" not in p, p
+
+
+def test_policy_view_pushes_row_filter_to_scan(spark, sf_dir):
+    """P7: the row-policy predicate is ordinary plan surface — it must reach
+    the parquet scan as a pushed filter, and masked/hidden columns must not
+    be read at all."""
+    from mysoftware_nocnetintel_spark.sources import load_table, policy_view
+
+    v = policy_view(
+        load_table(spark, sf_dir, "customer"),
+        row_filter="c_mktsegment = 'BUILDING'",
+        visible_cols=["c_custkey", "c_name", "c_mktsegment"],
+        masks={"c_name": "'***'"},
+    )
+    p = _plan(v)
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, p
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "c_acctbal" not in read and "c_phone" not in read
+    rows = v.limit(5).collect()
+    assert all(r.c_name == "***" for r in rows)
