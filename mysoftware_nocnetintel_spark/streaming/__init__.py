@@ -1,4 +1,5 @@
 from .ops import (  # noqa: F401
+    continuous_rollup,
     read_events_kafka,
     read_events_stream,
     run_to_memory,

@@ -236,3 +236,46 @@ def test_kafka_source_gate(spark):
     fail fast at plan construction with an actionable message."""
     with pytest.raises(RuntimeError, match="kafka source unavailable"):
         STR.read_events_kafka(spark, "localhost:9092", "events")
+
+
+def test_ticket_sink_round_trip(spark, sf_dir, tmp_path):
+    """S5: alerts become deterministic ticket records with severity triage
+    and a next-06:30 calendar slot, date-partitioned on disk."""
+    from mysoftware_nocnetintel_spark.sources.sinks import ticket_sink
+
+    stream = STR.read_events_stream(spark, sf_dir)
+    q = ticket_sink(
+        STR.threshold_alerts(stream, 300.0),
+        str(tmp_path / "tickets"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.filter((F.col("event_type") == "error") & (F.col("value") >= 300.0))
+    n_want = want.count()
+    if n_want == 0:
+        return
+    got = spark.read.parquet(str(tmp_path / "tickets"))
+    assert got.count() == n_want
+    assert got.select("ticket_id").distinct().count() == n_want
+    r = got.orderBy("ticket_id").collect()[0]
+    assert r.ticket_id.startswith("TCK-")
+    assert r.severity in {"P1", "P2", "P3"}
+    # calendar slot is 06:30 the day after creation
+    assert (r.calendar_slot.hour, r.calendar_slot.minute) == (6, 30)
+    assert r.calendar_slot.date() > r.created_ts.date()
+
+
+def test_continuous_rollup_equals_batch(spark, sf_dir, tmp_path):
+    """The incrementally-materialized hourly rollup must equal the batch
+    rollup (q45) once the finite replay drains — the continuous-aggregate
+    correctness contract."""
+    out = str(tmp_path / "rollup")
+    q = STR.continuous_rollup(
+        STR.read_events_stream(spark, sf_dir), out, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).select("window_start", "n", "total_value")
+    want = q45_tumbling_window(spark, sf_dir)
+    cols = ["window_start", "n", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
