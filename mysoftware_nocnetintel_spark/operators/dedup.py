@@ -141,6 +141,44 @@ def minhash_signature(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signatures via explode → groupBy → 32×min: each
+    shingle is hashed exactly once per hash function, and the single shuffle
+    (on the id) is the whole cost — the formulation that scales.
+
+    (The per-row HOF expression in :func:`minhash_signature` computes the
+    same values shuffle-free, but Catalyst's projection collapse DUPLICATES
+    the shingle pipeline into every downstream use of the signature —
+    measured 20× slower once banding fans it out ×8. Keep the HOF form for
+    single-use expressions; build pipelines from this one.)
+
+    Documents with zero shingles produce no row (same effect as the old
+    null-signature filter). Signature values are identical to
+    :func:`minhash_signature` (same ``mh{i}`` salts)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("s"),
+    )
+    aggs = [
+        F.min(F.xxhash64("s", F.lit(f"mh{i}"))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("doc")
+        .agg(*aggs)
+        .select(
+            "doc",
+            F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -155,10 +193,7 @@ def lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(text_col, num_hashes, shingle_k).alias("sig"),
-    ).filter(~F.array_contains(F.transform("sig", F.isnull), F.lit(True)))
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = sig.select(
         "doc",
         F.explode(
