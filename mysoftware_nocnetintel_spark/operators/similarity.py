@@ -61,20 +61,47 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _array_lit(values: list[float]) -> Column:
+    """Literal array<double> in ONE py4j call. ``F.lit(list)`` (and per
+    element ``F.lit``) costs one JVM round-trip per element — ~10k calls and
+    ~10 s of pure gateway latency per plan build at 12 tables × 6 planes ×
+    64 dims. A SQL array literal parses JVM-side instead."""
+    return F.expr("array(" + ",".join(format(x, ".17g") + "D" for x in values) + ")")
+
+
+def _lsh_bucket_sql(vec_name: str, dim: int, n_planes: int, seed: int) -> str:
+    """The whole bucket expression as ONE SQL string. Building it from
+    pyspark Column/HOF calls costs ~30 py4j round-trips per plane — ~10 s of
+    gateway latency per plan at 12 tables × 6 planes × 2 sides; the SQL text
+    parses JVM-side in one call. Semantics identical to the Column form."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ",".join(format(x, ".17g") + "D" for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_name}`, {arr}, "
+            "(a, p) -> CAST(a AS DOUBLE) * p), 0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"IF({dot} > 0D, shiftleft(1L, {i}), 0L)")
+    return " | ".join(bits)
+
+
 def random_hyperplane_lsh(
     vec: Column | str, dim: int, n_planes: int = 16, seed: int = 42
 ) -> Column:
     """Bucket id = sign bits of <vec, plane_i> packed into a bigint. The
     planes are derived from ``seed`` at plan-build time and inlined as
-    literals → deterministic across runs and cluster layouts."""
+    literals → deterministic across runs and cluster layouts. ``vec`` given
+    as a column NAME takes the fast one-call SQL build path."""
+    if isinstance(vec, str):
+        return F.expr(_lsh_bucket_sql(vec, dim, n_planes, seed))
     planes = _hyperplanes(dim, n_planes, seed)
-    vec = F.col(vec) if isinstance(vec, str) else vec
     bits = [
         F.when(
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(float(x)) for x in plane]),
+                    _array_lit(plane),
                     lambda a, p: a.cast("double") * p,
                 ),
                 F.lit(0.0),
@@ -203,41 +230,24 @@ def ivf_assign(
         cents = sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
     else:
         cents = sorted((int(c), list(v)) for c, v in centroids)
-    cent_lits = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cvec]).alias("centroid"),
-            )
-            for cell, cvec in cents
-        ]
-    )
-    vec = F.col(corpus_vec)
+    def arr(values: list[float]) -> str:
+        return "array(" + ",".join(format(x, ".17g") + "D" for x in values) + ")"
 
-    def _step(acc, c):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                c["centroid"],
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        better = d < acc["dist"]
-        return F.struct(
-            F.when(better, c["cell"]).otherwise(acc["cell"]).alias("cell"),
-            F.when(better, d).otherwise(acc["dist"]).alias("dist"),
-        )
-
-    best = F.aggregate(
-        cent_lits,
-        F.struct(
-            F.lit(-1).alias("cell"), F.lit(float("inf")).alias("dist")
-        ),
-        _step,
+    cent_arrays = "array(" + ",".join(arr(cvec) for _, cvec in cents) + ")"
+    cell_ids = "array(" + ",".join(str(cell) for cell, _ in cents) + ")"
+    dists = (
+        f"transform({cent_arrays}, c -> aggregate(zip_with(`{corpus_vec}`, c, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "0.0D, (s, x) -> s + x))"
     )
-    return corpus.withColumn("cell", best["cell"])
+    # argmin via array_position over the (re-evaluated, JVM-cheap) distance
+    # array; ties resolve to the first = lowest cell id, matching the old
+    # windowed-argmin order
+    best = (
+        f"element_at({cell_ids}, "
+        f"CAST(array_position({dists}, array_min({dists})) AS INT))"
+    )
+    return corpus.withColumn("cell", F.expr(best))
 
 
 def ivf_topk(
