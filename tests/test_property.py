@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -121,3 +122,68 @@ class TestRandomizedParity:
 
         register_views(spark, sf_dir, ("events", "customer"))
         assert_matches_oracle(spark.sql(sql), sql, sf_dir)
+
+
+class TestAsofTiebreakParity:
+    """asof_join with (key, ts) collisions on the right side must pick the
+    max-tiebreak payload deterministically — differential against a pure
+    Python reference over randomized collision-heavy inputs."""
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        direction=st.sampled_from(["backward", "forward"]),
+    )
+    def test_asof_tiebreak_matches_reference(self, spark, direction, seed):
+        import random
+
+        from mysoftware_nocnetintel_spark.operators.timeseries import asof_join
+
+        rng = random.Random(seed)
+        # tiny ts domain forces heavy (key, ts) collisions
+        right = [
+            (k, rng.randint(0, 5), i, rng.randint(0, 100))
+            for i, k in enumerate(rng.choices([1, 2], k=20))
+        ]
+        left = [(k, rng.randint(0, 6)) for k in rng.choices([1, 2], k=10)]
+        rdf = spark.createDataFrame(right, "key INT, ts INT, rid INT, payload INT")
+        ldf = spark.createDataFrame(left, "key INT, ts INT")
+        got = asof_join(
+            ldf.withColumn("ts", F.col("ts").cast("timestamp")),
+            rdf.withColumn("ts", F.col("ts").cast("timestamp")),
+            keys="key",
+            right_cols=["rid", "payload"],
+            direction=direction,
+            right_tiebreak="rid",
+        ).collect()
+
+        def ref(k, t):
+            if direction == "backward":
+                cands = [r for r in right if r[0] == k and r[1] <= t]
+                if not cands:
+                    return None
+                best_ts = max(c[1] for c in cands)
+            else:
+                cands = [r for r in right if r[0] == k and r[1] >= t]
+                if not cands:
+                    return None
+                best_ts = min(c[1] for c in cands)
+            return max((c for c in cands if c[1] == best_ts), key=lambda c: c[2])
+
+        from collections import Counter
+
+        # compare on (key, epoch-seconds, matched rid) multisets
+        got_c2 = Counter()
+        for r in got:
+            ts_int = int(r.ts.timestamp()) if r.ts else None
+            got_c2[(r.key, ts_int, r.rid_right)] += 1
+        want2 = Counter()
+        for k, t in left:
+            m = ref(k, t)
+            want2[(k, t, None if m is None else m[2])] += 1
+        assert got_c2 == want2
