@@ -7,7 +7,7 @@ pushing alerts/tickets outward (README.md:63,141).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,6 +56,42 @@ def write_clustered(
         writer = writer.option(k, v)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def zorder_key(col_a: str, col_b: str, bits: int = 16) -> Column:
+    """Morton (Z-order) key: bit-interleave two non-negative integer columns
+    so that sorting on the single key clusters BOTH dimensions — point or
+    range predicates on either column then touch ~sqrt of the row groups a
+    random layout would (the multi-column generalization of
+    :func:`write_clustered`'s single-key sort). Callers quantize non-integer
+    columns to integer ranks first. Built as one SQL expression (one py4j
+    call, JVM-side evaluation)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"shiftleft(shiftright(CAST(`{col_a}` AS BIGINT), {i}) & 1, {2 * i})"
+        )
+        terms.append(
+            f"shiftleft(shiftright(CAST(`{col_b}` AS BIGINT), {i}) & 1, {2 * i + 1})"
+        )
+    return F.expr(" | ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """S4 layout: Z-order-clustered parquet over two integer dimensions."""
+    keyed = df.withColumn("__z", zorder_key(col_a, col_b))
+    out = keyed.sortWithinPartitions("__z").drop("__z")
+    writer = out.write.mode(mode)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     writer.parquet(path)
 
 

@@ -6,6 +6,7 @@ time (ROADMAP 7; the clustering-index analogue at 100 TB)."""
 from __future__ import annotations
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from mysoftware_nocnetintel_spark.sources import load_table
 from mysoftware_nocnetintel_spark.sources.sinks import write_clustered
@@ -57,3 +58,31 @@ def test_clustered_write_prunes_row_groups(spark, sf_dir, tmp_path):
     # round-trip intact
     got = spark.read.parquet(sorted_path).count()
     assert got == ev.count()
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order on (user_id, value-bucket): point predicates on EITHER
+    dimension must skip row groups (each covers ~a quadrant of the curve),
+    where a single-column sort only helps its own column."""
+    from mysoftware_nocnetintel_spark.sources.sinks import write_zordered
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("value") / 4).cast("int").alias("vbucket"),
+            "value",
+        )
+    )
+    zpath = str(tmp_path / "zorder")
+    opts = {"parquet.block.size": str(4 * 1024), "parquet.enable.dictionary": "false"}
+    write_zordered(ev.coalesce(1), zpath, "user_id", "vbucket", options=opts)
+
+    uid_cover, total = _rowgroup_cover(zpath, "user_id", 3)
+    vb_cover, total2 = _rowgroup_cover(zpath, "vbucket", 40)
+    assert total >= 8
+    # each point predicate touches a thin band of the curve, not the table
+    assert uid_cover <= total // 3, (uid_cover, total)
+    assert vb_cover <= total2 // 3, (vb_cover, total2)
+    assert spark.read.parquet(zpath).count() == ev.count()
