@@ -250,6 +250,142 @@ def ivf_assign(
     return corpus.withColumn("cell", F.expr(best))
 
 
+def _np_kmeans(X: "np.ndarray", k: int, seed: int, iters: int = 20) -> "np.ndarray":
+    """Seeded Lloyd's k-means on a driver-side sample (codebook training is
+    metadata-scale work; empty clusters keep their previous center)."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(X))
+    centers = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(axis=0)
+    return centers
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    train_rows: int = 10_000,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m`` subspaces
+    and k-means each on a seeded driver-side SAMPLE (≤ ``train_rows`` rows —
+    the standard offline-training design: the index metadata is a few KB and
+    training on a bounded sample is how PQ libraries behave at any corpus
+    size; the corpus itself never leaves the executors). Returns
+    codebooks[m][k][dim/m]."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+    n = corpus.count()
+    sampled = (
+        corpus.sample(fraction=min(1.0, train_rows / max(n, 1)), seed=seed)
+        if n > train_rows
+        else corpus
+    )
+    X = np.array(
+        [r[0] for r in sampled.select(vec_col).collect()], dtype=np.float64
+    )
+    return [
+        _np_kmeans(X[:, i * sub : (i + 1) * sub], k, seed + i).tolist()
+        for i in range(m)
+    ]
+
+
+def _sql_arr(values: list[float]) -> str:
+    return "array(" + ",".join(format(x, ".17g") + "D" for x in values) + ")"
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes (nearest sub-centroid per
+    subspace) — a pure narrow projection built as one SQL expression per
+    subspace (codebooks inlined as literals, zero shuffle). The 64-dim
+    float vector compresses to m bytes — the 100 TB memory story."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for i in range(m):
+        cents = "array(" + ",".join(_sql_arr(c) for c in codebooks[i]) + ")"
+        dists = (
+            f"transform({cents}, c -> aggregate(zip_with("
+            f"slice(`{vec_col}`, {i * sub + 1}, {sub}), c, "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "0.0D, (s, x) -> s + x))"
+        )
+        codes.append(f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)")
+    return corpus.withColumn(code_col, F.expr("array(" + ",".join(codes) + ")"))
+
+
+def pq_topk(
+    encoded_corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    k: int = 10,
+    shortlist: int = 50,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ANN tier 3: asymmetric-distance (ADC) scan over PQ codes + exact
+    re-rank of the shortlist.
+
+    Per query, a lookup table lut[i][j] = ||q_sub_i - codebook[i][j]||² is
+    computed ONCE (an expression over the broadcast query row); the corpus
+    scan then scores each row as Σᵢ lut[i][code_i] — m array lookups per
+    row instead of a dim-length float loop. The ``shortlist`` best ADC
+    candidates per query get exact cosine re-rank, recovering recall lost
+    to quantization while touching full vectors for only ~shortlist rows
+    per query."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    luts = []
+    for i in range(m):
+        cents = "array(" + ",".join(_sql_arr(c) for c in codebooks[i]) + ")"
+        luts.append(
+            f"transform({cents}, c -> aggregate(zip_with("
+            f"slice(`{query_vec}`, {i * sub + 1}, {sub}), c, "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "0.0D, (s, x) -> s + x))"
+        )
+    q = queries.withColumn("__lut", F.expr("array(" + ",".join(luts) + ")"))
+    adc = (
+        "aggregate(zip_with(`__code`, `__lut`, "
+        "(c, row) -> element_at(row, c + 1)), 0.0D, (s, x) -> s + x)"
+    )
+    scored = (
+        encoded_corpus.withColumnRenamed(code_col, "__code")
+        .crossJoin(F.broadcast(q))
+        .withColumn("adc_dist", F.expr(adc))
+    )
+    w_short = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(corpus_id)
+    )
+    short = scored.withColumn("srn", F.row_number().over(w_short)).filter(
+        F.col("srn") <= shortlist
+    )
+    rr = short.withColumn("score", V.cosine_similarity(corpus_vec, query_vec))
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return (
+        rr.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select(query_id, corpus_id, "score", "rn")
+    )
+
+
 def ivf_topk(
     assigned_corpus: DataFrame,
     centroids: DataFrame,

@@ -82,3 +82,23 @@ def test_ivf_recall_reasonable(spark, sf_dir):
         exact_top.setdefault(r.qid, set()).add(r.vec_id)
     hits = sum(1 for r in ann if r.vec_id in exact_top.get(r.qid, set()))
     assert hits >= 0.8 * len(exact)  # nprobe=5/8 cells → production recall
+
+
+def test_pq_recall_with_rerank(spark, sf_dir):
+    """PQ (tier 3): ADC shortlist + exact re-rank clears production recall;
+    codebooks are seeded-deterministic; codes stay in [0, k)."""
+    corpus, q = _corpus_queries(spark, sf_dir)
+    books = SIM.pq_codebooks(corpus, m=16, k=16)
+    assert books == SIM.pq_codebooks(corpus, m=16, k=16)  # deterministic
+    enc = SIM.pq_encode(corpus, books)
+    codes = enc.select(F.explode("pq_code").alias("c")).agg(
+        F.min("c"), F.max("c")
+    ).collect()[0]
+    assert codes[0] >= 0 and codes[1] < 16
+    ann = SIM.pq_topk(enc, books, q, k=5, shortlist=50).collect()
+    exact = SIM.brute_force_topk(corpus, q, k=5).collect()
+    etop = {}
+    for r in exact:
+        etop.setdefault(r.qid, set()).add(r.vec_id)
+    hits = sum(1 for r in ann if r.vec_id in etop.get(r.qid, set()))
+    assert hits >= 0.8 * len(exact), (hits, len(exact))
