@@ -29,13 +29,16 @@ _RUNTIME_CONF = {
     # Parquet scan hygiene: pushdown + vectorized reader are default-on, but
     # pin them so a misconfigured parent session can't silently disable them.
     "spark.sql.parquet.filterPushdown": "true",
-    # Broadcast threshold: 64 MiB suits single-node bench scale (lets the
-    # post-filter orders side of star joins broadcast; measured ~1.6x on the
-    # join-heavy headline query). On a cluster, size this to executor memory
-    # headroom — facts beyond the threshold fall back to sort-merge + AQE,
-    # which is the correct 100 TB behavior. Override: SPARK_GRAFT_BROADCAST_MB.
+    # Broadcast threshold: Spark's 10 MiB default. Round-1 ran 64 MiB to
+    # force the post-filter orders side to broadcast, but measured under the
+    # round-2 concurrent serving mode the oversized broadcast BUILD
+    # serializes on the driver and costs ~0.25 s of batch wall; at 10 MiB
+    # the star joins still plan BroadcastHashJoin (post-filter estimates
+    # fit) with smaller builds. Facts beyond the threshold fall back to
+    # sort-merge + AQE — the correct 100 TB behavior.
+    # Override: SPARK_GRAFT_BROADCAST_MB.
     "spark.sql.autoBroadcastJoinThreshold": str(
-        int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "64")) * 1024 * 1024
+        int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "10")) * 1024 * 1024
     ),
 }
 
