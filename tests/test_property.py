@@ -187,3 +187,70 @@ class TestAsofTiebreakParity:
             m = ref(k, t)
             want2[(k, t, None if m is None else m[2])] += 1
         assert got_c2 == want2
+
+
+class TestRandomWindowFrames:
+    """Randomized window-frame differential: rows- and range-frames with
+    random bounds must match DuckDB exactly (frame-boundary off-by-ones are
+    the classic silent window bug)."""
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        preceding=st.integers(min_value=0, max_value=50),
+        following=st.integers(min_value=0, max_value=50),
+        mode=st.sampled_from(["rows", "range_seconds"]),
+        agg=st.sampled_from(["count", "sum", "min", "max"]),
+    )
+    def test_random_frame_matches_duckdb(
+        self, spark, sf_dir, preceding, following, mode, agg
+    ):
+        from pyspark.sql import Window
+
+        from mysoftware_nocnetintel_spark.sources import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        agg_fn = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}[agg]
+        val = F.lit(1) if agg == "count" else F.col("value")
+        if mode == "rows":
+            w = (
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(-preceding, following)
+            )
+            got = ev.select(
+                "event_id",
+                F.round(agg_fn(val).over(w).cast("double"), 6).alias("v"),
+            )
+            frame = f"ROWS BETWEEN {preceding} PRECEDING AND {following} FOLLOWING"
+            order = "ts, event_id"
+        else:
+            usec = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).cast("long")
+            w = (
+                Window.partitionBy("user_id")
+                .orderBy(F.col("__u"))
+                .rangeBetween(-preceding * 1_000_000, following * 1_000_000)
+            )
+            got = ev.withColumn("__u", usec).select(
+                "event_id",
+                F.round(agg_fn(val).over(w).cast("double"), 6).alias("v"),
+            )
+            frame = (
+                f"RANGE BETWEEN INTERVAL {preceding} SECOND PRECEDING "
+                f"AND INTERVAL {following} SECOND FOLLOWING"
+            )
+            order = "ts"
+        inner = {"count": "count(*)", "sum": "sum(value)",
+                 "min": "min(value)", "max": "max(value)"}[agg]
+        sql = (
+            f"SELECT event_id, round(CAST({inner} OVER "
+            f"(PARTITION BY user_id ORDER BY {order} {frame}) AS DOUBLE), 6) "
+            f"AS v FROM events"
+        )
+        assert_matches_oracle(got, sql, sf_dir)

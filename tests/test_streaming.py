@@ -225,7 +225,6 @@ def test_drift_state_v2_equals_v1(spark, sf_dir):
         "t_drift_v1b",
         output_mode="append",
     ).collect()
-    key = lambda r: r.user_id  # noqa: E731
     got_m = {r.user_id: (r.n, round(r.mean, 9), round(r.drift, 9)) for r in got}
     want_m = {r.user_id: (r.n, round(r.mean, 9), round(r.drift, 9)) for r in want}
     assert got_m == want_m
