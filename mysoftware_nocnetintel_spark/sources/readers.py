@@ -48,6 +48,43 @@ def parse_log_lines(raw: DataFrame, pattern: str, fields: list[str]) -> DataFram
     )
 
 
+def read_table_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "delta",
+    version: int | None = None,
+    timestamp: str | None = None,
+) -> DataFrame:
+    """S1/S2 lakehouse path: Delta Lake / Apache Iceberg table reads with
+    optional time travel. Both formats keep the scan columnar + pushdown-
+    capable (they are parquet underneath plus a transactional log), so every
+    operator downstream is unchanged — exactly like the kafka source, only
+    the ingest edge differs.
+
+    The connector jars are not in this container, so the reader fails fast
+    at plan build with the spark-submit --packages coordinates instead of a
+    mid-job ClassNotFound."""
+    if fmt not in ("delta", "iceberg"):
+        raise ValueError(f"fmt must be delta|iceberg, got {fmt!r}")
+    reader = spark.read.format(fmt)
+    if version is not None:
+        reader = reader.option("versionAsOf", str(version))
+    if timestamp is not None:
+        reader = reader.option("timestampAsOf", timestamp)
+    try:
+        return reader.load(path)
+    except Exception as e:
+        pkg = (
+            "io.delta:delta-spark_2.13:<version>"
+            if fmt == "delta"
+            else "org.apache.iceberg:iceberg-spark-runtime-<spark>_2.13:<version>"
+        )
+        raise RuntimeError(
+            f"{fmt} table format unavailable: add --packages {pkg} "
+            "to the session (connector jar not on the classpath)"
+        ) from e
+
+
 def jdbc_reader(
     spark: SparkSession,
     url: str,

@@ -85,3 +85,17 @@ def test_jdbc_reader_requires_bounds(spark):
         partition_column="id", lower_bound=0, upper_bound=1000,
     )
     assert r is not None  # configured reader; no DB to load from here
+
+
+def test_table_format_reader_gate(spark, tmp_path):
+    """Delta/Iceberg readers fail fast with the --packages coordinates when
+    the connector jar is absent (rather than a mid-job ClassNotFound)."""
+    import pytest
+
+    from mysoftware_nocnetintel_spark.sources.readers import read_table_format
+
+    for fmt in ("delta", "iceberg"):
+        with pytest.raises(RuntimeError, match="--packages"):
+            read_table_format(spark, str(tmp_path / "t"), fmt=fmt)
+    with pytest.raises(ValueError, match="delta|iceberg"):
+        read_table_format(spark, str(tmp_path / "t"), fmt="hudi")
