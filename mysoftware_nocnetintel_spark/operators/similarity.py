@@ -386,6 +386,70 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """ANN tier composition (the FAISS IVFPQ shape): IVF narrows the scan to
+    ``nprobe`` cells, PQ/ADC scores the surviving rows with m array lookups
+    each, and the shortlist gets exact re-rank. Cost per query ≈
+    (nprobe/cells) × corpus × m lookups + shortlist full vectors — the
+    composition each tier was designed for."""
+    assigned = ivf_assign(pq_encode(corpus, codebooks, corpus_vec), centroids, corpus_vec)
+    qcells = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", V.l2_distance(query_vec, "centroid")
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col("cell"))
+    probe = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, query_vec, "cell")
+    )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    luts = []
+    for i in range(m):
+        cents = "array(" + ",".join(_sql_arr(c) for c in codebooks[i]) + ")"
+        luts.append(
+            f"transform({cents}, c -> aggregate(zip_with("
+            f"slice(`{query_vec}`, {i * sub + 1}, {sub}), c, "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "0.0D, (s, x) -> s + x))"
+        )
+    probe = probe.withColumn("__lut", F.expr("array(" + ",".join(luts) + ")"))
+    adc = (
+        "aggregate(zip_with(`__code`, `__lut`, "
+        "(c, row) -> element_at(row, c + 1)), 0.0D, (s, x) -> s + x)"
+    )
+    scored = (
+        assigned.withColumnRenamed("pq_code", "__code")
+        .join(F.broadcast(probe), "cell")
+        .withColumn("adc_dist", F.expr(adc))
+    )
+    w_short = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(corpus_id)
+    )
+    short = scored.withColumn("srn", F.row_number().over(w_short)).filter(
+        F.col("srn") <= shortlist
+    )
+    rr = short.withColumn("score", V.cosine_similarity(corpus_vec, query_vec))
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return (
+        rr.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select(query_id, corpus_id, "score", "rn")
+    )
+
+
 def ivf_topk(
     assigned_corpus: DataFrame,
     centroids: DataFrame,

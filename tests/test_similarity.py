@@ -102,3 +102,21 @@ def test_pq_recall_with_rerank(spark, sf_dir):
         etop.setdefault(r.qid, set()).add(r.vec_id)
     hits = sum(1 for r in ann if r.vec_id in etop.get(r.qid, set()))
     assert hits >= 0.8 * len(exact), (hits, len(exact))
+
+
+def test_ivfpq_composition_recall(spark, sf_dir):
+    """IVF cell-probing + PQ/ADC scoring + exact re-rank (FAISS IVFPQ
+    shape): recall bounded by the IVF probe set; must clear 0.7 at
+    nprobe=5/8 with the PQ shortlist."""
+    corpus, q = _corpus_queries(spark, sf_dir)
+    cents = SIM.ivf_centroids(corpus, n_cells=8)
+    books = SIM.pq_codebooks(corpus, m=16, k=16)
+    ann = SIM.ivfpq_topk(
+        corpus, cents, books, q, k=5, nprobe=5, shortlist=50
+    ).collect()
+    exact = SIM.brute_force_topk(corpus, q, k=5).collect()
+    etop = {}
+    for r in exact:
+        etop.setdefault(r.qid, set()).add(r.vec_id)
+    hits = sum(1 for r in ann if r.vec_id in etop.get(r.qid, set()))
+    assert hits >= 0.7 * len(exact), (hits, len(exact))
