@@ -294,6 +294,41 @@ def simhash64(text: Column | str) -> Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document 64-bit SimHash via explode → groupBy → 64 signed-counter
+    sums → bit pack. One shuffle; each token hashed once.
+
+    (Same lesson as :func:`minhash_signatures`: the per-row HOF expression in
+    :func:`simhash64` gets DUPLICATED by projection collapse into every
+    downstream use — ×5 once the 4-band explode referenced it. Identical
+    signature values: same token hash, same sign rule, empty-token documents
+    pack to 0 via explode_outer.)"""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(tokens(text_col)).alias("t"),
+    )
+    h = F.xxhash64("t")
+    aggs = [
+        F.sum(
+            F.when(F.col("t").isNull(), F.lit(0).cast("long")).otherwise(
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            )
+        ).alias(f"__b{j}")
+        for j in range(64)
+    ]
+    agg = tok.groupBy("doc").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc", sig.alias("sig"))
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
@@ -306,7 +341,7 @@ def simhash_near_dup_pairs(
     """Near-dups by SimHash Hamming distance ≤ k (k ≤ 3): by pigeonhole, at
     least one of four 16-bit bands is identical → equi-join per band, then
     exact Hamming verify. Linear-ish for bounded band collision rates."""
-    sig = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
+    sig = simhash_signatures(df, id_col, text_col)
     banded = sig.select(
         "doc",
         "sig",
