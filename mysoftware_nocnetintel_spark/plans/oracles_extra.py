@@ -8,6 +8,29 @@
 """
 
 ORACLES_EXTRA: dict[str, str] = {
+    "q77_funnel": """
+        WITH flagged AS (
+            SELECT ts, event_type,
+                   max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS lv
+            FROM events
+        ),
+        p AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CASE WHEN lv IS NOT NULL AND ts - lv <= INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END AS converted
+            FROM flagged WHERE event_type = 'purchase'
+        )
+        SELECT day,
+               count(*) AS n_purchases,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               round(avg(converted), 6) AS conversion_rate
+        FROM p
+        GROUP BY day
+        ORDER BY day
+    """,
     "q75_sequence_assembly": """
         WITH ranked AS (
             SELECT user_id, ts, value,

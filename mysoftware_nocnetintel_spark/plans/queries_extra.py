@@ -410,6 +410,42 @@ def q75_sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# Funnel / ordered-pattern match: purchases preceded by a view within 1 hour
+# (MATCH_RECOGNIZE-lite). The conditional running max over the per-entity
+# window replaces the naive self-join — one shuffle, no pair blowup, the
+# formulation that survives 100 TB event streams.
+def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    purchases = (
+        ev.withColumn("__lv", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "converted",
+            (
+                F.col("__lv").isNotNull()
+                & (F.col("ts") - F.col("__lv") <= F.expr("INTERVAL '1' HOUR"))
+            ).cast("int"),
+        )
+    )
+    return (
+        purchases.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.round(F.avg("converted"), 6).alias("conversion_rate"),
+        )
+        .orderBy("day")
+    )
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -430,4 +466,5 @@ EXTRA_QUERIES = {
     "q70_null_handling": q70_null_handling,
     "q72_variant_json": q72_variant_json,
     "q75_sequence_assembly": q75_sequence_assembly,
+    "q77_funnel": q77_funnel,
 }
