@@ -80,7 +80,7 @@ def main() -> None:
         timings[name.split("_")[0]] = round(best, 4)
 
     # headline value: wall-clock for the WHOLE 10-query batch submitted
-    # concurrently against the shared session (best-of-3). Spark's scheduler
+    # concurrently against the shared session (best-of-5). Spark's scheduler
     # overlaps the per-job scheduling/sink floor that dominates sub-second
     # queries at this SF, exactly as a serving deployment would — each thread
     # still builds its plan end-to-end inside the timed region. Per-query
@@ -90,7 +90,7 @@ def main() -> None:
         materialize(QUERIES[name](spark, sf_dir))
 
     batch_wall = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(HEADLINE)) as ex:
             list(ex.map(run_one, HEADLINE))
