@@ -278,3 +278,56 @@ def test_continuous_rollup_equals_batch(spark, sf_dir, tmp_path):
     want = q45_tumbling_window(spark, sf_dir)
     cols = ["window_start", "n", "total_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_continuous_rollup_incremental_multibatch(spark, sf_dir, tmp_path):
+    """The upsert path must be correct across MULTIPLE micro-batches that
+    revise the same windows: replay events as 4 separate files with
+    maxFilesPerTrigger=1, so later batches overwrite day-partitions written
+    by earlier ones; final table must still equal the batch rollup."""
+    import pyspark.sql.types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "chunks")
+    # time-ordered chunks: batches arrive in event-time order, so the
+    # watermark advances between batches without marking whole chunks late,
+    # and every batch revises the windows straddling its chunk boundary
+    bounds = ev.selectExpr(
+        "percentile(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts), array(0.25, 0.5, 0.75)) AS b"
+    ).collect()[0]["b"]
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    lows = [None, *bounds]
+    highs = [*bounds, None]
+    for lo, hi in zip(lows, highs):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(sec >= lo)
+        if hi is not None:
+            chunk = chunk.filter(sec < hi)
+        chunk.write.mode("append").parquet(src)
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = str(tmp_path / "rollup")
+    q = STR.continuous_rollup(stream, out, str(tmp_path / "ckpt3"))
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 4  # genuinely incremental
+    got = spark.read.parquet(out).select("window_start", "n", "total_value")
+    want = q45_tumbling_window(spark, sf_dir)
+    cols = ["window_start", "n", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
