@@ -111,3 +111,29 @@ def test_policy_view_pushes_row_filter_to_scan(spark, sf_dir):
     assert "c_acctbal" not in read and "c_phone" not in read
     rows = v.limit(5).collect()
     assert all(r.c_name == "***" for r in rows)
+
+
+def test_feature_pipeline_single_exchange(spark, sf_dir):
+    """X1 features: every window in the pipeline partitions by the entity
+    key, so the whole chain must share ONE hash exchange."""
+    from mysoftware_nocnetintel_spark.ml import forecast as FC
+    from mysoftware_nocnetintel_spark.sources import load_table
+
+    feats = FC.build_features(load_table(spark, sf_dir, "events"))
+    p = _plan(feats)
+    n_exchanges = sum(
+        1 for ln in p.splitlines() if ln.strip().startswith("(") and "Exchange" in ln
+    )
+    assert n_exchanges == 1, p
+
+
+def test_q77_funnel_two_exchanges_no_single_partition(spark, sf_dir):
+    """Funnel: one shuffle for the per-entity window, one for the daily
+    rollup, one range-partition for the final sort of the ~30-row result —
+    and never a single-partition funnel."""
+    p = _plan(QUERIES["q77_funnel"](spark, sf_dir))
+    assert "SinglePartition" not in p
+    n_exchanges = sum(
+        1 for ln in p.splitlines() if ln.strip().startswith("(") and "Exchange" in ln
+    )
+    assert n_exchanges <= 3, p
