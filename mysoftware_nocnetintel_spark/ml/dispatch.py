@@ -66,7 +66,11 @@ def _team_bases(teams: list[str]) -> list[tuple[float, float]]:
     return bases
 
 
-def assign_teams(clustered: DataFrame, teams: tuple[str, ...] = TEAMS) -> DataFrame:
+def assign_teams(
+    clustered: DataFrame,
+    teams: tuple[str, ...] = TEAMS,
+    capacity: int | None = None,
+) -> DataFrame:
     """README.md:62 heuristic dispatch: within each cluster, walk entities in
     urgency order and greedily assign each to a LEAST-LOADED team, breaking
     load ties by squared distance to the team's base, then team index —
@@ -75,7 +79,12 @@ def assign_teams(clustered: DataFrame, teams: tuple[str, ...] = TEAMS) -> DataFr
     in tests/test_ml.py) while the distance term routes work to the nearest
     eligible team; fully deterministic. Grouped-map applyInPandas per
     cluster — clusters are the natural parallelism unit; each is small
-    after clustering (the top-k risk input is driver-bounded upstream)."""
+    after clustering (the top-k risk input is driver-bounded upstream).
+
+    ``capacity`` is a per-team, per-cluster SOFT bound: teams at capacity
+    are skipped while any team has headroom; once every team is full the
+    overflow falls back to the least-loaded team (work is never dropped —
+    the bound shapes assignment, the dispatcher decides what to defer)."""
     team_list = list(teams)
     bases = _team_bases(team_list)
 
@@ -85,8 +94,12 @@ def assign_teams(clustered: DataFrame, teams: tuple[str, ...] = TEAMS) -> DataFr
         chosen = []
         for i in range(len(pdf)):
             x, y = float(pdf.loc[i, "loc_x"]), float(pdf.loc[i, "loc_y"])
+            pool = range(len(team_list))
+            if capacity is not None:
+                feasible = [t for t in pool if loads[t] < capacity]
+                pool = feasible or range(len(team_list))
             best = min(
-                range(len(team_list)),
+                pool,
                 key=lambda t: (
                     loads[t],
                     (x - bases[t][0]) ** 2 + (y - bases[t][1]) ** 2,

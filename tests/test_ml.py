@@ -83,3 +83,26 @@ def test_q74_auc_equals_mllib_evaluator(spark, sf_dir):
     )
     want = FC.auc(scored)
     assert abs(got["auc"] - want) < 1e-6, (got["auc"], want)
+
+
+def test_dispatch_capacity_soft_bound(spark, sf_dir):
+    """Teams at capacity are skipped while any has headroom; overflow falls
+    back to least-loaded (work never dropped)."""
+    from collections import Counter
+
+    risk = q0_flagship_risk(spark, sf_dir)
+    ranked = DP.rank_urgency(risk)
+    located = DP.pseudo_locations(ranked)
+    clustered = DP.cluster_locations(located, n_clusters=2)
+    out = DP.assign_teams(clustered, capacity=2).collect()
+    n_total = len(out)
+    assert n_total == risk.count()  # nothing dropped
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, Counter())[r.team] += 1
+    for counts in by_cluster.values():
+        n = sum(counts.values())
+        if n <= 2 * len(DP.TEAMS):
+            assert max(counts.values()) <= 2  # capacity respected
+        else:
+            assert max(counts.values()) - min(counts.values()) <= 1  # balanced overflow
