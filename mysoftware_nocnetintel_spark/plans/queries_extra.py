@@ -446,6 +446,28 @@ def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A3 completion: MERGEABLE distinct sketches (Datasketches HLL). Daily
+# sketches roll up to a global estimate via hll_union_agg without touching
+# row data again — the reaggregatable-cube property that makes distinct
+# counts cheap at 100 TB (per-partition sketches merge in the metastore
+# tier; exact distinct would re-shuffle everything). Rows-only: estimates
+# are approximate by construction; the ±5% accuracy band vs exact is pinned
+# in tests/test_plans.py's companion unit test.
+def q78_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("approx_distinct_users"),
+    )
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -467,4 +489,5 @@ EXTRA_QUERIES = {
     "q72_variant_json": q72_variant_json,
     "q75_sequence_assembly": q75_sequence_assembly,
     "q77_funnel": q77_funnel,
+    "q78_hll_rollup": q78_hll_rollup,
 }

@@ -137,3 +137,17 @@ def test_q77_funnel_two_exchanges_no_single_partition(spark, sf_dir):
         1 for ln in p.splitlines() if ln.strip().startswith("(") and "Exchange" in ln
     )
     assert n_exchanges <= 3, p
+
+
+def test_hll_rollup_accuracy_and_merge(spark, sf_dir):
+    """A3: daily HLL sketches union-merged must land within 5% of the exact
+    distinct count — the mergeable-sketch contract q78 relies on."""
+    from mysoftware_nocnetintel_spark.plans.queries_extra import q78_hll_rollup
+    from mysoftware_nocnetintel_spark.sources import load_table
+
+    got = q78_hll_rollup(spark, sf_dir).collect()[0]
+    exact = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert abs(got.approx_distinct_users - exact) <= max(1, 0.05 * exact)
+    assert got.n_days >= 1
