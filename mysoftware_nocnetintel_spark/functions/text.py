@@ -77,6 +77,47 @@ def quality_score(text: Column | str) -> Column:
     return F.round((length_term + diversity + stop_term) / F.lit(3.0), 6)
 
 
+def top_bigram_fraction(text: Column | str) -> Column:
+    """Repetition signal (Gopher-style): fraction of all word-bigram
+    occurrences taken by the single most frequent bigram. High values mark
+    boilerplate / looping generations. Pure HOF expression: build bigrams
+    with zip_with against the shifted token array, count the mode via
+    aggregate over the distinct bigrams."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokens(text)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # max occurrence count of any bigram: for each distinct bigram, count
+    # matches in the full array; fold to the max
+    top = F.aggregate(
+        F.array_distinct(bigrams),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(bigrams, lambda x: x == g))
+        ),
+    )
+    return F.when(
+        F.size(bigrams) > 0, top.cast("double") / F.size(bigrams)
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_line_ratio(text: Column | str) -> Column:
+    """Repetition signal: fraction of lines that are duplicates of an
+    earlier line (0 for single-line documents)."""
+    text = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(
+        F.split(text, r"\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(lines))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Character n-gram shingles → array<string> (for Jaccard / MinHash)."""
     text = F.col(text) if isinstance(text, str) else text

@@ -278,6 +278,50 @@ ORACLES_EXT: dict[str, str] = {
         ORDER BY cos DESC, id_a, id_b
         LIMIT 20
     """,
+    "q79_repetition_signals": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+            FROM toks
+        ),
+        bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g FROM idx),
+        cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        per AS (
+            SELECT doc_id, max(c) AS top, sum(c) AS total
+            FROM cnt GROUP BY doc_id
+        ),
+        lines AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS ls
+            FROM documents
+        ),
+        joined AS (
+            SELECT d.lang,
+                   coalesce(p.top * 1.0 / p.total, 0.0) AS frac,
+                   CASE WHEN len(l.ls) > 0
+                        THEN (len(l.ls) - len(list_distinct(l.ls))) * 1.0
+                             / len(l.ls)
+                        ELSE 0.0 END AS dlr
+            FROM documents d
+            LEFT JOIN per p USING (doc_id)
+            JOIN lines l USING (doc_id)
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(frac), 6) AS avg_top_bigram_frac,
+               round(max(frac), 6) AS max_top_bigram_frac,
+               round(avg(dlr), 6) AS avg_dup_line_ratio
+        FROM joined
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "q41_ngram_jaccard": """
         WITH toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t

@@ -239,6 +239,56 @@ def q76_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F7/U3-adjacent: repetition signals (Gopher-style quality filters) — the
+# top-bigram occupancy and duplicate-line ratio that flag boilerplate and
+# looping generations in a training corpus. The bigram mode is computed via
+# explode -> two-level groupBy (linear, one shuffle per level) rather than
+# the per-row quadratic HOF; duplicate-line ratio is a per-row expression.
+def q79_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", TX.tokens("text").alias("t"))
+    n1 = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, n1),
+                F.slice("t", 2, n1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+    cnt = bg.groupBy("doc_id", "lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id", "lang").agg(
+        F.max("c").alias("top"), F.sum("c").alias("total")
+    )
+    dl = docs.select(
+        "doc_id", TX.duplicate_line_ratio("text").alias("dup_line_ratio")
+    )
+    joined = (
+        docs.select("doc_id", "lang")
+        .join(per.select("doc_id", "top", "total"), "doc_id", "left")
+        .join(dl, "doc_id")
+        .withColumn(
+            "top_bigram_frac",
+            F.coalesce(
+                F.col("top").cast("double") / F.col("total"), F.lit(0.0)
+            ),
+        )
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+            F.round(F.max("top_bigram_frac"), 6).alias("max_top_bigram_frac"),
+            F.round(F.avg("dup_line_ratio"), 6).alias("avg_dup_line_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 TEXT_QUERIES = {
     "q31_token_stats": q31_token_stats,
     "q32_term_df": q32_term_df,
@@ -253,4 +303,7 @@ TEXT_QUERIES = {
     "q42_ann_lsh": q42_ann_lsh,
     "q48_ann_ivf": q48_ann_ivf,
     "q76_ann_pq": q76_ann_pq,
+    "q79_repetition_signals": q79_repetition_signals,
 }
+
+

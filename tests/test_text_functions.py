@@ -70,3 +70,30 @@ def test_stopword_and_type_token_ratio(spark):
     assert _one(spark, "x y z", TX.stopword_ratio("text")) == 0.0
     assert _one(spark, "x x y y", TX.type_token_ratio("text")) == 0.5
     assert _one(spark, "", TX.stopword_ratio("text")) is None  # ANSI-safe null
+
+
+def test_repetition_signals(spark):
+    """top_bigram_fraction and duplicate_line_ratio on known inputs."""
+    from mysoftware_nocnetintel_spark.functions import text as TX
+
+    rows = [
+        (1, "a b a b a b"),          # bigram 'a b' occurs 3/5
+        (2, "x y z w"),               # all bigrams unique -> 1/3
+        (3, "one"),                   # no bigrams -> 0
+        (4, "l1\nl2\nl1\nl3"),        # 1 dup line of 4
+        (5, "solo"),                  # single line -> 0
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    got = {
+        r.id: (round(r.bg, 6), round(r.dl, 6))
+        for r in df.select(
+            "id",
+            TX.top_bigram_fraction("text").alias("bg"),
+            TX.duplicate_line_ratio("text").alias("dl"),
+        ).collect()
+    }
+    assert got[1][0] == round(3 / 5, 6)
+    assert got[2][0] == round(1 / 3, 6)
+    assert got[3][0] == 0.0
+    assert got[4][1] == 0.25
+    assert got[5][1] == 0.0
