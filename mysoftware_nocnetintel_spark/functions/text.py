@@ -118,6 +118,22 @@ def duplicate_line_ratio(text: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def scrub_pii(text: Column | str) -> Column:
+    """Training-corpus hygiene: mask email addresses, long digit runs
+    (phone/account numbers), and IPv4 addresses with typed placeholders.
+    Pure regexp_replace chain — JVM-side, order matters (IPs before digit
+    runs so octets don't get half-masked)."""
+    text = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    out = F.regexp_replace(
+        out, r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"
+    )
+    out = F.regexp_replace(out, r"\b\d{7,}\b", "<NUM>")
+    return out
+
+
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Character n-gram shingles → array<string> (for Jaccard / MinHash)."""
     text = F.col(text) if isinstance(text, str) else text

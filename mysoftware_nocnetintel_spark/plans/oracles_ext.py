@@ -278,6 +278,35 @@ ORACLES_EXT: dict[str, str] = {
         ORDER BY cos DESC, id_a, id_b
         LIMIT 20
     """,
+    "q80_scrub_sample": """
+        WITH scrubbed AS (
+            SELECT doc_id, lang,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\b\\d{7,}\\b', '<NUM>', 'g') AS text
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM scrubbed
+        )
+        SELECT lang,
+               count(*) AS n_sampled,
+               CAST(max(n) AS BIGINT) AS n_total,
+               round(avg(length(text)), 6) AS avg_scrubbed_len
+        FROM ranked
+        WHERE rn <= floor(n * 0.3)
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "q79_repetition_signals": """
         WITH toks AS (
             SELECT doc_id, lang,

@@ -289,6 +289,42 @@ def q79_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus hygiene: PII scrub + DETERMINISTIC stratified sampling. Sampling by
+# hash-rank (not Bernoulli) is reproducible across cluster layouts and
+# exactly SQL-expressible, so the oracle checks the whole selection — the
+# property a training-data pipeline needs for auditable subsets.
+def q80_scrub_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scrubbed = docs.select(
+        "doc_id",
+        "lang",
+        TX.scrub_pii("text").alias("text"),
+    )
+    # md5 hex as the sort key: portable across engines (same string in
+    # DuckDB), unlike engine-native hashes
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    n_lang = Window.partitionBy("lang")
+    ranked = scrubbed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(n_lang)
+    )
+    sampled = ranked.filter(
+        F.col("rn") <= F.floor(F.col("n") * 0.3)
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("n").cast("bigint").alias("n_total"),
+            F.round(
+                F.avg(F.length("text")).cast("double"), 6
+            ).alias("avg_scrubbed_len"),
+        )
+        .orderBy("lang")
+    )
+
+
 TEXT_QUERIES = {
     "q31_token_stats": q31_token_stats,
     "q32_term_df": q32_term_df,
@@ -304,6 +340,7 @@ TEXT_QUERIES = {
     "q48_ann_ivf": q48_ann_ivf,
     "q76_ann_pq": q76_ann_pq,
     "q79_repetition_signals": q79_repetition_signals,
+    "q80_scrub_sample": q80_scrub_sample,
 }
 
 

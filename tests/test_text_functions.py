@@ -97,3 +97,16 @@ def test_repetition_signals(spark):
     assert got[3][0] == 0.0
     assert got[4][1] == 0.25
     assert got[5][1] == 0.0
+
+
+def test_scrub_pii(spark):
+    from mysoftware_nocnetintel_spark.functions import text as TX
+
+    rows = [
+        (1, "contact bob@example.com or 192.168.1.10 acct 12345678 now"),
+        (2, "short 123 stays, 1234567 goes"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    got = {r.id: r.s for r in df.select("id", TX.scrub_pii("text").alias("s")).collect()}
+    assert got[1] == "contact <EMAIL> or <IP> acct <NUM> now"
+    assert got[2] == "short 123 stays, <NUM> goes"
