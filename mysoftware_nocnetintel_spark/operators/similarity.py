@@ -275,7 +275,9 @@ def pq_codebooks(
     seed: int = 42,
     train_rows: int = 10_000,
 ) -> list[list[list[float]]]:
-    """Product-quantization codebooks: split the vector into ``m`` subspaces
+    """Product-quantization codebooks (J8 scale tier 3; the knowledge-base
+    retrieval surface of reference README.md:11,52 at billion-vector
+    corpus sizes): split the vector into ``m`` subspaces
     and k-means each on a seeded driver-side SAMPLE (≤ ``train_rows`` rows —
     the standard offline-training design: the index metadata is a few KB and
     training on a bounded sample is how PQ libraries behave at any corpus

@@ -411,7 +411,8 @@ def q75_sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Funnel / ordered-pattern match: purchases preceded by a view within 1 hour
-# (MATCH_RECOGNIZE-lite). The conditional running max over the per-entity
+# (MATCH_RECOGNIZE-lite; the alarm→ticket ordered-correlation shape of
+# reference README.md:32 applied to event funnels). The conditional running max over the per-entity
 # window replaces the naive self-join — one shuffle, no pair blowup, the
 # formulation that survives 100 TB event streams.
 def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,7 +447,8 @@ def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# A3 completion: MERGEABLE distinct sketches (Datasketches HLL). Daily
+# A3 completion: MERGEABLE distinct sketches (Datasketches HLL; the
+# distinct-count rollups behind reference README.md:68 zone summaries). Daily
 # sketches roll up to a global estimate via hll_union_agg without touching
 # row data again — the reaggregatable-cube property that makes distinct
 # counts cheap at 100 TB (per-partition sketches merge in the metastore

@@ -37,8 +37,10 @@ def write_clustered(
     mode: str = "overwrite",
     options: dict[str, str] | None = None,
 ) -> None:
-    """S4 layout optimization: partitioned parquet with rows sorted
-    WITHIN each output file on ``sort_cols`` (e.g. (entity, ts)).
+    """S4 layout optimization (reference README.md:93-103 forecast store,
+    laid out for the time-horizon reads of README.md:44): partitioned
+    parquet with rows sorted WITHIN each output file on ``sort_cols``
+    (e.g. (entity, ts)).
 
     Sorted files give every parquet row group tight min/max statistics on
     the sort keys, so point/range predicates on them skip whole row groups

@@ -365,8 +365,9 @@ def continuous_rollup(
     checkpoint: str,
     watermark: str = "1 hour",
 ):
-    """Hypertable-style continuous aggregate: an hourly rollup MATERIALIZED
-    incrementally as the stream runs (the streaming twin of a TimescaleDB
+    """Hypertable-style continuous aggregate (the scheduled rollup worker of
+    reference README.md:24,26 re-expressed as streaming): an hourly rollup
+    MATERIALIZED incrementally as the stream runs (the streaming twin of a TimescaleDB
     continuous aggregate / OLAP cube refresh).
 
     The windowed agg runs in update mode — streaming state holds the full
