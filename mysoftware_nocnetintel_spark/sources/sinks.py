@@ -111,8 +111,10 @@ def ticket_sink(alerts: DataFrame, path: str, checkpoint: str):
     foreachBatch so the ticket formatting runs exactly-once per micro-batch
     and the sink could equally be a JDBC ticketing table or REST call in
     deployment; here it lands as date-partitioned parquet. Ticket ids are
-    deterministic (event_id-derived), so replays upsert rather than
-    duplicate."""
+    deterministic (event_id-derived), so a real ticketing backend can
+    upsert idempotently on replay; the parquet test sink itself appends
+    (exactly-once within a query run via the checkpoint, dedupe-on-read by
+    ticket_id across re-runs)."""
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         tickets = batch_df.select(
