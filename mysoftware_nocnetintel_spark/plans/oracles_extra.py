@@ -8,6 +8,42 @@
 """
 
 ORACLES_EXTRA: dict[str, str] = {
+    "q81_root_cause_lift": """
+        WITH win AS (
+            SELECT user_id, ts, event_type,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w AS n_purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END) OVER w AS n_signup,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_view
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                               AND INTERVAL 1 MICROSECOND PRECEDING)
+        ),
+        errs AS (SELECT * FROM win WHERE event_type = 'error'),
+        tot AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+        alln AS (SELECT count(*) AS n_all FROM events),
+        per AS (
+            SELECT 'click' AS kind,
+                   avg(CASE WHEN n_click > 0 THEN 1.0 ELSE 0.0 END) AS p FROM errs
+            UNION ALL
+            SELECT 'purchase',
+                   avg(CASE WHEN n_purchase > 0 THEN 1.0 ELSE 0.0 END) FROM errs
+            UNION ALL
+            SELECT 'signup',
+                   avg(CASE WHEN n_signup > 0 THEN 1.0 ELSE 0.0 END) FROM errs
+            UNION ALL
+            SELECT 'view',
+                   avg(CASE WHEN n_view > 0 THEN 1.0 ELSE 0.0 END) FROM errs
+        )
+        SELECT kind,
+               round(p, 6) AS p_precedes,
+               round(p / (t.n * 1.0 / a.n_all), 6) AS lift
+        FROM per
+        JOIN tot t ON t.event_type = per.kind
+        CROSS JOIN alln a
+        ORDER BY kind
+    """,
     "q77_funnel": """
         WITH flagged AS (
             SELECT ts, event_type,

@@ -470,6 +470,57 @@ def q78_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Root-cause correlation (reference README.md:52 "root-cause analysis"):
+# which event types disproportionately precede an error? For every error,
+# count each type in the trailing 10-minute window per entity (conditional
+# RANGE-frame windows — no self-join), then lift = P(type precedes error) /
+# P(type overall). Lift > 1 marks candidate precursors.
+def q81_root_cause_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    usec = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("long")
+    base = ev.withColumn("__u", usec)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__u")
+        .rangeBetween(-600_000_000, -1)  # strictly-before, 10 min
+    )
+    kinds = ["click", "purchase", "signup", "view"]
+    counts = [
+        F.count(F.when(F.col("event_type") == k, 1)).over(w).alias(f"n_{k}")
+        for k in kinds
+    ]
+    errors = base.select("event_type", "__u", "user_id", *counts).filter(
+        F.col("event_type") == "error"
+    )
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_all = sum(totals.values())
+    rows = []
+    for k in kinds:
+        present_frac = F.round(
+            F.avg((F.col(f"n_{k}") > 0).cast("double")), 6
+        ).alias("p_precedes")
+        rows.append(
+            errors.agg(
+                F.lit(k).alias("kind"),
+                present_frac,
+                F.round(
+                    F.avg((F.col(f"n_{k}") > 0).cast("double"))
+                    / F.lit(totals.get(k, 0) / n_all),
+                    6,
+                ).alias("lift"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("kind")
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -492,4 +543,7 @@ EXTRA_QUERIES = {
     "q75_sequence_assembly": q75_sequence_assembly,
     "q77_funnel": q77_funnel,
     "q78_hll_rollup": q78_hll_rollup,
+    "q81_root_cause_lift": q81_root_cause_lift,
 }
+
+
