@@ -8,6 +8,36 @@
 """
 
 ORACLES_EXTRA: dict[str, str] = {
+    "q82_burst_detection": """
+        WITH pb AS (
+            SELECT user_id,
+                   date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+                       // 600000000 AS bk,
+                   count(*) AS cnt
+            FROM events
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT user_id, bk, cnt,
+                   avg(cnt) OVER w AS base_avg,
+                   stddev_samp(cnt) OVER w AS base_sd,
+                   count(*) OVER w AS n_base
+            FROM pb
+            WINDOW w AS (PARTITION BY user_id ORDER BY bk
+                         ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id,
+               count(*) AS n_buckets,
+               CAST(sum(CASE WHEN n_base >= 6 AND base_sd IS NOT NULL
+                                  AND base_sd > 0
+                                  AND cnt > base_avg + 3 * base_sd
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+               round(max(CASE WHEN base_sd > 0
+                              THEN (cnt - base_avg) / base_sd END), 6) AS max_z
+        FROM scored
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "q81_root_cause_lift": """
         WITH win AS (
             SELECT user_id, ts, event_type,

@@ -521,6 +521,64 @@ def q81_root_cause_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("kind")
 
 
+# Outage/burst detection (reference README.md:10 "Predicts outages",
+# README.md:141 monitoring): per-entity 10-minute event-rate buckets scored
+# against a trailing 12-bucket baseline; a bucket whose count exceeds
+# mean + 3*stddev of its trailing window is a burst. Two shuffles total
+# (bucket agg + per-entity window); the z-style score is exact SQL, so the
+# whole detector is oracle-checked.
+def q82_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 600000000"
+    ).cast("long")
+    per_bucket = (
+        ev.withColumn("__bk", bucket)
+        .groupBy("user_id", "__bk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__bk")
+        .rowsBetween(-12, -1)
+    )
+    scored = per_bucket.select(
+        "user_id",
+        "__bk",
+        "cnt",
+        F.avg("cnt").over(w).alias("base_avg"),
+        F.stddev_samp("cnt").over(w).alias("base_sd"),
+        F.count(F.lit(1)).over(w).alias("n_base"),
+    )
+    bursts = scored.withColumn(
+        "is_burst",
+        (
+            (F.col("n_base") >= 6)
+            & F.col("base_sd").isNotNull()
+            & (F.col("base_sd") > 0)
+            & (F.col("cnt") > F.col("base_avg") + 3 * F.col("base_sd"))
+        ).cast("int"),
+    )
+    return (
+        bursts.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("is_burst").cast("bigint").alias("n_bursts"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("base_sd") > 0,
+                        (F.col("cnt") - F.col("base_avg")) / F.col("base_sd"),
+                    )
+                ),
+                6,
+            ).alias("max_z"),
+        )
+        .orderBy("user_id")
+    )
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -544,6 +602,7 @@ EXTRA_QUERIES = {
     "q77_funnel": q77_funnel,
     "q78_hll_rollup": q78_hll_rollup,
     "q81_root_cause_lift": q81_root_cause_lift,
+    "q82_burst_detection": q82_burst_detection,
 }
 
 
