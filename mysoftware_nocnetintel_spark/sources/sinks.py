@@ -159,3 +159,23 @@ def alert_stream_sink(alerts: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S4 co-location infrastructure: hash-bucketed (and optionally
+    sorted) managed table. Two tables bucketed the same way join WITHOUT a
+    shuffle (verified in tests/test_skew_bucketing.py) — at 100 TB this is
+    how repeated fact-fact joins on the same key amortize their exchange
+    to write time. Bucketing requires saveAsTable (the metastore keeps the
+    bucket spec)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

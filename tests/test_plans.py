@@ -151,3 +151,20 @@ def test_hll_rollup_accuracy_and_merge(spark, sf_dir):
     )
     assert abs(got.approx_distinct_users - exact) <= max(1, 0.05 * exact)
     assert got.n_days >= 1
+
+
+def test_q81_q82_windows_entity_partitioned(spark, sf_dir):
+    """The root-cause and burst detectors must keep their windows
+    hash-partitioned on the entity key — the per-row scoring side never
+    funnels through one task. (q81's final 4 scalar aggregates and q82's
+    ~150-row output sort are legitimately single-partition; the check below
+    pins the WINDOW partitioning specifically.)"""
+    import re
+
+    for name in ("q81_root_cause_lift", "q82_burst_detection"):
+        p = _plan(QUERIES[name](spark, sf_dir))
+        # every Window detail section must carry a user_id partition spec
+        specs = re.findall(r"\(\d+\) Window[\s\S]*?(?=\n\(|$)", p)
+        assert specs, p
+        for spec in specs:
+            assert "user_id" in spec, spec

@@ -101,3 +101,21 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_bucketed_api(spark, sf_dir, tmp_path):
+    """sinks.write_bucketed round-trips a bucketed+sorted managed table."""
+    from mysoftware_nocnetintel_spark.sources import load_table
+    from mysoftware_nocnetintel_spark.sources.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(orders, "t_bucketed_api", ["o_orderkey"], n_buckets=8,
+                   sort_cols=["o_orderkey"])
+    try:
+        got = spark.table("t_bucketed_api")
+        assert got.count() == orders.count()
+        meta = spark.sql("DESCRIBE EXTENDED t_bucketed_api").collect()
+        txt = "\n".join(str(r) for r in meta)
+        assert "8" in txt and "o_orderkey" in txt
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_api")

@@ -331,3 +331,55 @@ def test_continuous_rollup_incremental_multibatch(spark, sf_dir, tmp_path):
     want = q45_tumbling_window(spark, sf_dir)
     cols = ["window_start", "n", "total_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_continuous_rollup_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Exactly-once across RESTARTS: run the rollup over half the input,
+    then land more files and restart with the same checkpoint — the second
+    run must process only the new files and the final materialization must
+    equal the batch answer (no double-counted windows)."""
+    import pyspark.sql.types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.selectExpr(
+        "percentile(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts), array(0.5)) AS b"
+    ).collect()[0]["b"]
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    src = str(tmp_path / "chunks")
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .parquet(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        q = STR.continuous_rollup(stream, out, ckpt)
+        q.awaitTermination(120)
+        return q
+
+    ev.filter(sec < bounds[0]).write.mode("append").parquet(src)
+    q1 = run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+    ev.filter(sec >= bounds[0]).write.mode("append").parquet(src)
+    q2 = run_once()
+    # restart consumed only the NEW files (checkpoint held the old offsets)
+    assert sum(p["numInputRows"] for p in q2.recentProgress) < ev.count()
+    got = spark.read.parquet(out).select("window_start", "n", "total_value")
+    want = q45_tumbling_window(spark, sf_dir)
+    cols = ["window_start", "n", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
