@@ -118,6 +118,34 @@ def duplicate_line_ratio(text: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def chunk_tokens(
+    text: Column | str, size: int = 64, stride: int = 48
+) -> Column:
+    """Document chunking for training pipelines: token windows of ``size``
+    every ``stride`` tokens (overlap = size - stride), as
+    array<struct<chunk_id,chunk_text,n_tokens>>. Callers ``explode`` to get
+    one row per chunk — the standard pretokenization fan-out. Pure HOF
+    expression: sequence over window starts, slice per start."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens(text)
+    n = F.size(toks)
+    # window starts at every stride until the end of the document (the
+    # truncated-tail convention: the final chunks may be shorter than
+    # ``size`` but every token is covered); empty docs produce no chunks
+    starts = F.when(
+        n > 0, F.sequence(F.lit(1), n, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            (i + 1).cast("bigint").alias("chunk_id"),
+            F.array_join(F.slice(toks, s, size), " ").alias("chunk_text"),
+            F.least(F.lit(size), n - s + 1).cast("bigint").alias("n_tokens"),
+        ),
+    )
+
+
 def scrub_pii(text: Column | str) -> Column:
     """Training-corpus hygiene: mask email addresses, long digit runs
     (phone/account numbers), and IPv4 addresses with typed placeholders.

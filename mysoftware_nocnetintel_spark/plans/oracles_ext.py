@@ -278,6 +278,36 @@ ORACLES_EXT: dict[str, str] = {
         ORDER BY cos DESC, id_a, id_b
         LIMIT 20
     """,
+    "q83_chunking": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, lang, t,
+                   unnest(generate_series(1, len(t), 48)) AS s
+            FROM toks
+            WHERE len(t) > 0
+        ),
+        chunks AS (
+            SELECT doc_id, lang,
+                   (s - 1) // 48 + 1 AS chunk_id,
+                   array_to_string(list_slice(t, s, s + 63), ' ') AS chunk_text,
+                   least(64, len(t) - s + 1) AS n_tokens
+            FROM starts
+        )
+        SELECT lang,
+               count(*) AS n_chunks,
+               CAST(count(DISTINCT md5(chunk_text)) AS BIGINT)
+                   AS n_distinct_chunks,
+               round(avg(n_tokens), 6) AS avg_chunk_tokens,
+               CAST(max(chunk_id) AS BIGINT) AS max_chunks_per_doc
+        FROM chunks
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "q80_scrub_sample": """
         WITH scrubbed AS (
             SELECT doc_id, lang,

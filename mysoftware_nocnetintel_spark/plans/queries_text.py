@@ -325,6 +325,36 @@ def q80_scrub_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pretokenization chunking (training-data fan-out): fixed 64-token windows
+# at stride 48 per document, exploded to chunk rows. The chunk text itself
+# rides through the oracle (array_join on both engines), so window/stride
+# boundary arithmetic is verified exactly.
+def q83_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(TX.chunk_tokens("text", size=64, stride=48)).alias("c"),
+    )
+    flat = chunks.select(
+        "doc_id",
+        "lang",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+    )
+    return (
+        flat.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_md5").alias("n_distinct_chunks"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_chunk_tokens"),
+            F.max("chunk_id").cast("bigint").alias("max_chunks_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
 TEXT_QUERIES = {
     "q31_token_stats": q31_token_stats,
     "q32_term_df": q32_term_df,
@@ -341,6 +371,7 @@ TEXT_QUERIES = {
     "q76_ann_pq": q76_ann_pq,
     "q79_repetition_signals": q79_repetition_signals,
     "q80_scrub_sample": q80_scrub_sample,
+    "q83_chunking": q83_chunking,
 }
 
 

@@ -110,3 +110,32 @@ def test_scrub_pii(spark):
     got = {r.id: r.s for r in df.select("id", TX.scrub_pii("text").alias("s")).collect()}
     assert got[1] == "contact <EMAIL> or <IP> acct <NUM> now"
     assert got[2] == "short 123 stays, <NUM> goes"
+
+
+def test_chunk_tokens_boundaries(spark):
+    """Chunk boundary arithmetic: exact windows, stride overlap, tail chunk,
+    short docs, empty docs."""
+    from mysoftware_nocnetintel_spark.functions import text as TX
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+        (2, "a b"),                                  # shorter than size
+        (3, "   "),                                  # empty
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", TX.chunk_tokens("text", size=4, stride=3).alias("c")
+        ).collect()
+    }
+    # doc 1: starts 1,4,7,10 (every stride to the end; truncated tail)
+    assert [(c.chunk_id, c.n_tokens) for c in got[1]] == [
+        (1, 4), (2, 4), (3, 4), (4, 1)
+    ]
+    assert got[1][1].chunk_text == "t3 t4 t5 t6"
+    assert got[1][3].chunk_text == "t9"
+    # doc 2: one short chunk
+    assert [(c.chunk_id, c.n_tokens) for c in got[2]] == [(1, 2)]
+    # doc 3: no chunks
+    assert got[3] == []
