@@ -49,3 +49,27 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-normalized copy; NULL elements for zero-norm vectors."""
+    a = as_double(a)
+    nrm = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(a, lambda x: F.try_divide(x, nrm))
+
+
+def mean_pool(vectors: Column | str) -> Column:
+    """Element-wise mean over array<array<double>> — the chunk-embedding →
+    document-embedding pooling step (pairs with text.chunk_tokens). Pure
+    HOF fold: running element-wise sum via zip_with, divided by the count;
+    empty input yields NULL."""
+    vectors = F.col(vectors) if isinstance(vectors, str) else vectors
+    n = F.size(vectors)
+    summed = F.aggregate(
+        F.slice(vectors, 2, F.greatest(n - 1, F.lit(0))),
+        F.element_at(vectors, 1),
+        lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+    )
+    return F.when(
+        n > 0, F.transform(summed, lambda x: x / n)
+    )

@@ -139,3 +139,21 @@ def test_chunk_tokens_boundaries(spark):
     assert [(c.chunk_id, c.n_tokens) for c in got[2]] == [(1, 2)]
     # doc 3: no chunks
     assert got[3] == []
+
+
+def test_vector_pooling(spark):
+    from mysoftware_nocnetintel_spark.functions import vectors as V
+
+    rows = [
+        (1, [[1.0, 2.0], [3.0, 4.0]]),
+        (2, [[5.0, 5.0]]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(rows, "id INT, vs ARRAY<ARRAY<DOUBLE>>")
+    got = {r.id: r.m for r in df.select("id", V.mean_pool("vs").alias("m")).collect()}
+    assert got[1] == [2.0, 3.0]
+    assert got[2] == [5.0, 5.0]
+    assert got[3] is None
+    nrm = spark.createDataFrame([(1, [3.0, 4.0])], "id INT, v ARRAY<DOUBLE>")
+    out = nrm.select(V.normalize("v").alias("u")).collect()[0].u
+    assert [round(x, 6) for x in out] == [0.6, 0.8]
