@@ -254,3 +254,70 @@ class TestRandomWindowFrames:
             f"AS v FROM events"
         )
         assert_matches_oracle(got, sql, sf_dir)
+
+
+class TestRandomGroupingSets:
+    """Randomized rollup/cube/grouping-sets differential: NULL-indicator
+    semantics and set expansion must match DuckDB for any key combination."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        mode=st.sampled_from(["ROLLUP", "CUBE"]),
+        keys=st.lists(
+            st.sampled_from(["event_type", "user_id % 3", "CAST(value >= 250 AS INT)"]),
+            min_size=1,
+            max_size=2,
+            unique=True,
+        ),
+        agg=st.sampled_from(["count(*)", "round(sum(value), 6)", "min(event_id)"]),
+    )
+    def test_random_grouping_sets(self, spark, sf_dir, mode, keys, agg):
+        from mysoftware_nocnetintel_spark.sources import register_views
+
+        register_views(spark, sf_dir, ("events",))
+        key_aliases = [f"({k}) AS k{i}" for i, k in enumerate(keys)]
+        key_names = [f"k{i}" for i in range(len(keys))]
+        sql = (
+            f"SELECT {', '.join(key_names)}, {agg} AS agg_val FROM "
+            f"(SELECT *, {', '.join(key_aliases)} FROM events) "
+            f"GROUP BY {mode} ({', '.join(key_names)})"
+        )
+        got = spark.sql(sql)
+        assert_matches_oracle(got, sql, sf_dir)
+
+
+class TestRandomSetOpChains:
+    """Randomized UNION/INTERSECT/EXCEPT (ALL and DISTINCT) chains over
+    filtered projections — multiplicity semantics must match DuckDB."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        op=st.sampled_from(
+            ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+             "EXCEPT", "EXCEPT ALL"]
+        ),
+        t1=st.sampled_from(["view", "click", "purchase"]),
+        t2=st.sampled_from(["view", "error", "signup"]),
+        col=st.sampled_from(["user_id", "user_id % 7"]),
+    )
+    def test_random_setop_chain(self, spark, sf_dir, op, t1, t2, col):
+        from mysoftware_nocnetintel_spark.sources import register_views
+
+        register_views(spark, sf_dir, ("events",))
+        sql = (
+            f"SELECT ({col}) AS k FROM events WHERE event_type = '{t1}' "
+            f"{op} "
+            f"SELECT ({col}) AS k FROM events WHERE event_type = '{t2}'"
+        )
+        got = spark.sql(sql)
+        assert_matches_oracle(got, sql, sf_dir)
