@@ -321,3 +321,34 @@ class TestRandomSetOpChains:
         )
         got = spark.sql(sql)
         assert_matches_oracle(got, sql, sf_dir)
+
+
+class TestRandomRankingFunctions:
+    """Randomized ranking-family differential: rank / dense_rank /
+    row_number / ntile over random partition and order choices must match
+    DuckDB, including tie handling (value has duplicates at every SF)."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        fn=st.sampled_from(["rank()", "dense_rank()", "row_number()", "ntile(5)"]),
+        part=st.sampled_from(["user_id", "event_type", "user_id % 4"]),
+        order=st.sampled_from(
+            ["value, event_id", "ts, event_id", "value DESC, event_id"]
+        ),
+    )
+    def test_random_ranking(self, spark, sf_dir, fn, part, order):
+        from mysoftware_nocnetintel_spark.sources import register_views
+
+        register_views(spark, sf_dir, ("events",))
+        sql = (
+            f"SELECT event_id, CAST({fn} OVER "
+            f"(PARTITION BY ({part}) ORDER BY {order}) AS BIGINT) AS r "
+            f"FROM events"
+        )
+        got = spark.sql(sql)
+        assert_matches_oracle(got, sql, sf_dir)
