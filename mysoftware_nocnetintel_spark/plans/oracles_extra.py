@@ -8,6 +8,55 @@
 """
 
 ORACLES_EXTRA: dict[str, str] = {
+    "q84_maintenance_suppression": """
+        WITH bounds AS (
+            SELECT date_trunc('week', min(ts)) AS t0, max(ts) AS t1 FROM events
+        ),
+        weeks AS (
+            SELECT unnest(generate_series(t0, t1, INTERVAL 7 DAY)) AS ws
+            FROM bounds
+        ),
+        win AS (
+            SELECT ws + INTERVAL 146 HOUR AS w_start,
+                   ws + INTERVAL 148 HOUR AS w_end
+            FROM weeks
+        ),
+        alerts AS (SELECT * FROM events WHERE event_type = 'error'),
+        marked AS (
+            SELECT a.ts,
+                   EXISTS (SELECT 1 FROM win w
+                           WHERE a.ts >= w.w_start AND a.ts < w.w_end)
+                       AS suppressed
+            FROM alerts a
+        )
+        SELECT date_trunc('day', ts) AS day,
+               count(*) AS n_alerts,
+               CAST(sum(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_suppressed
+        FROM marked
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q85_flap_suppression": """
+        WITH errs AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+        ),
+        flagged AS (
+            SELECT ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+                        THEN 1 ELSE 0 END AS delivered
+            FROM errs
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT date_trunc('day', ts) AS day,
+               count(*) AS n_raw,
+               CAST(sum(delivered) AS BIGINT) AS n_delivered,
+               round(avg(delivered), 6) AS delivery_rate
+        FROM flagged
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "q82_burst_detection": """
         WITH pb AS (
             SELECT user_id,

@@ -579,6 +579,70 @@ def q82_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Alert-pipeline hygiene 1 (reference README.md:141 alerting): maintenance-
+# window suppression. Windows (every Sunday 02:00-04:00 over the data range)
+# are generated as an interval TABLE and alerts are removed by a broadcast
+# anti range-join — the generic calendar-suppression shape, not a hardcoded
+# predicate.
+def q84_maintenance_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("week", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    windows = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL '7' DAY"))
+        ).alias("week_start")
+    ).select(
+        # date_trunc('week') = Monday 00:00; Sunday 02:00 is +6d2h
+        F.expr("week_start + INTERVAL '146' HOUR").alias("w_start"),
+        F.expr("week_start + INTERVAL '148' HOUR").alias("w_end"),
+    )
+    alerts = ev.filter(F.col("event_type") == "error")
+    suppressed_ids = alerts.join(
+        F.broadcast(windows),
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        "left_semi",
+    ).select("event_id")
+    return (
+        alerts.join(suppressed_ids.withColumnRenamed("event_id", "sid"),
+                    F.col("event_id") == F.col("sid"), "left")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.sum(F.col("sid").isNotNull().cast("int")).cast("bigint").alias("n_suppressed"),
+        )
+        .orderBy("day")
+    )
+
+
+# Alert-pipeline hygiene 2: flap suppression — an error alert is DELIVERED
+# only if the entity's previous error is more than 15 minutes older
+# (cooldown); repeats inside the window are suppressed as flapping. Lag-gap
+# window per entity, one shuffle.
+def q85_flap_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = errs.withColumn(
+        "delivered",
+        (
+            prev.isNull()
+            | (F.col("ts") - prev > F.expr("INTERVAL '15' MINUTE"))
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("delivered").cast("bigint").alias("n_delivered"),
+            F.round(F.avg("delivered"), 6).alias("delivery_rate"),
+        )
+        .orderBy("day")
+    )
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -603,6 +667,8 @@ EXTRA_QUERIES = {
     "q78_hll_rollup": q78_hll_rollup,
     "q81_root_cause_lift": q81_root_cause_lift,
     "q82_burst_detection": q82_burst_detection,
+    "q84_maintenance_suppression": q84_maintenance_suppression,
+    "q85_flap_suppression": q85_flap_suppression,
 }
 
 
