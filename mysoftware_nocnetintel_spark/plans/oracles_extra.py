@@ -8,6 +8,26 @@
 """
 
 ORACLES_EXTRA: dict[str, str] = {
+    "q86_correlated_subquery": """
+        SELECT p_brand,
+               count(*) AS n_small_orders,
+               round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    "q87_window_distinct": """
+        SELECT event_id, user_id,
+               CAST(len(list_distinct(list(event_type) OVER w)) AS BIGINT)
+                   AS trailing_type_diversity
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
     "q84_maintenance_suppression": """
         WITH bounds AS (
             SELECT date_trunc('week', min(ts)) AS t0, max(ts) AS t1 FROM events

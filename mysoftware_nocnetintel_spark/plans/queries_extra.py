@@ -643,6 +643,47 @@ def q85_flap_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of
+# their part's average quantity — Catalyst decorrelates the per-row
+# subquery into an aggregate + join; revenue impact per brand.
+def q86_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT p_brand,
+               count(*) AS n_small_orders,
+               round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+# Windowed DISTINCT emulation: neither engine supports count(DISTINCT) over
+# a moving frame natively in all versions — the portable formulation is a
+# list aggregation + distinct size, identical semantics on both. Trailing
+# 20-row distinct event-type diversity per entity.
+def q87_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("bigint")
+        .alias("trailing_type_diversity"),
+    )
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -669,6 +710,8 @@ EXTRA_QUERIES = {
     "q82_burst_detection": q82_burst_detection,
     "q84_maintenance_suppression": q84_maintenance_suppression,
     "q85_flap_suppression": q85_flap_suppression,
+    "q86_correlated_subquery": q86_correlated_subquery,
+    "q87_window_distinct": q87_window_distinct,
 }
 
 
