@@ -8,6 +8,42 @@
 """
 
 ORACLES_EXTRA: dict[str, str] = {
+    "q88_entropy": """
+        WITH per_type AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        withp AS (
+            SELECT user_id,
+                   c * 1.0 / sum(c) OVER (PARTITION BY user_id) AS p
+            FROM per_type
+        )
+        SELECT user_id,
+               round(sum(-p * ln(p)), 6) AS entropy,
+               count(*) AS n_types
+        FROM withp
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q89_mad_outliers": """
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, median(adev) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, count(*) AS n_outliers
+        FROM dev d JOIN mad USING (event_type)
+        WHERE d.adev > 3 * mad.mad
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
     "q86_correlated_subquery": """
         SELECT p_brand,
                count(*) AS n_small_orders,

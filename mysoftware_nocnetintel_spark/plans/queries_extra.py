@@ -684,6 +684,47 @@ def q87_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Behavioral entropy per entity (A4 depth; anomaly signal — uniform
+# activity vs single-type loops): H = -sum p ln p over the event-type
+# distribution. Two grouped aggregations, exact SQL on both engines.
+def q88_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = Window.partitionBy("user_id")
+    p = F.col("c") / F.sum("c").over(tot)
+    ent = per_type.withColumn("term", -p * F.log(p)).groupBy("user_id").agg(
+        F.round(F.sum("term"), 6).alias("entropy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return ent.orderBy("user_id")
+
+
+# Robust outliers via MAD (A4 depth): |x - median| > 3 * MAD per event
+# type — resistant to the heavy tails that wreck mean/stddev z-scores.
+# Grouped exact medians on both engines (Spark `percentile`, DuckDB
+# `median` on doubles are both exact interpolated medians).
+def q89_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .orderBy("event_type")
+    )
+
+
 EXTRA_QUERIES = {
     "q54_scalar_subquery": q54_scalar_subquery,
     "q55_in_subquery": q55_in_subquery,
@@ -712,6 +753,8 @@ EXTRA_QUERIES = {
     "q85_flap_suppression": q85_flap_suppression,
     "q86_correlated_subquery": q86_correlated_subquery,
     "q87_window_distinct": q87_window_distinct,
+    "q88_entropy": q88_entropy,
+    "q89_mad_outliers": q89_mad_outliers,
 }
 
 
