@@ -102,12 +102,23 @@ def main() -> None:
             list(ex.map(run_one, HEADLINE))
         batch_wall = min(batch_wall, time.perf_counter() - t0)
 
+    # Both views under DISTINCT names (round-2 advisor): `value` is the
+    # concurrent batch wall (the amortized serving mode this engine targets);
+    # `seq_total` is the sum of the per-query sequential latencies — the
+    # like-for-like comparison against BASELINE.md's sequential DuckDB table.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_concurrent_batch_wall",
                 "value": round(batch_wall, 4),
                 "unit": "sec",
+                "seq_total": round(sum(timings.values()), 4),
+                "seq_total_note": (
+                    "sum of per-query sequential best-of-2 latencies below; "
+                    "BASELINE.md's DuckDB table was measured sequentially, so "
+                    "seq_total is the like-for-like comparison and value is "
+                    "the 10-query concurrent batch wall (best-of-5)"
+                ),
                 "queries": timings,
                 "sf": sf,
             }

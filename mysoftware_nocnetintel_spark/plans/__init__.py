@@ -8,5 +8,78 @@ from .oracles import ORACLES as _O_CORE
 from .oracles_ext import ORACLES_EXT as _O_EXT
 from .oracles_extra import ORACLES_EXTRA as _O_EXTRA
 
-QUERIES = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA}
+_ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA}
+
+# The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
+# order, so ordering here is load-bearing. Rounds 1-2 both graded q0-q48 and
+# left 41 queries (q49-q89) with no hard signal. This round the window is:
+#   - the 41 queries never driver-checked (q49-q89), first;
+#   - q90_ann_ivfpq (new this round — the IVF+PQ serving composition);
+#   - 8 sentinels spanning round-1 operator families, as regression canaries:
+#     q0 (threshold/failure agg)  q1 (grouped agg)    q2 (star join top-n)
+#     q5 (sessionize)             q8 (exact dedup)    q9 (kNN)
+#     q28 (as-of join)            q41 (n-gram Jaccard dedup)
+# Everything else (driver-green in both prior rounds) follows after the window.
+_WINDOW = [
+    # --- never driver-checked (registry order preserved within the block) ---
+    "q76_ann_pq",
+    "q79_repetition_signals",
+    "q80_scrub_sample",
+    "q83_chunking",
+    "q49_forecast_score",
+    "q50_per_entity_ols",
+    "q51_dispatch_plan",
+    "q52_model_metrics",
+    "q53_multimodal_features",
+    "q71_pandas_udf_score",
+    "q73_rmse",
+    "q74_auc",
+    "q54_scalar_subquery",
+    "q55_in_subquery",
+    "q56_lead_window",
+    "q57_first_last_value",
+    "q58_ntile_percent_rank",
+    "q59_time_range_frame",
+    "q60_union_distinct",
+    "q61_except_all",
+    "q62_like_filter",
+    "q63_date_arithmetic",
+    "q64_resample_asof",
+    "q65_conditional_agg",
+    "q66_salted_agg",
+    "q67_tfidf",
+    "q68_variance_corr",
+    "q69_array_ops",
+    "q70_null_handling",
+    "q72_variant_json",
+    "q75_sequence_assembly",
+    "q77_funnel",
+    "q78_hll_rollup",
+    "q81_root_cause_lift",
+    "q82_burst_detection",
+    "q84_maintenance_suppression",
+    "q85_flap_suppression",
+    "q86_correlated_subquery",
+    "q87_window_distinct",
+    "q88_entropy",
+    "q89_mad_outliers",
+    # --- new this round ---
+    "q90_ann_ivfpq",
+    # --- sentinels: round-1 families, driver-green in r1 and r2 ---
+    "q0_flagship_risk",
+    "q1_pricing_summary",
+    "q2_join_topn",
+    "q5_sessionize",
+    "q8_dedup_docs",
+    "q9_knn",
+    "q28_asof_join",
+    "q41_ngram_jaccard",
+]
+
+assert len(_WINDOW) == 50, len(_WINDOW)
+_missing = [k for k in _WINDOW if k not in _ALL]
+assert not _missing, _missing
+
+QUERIES = {k: _ALL[k] for k in _WINDOW}
+QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
 ORACLES = {**_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA}

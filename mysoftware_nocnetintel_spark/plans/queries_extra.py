@@ -494,31 +494,38 @@ def q81_root_cause_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = base.select("event_type", "__u", "user_id", *counts).filter(
         F.col("event_type") == "error"
     )
-    totals = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_all = sum(totals.values())
-    rows = []
-    for k in kinds:
-        present_frac = F.round(
-            F.avg((F.col(f"n_{k}") > 0).cast("double")), 6
-        ).alias("p_precedes")
-        rows.append(
-            errors.agg(
-                F.lit(k).alias("kind"),
-                present_frac,
-                F.round(
-                    F.avg((F.col(f"n_{k}") > 0).cast("double"))
-                    / F.lit(totals.get(k, 0) / n_all),
-                    6,
-                ).alias("lift"),
-            )
+    # Single pass over the window pipeline: one agg emits all four per-kind
+    # presence fractions, stack() pivots them to rows (was: four .agg() jobs
+    # unioned — the window pipeline recomputed 4x). Per-kind corpus totals are
+    # a second tiny agg (bounded by #event types) joined lazily via broadcast;
+    # no collect, fully lazy plan, two scans of `events` total.
+    pre = errors.agg(
+        *[
+            F.avg((F.col(f"n_{k}") > 0).cast("double")).alias(f"p_{k}")
+            for k in kinds
+        ]
+    )
+    stacked = pre.selectExpr(
+        "stack({}, {}) as (kind, p)".format(
+            len(kinds), ", ".join(f"'{k}', p_{k}" for k in kinds)
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("kind")
+    )
+    totals = (
+        ev.groupBy(F.col("event_type").alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n_k"))
+        .withColumn("n_all", F.sum("n_k").over(Window.partitionBy(F.lit(0))))
+    )
+    return (
+        stacked.join(F.broadcast(totals), "kind")
+        .select(
+            "kind",
+            F.round("p", 6).alias("p_precedes"),
+            F.round(
+                F.col("p") / (F.col("n_k").cast("double") / F.col("n_all")), 6
+            ).alias("lift"),
+        )
+        .orderBy("kind")
+    )
 
 
 # Outage/burst detection (reference README.md:10 "Predicts outages",

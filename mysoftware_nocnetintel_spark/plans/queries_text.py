@@ -239,6 +239,28 @@ def q76_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# J8 scale path, tier composition: IVF+PQ ANN (rows-only: approximate) — the
+# FAISS IVFPQ serving shape. IVF narrows the scan to nprobe cells, ADC scores
+# the survivors with m array lookups each, and only the shortlist touches full
+# vectors for exact re-rank. This composition IS the 100 TB answer: per query,
+# cost ≈ (nprobe/cells)·|corpus| code lookups + 50 full vectors; index metadata
+# (centroids + codebooks) is deliberately driver-scale and inlined as literals.
+# Recall unit gate in tests/test_similarity.py (ivfpq recall@5 >= 0.8).
+def q90_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    centroids = SIM.ivf_centroids(corpus, n_cells=8)
+    books = SIM.pq_codebooks(corpus, m=16, k=16)
+    return SIM.ivfpq_topk(
+        corpus, centroids, books, q, k=5, nprobe=4, shortlist=50
+    ).select("qid", "vec_id", F.round("score", 6).alias("cosine_sim"), "rn")
+
+
 # F7/U3-adjacent: repetition signals (Gopher-style quality filters) — the
 # top-bigram occupancy and duplicate-line ratio that flag boilerplate and
 # looping generations in a training corpus. The bigram mode is computed via
@@ -369,6 +391,7 @@ TEXT_QUERIES = {
     "q42_ann_lsh": q42_ann_lsh,
     "q48_ann_ivf": q48_ann_ivf,
     "q76_ann_pq": q76_ann_pq,
+    "q90_ann_ivfpq": q90_ann_ivfpq,
     "q79_repetition_signals": q79_repetition_signals,
     "q80_scrub_sample": q80_scrub_sample,
     "q83_chunking": q83_chunking,

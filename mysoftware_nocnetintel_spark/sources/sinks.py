@@ -61,14 +61,23 @@ def write_clustered(
     writer.parquet(path)
 
 
-def zorder_key(col_a: str, col_b: str, bits: int = 16) -> Column:
+def zorder_key(
+    col_a: str, col_b: str, bits: int = 16, validate: bool = True
+) -> Column:
     """Morton (Z-order) key: bit-interleave two non-negative integer columns
     so that sorting on the single key clusters BOTH dimensions — point or
     range predicates on either column then touch ~sqrt of the row groups a
     random layout would (the multi-column generalization of
     :func:`write_clustered`'s single-key sort). Callers quantize non-integer
     columns to integer ranks first. Built as one SQL expression (one py4j
-    call, JVM-side evaluation)."""
+    call, JVM-side evaluation).
+
+    Only the low ``bits`` bits participate, so values outside ``[0, 2**bits)``
+    would silently collide on their low bits and quietly destroy the
+    clustering. With ``validate`` (default) the key expression itself raises
+    on the first out-of-range row (``raise_error`` folded into the key, so
+    column pruning can't drop the check); pass ``validate=False`` only when
+    inputs are already provably ranked."""
     terms = []
     for i in range(bits):
         terms.append(
@@ -77,7 +86,19 @@ def zorder_key(col_a: str, col_b: str, bits: int = 16) -> Column:
         terms.append(
             f"shiftleft(shiftright(CAST(`{col_b}` AS BIGINT), {i}) & 1, {2 * i + 1})"
         )
-    return F.expr(" | ".join(terms))
+    inter = " | ".join(terms)
+    if not validate:
+        return F.expr(inter)
+    lim = 1 << bits
+    cond = (
+        f"CAST(`{col_a}` AS BIGINT) BETWEEN 0 AND {lim - 1} AND "
+        f"CAST(`{col_b}` AS BIGINT) BETWEEN 0 AND {lim - 1}"
+    )
+    return F.expr(
+        f"IF({cond}, {inter}, raise_error("
+        f"'zorder_key: input outside [0, {lim}) — quantize/rank to integer "
+        f"ranks first (or raise bits)'))"
+    )
 
 
 def write_zordered(
@@ -132,9 +153,13 @@ def ticket_sink(alerts: DataFrame, path: str, checkpoint: str):
                 F.col("user_id"),
                 F.col("value"),
             ).alias("title"),
-            # calendar slot: next 06:30 AM after the alert
+            # calendar slot: next 06:30 AM strictly after the alert — an
+            # alert at 01:00 lands in the SAME day's 06:30 slot; 06:30:00
+            # exactly or later rolls to the next day's.
             F.expr(
-                "timestampadd(MINUTE, 390, timestampadd(DAY, 1, date_trunc('DAY', ts)))"
+                "CASE WHEN ts < timestampadd(MINUTE, 390, date_trunc('DAY', ts)) "
+                "THEN timestampadd(MINUTE, 390, date_trunc('DAY', ts)) "
+                "ELSE timestampadd(MINUTE, 390, timestampadd(DAY, 1, date_trunc('DAY', ts))) END"
             ).alias("calendar_slot"),
             F.to_date("ts").alias("ticket_date"),
         ).dropDuplicates(["ticket_id"])

@@ -400,8 +400,15 @@ def continuous_rollup(
             days = [r["day"] for r in updated.select("day").distinct().collect()]
             if not days:
                 return
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
+            # Explicit existence probe, NOT a broad try/except around the
+            # read: a transient read failure must abort the micro-batch (it
+            # retries from the checkpoint) rather than be mistaken for
+            # "first batch" — which would rewrite the touched day partitions
+            # with only this batch's windows and silently drop the rest.
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(hpath):
                 existing = (
                     spark.read.parquet(path)
                     .where(F.col("day").isin(days))
@@ -412,9 +419,21 @@ def continuous_rollup(
                     )
                 )
                 merged = existing.unionByName(updated)
-            except Exception:  # first batch: nothing materialized yet
+            else:  # first batch: nothing materialized yet
                 merged = updated
-            merged.write.mode("overwrite").partitionBy("day").parquet(path)
+            # Scope the dynamic-overwrite mode to this write; leaking it to
+            # the shared session would turn later whole-table overwrites into
+            # partition-only overwrites.
+            _key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(_key, None)
+            spark.conf.set(_key, "dynamic")
+            try:
+                merged.write.mode("overwrite").partitionBy("day").parquet(path)
+            finally:
+                if prev is None:
+                    spark.conf.unset(_key)
+                else:
+                    spark.conf.set(_key, prev)
         finally:
             updated.unpersist()
 
