@@ -38,6 +38,66 @@ def _ntz(lit: str) -> F.Column:
     return F.expr(f"TIMESTAMP_NTZ '{lit}'")
 
 
+# Catalog-dim inlining (see q2): nation/region are fixed-cardinality TPC-H
+# catalogs. Reading their KB-scale parquet on the DRIVER (pyarrow, no Spark
+# job) lets the planner fold them into literal predicates instead of paying
+# two broadcast-build jobs per query. Guarded: files beyond 1 MiB are not
+# "catalogs" and return None (callers fall back to the distributed join).
+_CATALOG_MAX_BYTES = 1 << 20
+_CATALOG_CACHE: dict[str, dict | None] = {}
+
+
+def _catalog_dims(sf_dir: str) -> dict | None:
+    if sf_dir in _CATALOG_CACHE:
+        return _CATALOG_CACHE[sf_dir]
+    out: dict | None
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        npath = os.path.join(sf_dir, "nation.parquet")
+        rpath = os.path.join(sf_dir, "region.parquet")
+        if (
+            os.path.getsize(npath) > _CATALOG_MAX_BYTES
+            or os.path.getsize(rpath) > _CATALOG_MAX_BYTES
+        ):
+            out = None
+        else:
+            nat = pq.read_table(npath).to_pydict()
+            reg = pq.read_table(rpath).to_pydict()
+            rname = dict(zip(reg["r_regionkey"], reg["r_name"]))
+            out = {
+                "nation_name": dict(zip(nat["n_nationkey"], nat["n_name"])),
+                "nation_region": {
+                    nk: rname.get(rk)
+                    for nk, rk in zip(nat["n_nationkey"], nat["n_regionkey"])
+                },
+                "orders_bytes": os.path.getsize(
+                    os.path.join(sf_dir, "orders.parquet")
+                ),
+            }
+    except Exception:
+        out = None
+    _CATALOG_CACHE[sf_dir] = out
+    return out
+
+
+def _present_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Final presentation sort for SMALL post-aggregation results (output
+    bounded by a group-by cardinality — flags, event types, languages).
+
+    ``orderBy`` on a tiny final result still plans a range-partitioning
+    exchange whose boundary-sampling pass is a whole extra job (and, under
+    AQE, an extra query-stage barrier). ``coalesce(1)`` merges the final agg
+    into one task — coalesce does not propagate below the shuffle, so the
+    map side stays parallel — and an in-task sort gives the same globally
+    ordered output with one fewer exchange and one fewer job. Only valid
+    when the result is presentation-scale; large ordered outputs keep
+    ``orderBy`` (range exchange IS the scalable sort)."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 # --------------------------------------------------------------------------
 # q0 — flagship: per-entity risk scoring with top-k report (SURVEY.md §7.2).
 # Restates the reference's headline question "What outages are expected
@@ -107,7 +167,7 @@ def flagship_report(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001")
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    return _present_sorted(
         li.filter(F.col("l_shipdate") <= _ntz("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -119,33 +179,75 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_extendedprice").alias("avg_price"),
             F.avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        ),
+        "l_returnflag",
+        "l_linestatus",
     )
 
 
 # --------------------------------------------------------------------------
 # q2 — 5-table star join + group + top-n (TPC-H Q5 shape). SURVEY.md J1/O1:
 # fact↔dimension correlation (README.md:32,98) with zone-style grouping
-# (README.md:68). nation/region broadcast automatically (tiny dims).
+# (README.md:68).
+#
+# Join strategy is size-aware (a mini cost-based reorder Catalyst can't do
+# without table stats): nation/region are FIXED-cardinality catalogs (25/5
+# rows at every TPC-H scale factor), so when their files are KB-scale they
+# are folded into the plan as literal predicates/maps at build time — a
+# driver-side metadata read (pyarrow, no Spark job), the same documented
+# eager-build pattern as q58. The dims-first order then makes the whole
+# build side of the fact join a chain of explicit broadcasts:
+#   customer ⋈ inlined(nation⋈region-filter)  →  ~|cust|/5 rows
+#   orders(date-filtered) ⋈ broadcast(that)   →  the only medium build
+#   lineitem ⋈ broadcast(small)               →  fact scanned once, 0 big
+#                                                exchanges, partial agg
+# vs the declarative form's SortMergeJoin with two fact-scale exchanges
+# (8 sequential jobs → 4). When the orders file exceeds the broadcast
+# budget, fall back to the declarative 5-table join and let Catalyst/AQE
+# plan the shuffles — at 100 TB the SMJ on orderkey IS the right plan.
 # --------------------------------------------------------------------------
+_Q2_BROADCAST_BUDGET = 256 << 20  # orders parquet bytes; post-filter ≤ ~10%
+
+
 def q2_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .filter(
-            (F.col("r_name") == "ASIA")
-            & (F.col("o_orderdate") >= _ntz("1995-01-01 00:00:00"))
-            & (F.col("o_orderdate") < _ntz("1997-01-01 00:00:00"))
+    cat = _catalog_dims(sf_dir)
+    if cat is not None and cat["orders_bytes"] <= _Q2_BROADCAST_BUDGET:
+        nkeys = [k for k, rn in cat["nation_region"].items() if rn == "ASIA"]
+        case = (
+            "CASE c_nationkey "
+            + " ".join(f"WHEN {k} THEN '{cat['nation_name'][k]}'" for k in nkeys)
+            + " END"
         )
-        .groupBy("n_name")
+        cust_n = cust.filter(F.col("c_nationkey").isin(nkeys)).select(
+            "c_custkey", F.expr(case).alias("n_name")
+        )
+        ords = orders.filter(
+            (F.col("o_orderdate") >= _ntz("1995-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ntz("1997-01-01 00:00:00"))
+        ).select("o_orderkey", "o_custkey")
+        small = ords.join(
+            F.broadcast(cust_n), ords.o_custkey == cust_n.c_custkey
+        ).select("o_orderkey", "n_name")
+        joined = li.join(F.broadcast(small), li.l_orderkey == small.o_orderkey)
+    else:
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        joined = (
+            cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .filter(
+                (F.col("r_name") == "ASIA")
+                & (F.col("o_orderdate") >= _ntz("1995-01-01 00:00:00"))
+                & (F.col("o_orderdate") < _ntz("1997-01-01 00:00:00"))
+            )
+        )
+    return (
+        joined.groupBy("n_name")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
@@ -216,13 +318,12 @@ def q5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("double")
-    return (
-        ev.groupBy("event_type")
-        .agg(
+    return _present_sorted(
+        ev.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(k), 6).alias("avg_k"),
-        )
-        .orderBy("event_type")
+        ),
+        "event_type",
     )
 
 
@@ -232,13 +333,12 @@ def q6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def q7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
+    return _present_sorted(
+        ev.groupBy("event_type").agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("event_type")
+        ),
+        "event_type",
     )
 
 
@@ -246,13 +346,12 @@ def q7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — scale path for 100 TB cardinalities.
     Not oracle-checkable (approximate); rows-only."""
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
+    return _present_sorted(
+        ev.groupBy("event_type").agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("event_type")
+        ),
+        "event_type",
     )
 
 
@@ -263,14 +362,13 @@ def q7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     h = docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
-    return (
-        h.groupBy("lang")
-        .agg(
+    return _present_sorted(
+        h.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("text_hash").alias("n_unique"),
             (F.count(F.lit(1)) - F.countDistinct("text_hash")).alias("n_dups"),
-        )
-        .orderBy("lang")
+        ),
+        "lang",
     )
 
 

@@ -59,10 +59,17 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
             pass  # conf not settable on this build — leave session default
     # Local-mode default of 200 shuffle partitions wastes task overhead at
     # test scale; size to cores. On a real cluster this would be set per-job
-    # (or left to AQE's coalescing from a higher initial number).
-    n = shuffle_partitions or _cpus()
+    # (or left to AQE's coalescing from a higher initial number). Only
+    # override Spark's untouched default: an explicit caller choice (e.g.
+    # bench sizing partitions to data volume) must survive later tune()
+    # calls — tune runs on every first table load, and clobbering the
+    # caller's setting here silently re-inflated every shuffle to cores.
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        current = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        elif current == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(_cpus()))
     except Exception:
         pass
     return spark

@@ -24,16 +24,36 @@ def _plan(df) -> str:
 def test_q2_pushdown_and_broadcast(spark, sf_dir):
     p = _plan(QUERIES["q2_join_topn"](spark, sf_dir))
     assert "GreaterThanOrEqual(o_orderdate" in p  # date filter reached scan
-    assert "EqualTo(r_name,ASIA)" in p            # region filter reached scan
+    # catalog dims (nation/region) are inlined at KB scale: the ASIA
+    # restriction reaches the customer scan as a pushed IN-predicate
+    assert "In(c_nationkey" in p, p
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p           # top-n, no global sort
     assert "SortMergeJoin" not in p               # nothing shuffles at this SF
+
+
+def test_q2_declarative_fallback_shape(spark, sf_dir):
+    """Past the broadcast budget the 5-table declarative form must still
+    push both filters to scans — the 100 TB plan Catalyst/AQE owns."""
+    from mysoftware_nocnetintel_spark.plans import queries as Q
+
+    old = Q._Q2_BROADCAST_BUDGET
+    Q._Q2_BROADCAST_BUDGET = -1  # force the fallback path
+    try:
+        p = _plan(QUERIES["q2_join_topn"](spark, sf_dir))
+    finally:
+        Q._Q2_BROADCAST_BUDGET = old
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "EqualTo(r_name,ASIA)" in p
+    assert "TakeOrderedAndProject" in p
 
 
 def test_q1_filter_pushdown(spark, sf_dir):
     p = _plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
     assert "LessThanOrEqual(l_shipdate" in p
     assert "HashAggregate" in p  # partial+final hash agg, not sort-based
+    # presentation sort: 6-row final ordering must NOT plan a range exchange
+    assert "rangepartitioning" not in p.lower(), p
 
 
 def test_q7_column_pruning(spark, sf_dir):
@@ -163,8 +183,12 @@ def test_q81_q82_windows_entity_partitioned(spark, sf_dir):
 
     for name in ("q81_root_cause_lift", "q82_burst_detection"):
         p = _plan(QUERIES[name](spark, sf_dir))
-        # every Window detail section must carry a user_id partition spec
+        # every per-event window must carry a user_id partition spec; the
+        # one exemption is q81's n_all totals sum, a global window over the
+        # ≤5-row per-kind aggregate (bounded by #event types, not data)
         specs = re.findall(r"\(\d+\) Window[\s\S]*?(?=\n\(|$)", p)
         assert specs, p
         for spec in specs:
+            if "AS n_all#" in spec:
+                continue
             assert "user_id" in spec, spec
