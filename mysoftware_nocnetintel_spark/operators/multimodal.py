@@ -61,50 +61,226 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# Capability check evaluated ONCE at import (plan-build) time — never inside
-# the Arrow batch loop, so an unexpected codec install fails fast at plan
-# construction with a clear message instead of a mid-job executor exception.
-try:
-    import PIL.Image  # noqa: F401 — not installed in this container
+def attach_png_media(df: DataFrame, text_col: str = "text", size: int = 8) -> DataFrame:
+    """Deterministic REAL media: a tiny valid PNG per row (pixels seeded from
+    the text hash), encoded with the stdlib writer below — so the decode path
+    under test is a genuine pixel decode, not a stub. mapInPandas keeps the
+    encode Arrow-batched; deployments replace this stage with a scan of real
+    bytes and the downstream operators are unchanged."""
+    import hashlib
 
-    _REAL_CODECS_PRESENT = True
-except ImportError:
-    _REAL_CODECS_PRESENT = False
-
-
-def decode_media(payload: bytes, fmt: str) -> np.ndarray:
-    """STUB: real decode requires an image/audio codec not present in this
-    environment. The deterministic fake below keeps the pipeline testable;
-    swap this function for PIL/torchvision/ffmpeg in deployment."""
-    # deterministic fake: byte histogram over 16 buckets, L1-normalized
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-    total = hist.sum()
-    return hist / total if total else hist
-
-
-def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
-    """mapInPandas feature extraction: binary payload → float feature vector.
-    Batches stream through Arrow; output schema is explicit; metadata
-    columns pass through untouched (column pruning still applies upstream)."""
-    if _REAL_CODECS_PRESENT:
-        raise NotImplementedError(
-            "image codecs detected but the real decode path is not wired: "
-            "replace decode_media's fake with PIL/ffmpeg decode before use"
-        )
-    fields = [f for f in df.schema.fields if f.name != "media"]
+    fields = list(df.schema.fields)
     out_schema = T.StructType(
-        fields + [T.StructField("features", T.ArrayType(T.DoubleType()))]
+        fields
+        + [T.StructField("media", T.BinaryType()), T.StructField("media_meta", MEDIA_META)]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_media(p, m["format"] if isinstance(m, dict) else m.format).tolist()
-                for p, m in zip(pdf["media"], pdf["media_meta"])
-            ]
+            blobs, metas = [], []
+            for txt in pdf[text_col]:
+                seed = hashlib.sha256(str(txt).encode()).digest()
+                rng = np.frombuffer(
+                    (seed * ((size * size * 3) // len(seed) + 1))[: size * size * 3],
+                    dtype=np.uint8,
+                )
+                blobs.append(png_encode(rng.reshape(size, size, 3)))
+                metas.append(
+                    {"format": "png", "width": size, "height": size, "n_frames": 1}
+                )
+            out = pdf.copy()
+            out["media"] = blobs
+            out["media_meta"] = metas
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Decode tier. Three paths, best-available chosen per payload:
+#   1. PNG  — pure-stdlib decoder below (zlib inflate + per-row unfilter,
+#             straight from the public PNG spec): REAL pixel decode with no
+#             external codec, so the real path is exercised even in codec-less
+#             containers. 8-bit gray/RGB/RGBA, non-interlaced (the fixture
+#             and the common crawl-image case); anything fancier falls
+#             through to PIL.
+#   2. PIL  — any format Pillow can open, when Pillow is installed
+#             (capability-gated at import, never probed inside the batch loop).
+#   3. fallback — deterministic byte histogram, clearly a stub: keeps the
+#             Spark-side plumbing testable for payloads no available codec
+#             understands. `decoded` output column says which path ran.
+# --------------------------------------------------------------------------
+try:
+    import PIL.Image  # noqa: F401
+
+    _PIL_PRESENT = True
+except ImportError:
+    _PIL_PRESENT = False
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit RGB, filter None) for deterministic test
+    fixtures — stdlib only (zlib + struct)."""
+    import struct
+    import zlib
+
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("png_encode expects uint8 (H, W, 3)")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (public spec: IHDR/IDAT/IEND chunks, zlib
+    inflate, per-row filters 0-4). Supports 8-bit grayscale (0), RGB (2) and
+    RGBA (6), non-interlaced. Returns uint8 (H, W, channels)."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"png_decode handles 8-bit gray/RGB/RGBA non-interlaced only "
+            f"(depth={depth} color={color} interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        row = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        p += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            row = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ftype == 1:
+                    rec[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (row[x] + pred) & 0xFF
+            row = rec
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = row.astype(np.uint8)
+        prev = row
+    return out.reshape(h, w, ch)
+
+
+def decode_image(payload: bytes, fmt: str) -> np.ndarray | None:
+    """Best-available pixel decode; None when no codec understands the
+    payload (callers fall back to the stub featurizer)."""
+    if payload[:8] == _PNG_SIG:
+        try:
+            return png_decode(payload)
+        except NotImplementedError:
+            pass  # exotic PNG → PIL if present
+    if _PIL_PRESENT:
+        import io
+
+        try:
+            return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception:
+            return None
+    return None
+
+
+def decode_media(payload: bytes, fmt: str, dim: int = 16) -> tuple[np.ndarray, bool]:
+    """Payload → (feature vector, decoded?). Real path: luminance histogram
+    over ``dim`` buckets of the decoded pixels. Stub path (no codec for this
+    payload): byte histogram — deterministic, clearly flagged False."""
+    img = decode_image(payload, fmt)
+    if img is not None:
+        lum = (
+            img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            if img.ndim == 3 and img.shape[2] >= 3
+            else img.reshape(img.shape[0], -1).astype(np.float64)
+        )
+        idx = np.clip((lum * dim / 256.0).astype(np.int64), 0, dim - 1)
+        hist = np.bincount(idx.ravel(), minlength=dim).astype(np.float64)
+        return hist / max(hist.sum(), 1.0), True
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)[:dim]
+    total = hist.sum()
+    return (hist / total if total else hist), False
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction: binary payload → float feature vector
+    plus a ``decoded`` flag (True = real pixel decode, False = stub byte
+    histogram). Batches stream through Arrow; output schema is explicit;
+    metadata columns pass through untouched (column pruning still applies
+    upstream)."""
+    fields = [f for f in df.schema.fields if f.name != "media"]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("decoded", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, flags = [], []
+            for p, m in zip(pdf["media"], pdf["media_meta"]):
+                fmt = m["format"] if isinstance(m, dict) else m.format
+                vec, ok = decode_media(p, fmt, dim)
+                feats.append(vec.tolist())
+                flags.append(ok)
             out = pdf.drop(columns=["media"])
             out["features"] = feats
+            out["decoded"] = flags
             yield out
 
     return df.mapInPandas(run, out_schema)

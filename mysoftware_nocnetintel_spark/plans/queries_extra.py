@@ -92,6 +92,14 @@ def q57_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row_number, and global_rank = offset[bucket] + local_rn. percent_rank and
 # ntile(4) are then closed-form in the global rank — bit-identical to the
 # single-window answer, but the big side never leaves P-way parallelism.
+#
+# EAGER-BUILD WARNING: constructing this plan RUNS two Spark jobs
+# (approxQuantile + the per-bucket counts) before a DataFrame is returned —
+# query construction is not free and the input is scanned twice overall.
+# That is the deliberate trade against the single-partition global window
+# (tests/test_plans.py pins "no SinglePartition exchange"); callers building
+# plans in a latency-sensitive loop should cache the input first. See
+# SCALING.md "Operator runbook" → eager-build plans.
 def q58_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     n_buckets = 32

@@ -64,20 +64,23 @@ def q52_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FC.rule_based_metrics(ev, threshold=250.0)
 
 
-# Multimodal plumbing: binary media columns → mapInPandas feature extraction
-# (rows-only: the decode step is a documented deterministic stub — the
-# container ships no codecs; Spark-side schema/batching is the real surface).
+# Multimodal pipeline (rows-only: binary payloads aren't SQL-expressible):
+# binary media columns → mapInPandas feature extraction over REAL pixels —
+# each row carries a genuine PNG payload and the pure-stdlib decoder in
+# operators/multimodal.py does an actual pixel decode (luminance histogram),
+# no external codec needed. The `decoded` flag asserts the real path ran.
 def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
-    media = MM.resize_meta(MM.attach_fake_media(docs), max_dim=256)
+    media = MM.resize_meta(MM.attach_png_media(docs), max_dim=256)
     feats = MM.extract_features(media)
     return feats.select(
         "doc_id",
         F.col("media_meta.format").alias("media_format"),
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
+        "decoded",
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
             "feature_l1"
         ),

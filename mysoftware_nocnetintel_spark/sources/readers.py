@@ -74,6 +74,12 @@ def read_table_format(
     try:
         return reader.load(path)
     except Exception as e:
+        if fmt == "delta" and timestamp is None:
+            # connector absent: fall back to the minimal log-replay reader
+            try:
+                return read_delta_snapshot(spark, path, version=version)
+            except (FileNotFoundError, NotImplementedError):
+                pass
         pkg = (
             "io.delta:delta-spark_2.13:<version>"
             if fmt == "delta"
@@ -83,6 +89,78 @@ def read_table_format(
             f"{fmt} table format unavailable: add --packages {pkg} "
             "to the session (connector jar not on the classpath)"
         ) from e
+
+
+def read_delta_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Minimal Delta Lake snapshot reader built on the PUBLIC Delta
+    transaction-log protocol (delta.io PROTOCOL.md): replay the
+    ``_delta_log/<version>.json`` commit files' add/remove actions up to
+    ``version`` (time travel), then scan the surviving parquet files.
+    Hive-style ``partitionValues`` are re-attached as literal columns.
+
+    This is the connector-less fallback; the delta-spark connector remains
+    the production path. Protocol features beyond reader version 1
+    (checkpointed logs, deletion vectors, column mapping) fail fast with
+    NotImplementedError rather than returning wrong rows. The log replay is
+    driver-side METADATA work (KB-scale JSON); the data scan itself stays
+    a distributed parquet read."""
+    import json
+    import os
+    from glob import glob
+
+    log_dir = os.path.join(path, "_delta_log")
+    commits = sorted(glob(os.path.join(log_dir, "[0-9]*.json")))
+    if not commits:
+        raise FileNotFoundError(f"no Delta log at {log_dir}")
+    if os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
+        raise NotImplementedError(
+            "checkpointed Delta log: the minimal reader replays JSON commits "
+            "only — use the delta-spark connector"
+        )
+    live: dict[str, dict] = {}
+    max_seen = -1
+    for c in commits:
+        v = int(os.path.basename(c).split(".")[0])
+        if version is not None and v > version:
+            continue
+        max_seen = max(max_seen, v)
+        with open(c) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "protocol" in act:
+                    if act["protocol"].get("minReaderVersion", 1) > 1:
+                        raise NotImplementedError(
+                            "Delta minReaderVersion > 1 (deletion vectors / "
+                            "column mapping): use the delta-spark connector"
+                        )
+                elif "add" in act:
+                    live[act["add"]["path"]] = (
+                        act["add"].get("partitionValues") or {}
+                    )
+                elif "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+    if version is not None and max_seen < version:
+        raise ValueError(f"version {version} not found (latest: {max_seen})")
+    if not live:
+        raise ValueError(f"Delta snapshot at version {max_seen} has no files")
+    # group files by identical partition values → one distributed scan per
+    # partition tuple, unioned (one scan total for unpartitioned tables)
+    groups: dict[tuple, list[str]] = {}
+    for rel, pvals in live.items():
+        groups.setdefault(tuple(sorted(pvals.items())), []).append(
+            os.path.join(path, rel)
+        )
+    out: DataFrame | None = None
+    for pvals, files in groups.items():
+        df = spark.read.parquet(*files)
+        for k, val in pvals:
+            df = df.withColumn(k, F.lit(val))
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
 
 
 def jdbc_reader(

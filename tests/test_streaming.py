@@ -197,6 +197,131 @@ def test_stream_stream_left_outer_join(spark, sf_dir):
     assert must_emit <= null_rows
 
 
+class TestLeftOuterExpiryRandomized:
+    """J7 left-outer expiry-exactness, randomized (round-2 advisor item):
+    for arbitrary per-user event timelines and random (within, watermark)
+    parameters, the streaming left-outer join must
+      1. emit exactly the batch inner-join's matched pairs,
+      2. null-extend only rows the batch anti-join also calls unmatched,
+      3. emit EVERY unmatched row whose join state provably expired before
+         the final global watermark (nothing silently dropped).
+    """
+
+    import itertools
+
+    _seq = itertools.count()
+
+    @staticmethod
+    def _timeline():
+        from hypothesis import strategies as st
+
+        @st.composite
+        def gen(draw):
+            events = []
+            eid = 0
+            for u in range(draw(st.integers(1, 3))):
+                for _ in range(draw(st.integers(1, 8))):
+                    off = draw(st.integers(0, 240))
+                    kind = draw(st.sampled_from(["error", "purchase"]))
+                    events.append((eid, off, u, kind))
+                    eid += 1
+            within = draw(st.sampled_from([2, 5, 17]))
+            wm = draw(st.sampled_from([10, 60]))
+            return events, within, wm
+
+        return gen()
+
+    def test_expiry_random(self, spark, tmp_path):
+        import datetime as dt
+
+        from hypothesis import HealthCheck, given, settings
+
+        from mysoftware_nocnetintel_spark import streaming as STR
+
+        base = dt.datetime(2024, 1, 1)
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            derandomize=True,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(case=self._timeline())
+        def run(case):
+            events, within_min, wm_min = case
+            rows = [
+                (eid, base + dt.timedelta(minutes=off), u, kind)
+                for eid, off, u, kind in events
+            ]
+            batch = spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            n = next(self._seq)
+            src = str(tmp_path / f"ssj_src_{n}")
+            batch.coalesce(1).write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            ).parquet(src)
+            got = STR.run_to_memory(
+                STR.stream_stream_join(
+                    stream,
+                    within=f"{within_min} minutes",
+                    watermark=f"{wm_min} minutes",
+                    how="left_outer",
+                ),
+                f"t_ssj_prop_{n}",
+                output_mode="append",
+            ).collect()
+
+            left = batch.filter(F.col("event_type") == "error").select(
+                "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("lts")
+            )
+            right = batch.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("u2"), F.col("ts").alias("rts"),
+                F.col("event_id").alias("right_id"),
+            )
+            cond = (
+                (F.col("user_id") == F.col("u2"))
+                & (F.col("rts") > F.col("lts"))
+                & (F.col("rts") <= F.col("lts") + F.expr(f"INTERVAL '{within_min}' MINUTE"))
+            )
+            inner = {
+                (r.user_id, r.left_id, r.right_id)
+                for r in left.join(right, cond, "inner").collect()
+            }
+            unmatched = {
+                r.left_id for r in left.join(right, cond, "left_anti").collect()
+            }
+
+            matched = {
+                (r.user_id, r.left_id, r.right_id)
+                for r in got
+                if r.right_id is not None
+            }
+            null_rows = {r.left_id for r in got if r.right_id is None}
+            assert matched == inner
+            assert null_rows <= unmatched
+
+            # expiry horizon: global watermark = min over both sides of
+            # (max event ts - delay); left state is droppable once
+            # wm > lts + within. 1-minute slack avoids boundary ties.
+            err_ts = [r[1] for r in rows if r[3] == "error"]
+            pur_ts = [r[1] for r in rows if r[3] == "purchase"]
+            if err_ts and pur_ts:
+                wm_final = min(max(err_ts), max(pur_ts)) - dt.timedelta(
+                    minutes=wm_min
+                )
+                horizon = wm_final - dt.timedelta(minutes=within_min + 1)
+                must_emit = {
+                    r.left_id
+                    for r in left.collect()
+                    if r.lts < horizon and r.left_id in unmatched
+                }
+                assert must_emit <= null_rows
+
+        run()
+
+
 def test_drift_state_v2_equals_v1(spark, sf_dir):
     """T6: the transformWithStateInPandas processor must produce exactly the
     applyInPandasWithState result (same math, state-v2 plumbing). Skipped
