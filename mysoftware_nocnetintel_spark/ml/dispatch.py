@@ -66,10 +66,43 @@ def _team_bases(teams: list[str]) -> list[tuple[float, float]]:
     return bases
 
 
+def euclidean_sq(x: float, y: float, bx: float, by: float) -> float:
+    """Default travel cost: squared straight-line distance."""
+    return (x - bx) ** 2 + (y - by) ** 2
+
+
+def manhattan(x: float, y: float, bx: float, by: float) -> float:
+    """Grid travel cost: L1 distance — the street-network approximation."""
+    return abs(x - bx) + abs(y - by)
+
+
+def matrix_travel(
+    matrix: dict[tuple[int, int, int], float],
+    grid: int = 10,
+    fallback=euclidean_sq,
+):
+    """Travel-TIME objective from a precomputed matrix (the OSRM/routing-
+    engine deployment shape): cost for team ``t`` at location (x, y) is
+    ``matrix[(cell_x, cell_y, t)]`` where the plane is quantized into a
+    ``grid``×``grid`` lattice. Missing cells fall back to ``fallback`` —
+    a routing matrix is never complete. Returns a travel callable for
+    :func:`assign_teams`; the matrix is driver-scale metadata captured by
+    the grouped-map closure (broadcast with the task, like codebooks)."""
+
+    def travel(x: float, y: float, bx: float, by: float, team_idx: int) -> float:
+        key = (min(int(x * grid), grid - 1), min(int(y * grid), grid - 1), team_idx)
+        if key in matrix:
+            return matrix[key]
+        return fallback(x, y, bx, by)
+
+    return travel
+
+
 def assign_teams(
     clustered: DataFrame,
     teams: tuple[str, ...] = TEAMS,
     capacity: int | None = None,
+    travel=euclidean_sq,
 ) -> DataFrame:
     """README.md:62 heuristic dispatch: within each cluster, walk entities in
     urgency order and greedily assign each to a LEAST-LOADED team, breaking
@@ -84,13 +117,29 @@ def assign_teams(
     ``capacity`` is a per-team, per-cluster SOFT bound: teams at capacity
     are skipped while any team has headroom; once every team is full the
     overflow falls back to the least-loaded team (work is never dropped —
-    the bound shapes assignment, the dispatcher decides what to defer)."""
+    the bound shapes assignment, the dispatcher decides what to defer).
+
+    ``travel`` is the tie-breaking cost objective: a callable
+    ``(x, y, base_x, base_y) -> float`` (defaults: :func:`euclidean_sq`;
+    :func:`manhattan` for street grids) or, for real travel TIMES, the
+    closure from :func:`matrix_travel` (callable also receives the team
+    index, so matrix lookups can be per-team)."""
     team_list = list(teams)
     bases = _team_bases(team_list)
+    travel_takes_team = getattr(travel, "__code__", None) is not None and (
+        travel.__code__.co_argcount >= 5
+    )
 
     def deal(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("urgency_rank").reset_index(drop=True)
         loads = [0] * len(team_list)
+
+        def cost(t: int, x: float, y: float) -> float:
+            bx, by = bases[t]
+            if travel_takes_team:
+                return travel(x, y, bx, by, t)
+            return travel(x, y, bx, by)
+
         chosen = []
         for i in range(len(pdf)):
             x, y = float(pdf.loc[i, "loc_x"]), float(pdf.loc[i, "loc_y"])
@@ -98,14 +147,7 @@ def assign_teams(
             if capacity is not None:
                 feasible = [t for t in pool if loads[t] < capacity]
                 pool = feasible or range(len(team_list))
-            best = min(
-                pool,
-                key=lambda t: (
-                    loads[t],
-                    (x - bases[t][0]) ** 2 + (y - bases[t][1]) ** 2,
-                    t,
-                ),
-            )
+            best = min(pool, key=lambda t: (loads[t], cost(t, x, y), t))
             loads[best] += 1
             chosen.append(team_list[best])
         pdf["team"] = chosen

@@ -372,3 +372,64 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by hash-min label propagation — the cluster
+    step of a dedup pipeline (pairs from ANY tier: exact, MinHash, SimHash,
+    n-gram Jaccard feed in; out come duplicate CLUSTERS, so keep-one /
+    canonicalization is a groupBy away).
+
+    Pregel-style: every node starts labeled with itself; each round, every
+    node takes the min label over its neighborhood; converged when no label
+    changes. Each round is one equi-join + groupBy-min (one shuffle), with
+    ``localCheckpoint`` truncating lineage so plans don't grow with rounds.
+    Rounds needed ≈ graph diameter — O(log n) for the star/chain graphs
+    near-dup candidate generation produces. The per-round convergence check
+    is a driver-side count — the standard iterative-algorithm pattern
+    (GraphX/Pregel do exactly this); it is NOT a hot-path collect: one
+    scalar per round, bounded by max_iter.
+
+    Returns (node, component) for every node appearing in ``edges``;
+    component = min node id in the component. Raises if not converged
+    within ``max_iter`` (never returns a partial clustering silently).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .union(sym.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = labels.join(
+            nbr_min, labels.node == nbr_min.a, "left"
+        ).select(
+            "node",
+            "lbl",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("new_lbl"),
+        ).localCheckpoint()
+        changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            return labels.select("node", F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (diameter exceeds the bound) or check the edge set"
+    )

@@ -482,3 +482,73 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select(query_id, corpus_id, "score", "rn")
     )
+
+
+# --- OPQ-style rotation ------------------------------------------------------
+
+
+def opq_rotation(dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Seeded random orthogonal rotation matrix (QR of a Gaussian matrix,
+    sign-fixed for determinism) — the OPQ idea in its data-free form
+    (FAISS's OPQ initializes exactly like this before its iterative
+    refinement): rotating the space before product quantization spreads
+    variance across the m subspaces, so no codebook wastes its k centroids
+    on a low-energy subspace. Pure driver-side metadata (dim×dim floats),
+    inlined into the plan as literals like centroids/codebooks."""
+    rng = np.random.default_rng(seed)
+    q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+    q *= np.sign(np.diag(r))  # deterministic sign convention
+    return q.tolist()
+
+
+def apply_rotation(
+    df: DataFrame, rotation: list[list[float]], vec_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Rotate a vector column by a literal orthogonal matrix: out[i] =
+    Σ_j R[i][j]·v[j]. One SQL expression built as text (one py4j round-trip,
+    JVM-evaluated, zero shuffles) — the same literal-inlining pattern as
+    ivf_assign/pq_encode."""
+    dims = [
+        "aggregate(zip_with("
+        + _sql_arr(row)
+        + f", `{vec_col}`, (r, v) -> r * CAST(v AS DOUBLE)), 0.0D, (s, x) -> s + x)"
+        for row in rotation
+    ]
+    return df.withColumn(out_col or vec_col, F.expr("array(" + ",".join(dims) + ")"))
+
+
+def opq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    dim: int = 64,
+    m: int = 16,
+    k: int = 10,
+    shortlist: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ ANN in a rotated space (OPQ-style): rotate corpus and queries by
+    the same orthogonal matrix, then train/encode/ADC-score AND exact
+    re-rank entirely in that space — an orthogonal rotation preserves
+    norms and inner products, so the rotated-space cosine equals the
+    original-space cosine and results are directly comparable to
+    :func:`pq_topk`."""
+    R = opq_rotation(dim, seed)
+    rot_corpus = apply_rotation(corpus, R, corpus_vec, "__rv")
+    books = pq_codebooks(rot_corpus, vec_col="__rv", dim=dim, m=m)
+    enc = pq_encode(rot_corpus, books, vec_col="__rv")
+    rot_q = apply_rotation(queries, R, query_vec, "__rq")
+    return pq_topk(
+        enc,
+        books,
+        rot_q.select(query_id, F.col("__rq").alias(query_vec)),
+        corpus_id=corpus_id,
+        corpus_vec="__rv",
+        query_id=query_id,
+        query_vec=query_vec,
+        k=k,
+        shortlist=shortlist,
+    )

@@ -63,8 +63,9 @@ _WINDOW = [
     "q87_window_distinct",
     "q88_entropy",
     "q89_mad_outliers",
-    # --- new this round ---
+    # --- new this round (never checked by definition) ---
     "q90_ann_ivfpq",
+    "q91_dedup_clusters",
     # --- sentinels: round-1 families, driver-green in r1 and r2 ---
     "q0_flagship_risk",
     "q1_pricing_summary",
@@ -73,7 +74,6 @@ _WINDOW = [
     "q8_dedup_docs",
     "q9_knn",
     "q28_asof_join",
-    "q41_ngram_jaccard",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -417,4 +417,39 @@ ORACLES_EXTRA: dict[str, str] = {
         GROUP BY l_linestatus
         ORDER BY l_linestatus
     """,
+    # Connected components via recursive CTE over the SAME star-edge set the
+    # Spark label propagation consumes; component = min reachable doc_id.
+    "q91_dedup_clusters": """
+        WITH RECURSIVE keyed AS (
+            SELECT doc_id,
+                   md5(text) AS h_exact,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS h_fp
+            FROM documents
+        ),
+        star AS (
+            SELECT min(doc_id) OVER (PARTITION BY h_exact) AS src, doc_id AS dst
+            FROM keyed
+            UNION ALL
+            SELECT min(doc_id) OVER (PARTITION BY h_fp) AS src, doc_id AS dst
+            FROM keyed
+        ),
+        edges AS (
+            SELECT src, dst FROM star WHERE src <> dst
+            UNION
+            SELECT dst, src FROM star WHERE src <> dst
+        ),
+        cc(node, lbl) AS (
+            SELECT doc_id, doc_id FROM keyed
+            UNION
+            SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(lbl) AS component FROM cc GROUP BY node
+        )
+        SELECT c.doc_id, c.component,
+               count(*) OVER (PARTITION BY c.component) AS cluster_size
+        FROM comp c
+        ORDER BY c.doc_id
+    """,
 }

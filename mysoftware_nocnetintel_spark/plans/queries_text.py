@@ -377,6 +377,72 @@ def q83_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# J8 scale path, rotated tier: OPQ-style PQ ANN (rows-only: approximate).
+# A seeded orthogonal rotation (FAISS OPQ's data-free initialization)
+# spreads variance across the m subspaces before quantization; encode, ADC
+# and exact re-rank all run in the rotated space (cosine is rotation-
+# invariant). Recall unit gate: tests/test_similarity.py (orthogonality,
+# cosine invariance, recall@5 >= 0.8).
+def q92_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return SIM.opq_topk(corpus, q, dim=64, m=16, k=5, shortlist=50).select(
+        "qid", "vec_id", F.round("score", 6).alias("cosine_sim"), "rn"
+    )
+
+
+# U3 cluster step: duplicate-CLUSTER assignment via connected components
+# (hash-min label propagation over the union of two dup-pair sources:
+# exact text-hash stars and token-permutation fingerprint stars — chains
+# across the two relations exercise real transitive closure). Per doc:
+# its component (min doc_id reachable) and the cluster size. The oracle is
+# a DuckDB recursive CTE over the identical edge set, so the iterative
+# Spark algorithm is value-hash-checked, not just rows-counted.
+# Keep-one dedup = filter doc_id = component; canonicalization = groupBy
+# component. Star edges keep candidate generation LINEAR (each doc joins
+# its group's min, never all pairs).
+def q91_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h_exact"),
+        TX.fingerprint("text").alias("h_fp"),
+    )
+    edges = None
+    for key in ("h_exact", "h_fp"):
+        w = Window.partitionBy(key)
+        star = (
+            keyed.withColumn("root", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("root"))
+            .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+        )
+        edges = star if edges is None else edges.union(star)
+    cc = connected_components(edges)
+    out = (
+        keyed.select("doc_id")
+        .join(cc, keyed.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    sizes = out.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        out.join(sizes, "component")
+        .select("doc_id", "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 TEXT_QUERIES = {
     "q31_token_stats": q31_token_stats,
     "q32_term_df": q32_term_df,
@@ -392,6 +458,8 @@ TEXT_QUERIES = {
     "q48_ann_ivf": q48_ann_ivf,
     "q76_ann_pq": q76_ann_pq,
     "q90_ann_ivfpq": q90_ann_ivfpq,
+    "q91_dedup_clusters": q91_dedup_clusters,
+    "q92_ann_opq": q92_ann_opq,
     "q79_repetition_signals": q79_repetition_signals,
     "q80_scrub_sample": q80_scrub_sample,
     "q83_chunking": q83_chunking,

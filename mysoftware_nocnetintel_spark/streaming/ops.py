@@ -458,3 +458,58 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination(120)
     return stream_df.sparkSession.table(name)
+
+
+# --- state-store backend selection (RocksDB) --------------------------------
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf(
+    changelog_checkpointing: bool = True,
+    bounded_memory_mb: int | None = None,
+) -> dict[str, str]:
+    """Config surface for the RocksDB state store — the backend that makes
+    large streaming state practical: state lives off-heap/on-disk per
+    executor instead of in the JVM heap (HDFSBackedStateStore keeps every
+    key in heap memory, which caps stream-stream joins and dedup sets at
+    ~GBs; RocksDB caps them at local-disk size).
+
+    ``changelog_checkpointing`` writes per-batch CHANGELOGS to the
+    checkpoint location instead of full snapshots — checkpoint cost becomes
+    O(state updated this batch), not O(total state); snapshots still happen
+    in the background for bounded recovery time. ``bounded_memory_mb``
+    caps RocksDB block-cache+memtable usage per executor (unbounded by
+    default — the first thing to set when executors OOM off-heap).
+
+    Apply BEFORE starting the query (provider is fixed at query start and
+    persisted in the checkpoint; changing it requires a new checkpoint dir).
+    """
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": str(
+            changelog_checkpointing
+        ).lower(),
+    }
+    if bounded_memory_mb is not None:
+        conf["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"] = "true"
+        conf["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] = str(
+            bounded_memory_mb
+        )
+    return conf
+
+
+def use_rocksdb_state(spark: SparkSession, **kwargs) -> dict[str, str]:
+    """Apply :func:`rocksdb_state_conf` to the session; returns the previous
+    values so callers/tests can restore them."""
+    conf = rocksdb_state_conf(**kwargs)
+    prev: dict[str, str] = {}
+    for k, v in conf.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev

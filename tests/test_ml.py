@@ -106,3 +106,42 @@ def test_dispatch_capacity_soft_bound(spark, sf_dir):
             assert max(counts.values()) <= 2  # capacity respected
         else:
             assert max(counts.values()) - min(counts.values()) <= 1  # balanced overflow
+
+
+def test_dispatch_travel_objectives(spark, sf_dir):
+    """X3 travel objectives: manhattan and a travel-time matrix are valid
+    tie-breaking costs — assignments stay balanced and deterministic, and a
+    prohibitive matrix entry steers load-tied work away from that team."""
+    risk = q0_flagship_risk(spark, sf_dir)
+    clustered = DP.cluster_locations(
+        DP.pseudo_locations(DP.rank_urgency(risk)), n_clusters=2
+    )
+    for travel in (DP.euclidean_sq, DP.manhattan):
+        out = DP.assign_teams(clustered, travel=travel).collect()
+        assert len(out) == risk.count()
+        loads = {}
+        for r in out:
+            loads.setdefault(r.cluster, []).append(r.team)
+        for teams in loads.values():
+            from collections import Counter
+
+            c = Counter(teams)
+            assert max(c.values()) - min(c.values()) <= 1  # balance bound holds
+
+    # prohibitive travel time for team 0 everywhere: with loads tied, the
+    # greedy must prefer teams 1/2 — team 0 only takes every 3rd pick
+    grid = 10
+    bad = {
+        (cx, cy, 0): 1e9 for cx in range(grid) for cy in range(grid)
+    }
+    out = DP.assign_teams(
+        clustered, travel=DP.matrix_travel(bad, grid=grid)
+    ).collect()
+    per_cluster = {}
+    for r in out:
+        per_cluster.setdefault(r.cluster, []).append((r.dispatch_order, r.team))
+    for picks in per_cluster.values():
+        picks.sort()
+        # first two picks in every cluster avoid the prohibitive team
+        for _, team in picks[:2]:
+            assert team != DP.TEAMS[0]

@@ -120,3 +120,34 @@ def test_ivfpq_composition_recall(spark, sf_dir):
         etop.setdefault(r.qid, set()).add(r.vec_id)
     hits = sum(1 for r in ann if r.vec_id in etop.get(r.qid, set()))
     assert hits >= 0.7 * len(exact), (hits, len(exact))
+
+
+def test_opq_rotation_orthogonal_and_recall(spark, sf_dir):
+    """OPQ-style rotated PQ: the rotation matrix is orthogonal (R·Rᵀ = I),
+    rotation preserves cosine similarity, and rotated-space PQ clears the
+    same production-recall bar as plain PQ."""
+    import numpy as np
+
+    R = np.array(SIM.opq_rotation(64, seed=42))
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-9)
+    assert SIM.opq_rotation(64, seed=42) == SIM.opq_rotation(64, seed=42)
+
+    corpus, q = _corpus_queries(spark, sf_dir)
+    # cosine invariance: rotated pair cosine == original pair cosine
+    from mysoftware_nocnetintel_spark.functions import vectors as V
+
+    two = corpus.limit(2).collect()
+    a, b = (np.array(r.embedding, dtype=float) for r in two)
+
+    def cos(x, y):
+        return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    assert abs(cos(R @ a, R @ b) - cos(a, b)) < 1e-9
+
+    ann = SIM.opq_topk(corpus, q, dim=64, m=16, k=5, shortlist=50).collect()
+    exact = SIM.brute_force_topk(corpus, q, k=5).collect()
+    etop = {}
+    for r in exact:
+        etop.setdefault(r.qid, set()).add(r.vec_id)
+    hits = sum(1 for r in ann if r.vec_id in etop.get(r.qid, set()))
+    assert hits >= 0.8 * len(exact), (hits, len(exact))

@@ -197,6 +197,34 @@ def test_stream_stream_left_outer_join(spark, sf_dir):
     assert must_emit <= null_rows
 
 
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The RocksDB state-store backend (large-state streaming: off-heap
+    state + changelog checkpointing) must produce the identical windowed
+    result as the default HDFS-backed store — same plan, different state
+    backend. Conf is applied before query start and restored after."""
+    from mysoftware_nocnetintel_spark.streaming.ops import use_rocksdb_state
+
+    prev = use_rocksdb_state(spark, changelog_checkpointing=True)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            .endswith("RocksDBStateStoreProvider")
+        )
+        stream = STR.read_events_stream(spark, sf_dir)
+        got = STR.run_to_memory(
+            STR.tumbling_rollup(stream), "t_tumbling_rocks", output_mode="complete"
+        )
+        want = q45_tumbling_window(spark, sf_dir)
+        cols = ["window_start", "n", "total_value"]
+        assert _rows(got, cols) == _rows(want, cols)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 class TestLeftOuterExpiryRandomized:
     """J7 left-outer expiry-exactness, randomized (round-2 advisor item):
     for arbitrary per-user event timelines and random (within, watermark)
