@@ -34,6 +34,22 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(spaced), r"\s+"), lambda t: t != F.lit(""))
 
 
+# GPT-2-style pre-tokenizer approximation, kept to constructs with IDENTICAL
+# semantics in Java regex (Spark) and RE2 (DuckDB) so the tokenization is
+# oracle-checkable: contractions, letter runs, 1-3 digit chunks (the
+# digit-splitting trick modern BPE vocabs use), punctuation runs.
+SUBWORD_REGEX = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def subword_regex_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization via one regex scan (`SUBWORD_REGEX`):
+    the token-COUNT estimator a training-data pipeline budgets with before
+    a real BPE vocab exists. JVM-side, one expression; parity with DuckDB's
+    RE2 engine verified by the q94 oracle."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(text, F.lit(SUBWORD_REGEX), 0)
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 

@@ -452,4 +452,59 @@ ORACLES_EXTRA: dict[str, str] = {
         FROM comp c
         ORDER BY c.doc_id
     """,
+    "q93_dedup_keep_one": """
+        WITH RECURSIVE keyed AS (
+            SELECT doc_id, lang,
+                   md5(text) AS h_exact,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS h_fp
+            FROM documents
+        ),
+        star AS (
+            SELECT min(doc_id) OVER (PARTITION BY h_exact) AS src, doc_id AS dst
+            FROM keyed
+            UNION ALL
+            SELECT min(doc_id) OVER (PARTITION BY h_fp) AS src, doc_id AS dst
+            FROM keyed
+        ),
+        edges AS (
+            SELECT src, dst FROM star WHERE src <> dst
+            UNION
+            SELECT dst, src FROM star WHERE src <> dst
+        ),
+        cc(node, lbl) AS (
+            SELECT doc_id, doc_id FROM keyed
+            UNION
+            SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(lbl) AS component FROM cc GROUP BY node
+        )
+        SELECT k.lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN k.doc_id = c.component THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN k.doc_id <> c.component THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM keyed k JOIN comp c ON k.doc_id = c.doc_id
+        GROUP BY k.lang
+        ORDER BY k.lang
+    """,
+    "q94_token_budget": """
+        WITH t AS (
+            SELECT lang,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS n_ws,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+',
+                       0)) AS n_sw
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(n_sw) AS BIGINT) AS subword_tokens,
+               round(avg(n_sw * 1.0 / nullif(n_ws, 0)), 6) AS avg_expansion
+        FROM t
+        GROUP BY lang
+        ORDER BY lang
+    """,
 }

@@ -406,12 +406,14 @@ def q92_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Keep-one dedup = filter doc_id = component; canonicalization = groupBy
 # component. Star edges keep candidate generation LINEAR (each doc joins
 # its group's min, never all pairs).
-def q91_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, component) for every document — component = min doc_id
+    connected through exact-hash OR fingerprint star edges."""
     from ..operators.dedup import connected_components
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    keyed = docs.select(
+    keyed = _t(spark, sf_dir, "documents").select(
         "doc_id",
+        "lang",
         F.md5(F.col("text").cast("binary")).alias("h_exact"),
         TX.fingerprint("text").alias("h_fp"),
     )
@@ -425,14 +427,13 @@ def q91_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         edges = star if edges is None else edges.union(star)
     cc = connected_components(edges)
-    out = (
-        keyed.select("doc_id")
-        .join(cc, keyed.doc_id == cc.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
-        )
+    return keyed.join(cc, keyed.doc_id == cc.node, "left").select(
+        "doc_id", "lang", F.coalesce("component", "doc_id").alias("component")
     )
+
+
+def q91_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _dup_components(spark, sf_dir)
     sizes = out.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -440,6 +441,53 @@ def q91_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.join(sizes, "component")
         .select("doc_id", "component", "cluster_size")
         .orderBy("doc_id")
+    )
+
+
+# U3 final step — keep-one dedup: per language, how much of the corpus survives
+# cluster-canonical selection (keep the min doc_id of each duplicate
+# cluster). This is the materialization step of the dedup pipeline: the
+# kept set IS the training corpus. Oracle: same recursive-CTE components.
+def q93_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _dup_components(spark, sf_dir)
+    return (
+        comp.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("doc_id") == F.col("component")).cast("bigint")
+            ).alias("n_kept"),
+            F.sum(
+                (F.col("doc_id") != F.col("component")).cast("bigint")
+            ).alias("n_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+# F7 token budgeting: whitespace vs BPE-style subword token counts per
+# language — the corpus-size estimate a training pipeline budgets with.
+# The subword tokenizer is one regex scan (functions/text.SUBWORD_REGEX)
+# whose constructs behave identically under Java regex (Spark) and RE2
+# (DuckDB), so the whole tokenization is value-hash oracle-checked.
+def q94_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(TX.tokens("text")).alias("n_ws"),
+        F.size(TX.subword_regex_tokens("text")).alias("n_sw"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+            F.sum("n_sw").cast("bigint").alias("subword_tokens"),
+            F.round(
+                F.avg(F.try_divide(F.col("n_sw").cast("double"), F.col("n_ws"))), 6
+            ).alias("avg_expansion"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -460,6 +508,8 @@ TEXT_QUERIES = {
     "q90_ann_ivfpq": q90_ann_ivfpq,
     "q91_dedup_clusters": q91_dedup_clusters,
     "q92_ann_opq": q92_ann_opq,
+    "q93_dedup_keep_one": q93_dedup_keep_one,
+    "q94_token_budget": q94_token_budget,
     "q79_repetition_signals": q79_repetition_signals,
     "q80_scrub_sample": q80_scrub_sample,
     "q83_chunking": q83_chunking,
