@@ -507,4 +507,34 @@ ORACLES_EXTRA: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "q95_unpivot": """
+        WITH w AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 6) AS m_qty,
+                   round(sum(l_extendedprice), 6) AS m_price,
+                   round(sum(l_discount), 6) AS m_disc
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'm_qty' AS metric, m_qty AS metric_value FROM w
+        UNION ALL
+        SELECT l_returnflag, 'm_price', m_price FROM w
+        UNION ALL
+        SELECT l_returnflag, 'm_disc', m_disc FROM w
+        ORDER BY l_returnflag, metric
+    """,
+    "q96_regr_native": """
+        SELECT user_id,
+               count(*) AS n,
+               round(regr_slope(value, date_diff('second',
+                   TIMESTAMP '1970-01-01 00:00:00', ts)), 9) AS slope,
+               round(regr_intercept(value, date_diff('second',
+                   TIMESTAMP '1970-01-01 00:00:00', ts)), 6) AS intercept,
+               round(corr(value, date_diff('second',
+                   TIMESTAMP '1970-01-01 00:00:00', ts)), 6) AS corr_vt
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) >= 2
+        ORDER BY user_id
+    """,
 }

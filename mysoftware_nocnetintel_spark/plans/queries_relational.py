@@ -353,6 +353,49 @@ def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# U-family: unpivot/melt — the inverse of q25's pivot. Wide per-flag metric
+# columns become (flag, metric, value) rows via DataFrame.unpivot (Spark's
+# native Expand-based melt: one projection, no shuffle added). Oracle: the
+# portable UNION-ALL stack of the same wide CTE.
+def q95_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 6).alias("m_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("m_price"),
+        F.round(F.sum("l_discount"), 6).alias("m_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["m_qty", "m_price", "m_disc"], "metric", "metric_value"
+    ).orderBy("l_returnflag", "metric")
+
+
+# A4/X2: NATIVE regression aggregates — the JVM-side single-pass twin of
+# q50's pandas-UDF OLS (same math, zero Python): regr_slope/intercept and
+# corr per entity against elapsed seconds. NaN-normalized to NULL (Spark
+# yields NaN, DuckDB NULL, for zero-variance groups) so the hash compares.
+def q96_regr_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("double")
+    null_d = F.lit(None).cast("double")
+
+    def clean(c: F.Column) -> F.Column:
+        return F.nanvl(c, null_d)
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(clean(F.regr_slope("value", x)), 9).alias("slope"),
+            F.round(clean(F.regr_intercept("value", x)), 6).alias("intercept"),
+            F.round(clean(F.corr("value", x)), 6).alias("corr_vt"),
+        )
+        .filter(F.col("n") >= 2)
+        .orderBy("user_id")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q11_left_join_agg": q11_left_join_agg,
     "q12_semi_join": q12_semi_join,
@@ -375,4 +418,6 @@ RELATIONAL_QUERIES = {
     "q34_running_total": q34_running_total,
     "q43_grouping_sets": q43_grouping_sets,
     "q44_map_ops": q44_map_ops,
+    "q95_unpivot": q95_unpivot,
+    "q96_regr_native": q96_regr_native,
 }
