@@ -161,7 +161,13 @@ def lsh_bucketed_topk(
             ]
         )
 
-    c = corpus.withColumn("__tb", F.explode(buckets(corpus_vec))).select(
+    # widen the corpus-side bucket computation: a single-file scan is one
+    # partition, which would run every per-row plane-projection on one core
+    from .dedup import spread_narrow
+
+    c = spread_narrow(corpus).withColumn(
+        "__tb", F.explode(buckets(corpus_vec))
+    ).select(
         F.col("__tb.tbl").alias("tbl"),
         F.col("__tb.bucket").alias("bucket"),
         *[F.col(x) for x in corpus.columns],

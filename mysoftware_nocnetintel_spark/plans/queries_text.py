@@ -99,13 +99,19 @@ def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "use operators.similarity.lsh_bucketed_topk / ivf_topk (the banded "
             "100 TB path) for corpora of this size"
         )
-    a = emb.select(
+    # spread the STREAM side of the nested-loop join: the single-file scan
+    # arrives as one partition, which would put all n²/2 cosine evaluations
+    # on one core (measured 34 s single-task at 2k vectors); the broadcast
+    # side stays as-is.
+    from ..operators.dedup import spread_narrow
+
+    a = spread_narrow(emb).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).withColumn(
         "cos_raw", V.cosine_similarity("va", "vb")
     )
     return (
@@ -409,9 +415,9 @@ def q92_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, component) for every document — component = min doc_id
     connected through exact-hash OR fingerprint star edges."""
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import connected_components, spread_narrow
 
-    keyed = _t(spark, sf_dir, "documents").select(
+    keyed = spread_narrow(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.md5(F.col("text").cast("binary")).alias("h_exact"),

@@ -433,6 +433,25 @@ def test_continuous_rollup_equals_batch(spark, sf_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_continuous_rollup_conf_hygiene(spark, sf_dir, tmp_path):
+    """Round-2 advisor items: the dynamic partitionOverwriteMode must be
+    scoped to the upsert write (restored afterwards — a leaked 'dynamic'
+    would turn later whole-table overwrites into partition-only ones), and
+    the first-batch path probe must be an explicit existence check, so a
+    fresh target materializes without a broad exception handler absorbing
+    real failures."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    out = str(tmp_path / "rollup_hygiene")  # does not exist: first-batch path
+    q = STR.continuous_rollup(
+        STR.read_events_stream(spark, sf_dir), out, str(tmp_path / "ckpt_h")
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() > 0
+    assert spark.conf.get(key) == "static"  # restored, not leaked
+    spark.conf.unset(key)
+
+
 def test_continuous_rollup_incremental_multibatch(spark, sf_dir, tmp_path):
     """The upsert path must be correct across MULTIPLE micro-batches that
     revise the same windows: replay events as 4 separate files with
