@@ -434,6 +434,10 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # materialize ONCE: sym is joined every round, and upstream edge
+        # generation (hashing + windows + distinct) would otherwise be
+        # recomputed per round — measured 3.5x the whole-query wall at sf0.1
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))

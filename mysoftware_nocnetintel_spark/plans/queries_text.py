@@ -417,11 +417,18 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected through exact-hash OR fingerprint star edges."""
     from ..operators.dedup import connected_components, spread_narrow
 
-    keyed = spread_narrow(_t(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "lang",
-        F.md5(F.col("text").cast("binary")).alias("h_exact"),
-        TX.fingerprint("text").alias("h_fp"),
+    # localCheckpoint: keyed (doc_id + two hashes, tiny rows) feeds the two
+    # star windows AND the final join — without it the md5/fingerprint scan
+    # runs three times
+    keyed = (
+        spread_narrow(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("text").cast("binary")).alias("h_exact"),
+            TX.fingerprint("text").alias("h_fp"),
+        )
+        .localCheckpoint()
     )
     edges = None
     for key in ("h_exact", "h_fp"):
