@@ -507,6 +507,41 @@ ORACLES_EXTRA: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "q97_corpus_split": """
+        WITH b AS (
+            SELECT lang, n_chars,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 'cd' THEN 'train'
+                    WHEN bucket < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        FROM b
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """,
+    "q98_corpus_mixture": """
+        WITH k AS (
+            SELECT source, n_chars,
+                   CAST(substr(source, 4) AS INTEGER) % 8 + 4 AS rate16,
+                   CASE WHEN instr('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 1)) - 1
+                        < CAST(substr(source, 4) AS INTEGER) % 8 + 4
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               round(CAST(min(rate16) AS DOUBLE) / 16.0, 6) AS target_rate,
+               CAST(sum(keep * n_chars) AS BIGINT) AS kept_chars
+        FROM k
+        GROUP BY source
+        ORDER BY source
+    """,
     "q95_unpivot": """
         WITH w AS (
             SELECT l_returnflag,

@@ -504,6 +504,77 @@ def q94_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Training-corpus assembly, step 1 — deterministic train/val/test split.
+# Random splits are not reproducible across engines or re-runs at 100 TB;
+# the standard pipeline trick is hashing a stable key into [0, 256) and
+# cutting on fixed boundaries: assignment is pure projection (no shuffle
+# beyond the final tiny agg), stable under re-partitioning, re-ingestion,
+# and engine swap. md5 hex is byte-identical in Spark and DuckDB, so the
+# WHOLE split is value-hash oracle-checked — the oracle proves a user can
+# recompute the exact same split in another engine.
+def q97_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(bucket < "cd", "train")      # 205/256 ~ 80.1%
+        .when(bucket < "e6", "val")         #  25/256 ~  9.8%
+        .otherwise("test")                  #  26/256 ~ 10.2%
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# Training-corpus assembly, step 2 — weighted source mixture. A pretraining
+# corpus is a weighted blend of sources (the Pile/LLaMA recipe); at scale
+# the sample must again be deterministic, so the keep decision is a hash
+# bucket compared to the source's sampling rate — a narrow projection that
+# subsamples 100 TB without a shuffle and reproduces exactly on re-run.
+# Rates here derive from the numeric source suffix (src7 -> 11/16) so the
+# query is self-contained; production callers broadcast-join a rate table.
+def q98_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # hex char -> [0, 15] via instr on the hex alphabet: identical semantics
+    # (and 1-based position) in Spark and DuckDB, no base-conversion builtin
+    # needed (DuckDB has no conv())
+    bucket16 = (
+        F.expr(
+            "instr('0123456789abcdef', "
+            "substring(md5(CAST(doc_id AS STRING) || ':mix'), 1, 1))"
+        )
+        - 1
+    )
+    rate16 = F.substring("source", 4, 10).cast("int") % 8 + 4  # 4/16..11/16
+    kept = docs.select(
+        "source",
+        "n_chars",
+        rate16.alias("rate16"),
+        (bucket16 < rate16).cast("bigint").alias("keep"),
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.round(
+                F.first("rate16").cast("double") / F.lit(16.0), 6
+            ).alias("target_rate"),
+            F.sum(F.col("keep") * F.col("n_chars")).cast("bigint").alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 TEXT_QUERIES = {
     "q31_token_stats": q31_token_stats,
     "q32_term_df": q32_term_df,
@@ -523,6 +594,8 @@ TEXT_QUERIES = {
     "q92_ann_opq": q92_ann_opq,
     "q93_dedup_keep_one": q93_dedup_keep_one,
     "q94_token_budget": q94_token_budget,
+    "q97_corpus_split": q97_corpus_split,
+    "q98_corpus_mixture": q98_corpus_mixture,
     "q79_repetition_signals": q79_repetition_signals,
     "q80_scrub_sample": q80_scrub_sample,
     "q83_chunking": q83_chunking,
