@@ -467,3 +467,106 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds — "
         "raise max_iter (diameter exceeds the bound) or check the edge set"
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the scale-depth alternative to
+    :func:`connected_components`.
+
+    Hash-min label propagation needs ~diameter rounds: fine for the star/
+    clique graphs exact-dup keys produce, painful for the long CHAINS
+    near-dup similarity edges can form (A~B~C~... each within threshold of
+    the next). Star contraction converges in O(log^2 n) rounds regardless
+    of diameter: large-star hooks every node above its neighborhood minimum
+    directly onto that minimum, small-star flattens the resulting forest.
+    Each half-round is one groupBy + one equi-join on the CURRENT edge set
+    (which only shrinks), with localCheckpoint truncating lineage.
+
+    Convergence: the canonical edge set is a fixed point of both stars ==
+    the graph is a union of stars centered at component minima; detected by
+    an (edge-count, hash-sum) signature match between rounds — two scalars,
+    not a collect. Returns (node, component), component = min node id, same
+    contract as :func:`connected_components`. Raises if not converged."""
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(d: DataFrame) -> tuple:
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a bigint sum of 2^63-scale hashes overflows under
+            # ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        # large-star: for every node a (via symmetric adjacency), hook each
+        # LARGER neighbor onto m(a) = min(neighborhood + self)
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+            )
+            .distinct()
+        )
+        # small-star: edges already canonical (u > v); hook every smaller
+        # neighbor (and the center) onto m(u) = min of the smaller side
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        j = large.join(m2, "u")
+        e = (
+            j.select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(j.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _sig(e)
+        if cur == prev:
+            labels = e.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            )
+            return (
+                nodes.join(labels, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("component", "node").alias("component"),
+                )
+            )
+        prev = cur
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )

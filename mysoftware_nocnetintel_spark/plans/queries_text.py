@@ -575,6 +575,30 @@ def q98_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# U3 capstone — NEAR-dup clusters (rows-only: MinHash candidate recall is
+# probabilistic). q91 clusters EXACT-key edges; this composes the full
+# fuzzy pipeline: MinHash-LSH candidates -> exact-Jaccard verify (edges) ->
+# star-contraction connected components -> cluster census. Star CC (not
+# hash-min) because similarity edges can chain A~B~C~... — contraction
+# converges in O(log^2 n) rounds regardless of chain length.
+def q99_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = DD.minhash_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = DD.connected_components_star(edges)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("keep_doc"),
+        )
+        .orderBy(F.col("cluster_size").desc(), "component")
+    )
+
+
 TEXT_QUERIES = {
     "q31_token_stats": q31_token_stats,
     "q32_term_df": q32_term_df,
@@ -596,6 +620,7 @@ TEXT_QUERIES = {
     "q94_token_budget": q94_token_budget,
     "q97_corpus_split": q97_corpus_split,
     "q98_corpus_mixture": q98_corpus_mixture,
+    "q99_neardup_clusters": q99_neardup_clusters,
     "q79_repetition_signals": q79_repetition_signals,
     "q80_scrub_sample": q80_scrub_sample,
     "q83_chunking": q83_chunking,

@@ -77,3 +77,43 @@ def test_lsh_candidates_are_pairs_not_reflexive(spark, sf_dir):
     cands = DD.lsh_candidate_pairs(docs, "doc_id", "text").collect()
     for r in cands:
         assert r.id_a < r.id_b
+
+
+def test_star_contraction_equals_hashmin(spark):
+    """connected_components_star must produce the identical clustering as
+    hash-min label propagation on arbitrary graphs — exercised on seeded
+    random graphs AND a 400-node chain (the diameter case star contraction
+    exists for: hash-min would need ~400 rounds there and is capped, so the
+    chain is checked against the closed-form answer instead)."""
+    import random
+
+    from mysoftware_nocnetintel_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        want = {
+            (r.node, r.component) for r in connected_components(df).collect()
+        }
+        got = {
+            (r.node, r.component)
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components_star(chain, max_iter=20).collect()
+    }
+    assert got == {(i, 0) for i in range(401)}
