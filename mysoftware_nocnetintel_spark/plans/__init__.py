@@ -14,14 +14,14 @@ _ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4}
 
 # The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
 # order, so ordering here is load-bearing. Rounds 1-2 both graded q0-q48 and
-# left 41 queries (q49-q89) with no hard signal. This round the window is:
-#   - the 41 queries never driver-checked (q49-q89), first;
-#   - q90_ann_ivfpq (new this round — the IVF+PQ serving composition);
-#   - 8 sentinels spanning round-1 operator families, as regression canaries:
-#     q0 (threshold/failure agg)  q1 (grouped agg)    q2 (star join top-n)
-#     q5 (sessionize)             q8 (exact dedup)    q9 (kNN)
-#     q28 (as-of join)            q41 (n-gram Jaccard dedup)
-# Everything else (driver-green in both prior rounds) follows after the window.
+# left 41 queries (q49-q89) with no hard signal; no round-3 correctness file
+# materialized, so q49-q91 are STILL awaiting their first driver signal and
+# stay in the window. The former 7 round-1 sentinels (q0/q1/q2/q5/q8/q9/q28)
+# are rotated out for 7 of this round's new queries: those families are still
+# executed every round by bench.py (q1-q10 headline set) and the driver's
+# entry() smoke (q0), and were driver-green in both graded rounds.
+# Still outside the window, for next rotation: q92/q95/q96/q97/q98/q99/q103/
+# q105 (+ all previously-green q0-q48).
 _WINDOW = [
     # --- never driver-checked (registry order preserved within the block) ---
     "q76_ann_pq",
@@ -65,17 +65,17 @@ _WINDOW = [
     "q87_window_distinct",
     "q88_entropy",
     "q89_mad_outliers",
-    # --- new this round (never checked by definition) ---
+    # --- new in round 3 (never checked by definition) ---
     "q90_ann_ivfpq",
     "q91_dedup_clusters",
-    # --- sentinels: round-1 families, driver-green in r1 and r2 ---
-    "q0_flagship_risk",
-    "q1_pricing_summary",
-    "q2_join_topn",
-    "q5_sessionize",
-    "q8_dedup_docs",
-    "q9_knn",
-    "q28_asof_join",
+    # --- new in round 4: oracle-paired, replacing the round-1 sentinels ---
+    "q93_dedup_keep_one",
+    "q94_token_budget",
+    "q100_gapfill",
+    "q101_cusum",
+    "q102_snapshot_diff",
+    "q104_histogram_quantiles",
+    "q106_transition_matrix",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
