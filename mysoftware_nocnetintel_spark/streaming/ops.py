@@ -30,7 +30,7 @@ from ..session import tune
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -42,11 +42,13 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: continuous ingestion — file source replay of the events table.
 
-    Watermark note: Spark requires event-time to be TIMESTAMP (instant),
-    not TIMESTAMP_NTZ — so unlike the batch reader we convert the ns epoch
-    to an instant via ``timestamp_micros``. Window boundaries are
-    epoch-aligned and therefore absolute; only *rendering* of window starts
-    depends on the session time zone (pin UTC for reproducible output).
+    The parquet stores ``ts`` as TIMESTAMP(MICROS) without UTC adjustment,
+    which Spark reads as TIMESTAMP_NTZ. Watermarks require event-time to be
+    TIMESTAMP (an instant), so we convert NTZ → instant with pure interval
+    arithmetic against the epoch — time-zone independent, unlike a cast
+    (which would route through the session time zone). Window boundaries
+    are epoch-aligned and therefore absolute; only *rendering* of window
+    starts depends on the session time zone (pin UTC for stable output).
     """
     tune(spark)
     stream = (
@@ -55,7 +57,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        "ts",
+        F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        ),
     )
 
 
