@@ -5,12 +5,14 @@ from .queries_text import TEXT_QUERIES as _TXT
 from .queries_ml import ML_QUERIES as _ML, ML_ORACLES as _O_ML
 from .queries_extra import EXTRA_QUERIES as _EXTRA
 from .queries_r4 import R4_QUERIES as _R4
+from .queries_r5 import R5_QUERIES as _R5
 from .oracles import ORACLES as _O_CORE
 from .oracles_ext import ORACLES_EXT as _O_EXT
 from .oracles_extra import ORACLES_EXTRA as _O_EXTRA
 from .oracles_r4 import ORACLES_R4 as _O_R4
+from .oracles_r5 import ORACLES_R5 as _O_R5
 
-_ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4}
+_ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5}
 
 # The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
 # order, so ordering here is load-bearing. Rounds 1-2 both graded q0-q48 and
@@ -84,4 +86,4 @@ assert not _missing, _missing
 
 QUERIES = {k: _ALL[k] for k in _WINDOW}
 QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
-ORACLES = {**_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4}
+ORACLES = {**_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5}

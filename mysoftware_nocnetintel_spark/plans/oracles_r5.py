@@ -1,0 +1,137 @@
+"""DuckDB oracles for round-5 queries (queries_r5). Notes:
+- Tokenizer: `string_split_regex(lower(text), '[^a-z0-9]+')` with empties
+  filtered — same token stream as Spark's `split(lower(text), ...)`; the
+  character class behaves identically under RE2 and Java regex.
+- n-grams: DuckDB `range(1, k)` is exclusive on the stop and empty when
+  k <= 1, matching the Spark side's guarded `sequence(1, len-(n-1))`;
+  list slices `toks[i:i+n-1]` are 1-based inclusive (n elements).
+- q107: md5 hex of the doc_id string is byte-identical in both engines,
+  so the split boundaries ('cd'/'e6') select the same documents.
+- q109: the PMI expression keeps the same operand order as the Spark side
+  so the rounded doubles hash-match.
+"""
+
+ORACLES_R5: dict[str, str] = {
+    "q107_decontamination": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   substring(md5(doc_id::VARCHAR), 1, 2) AS b,
+                   list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''
+                   ) AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang, b,
+                   unnest(list_transform(
+                       range(1, len(toks) - 6),
+                       i -> array_to_string(toks[i:i+7], ' ')
+                   )) AS g
+            FROM d
+        ),
+        test_grams AS (
+            SELECT DISTINCT g FROM grams WHERE b >= 'e6'
+        ),
+        train_grams AS (
+            SELECT DISTINCT doc_id, lang, g FROM grams WHERE b < 'cd'
+        ),
+        hits AS (
+            SELECT t.doc_id, t.lang, count(*) AS n_shared
+            FROM train_grams t JOIN test_grams s USING (g)
+            GROUP BY 1, 2
+        ),
+        per_lang AS (
+            SELECT lang, count(*) AS n_train_docs FROM d
+            WHERE b < 'cd' GROUP BY 1
+        ),
+        contaminated AS (
+            SELECT lang, count(*) AS n_contaminated,
+                   max(n_shared) AS max_shared_ngrams,
+                   sum(n_shared) AS total_shared_ngrams
+            FROM hits GROUP BY 1
+        )
+        SELECT p.lang, p.n_train_docs,
+               coalesce(c.n_contaminated, 0)::BIGINT AS n_contaminated,
+               round(coalesce(c.n_contaminated, 0)::DOUBLE / p.n_train_docs,
+                     6) AS contamination_rate,
+               coalesce(c.max_shared_ngrams, 0)::BIGINT AS max_shared_ngrams,
+               coalesce(c.total_shared_ngrams, 0)::BIGINT
+                   AS total_shared_ngrams
+        FROM per_lang p LEFT JOIN contaminated c USING (lang)
+        ORDER BY lang
+    """,
+    "q108_sequence_packing": """
+        WITH per AS (
+            SELECT source, doc_id,
+                   len(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''
+                   )) AS n_tok
+            FROM documents
+        ),
+        laid AS (
+            SELECT source, n_tok,
+                   sum(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM per
+        ),
+        binned AS (
+            SELECT source, n_tok,
+                   ((cum - n_tok) // 2048) AS bin,
+                   ((cum - 1) // 2048) AS end_bin
+            FROM laid
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_tok)::BIGINT AS total_tokens,
+               (max(end_bin) + 1)::BIGINT AS n_bins,
+               sum((end_bin > bin)::BIGINT) AS n_straddling,
+               round(sum(n_tok)::DOUBLE / ((max(end_bin) + 1) * 2048.0),
+                     6) AS fill_ratio
+        FROM binned GROUP BY source ORDER BY source
+    """,
+    "q109_pmi_bigrams": """
+        WITH d AS (
+            SELECT list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''
+                   ) AS toks
+            FROM documents
+        ),
+        uni AS (
+            SELECT unnest(toks) AS w FROM d
+        ),
+        cu AS (
+            SELECT w, count(*) AS c_w FROM uni GROUP BY 1
+        ),
+        big AS (
+            SELECT unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' ')
+                   )) AS g
+            FROM d
+        ),
+        cb AS (
+            SELECT g, count(*) AS c_ab FROM big GROUP BY 1
+            HAVING count(*) >= 5
+        ),
+        tot AS (
+            SELECT sum(c_w) AS t FROM cu
+        ),
+        ntot AS (
+            SELECT sum(greatest(len(toks) - 1, 0)) AS n FROM d
+        )
+        SELECT cb.g AS bigram, cb.c_ab, ca.c_w AS c_a, cbb.c_w AS c_b,
+               round(ln((cb.c_ab::DOUBLE * tot.t * tot.t)
+                        / (ntot.n::DOUBLE * ca.c_w * cbb.c_w)), 6) AS pmi
+        FROM cb
+        JOIN cu ca ON ca.w = split_part(cb.g, ' ', 1)
+        JOIN cu cbb ON cbb.w = split_part(cb.g, ' ', 2)
+        CROSS JOIN tot CROSS JOIN ntot
+        ORDER BY pmi DESC, bigram
+        LIMIT 20
+    """,
+}

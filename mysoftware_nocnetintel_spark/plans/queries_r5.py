@@ -1,0 +1,220 @@
+"""Round-5 coverage: training-corpus assembly operators beyond dedup —
+test-set decontamination (n-gram overlap between the held-out split and
+the train split), concat-and-chunk sequence packing (context-window bin
+assignment), and PMI collocation mining. All oracle-paired: every stage
+(tokenization, n-gram windows, bin arithmetic, PMI formula) uses
+constructs with identical semantics in Spark (Java regex / Catalyst) and
+DuckDB (RE2), so results are value-hash checked end to end.
+
+Reference parity: the reference's knowledge-base text surface (reference
+README.md:11,101-103) supplies the document corpus; the operators here
+are the north-star LLM-pipeline additions (decontamination is the
+standard eval-hygiene step; packing is how pretraining batches are
+actually laid out; PMI is the classic collocation statistic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Lowercase-alphanumeric tokenizer shared by q107/q109. Deliberately NOT
+# TX.tokens (whitespace): decontamination canonicalizes case/punctuation so
+# cosmetic edits can't hide an overlap. `[^a-z0-9]+` behaves identically
+# under Java regex and RE2; empties are dropped on both sides.
+def _alnum_tokens(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def _ngram_strings(toks: Column, n: int) -> Column:
+    """Sliding word n-grams as joined strings; empty array below n tokens.
+
+    The `when` guard matters: Spark's ``sequence(1, k)`` with k < 1 yields a
+    DESCENDING sequence (1, 0, ...), not an empty one.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# U3/F7 capstone — TEST-SET DECONTAMINATION. Re-derives q97's deterministic
+# md5 split, then flags train documents sharing any 8-gram with the test
+# split. Scale shape: the test split's distinct n-grams are a small
+# fraction of the corpus (10% of docs, deduplicated) — at 100 TB this side
+# is still the bounded one (and would get a bloom/semi-join pre-prune);
+# here Spark broadcast-joins it against the train-side n-gram stream, so
+# the train corpus is never shuffled. Everything downstream of the join is
+# a per-(doc, lang) count — one partial-aggregated shuffle.
+def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    toks = _alnum_tokens("text")
+    base = docs.select(
+        "doc_id", "lang", bucket.alias("b"), _ngram_strings(toks, 8).alias("gs")
+    )
+    test_grams = (
+        base.filter(F.col("b") >= "e6")
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = base.filter(F.col("b") < "cd")
+    train_grams = train.select(
+        "doc_id", "lang", F.explode("gs").alias("g")
+    ).distinct()
+    hits = (
+        train_grams.join(F.broadcast(test_grams), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_lang = train.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train_docs")
+    )
+    contaminated = hits.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.max("n_shared").cast("bigint").alias("max_shared_ngrams"),
+        F.sum("n_shared").cast("bigint").alias("total_shared_ngrams"),
+    )
+    return (
+        per_lang.join(contaminated, "lang", "left")
+        .select(
+            "lang",
+            "n_train_docs",
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_train_docs"),
+                6,
+            ).alias("contamination_rate"),
+            F.coalesce("max_shared_ngrams", F.lit(0)).cast("bigint").alias(
+                "max_shared_ngrams"
+            ),
+            F.coalesce("total_shared_ngrams", F.lit(0)).cast("bigint").alias(
+                "total_shared_ngrams"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# A7/W6 — SEQUENCE PACKING, concat-then-chunk discipline: per source,
+# documents are laid end to end in doc_id order and the token stream is cut
+# every 2048 tokens (how pretraining examples are actually packed — no
+# bin-packing search, fully deterministic, and expressible as one window
+# cumsum in any engine). A document's bin is the bin of its first token;
+# `straddles` counts documents crossing a cut (the ones a loader would
+# split across examples). One shuffle (window by source), one tiny agg.
+def q108_sequence_packing(
+    spark: SparkSession, sf_dir: str, context_len: int = 2048
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", "doc_id", F.size(_alnum_tokens("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = per.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "source",
+        "n_tok",
+        "cum",
+        F.floor((F.col("cum") - F.col("n_tok")) / context_len).alias("bin"),
+        F.floor((F.col("cum") - 1) / context_len).alias("end_bin"),
+    )
+    return (
+        laid.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            (F.max("end_bin") + 1).cast("bigint").alias("n_bins"),
+            F.sum(
+                (F.col("end_bin") > F.col("bin")).cast("bigint")
+            ).alias("n_straddling"),
+            F.round(
+                F.sum("n_tok").cast("double")
+                / ((F.max("end_bin") + 1) * F.lit(float(context_len))),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# F7/A1 — PMI COLLOCATIONS: bigrams scored by pointwise mutual information
+# against unigram frequencies, min-count 5, global top-20. Three partial
+# aggregations (unigram counts, bigram counts, totals); the unigram side is
+# tiny after aggregation, so both probability joins broadcast. The PMI
+# expression is written in one canonical operand order so Spark and DuckDB
+# produce bit-identical doubles (both round to 6 dp for the value hash).
+def q109_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(_alnum_tokens("text").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    big = (
+        toks.select(F.explode(_ngram_strings(F.col("ts"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    t_total = uni.agg(F.sum("c_w").alias("t")).select("t")
+    n_total = (
+        toks.select(
+            F.greatest(F.size("ts") - 1, F.lit(0)).alias("k")
+        )
+        .agg(F.sum("k").alias("n"))
+        .select("n")
+    )
+    a = uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    b = uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    scored = (
+        big.withColumn("a", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .withColumn("b", F.split_part(F.col("g"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(a), "a")
+        .join(F.broadcast(b), "b")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("g").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("t") * F.col("t"))
+                    / (F.col("n").cast("double") * F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(20)
+
+
+R5_QUERIES = {
+    "q107_decontamination": q107_decontamination,
+    "q108_sequence_packing": q108_sequence_packing,
+    "q109_pmi_bigrams": q109_pmi_bigrams,
+}
