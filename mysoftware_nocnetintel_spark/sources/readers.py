@@ -80,6 +80,11 @@ def read_table_format(
                 return read_delta_snapshot(spark, path, version=version)
             except (FileNotFoundError, NotImplementedError):
                 pass
+        if fmt == "iceberg" and timestamp is None:
+            try:
+                return read_iceberg_snapshot(spark, path, snapshot_id=version)
+            except (FileNotFoundError, NotImplementedError):
+                pass
         pkg = (
             "io.delta:delta-spark_2.13:<version>"
             if fmt == "delta"
@@ -161,6 +166,92 @@ def read_delta_snapshot(
             df = df.withColumn(k, F.lit(val))
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def read_iceberg_snapshot(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Minimal Apache Iceberg snapshot reader built on the PUBLIC Iceberg
+    table spec (iceberg.apache.org/spec/): pick a snapshot from the current
+    ``metadata/v*.metadata.json``, decode its Avro manifest list and
+    manifests with :mod:`.avro_lite`, and scan the surviving data files.
+    ``snapshot_id`` pins an exact snapshot (time travel); ``as_of_ms``
+    picks the latest snapshot at or before a timestamp.
+
+    Like the Delta fallback this is driver-side METADATA work only — a
+    manifest is KB-scale Avro — and the data scan stays a distributed
+    parquet read. Tables using features the minimal reader can't honor
+    without wrong results fail fast with NotImplementedError: delete files
+    (merge-on-read v2), non-parquet data files, and ``status=2`` handling
+    follows the spec (deleted entries are skipped).
+    """
+    import json
+    import os
+    from glob import glob
+
+    from .avro_lite import read_avro_file
+
+    meta_dir = os.path.join(path, "metadata")
+    versions = sorted(
+        glob(os.path.join(meta_dir, "v*.metadata.json")),
+        key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
+    )
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata at {meta_dir}")
+    with open(versions[-1]) as fh:
+        meta = json.load(fh)
+    snapshots = meta.get("snapshots") or []
+    if not snapshots:
+        raise ValueError(f"Iceberg table at {path} has no snapshots")
+    if snapshot_id is not None:
+        chosen = [s for s in snapshots if s["snapshot-id"] == snapshot_id]
+        if not chosen:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        snap = chosen[0]
+    elif as_of_ms is not None:
+        eligible = [s for s in snapshots if s["timestamp-ms"] <= as_of_ms]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before {as_of_ms}")
+        snap = max(eligible, key=lambda s: s["timestamp-ms"])
+    else:
+        cur = meta.get("current-snapshot-id")
+        snap = next(s for s in snapshots if s["snapshot-id"] == cur)
+
+    def _local(p: str) -> str:
+        return p[7:] if p.startswith("file://") else p
+
+    data_files: list[str] = []
+    _, manifests = read_avro_file(_local(snap["manifest-list"]))
+    for m in manifests:
+        # v2 manifest-list rows carry `content`: 0=data, 1=deletes
+        if m.get("content", 0) != 0:
+            raise NotImplementedError(
+                "Iceberg delete manifests (merge-on-read): use the "
+                "iceberg-spark-runtime connector"
+            )
+        _, entries = read_avro_file(_local(m["manifest_path"]))
+        for e in entries:
+            if e.get("status") == 2:  # DELETED entry — not live in snapshot
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "Iceberg delete files: use the connector"
+                )
+            if df_rec["file_format"].upper() != "PARQUET":
+                raise NotImplementedError(
+                    f"Iceberg {df_rec['file_format']} data files "
+                    "(minimal reader scans parquet only)"
+                )
+            data_files.append(_local(df_rec["file_path"]))
+    if not data_files:
+        raise ValueError(f"Iceberg snapshot {snap['snapshot-id']} has no files")
+    # identity-partitioned Iceberg data files still CONTAIN their partition
+    # source columns (unlike Hive layout), so a plain scan is complete
+    return spark.read.parquet(*data_files)
 
 
 def jdbc_reader(
