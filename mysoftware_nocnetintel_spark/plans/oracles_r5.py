@@ -135,3 +135,54 @@ ORACLES_R5: dict[str, str] = {
         LIMIT 20
     """,
 }
+
+
+def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (plain chained CTEs — portable
+    ANSI SQL, no recursive-aggregate restrictions). Mirrors
+    operators/graph.pagerank exactly: 1/N init, (1-d)/N + d*contrib
+    update, dangling mass dropped."""
+    steps = []
+    prev = "pr0"
+    for i in range(1, num_iters + 1):
+        steps.append(f"""
+        pr{i} AS (
+            SELECT n.node,
+                   (1.0 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * coalesce(c.c, 0.0) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.r * e.w) AS c
+                FROM {prev} p JOIN edges e ON e.src = p.node
+                GROUP BY e.dst
+            ) c USING (node)
+        )""")
+        prev = f"pr{i}"
+    return f"""
+        WITH counts AS (
+            SELECT src, dst, count(*) AS n FROM (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS dst
+                FROM events
+            ) WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        edges AS (
+            SELECT src, dst,
+                   n * 1.0 / sum(n) OVER (PARTITION BY src) AS w
+            FROM counts
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst AS node FROM edges
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        pr0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+        ),{",".join(steps)}
+        SELECT node, round(r, 6) AS pagerank FROM {prev}
+        ORDER BY pagerank DESC, node
+    """
+
+
+ORACLES_R5["q110_pagerank"] = _pagerank_sql()

@@ -213,8 +213,40 @@ def q109_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("pmi").desc(), "bigram").limit(20)
 
 
+# X-family — PAGERANK over the event-type transition graph (q106's edges,
+# row-normalized), 10 fixed iterations, damping 0.85, dangling mass dropped
+# — the operator's documented simplification, mirrored exactly by the
+# oracle (10 unrolled CTE steps; fixed iteration counts make an iterative
+# algorithm value-hash checkable). The node vocabulary is tiny here; on a
+# billion-node graph the same operator shape holds because every iteration
+# is an equi-join + agg on graph keys (see operators/graph.pagerank).
+def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("src")
+    edges = edges.select(
+        "src", "dst", (F.col("n") / F.sum("n").over(w_src)).alias("w")
+    )
+    ranks = pagerank(edges, num_iters=10, damping=0.85, weight="w")
+    return ranks.select(
+        "node", F.round("r", 6).alias("pagerank")
+    ).orderBy(F.col("pagerank").desc(), "node")
+
+
 R5_QUERIES = {
     "q107_decontamination": q107_decontamination,
     "q108_sequence_packing": q108_sequence_packing,
     "q109_pmi_bigrams": q109_pmi_bigrams,
+    "q110_pagerank": q110_pagerank,
 }
