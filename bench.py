@@ -113,6 +113,8 @@ def main() -> None:
         "q91_dedup_clusters",  # connected-components dedup clustering
         "q94_token_budget",    # BPE-style subword token budgeting
         "q48_ann_ivf",         # IVF ANN top-k (rows-only: approximate)
+        "q107_decontamination",  # test-set 8-gram overlap vs train split
+        "q110_pagerank",       # 10-iteration weighted PageRank
     ]
     from mysoftware_nocnetintel_spark.plans import ORACLES
 

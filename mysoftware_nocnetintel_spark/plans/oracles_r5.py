@@ -137,6 +137,47 @@ ORACLES_R5: dict[str, str] = {
 }
 
 
+ORACLES_R5["q111_weighted_sample"] = """
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               round(
+                   ln((('0x' || substring(md5(doc_id::VARCHAR || ':es'),
+                                          1, 6))::BIGINT + 0.5)
+                      / 16777216.0) / n_chars,
+                   12) AS sample_key
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+"""
+
+ORACLES_R5["q112_chi2_independence"] = """
+    WITH obs AS (
+        SELECT event_type AS et, extract(hour FROM ts) AS hr,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    row_t AS (SELECT et, sum(o) AS rt FROM obs GROUP BY 1),
+    col_t AS (SELECT hr, sum(o) AS ct FROM obs GROUP BY 1),
+    n_t AS (SELECT sum(o) AS n FROM obs),
+    grid AS (SELECT et, hr FROM row_t CROSS JOIN col_t),
+    full_g AS (
+        SELECT g.et, g.hr, coalesce(obs.o, 0) AS o
+        FROM grid g LEFT JOIN obs USING (et, hr)
+    ),
+    cell AS (
+        SELECT o, rt::DOUBLE * ct / n AS e
+        FROM full_g
+        JOIN row_t USING (et) JOIN col_t USING (hr) CROSS JOIN n_t
+    )
+    SELECT
+        (SELECT round(sum((o - e) * (o - e) / e), 6) FROM cell) AS chi2,
+        ((SELECT count(*) - 1 FROM row_t)
+         * (SELECT count(*) - 1 FROM col_t))::BIGINT AS dof,
+        (SELECT n FROM n_t)::BIGINT AS n_obs
+"""
+
+
 def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank (plain chained CTEs — portable
     ANSI SQL, no recursive-aggregate restrictions). Mirrors

@@ -56,34 +56,61 @@ def _ngram_strings(toks: Column, n: int) -> Column:
 # split. Scale shape: the test split's distinct n-grams are a small
 # fraction of the corpus (10% of docs, deduplicated) — at 100 TB this side
 # is still the bounded one (and would get a bloom/semi-join pre-prune);
-# here Spark broadcast-joins it against the train-side n-gram stream, so
-# the train corpus is never shuffled. Everything downstream of the join is
-# a per-(doc, lang) count — one partial-aggregated shuffle.
+# here Spark broadcast-joins it against the train-side n-gram stream.
+# The 8-gram windows are built by posexplode + 7 window LEADs (one shuffle
+# on doc_id) rather than a higher-order-function transform over the token
+# array: HOF lambdas run interpreted (outside whole-stage codegen) and
+# measured 6× slower at sf0.1. The exploded gram table is cached because
+# two branches (test grams, train grams) consume it; at cluster scale the
+# same table would be materialized once to storage instead.
 def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bucket = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
     )
-    toks = _alnum_tokens("text")
-    base = docs.select(
-        "doc_id", "lang", bucket.alias("b"), _ngram_strings(toks, 8).alias("gs")
+    base = docs.select("doc_id", "lang", bucket.alias("b"), "text").filter(
+        (F.col("b") < "cd") | (F.col("b") >= "e6")
+    )
+    tok = base.select(
+        "doc_id",
+        "lang",
+        "b",
+        F.posexplode(_alnum_tokens("text")).alias("pos", "w0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w0", j).over(w).alias(f"w{j}") for j in range(1, 8)]
+    grams = (
+        tok.select("doc_id", "lang", "b", "w0", *leads)
+        .filter(F.col("w7").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "b",
+            F.concat_ws(" ", *[f"w{j}" for j in range(8)]).alias("g"),
+        )
+        .cache()
     )
     test_grams = (
-        base.filter(F.col("b") >= "e6")
-        .select(F.explode("gs").alias("g"))
-        .distinct()
+        grams.filter(F.col("b") >= "e6").select("g").distinct()
     )
-    train = base.filter(F.col("b") < "cd")
-    train_grams = train.select(
-        "doc_id", "lang", F.explode("gs").alias("g")
+    train_grams = grams.filter(F.col("b") < "cd").select(
+        "doc_id", "lang", "g"
     ).distinct()
     hits = (
         train_grams.join(F.broadcast(test_grams), "g")
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    per_lang = train.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_train_docs")
+    per_lang = (
+        docs.select(
+            "lang",
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+            ).alias("b"),
+        )
+        .filter(F.col("b") < "cd")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
     )
     contaminated = hits.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_contaminated"),
@@ -244,9 +271,92 @@ def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("pagerank").desc(), "node")
 
 
+# Training-corpus assembly, step 3 — WEIGHTED sampling without replacement
+# (Efraimidis–Spirakis A-ES): key = ln(u)/w with u a deterministic hash
+# uniform, take the global top-k keys. One narrow projection + a
+# TakeOrderedAndProject top-k — no shuffle of the corpus, reproducible on
+# re-run and across engines (the md5-derived u is byte-identical; hex→int
+# is conv() in Spark, '0x'-cast in DuckDB). This is how a 100 TB corpus
+# takes a length-weighted subsample in one pass.
+def q111_weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = 50
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hx = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":es")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (hx + F.lit(0.5)) / F.lit(16777216.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(key, 12).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+# A4/F2 — CHI-SQUARED independence test: event_type × hour-of-day
+# contingency table, expected counts from the marginals (zero-observed
+# cells included via the full type×hour grid), Pearson statistic + dof.
+# Everything after the first (type, hour) count is marginal-sized, so the
+# grid build and the expected-count joins all broadcast.
+def q112_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("et"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_t = obs.groupBy("et").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("hr").agg(F.sum("o").alias("ct"))
+    n_t = obs.agg(F.sum("o").alias("n"))
+    grid = row_t.select("et").crossJoin(col_t.select("hr"))
+    full = (
+        grid.join(obs, ["et", "hr"], "left")
+        .select("et", "hr", F.coalesce("o", F.lit(0)).alias("o"))
+        .join(F.broadcast(row_t), "et")
+        .join(F.broadcast(col_t), "hr")
+        .crossJoin(F.broadcast(n_t))
+    )
+    cell = full.select(
+        "o",
+        (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("e"),
+    )
+    chi2 = cell.agg(
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+            ),
+            6,
+        ).alias("chi2")
+    )
+    dof = row_t.crossJoin(col_t).agg(
+        (
+            (F.countDistinct("et") - 1) * (F.countDistinct("hr") - 1)
+        ).cast("bigint").alias("dof")
+    )
+    return chi2.crossJoin(dof).crossJoin(
+        n_t.select(F.col("n").cast("bigint").alias("n_obs"))
+    )
+
+
 R5_QUERIES = {
     "q107_decontamination": q107_decontamination,
     "q108_sequence_packing": q108_sequence_packing,
     "q109_pmi_bigrams": q109_pmi_bigrams,
     "q110_pagerank": q110_pagerank,
+    "q111_weighted_sample": q111_weighted_sample,
+    "q112_chi2_independence": q112_chi2_independence,
 }
