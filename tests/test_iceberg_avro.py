@@ -296,3 +296,44 @@ def test_iceberg_fail_fast_gates(spark, tmp_path):
 def test_iceberg_missing_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_iceberg_snapshot(spark, str(tmp_path / "nope"))
+
+
+# ------------------------------------------------------ writer round-trip
+
+
+def test_iceberg_append_roundtrip_and_time_travel(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        write_iceberg_append,
+    )
+
+    root = str(tmp_path / "wtable")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, val string")
+    df2 = spark.createDataFrame([(30, "z")], "id bigint, val string")
+    s1 = write_iceberg_append(df1, root)
+    s2 = write_iceberg_append(df2, root)
+    assert s2 > s1
+
+    def rows(df):
+        return {(r.id, r.val) for r in df.collect()}
+
+    assert rows(read_iceberg_snapshot(spark, root)) == {
+        (1, "a"),
+        (2, "b"),
+        (30, "z"),
+    }
+    # time travel back to the first snapshot
+    assert rows(read_iceberg_snapshot(spark, root, snapshot_id=s1)) == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_iceberg_append_refuses_foreign_table(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        write_iceberg_append,
+    )
+
+    root = _write_iceberg_fixture(str(tmp_path / "ftable"))
+    df = spark.createDataFrame([(9, "q")], "id bigint, val string")
+    with pytest.raises(NotImplementedError, match="another"):
+        write_iceberg_append(df, root)
