@@ -103,27 +103,28 @@ def shingle_rows(
     )
 
 
-def ngram_jaccard_pairs(
+def shingle_overlap_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_k: int = 3,
-    threshold: float = 0.5,
     max_shingle_df: int | None = None,
     hash_shingles: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard over distinct word-k-shingles via inverted-index join.
+    """Shared inverted-index core of Jaccard/containment dedup: per
+    candidate pair (id_a < id_b), the distinct-shingle overlap ``common``
+    and both set sizes ``na``/``nb``.
 
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     (stop-shingles) — at 100 TB this bound is what keeps bucket sizes and the
-    pair count linear-ish; dropped shingles slightly underestimate Jaccard
+    pair count linear-ish; dropped shingles slightly underestimate overlap
     for affected pairs (standard trade-off, disclosed here).
 
     ``hash_shingles`` replaces each shingle string with its xxhash64 before
     the distinct + self-join: the shuffled keys shrink from ~20-byte strings
-    to 8-byte longs (measured 3.0 s → 2.2 s at sf0.1). Jaccard counts are
-    then over hashed shingles — identical unless two distinct shingles of
-    one corpus collide in 64 bits (expected collisions ≈ n²/2⁶⁵; for a
+    to 8-byte longs (measured 3.0 s → 2.2 s at sf0.1). Counts are then over
+    hashed shingles — identical unless two distinct shingles of one corpus
+    collide in 64 bits (expected collisions ≈ n²/2⁶⁵; for a
     trillion-shingle corpus ≈ 0.03), the standard trade every production
     shingle pipeline makes.
     """
@@ -157,7 +158,7 @@ def ngram_jaccard_pairs(
         F.col("n_shingles").alias("nb"),
         "shingle",
     )
-    pairs = (
+    return (
         a.join(b, ["shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -167,6 +168,22 @@ def ngram_jaccard_pairs(
             F.first("nb").alias("nb"),
         )
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-k-shingles via the shared
+    inverted-index core (see :func:`shingle_overlap_counts`)."""
+    pairs = shingle_overlap_counts(
+        df, id_col, text_col, shingle_k, max_shingle_df, hash_shingles
+    )
     jac = F.try_divide(
         F.col("common").cast("double"),
         (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
@@ -175,6 +192,42 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC containment |A∩B|/|A| (resp. /|B|) over the same inverted
+    index — catches SUB-document duplication (boilerplate, long quotes, a
+    document embedded inside a larger one) that symmetric Jaccard misses: a
+    short file pasted into a long one has tiny Jaccard but containment ≈ 1.
+    Keeps pairs where either direction clears the threshold."""
+    pairs = shingle_overlap_counts(
+        df, id_col, text_col, shingle_k, max_shingle_df, hash_shingles
+    )
+    c = F.col("common").cast("double")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(F.try_divide(c, F.col("na").cast("double")), 6).alias(
+                "cont_a_in_b"
+            ),
+            F.round(F.try_divide(c, F.col("nb").cast("double")), 6).alias(
+                "cont_b_in_a"
+            ),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
     )
 
 

@@ -178,6 +178,97 @@ ORACLES_R5["q112_chi2_independence"] = """
 """
 
 
+ORACLES_R5["q113_countmin"] = """
+    WITH tok AS (
+        SELECT unnest(list_filter(
+            string_split_regex(trim(text), '\\s+'), x -> x <> ''
+        )) AS w
+        FROM documents
+    ),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+        SELECT w, d,
+               ('0x' || substring(md5(w || ':cms' || d::VARCHAR), 1, 6))
+                   ::BIGINT % 1024 AS cell
+        FROM tok CROSS JOIN ds
+    ),
+    sketch AS (
+        SELECT d, cell, count(*) AS c FROM cells GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT w, count(*) AS exact_n FROM tok GROUP BY 1
+        ORDER BY exact_n DESC, w LIMIT 20
+    ),
+    probes AS (
+        SELECT t.w, t.exact_n, ds.d,
+               ('0x' || substring(md5(t.w || ':cms' || ds.d::VARCHAR), 1, 6))
+                   ::BIGINT % 1024 AS cell
+        FROM top t CROSS JOIN ds
+    ),
+    est AS (
+        SELECT p.w, p.exact_n, min(s.c) AS est_n
+        FROM probes p JOIN sketch s USING (d, cell)
+        GROUP BY 1, 2
+    )
+    SELECT w AS token, exact_n, est_n::BIGINT AS est_n,
+           (est_n - exact_n)::BIGINT AS overestimate
+    FROM est ORDER BY exact_n DESC, token
+"""
+
+ORACLES_R5["q114_attribution"] = """
+    WITH t AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    conv AS (
+        SELECT coalesce(prev, 'none') AS touch FROM t
+        WHERE event_type = 'purchase'
+    ),
+    agg AS (SELECT touch, count(*) AS n FROM conv GROUP BY 1),
+    tot AS (SELECT sum(n) AS tot FROM agg)
+    SELECT touch, n AS n_conversions,
+           round(n::DOUBLE / tot, 6) AS share
+    FROM agg CROSS JOIN tot
+    ORDER BY n DESC, touch
+"""
+
+ORACLES_R5["q115_containment"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
+    ),
+    ex AS (
+        SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM ex a JOIN ex b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               round(common * 1.0 / na, 6) AS cont_a_in_b,
+               round(common * 1.0 / nb, 6) AS cont_b_in_a
+        FROM pairs
+    )
+    SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM scored
+    WHERE cont_a_in_b >= 0.8 OR cont_b_in_a >= 0.8
+    ORDER BY id_a, id_b
+"""
+
+
 def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank (plain chained CTEs — portable
     ANSI SQL, no recursive-aggregate restrictions). Mirrors

@@ -352,6 +352,121 @@ def q112_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A3-family — COUNT-MIN SKETCH: the mergeable frequency sketch (CM rows
+# are daily/shard-mergeable by plain cell addition, like q78's HLL and
+# q104's histograms). Build d=4 × w=1024 counters over document tokens
+# with a PORTABLE md5-derived cell hash (identical in DuckDB), then read
+# back estimates for the exact top-20 tokens: est = min over rows, always
+# ≥ the true count. The whole sketch AND the estimates are value-hash
+# oracle-checked — the overestimate column shows the sketch error
+# directly.
+_CMS_D, _CMS_W = 4, 1024
+
+
+def _cms_cell(w: Column, d: int) -> Column:
+    hx = F.conv(
+        F.substring(
+            F.md5(F.concat(w, F.lit(f":cms{d}")).cast("binary")), 1, 6
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return hx % _CMS_W
+
+
+def q113_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens("text")).alias("w"))
+    cells = tok.select(
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_cell(F.col("w"), d).alias("cell")
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("dc"),
+    ).select("w", "dc.d", "dc.cell")
+    sketch = cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "w")
+        .limit(20)
+    )
+    probes = top.select(
+        "w",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_cell(F.col("w"), d).alias("cell")
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("dc"),
+    ).select("w", "exact_n", "dc.d", "dc.cell")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("est_n"))
+    )
+    return est.select(
+        F.col("w").alias("token"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+    ).orderBy(F.col("exact_n").desc(), "token")
+
+
+# W1/A2 — LAST-TOUCH ATTRIBUTION: for each purchase, the event-type
+# immediately preceding it in the user's stream (lag over one entity
+# window — no self-join); conversion share per touch type.
+def q114_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touched = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("event_type") == "purchase")
+    conv = touched.select(
+        F.coalesce("prev_type", F.lit("none")).alias("touch")
+    )
+    agg = conv.groupBy("touch").agg(F.count(F.lit(1)).alias("n_conversions"))
+    tot = agg.agg(F.sum("n_conversions").alias("tot"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "touch",
+            "n_conversions",
+            F.round(
+                F.col("n_conversions").cast("double") / F.col("tot"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_conversions").desc(), "touch")
+    )
+
+
+# U3 asymmetric tier — CONTAINMENT dedup (|A∩B|/|A|): sub-document
+# duplication the symmetric Jaccard (q41) misses. Same inverted-index
+# core (hashed shingle keys, same collision disclosure as q41 — the
+# string-exact oracle still hash-matches at tested scales).
+def q115_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.8, hash_shingles=True
+    ).orderBy("id_a", "id_b")
+
+
 R5_QUERIES = {
     "q107_decontamination": q107_decontamination,
     "q108_sequence_packing": q108_sequence_packing,
@@ -359,4 +474,7 @@ R5_QUERIES = {
     "q110_pagerank": q110_pagerank,
     "q111_weighted_sample": q111_weighted_sample,
     "q112_chi2_independence": q112_chi2_independence,
+    "q113_countmin": q113_countmin,
+    "q114_attribution": q114_attribution,
+    "q115_containment": q115_containment,
 }
