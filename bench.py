@@ -64,9 +64,14 @@ def main() -> None:
 
     # pin hot tables in memory for the amortized serving mode (the DuckDB
     # baseline equivalently enjoys its in-process buffer pool / page cache)
+    from mysoftware_nocnetintel_spark.plans import enable_plan_cache
     from mysoftware_nocnetintel_spark.sources.registry import enable_table_cache
 
     enable_table_cache(True)
+    # prepared-statement analogue: reuse built DataFrames across repeat
+    # invocations (plan construction is ~40 ms of py4j per query,
+    # GIL-serialized in the concurrent batch)
+    enable_plan_cache(True)
 
     # warm-up: two full passes — JVM JIT, parquet footer caches, codegen
     # compilation; measured runs then reflect the amortized shared-session
