@@ -178,6 +178,35 @@ ORACLES_R5["q112_chi2_independence"] = """
 """
 
 
+ORACLES_R5["q116_retention"] = """
+    WITH first_seen AS (
+        SELECT user_id, min(ts)::DATE AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    act AS (
+        SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    ),
+    joined AS (
+        SELECT a.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, a.day) AS day_n
+        FROM act a JOIN first_seen f USING (user_id)
+    ),
+    sizes AS (
+        SELECT cohort_day, count(DISTINCT user_id) AS cohort_size
+        FROM first_seen GROUP BY 1
+    ),
+    ret AS (
+        SELECT cohort_day, day_n, count(DISTINCT user_id) AS n_active
+        FROM joined WHERE day_n BETWEEN 0 AND 7
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_day::TIMESTAMP AS cohort_day, r.day_n, r.n_active,
+           s.cohort_size,
+           round(r.n_active::DOUBLE / s.cohort_size, 6) AS retention
+    FROM ret r JOIN sizes s USING (cohort_day)
+    ORDER BY cohort_day, day_n
+"""
+
 ORACLES_R5["q113_countmin"] = """
     WITH tok AS (
         SELECT unnest(list_filter(

@@ -467,6 +467,47 @@ def q115_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# A1/F1 — RETENTION COHORTS: users grouped by first-seen day, retention =
+# distinct active users at day offset 0..7 over cohort size. Two shuffles
+# (first-seen per user, then cohort×offset agg); the first-seen frame
+# joins back on user_id — co-partitioned with the per-user agg that
+# produced it, so AQE reuses the exchange.
+def q116_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    joined = act.join(first, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_n"),
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    ret = (
+        joined.filter(F.col("day_n").between(0, 7))
+        .groupBy("cohort_day", "day_n")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(sizes, "cohort_day")
+        .select(
+            # DATE → TIMESTAMP_NTZ so the value-hash compares as an instant
+            # on both engines (DATE arrives as python objects via Arrow)
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"),
+            "day_n",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_n")
+    )
+
+
 R5_QUERIES = {
     "q107_decontamination": q107_decontamination,
     "q108_sequence_packing": q108_sequence_packing,
@@ -477,4 +518,5 @@ R5_QUERIES = {
     "q113_countmin": q113_countmin,
     "q114_attribution": q114_attribution,
     "q115_containment": q115_containment,
+    "q116_retention": q116_retention,
 }
