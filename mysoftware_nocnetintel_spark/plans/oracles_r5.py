@@ -207,6 +207,42 @@ ORACLES_R5["q116_retention"] = """
     ORDER BY cohort_day, day_n
 """
 
+ORACLES_R5["q117_bigram_surprisal"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id AS doc,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i])) AS a,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i+1])) AS b
+        FROM toks
+    ),
+    big AS (SELECT a, b, count(*) AS c_ab FROM grams GROUP BY 1, 2),
+    uni AS (SELECT a, count(*) AS c_a FROM grams GROUP BY 1),
+    vocab AS (
+        SELECT count(DISTINCT w) AS v FROM (
+            SELECT a AS w FROM grams UNION ALL SELECT b AS w FROM grams
+        )
+    ),
+    scored AS (
+        SELECT g.doc,
+               -ln((big.c_ab + 1)::DOUBLE / (uni.c_a + vocab.v))
+                   AS surprisal
+        FROM grams g
+        JOIN big USING (a, b) JOIN uni USING (a) CROSS JOIN vocab
+    )
+    SELECT doc AS doc_id, count(*) AS n_bigrams,
+           round(avg(surprisal), 6) AS avg_surprisal
+    FROM scored GROUP BY doc
+    ORDER BY avg_surprisal DESC, doc_id
+    LIMIT 20
+"""
+
 ORACLES_R5["q113_countmin"] = """
     WITH tok AS (
         SELECT unnest(list_filter(

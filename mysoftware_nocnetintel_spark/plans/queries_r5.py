@@ -508,6 +508,54 @@ def q116_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F7/X-family — BIGRAM-LM PERPLEXITY PROXY: score every document by the
+# average surprisal -ln p(w_i | w_{i-1}) under an add-one-smoothed bigram
+# model of the corpus itself — the classic cheap quality filter (docs that
+# don't look like the corpus score high). Count tables aggregate to
+# vocabulary size and broadcast; the per-doc pass is one window-lead gram
+# build + two broadcast joins + one per-doc aggregation.
+def q117_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = shingle_rows(docs, "doc_id", "text", 2).select(
+        "doc",
+        F.split_part(F.col("s"), F.lit(" "), F.lit(1)).alias("a"),
+        F.split_part(F.col("s"), F.lit(" "), F.lit(2)).alias("b"),
+    )
+    big = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = grams.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = (
+        grams.select(F.col("a").alias("w"))
+        .union(grams.select(F.col("b").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        grams.join(F.broadcast(big), ["a", "b"])
+        .join(F.broadcast(uni), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc",
+            (
+                -F.log(
+                    (F.col("c_ab") + 1).cast("double")
+                    / (F.col("c_a") + F.col("v")).cast("double")
+                )
+            ).alias("surprisal"),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_bigrams", "avg_surprisal")
+        .orderBy(F.col("avg_surprisal").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 R5_QUERIES = {
     "q107_decontamination": q107_decontamination,
     "q108_sequence_packing": q108_sequence_packing,
@@ -519,4 +567,5 @@ R5_QUERIES = {
     "q114_attribution": q114_attribution,
     "q115_containment": q115_containment,
     "q116_retention": q116_retention,
+    "q117_bigram_surprisal": q117_bigram_surprisal,
 }
