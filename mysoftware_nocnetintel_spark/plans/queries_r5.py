@@ -556,6 +556,29 @@ def q117_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multimodal fan-out (rows-only like q53): video-style metadata →
+# frame-index explode (the stage that feeds per-frame decode at scale) +
+# aspect-preserving resize plan. Deterministic fake media (hash-derived
+# payload/metadata) keeps it reproducible; the frame-count arithmetic is
+# itself checkable: sampled = floor((n_frames-1)/24)+1.
+def q118_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.resize_meta(MM.attach_fake_media(docs), max_dim=512)
+    frames = MM.sample_frames(media, every_n=24)
+    return (
+        frames.groupBy(F.col("media_meta.format").alias("media_format"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
+            F.max("media_meta.width").cast("bigint").alias("max_width"),
+        )
+        .orderBy("media_format")
+    )
+
+
 R5_QUERIES = {
     "q107_decontamination": q107_decontamination,
     "q108_sequence_packing": q108_sequence_packing,
@@ -568,4 +591,5 @@ R5_QUERIES = {
     "q115_containment": q115_containment,
     "q116_retention": q116_retention,
     "q117_bigram_surprisal": q117_bigram_surprisal,
+    "q118_frame_sample": q118_frame_sample,
 }
