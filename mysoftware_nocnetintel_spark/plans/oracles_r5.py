@@ -243,6 +243,55 @@ ORACLES_R5["q117_bigram_surprisal"] = """
     LIMIT 20
 """
 
+ORACLES_R5["q119_source_overlap"] = """
+    WITH vocab AS (
+        SELECT DISTINCT source,
+               unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY 1),
+    common AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+        FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT c.src_a, c.src_b, c.common,
+           round(c.common::DOUBLE / (sa.n + sb.n - c.common), 6)
+               AS vocab_jaccard
+    FROM common c
+    JOIN sizes sa ON sa.source = c.src_a
+    JOIN sizes sb ON sb.source = c.src_b
+    ORDER BY src_a, src_b
+"""
+
+ORACLES_R5["q120_ngram_novelty"] = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 4, 0) + 1),
+                   i -> array_to_string(t[i:i+4], ' ')
+               )) AS s
+        FROM toks
+    ),
+    first_seen AS (
+        SELECT s, min(source) AS first_source FROM grams GROUP BY 1
+    )
+    SELECT g.source,
+           count(*) AS n_grams,
+           sum((g.source = f.first_source)::BIGINT) AS n_new,
+           round(sum((g.source = f.first_source)::BIGINT)::DOUBLE
+                 / count(*), 6) AS novelty_rate
+    FROM grams g JOIN first_seen f USING (s)
+    GROUP BY g.source ORDER BY g.source
+"""
+
 ORACLES_R5["q113_countmin"] = """
     WITH tok AS (
         SELECT unnest(list_filter(

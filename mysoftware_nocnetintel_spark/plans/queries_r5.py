@@ -579,6 +579,82 @@ def q118_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-diversity audit — CROSS-SOURCE VOCABULARY OVERLAP: pairwise
+# Jaccard of the distinct-token vocabularies of every source pair, via the
+# same inverted-index shape as document dedup but keyed at source
+# granularity (the audit a mixture designer runs before setting q98's
+# weights). |sources|² output is tiny; the heavy part is one distinct over
+# (source, token).
+def q119_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("w"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "w")
+    b = vocab.select(F.col("source").alias("src_b"), "w")
+    common = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# Corpus-growth audit — INCREMENTAL N-GRAM NOVELTY: treating sources as
+# ordered ingest batches, the share of each batch's distinct 5-grams never
+# seen in an earlier batch. first-seen batch = min(source) per gram — one
+# aggregation, no per-batch rescans (how novelty tracking stays linear as
+# the corpus grows).
+def q120_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        shingle_rows(docs, "doc_id", "text", 5)
+        .join(docs.select(F.col("doc_id").alias("doc"), "source"), "doc")
+        .select("source", "s")
+        .distinct()
+    )
+    first = grams.groupBy("s").agg(F.min("source").alias("first_source"))
+    per = grams.join(first, "s").select(
+        "source", (F.col("source") == F.col("first_source")).alias("is_new")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("is_new").cast("bigint")).alias("n_new"),
+            F.round(
+                F.sum(F.col("is_new").cast("bigint")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 R5_QUERIES = {
     "q107_decontamination": q107_decontamination,
     "q108_sequence_packing": q108_sequence_packing,
@@ -592,4 +668,6 @@ R5_QUERIES = {
     "q116_retention": q116_retention,
     "q117_bigram_surprisal": q117_bigram_surprisal,
     "q118_frame_sample": q118_frame_sample,
+    "q119_source_overlap": q119_source_overlap,
+    "q120_ngram_novelty": q120_ngram_novelty,
 }
