@@ -369,6 +369,7 @@ def continuous_rollup(
     path: str,
     checkpoint: str,
     watermark: str = "1 hour",
+    keys: tuple[str, ...] = (),
 ):
     """Hypertable-style continuous aggregate (the scheduled rollup worker of
     reference README.md:24,26 re-expressed as streaming): an hourly rollup
@@ -385,18 +386,20 @@ def continuous_rollup(
     size, and readers see an always-queryable plain parquet table."""
     rolled = (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 6).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
+            *keys,
             "n",
             "total_value",
             F.to_date(F.col("w.start")).alias("day"),
         )
     )
+    upsert_keys = ["window_start", *keys]
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -418,8 +421,8 @@ def continuous_rollup(
                     spark.read.parquet(path)
                     .where(F.col("day").isin(days))
                     .join(
-                        updated.select("window_start"),
-                        "window_start",
+                        updated.select(*upsert_keys),
+                        upsert_keys,
                         "left_anti",
                     )
                 )
@@ -448,6 +451,29 @@ def continuous_rollup(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def topk_over_rollup(spark: SparkSession, path: str, k: int = 3) -> DataFrame:
+    """T-family serving view — continuous per-window TOP-K: ranking inside a
+    streaming aggregation is unsupported (Spark rejects rank over an
+    update-mode agg), so the standard pattern splits it: the stream
+    maintains the KEYED rollup incrementally (``continuous_rollup(keys=
+    ("event_type",))``) and the rank runs as a cheap batch view over the
+    materialized table — per window, top-k keys by count. At 100 TB/day
+    the view cost is bounded by the rollup's (window × key) cardinality,
+    not the event volume."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        spark.read.parquet(path)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("window_start", "event_type", "n", "total_value", "rk")
+        .orderBy("window_start", "rk")
     )
 
 

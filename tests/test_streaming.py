@@ -433,6 +433,39 @@ def test_continuous_rollup_equals_batch(spark, sf_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_keyed_rollup_topk_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous KEYED rollup (per event_type) + the batch top-k serving
+    view must equal ranking the batch windowed counts directly — the
+    split-pattern for 'rank in streaming' (unsupported natively)."""
+    from pyspark.sql import Window
+
+    out = str(tmp_path / "keyed_rollup")
+    q = STR.continuous_rollup(
+        STR.read_events_stream(spark, sf_dir),
+        out,
+        str(tmp_path / "ckpt_topk"),
+        keys=("event_type",),
+    )
+    q.awaitTermination(120)
+    got = STR.topk_over_rollup(spark, out, k=3)
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    want = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
+    )
+    cols = ["window_start", "event_type", "n", "total_value", "rk"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_continuous_rollup_conf_hygiene(spark, sf_dir, tmp_path):
     """Round-2 advisor items: the dynamic partitionOverwriteMode must be
     scoped to the upsert write (restored afterwards — a leaked 'dynamic'
