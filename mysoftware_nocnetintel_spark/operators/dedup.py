@@ -265,6 +265,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 32,
     shingle_k: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signatures via explode → groupBy → 32×min: each
     shingle is hashed exactly once per hash function, and the single shuffle
@@ -282,8 +283,13 @@ def minhash_signatures(
     # Shingles arrive as rows from the shared window-lead builder (see
     # shingle_rows) — duplicates are harmless under min(), so no distinct
     # pass is paid here. Zero-shingle docs produce no rows, preserving the
-    # "no row" contract.
-    sh = shingle_rows(df, id_col, text_col, shingle_k)
+    # "no row" contract. ``_shingles`` lets composite pipelines pass a
+    # cached shingle table so the gram build isn't recomputed per stage.
+    sh = (
+        _shingles
+        if _shingles is not None
+        else shingle_rows(df, id_col, text_col, shingle_k)
+    )
     aggs = [
         F.min(F.xxhash64("s", F.lit(f"mh{i}"))).alias(f"__h{i}")
         for i in range(num_hashes)
@@ -305,6 +311,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: band hash = xxhash64 over a signature slice; candidates
     are pairs sharing ≥1 (band, band_hash) bucket. Equi-join → AQE handles
@@ -312,7 +319,9 @@ def lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, _shingles=_shingles
+    )
     banded = sig.select(
         "doc",
         F.explode(
@@ -357,7 +366,14 @@ def minhash_near_dup_pairs(
     """Candidates via LSH, then exact Jaccard verification on shingle sets
     (array_intersect/array_union — per-pair, JVM-side). The verify join is
     only over candidate pairs, so the quadratic term never materializes."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    # The shingle table feeds BOTH the signature pipeline (via the
+    # candidate generator) and the verification sets below — cache it so
+    # the tokenize+window gram build runs once per invocation (at cluster
+    # scale this is the intermediate you'd materialize to storage).
+    sh_rows = shingle_rows(df, id_col, text_col, shingle_k).cache()
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k, _shingles=sh_rows
+    )
     # Shingle SETS are assembled only for documents that appear in a
     # candidate pair (semi-join prune): at scale the candidate set is a
     # vanishing fraction of the corpus, so the collect_set aggregation
@@ -368,8 +384,7 @@ def minhash_near_dup_pairs(
         .distinct()
     )
     sh = (
-        shingle_rows(df, id_col, text_col, shingle_k)
-        .join(cand_docs, "doc", "left_semi")
+        sh_rows.join(cand_docs, "doc", "left_semi")
         .groupBy("doc")
         .agg(F.collect_set("s").alias("sh"))
     )
