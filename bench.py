@@ -111,6 +111,11 @@ def main() -> None:
     # headline set: Spark wall (warm, best-of-2) and, where an oracle
     # exists, the DuckDB wall for the SAME semantics. Informational extras —
     # the headline `value` contract above is unchanged.
+    # partition sizing follows the EXPLODED data volume, not the base
+    # tables: the gram/shingle tables these pipelines shuffle are ~10× the
+    # input, so the 8-partition setting tuned for the scan-light headline
+    # set starves them (measured q41: 1.8 s @ 8 → 1.4 s @ 16 partitions)
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     pipeline: dict[str, float] = {}
     pipeline_duckdb: dict[str, float] = {}
     PIPELINE = [
