@@ -1,3 +1,4 @@
+from . import avro_lite, iceberg, readers, sinks  # noqa: F401
 from .registry import (  # noqa: F401
     TABLES,
     load_table,
