@@ -123,6 +123,8 @@ def _resolve_named(schema: Any, names: dict[str, Any]) -> Any:
         t = schema.get("type")
         if t in ("record", "enum", "fixed"):
             names[schema["name"]] = schema
+            if schema.get("namespace"):  # references may use the fullname
+                names[f"{schema['namespace']}.{schema['name']}"] = schema
             if t == "record":
                 for f in schema["fields"]:
                     f["type"] = _resolve_named(f["type"], names)
