@@ -107,6 +107,43 @@ def main() -> None:
             list(ex.map(run_one, HEADLINE))
         batch_wall = min(batch_wall, time.perf_counter() - t0)
 
+    # Like-for-like counterpart for `value` (round-2 advisor): the SAME
+    # 10 queries submitted concurrently to DuckDB (one connection per
+    # thread over the same parquet, warm, best-of-5). `seq_total` already
+    # pairs with BASELINE.md's sequential table; this pairs with `value`.
+    import duckdb
+
+    from mysoftware_nocnetintel_spark.plans import ORACLES as _ORC
+
+    def _duck_con():
+        con = duckdb.connect()
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con
+
+    duck_cons = {name: _duck_con() for name in HEADLINE}
+    for name in HEADLINE:  # warm
+        duck_cons[name].execute(_ORC[name]).fetchall()
+    duckdb_batch_wall = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(HEADLINE)) as ex:
+            list(
+                ex.map(
+                    lambda n: duck_cons[n].execute(_ORC[n]).fetchall(),
+                    HEADLINE,
+                )
+            )
+        duckdb_batch_wall = min(duckdb_batch_wall, time.perf_counter() - t0)
+    for con in duck_cons.values():
+        con.close()
+
     # North-star LLM-pipeline operators, measured alongside the TPC-H-ish
     # headline set: Spark wall (warm, best-of-2) and, where an oracle
     # exists, the DuckDB wall for the SAME semantics. Informational extras —
@@ -164,6 +201,7 @@ def main() -> None:
                 "metric": "headline_queries_concurrent_batch_wall",
                 "value": round(batch_wall, 4),
                 "unit": "sec",
+                "duckdb_batch_wall": round(duckdb_batch_wall, 4),
                 "seq_total": round(sum(timings.values()), 4),
                 "seq_total_note": (
                     "sum of per-query sequential best-of-2 latencies below; "
