@@ -186,6 +186,57 @@ def alert_stream_sink(alerts: DataFrame, path: str, checkpoint: str):
     )
 
 
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str = "day",
+    target_mb: int = 128,
+    partitions: list | None = None,
+) -> dict:
+    """Small-files compaction for incrementally-maintained tables (the ops
+    companion of ``streaming.continuous_rollup``): every micro-batch
+    rewrite leaves per-partition file counts growing, and at 100 TB/day
+    the scan-planning cost of thousands of KB-files dominates reads. Each
+    listed partition (default: all) is rewritten to
+    ``ceil(bytes / target_mb)`` files via a per-partition coalesce —
+    metadata listing on the driver, data movement fully distributed, one
+    partition at a time so a failure leaves other partitions untouched.
+
+    Returns ``{partition_value: (files_before, files_after)}``. Not
+    transactional: readers racing a rewrite of the SAME partition can see
+    partial state (the lakehouse formats exist for that guarantee — this
+    utility is for plain-parquet tables where the write cadence is owned
+    by one pipeline)."""
+    import math
+    import os
+    from glob import glob
+
+    report: dict = {}
+    dirs = sorted(glob(os.path.join(path, f"{partition_col}=*")))
+    for d in dirs:
+        val = os.path.basename(d).split("=", 1)[1]
+        if partitions is not None and val not in {str(p) for p in partitions}:
+            continue
+        files = glob(os.path.join(d, "*.parquet"))
+        if len(files) <= 1:
+            report[val] = (len(files), len(files))
+            continue
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total_bytes / (target_mb << 20)))
+        if n_out >= len(files):
+            report[val] = (len(files), len(files))
+            continue
+        df = spark.read.parquet(d).coalesce(n_out)
+        tmp = d + ".__compact_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(d)
+        os.rename(tmp, d)
+        report[val] = (len(files), n_out)
+    return report
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

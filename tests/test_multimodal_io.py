@@ -264,3 +264,31 @@ def test_delta_reader_refuses_advanced_protocol(spark, tmp_path):
     open(os.path.join(root2, "_delta_log", "_last_checkpoint"), "w").write("{}")
     with pytest.raises(NotImplementedError, match="checkpoint"):
         read_delta_snapshot(spark, root2)
+
+
+def test_compact_partitions_reduces_files(spark, sf_dir, tmp_path):
+    """Small-files compaction must reduce per-partition file counts without
+    changing the data (row counts and value sums preserved)."""
+    import os
+    from glob import glob
+
+    from mysoftware_nocnetintel_spark.sources.sinks import compact_partitions
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "frag")
+    # fragment: 8 files per day partition
+    ev.withColumn("day", F.to_date("ts")).repartition(8).write.partitionBy(
+        "day"
+    ).parquet(out)
+    before = spark.read.parquet(out)
+    n_before, sum_before = before.count(), before.agg(F.sum("value")).collect()[0][0]
+    day_dirs = glob(os.path.join(out, "day=*"))
+    assert all(len(glob(os.path.join(d, "*.parquet"))) > 1 for d in day_dirs)
+
+    report = compact_partitions(spark, out, target_mb=128)
+    assert report and all(a >= b for a, b in report.values())
+    for d in day_dirs:
+        assert len(glob(os.path.join(d, "*.parquet"))) == 1  # KB-scale → 1 file
+    after = spark.read.parquet(out)
+    assert after.count() == n_before
+    assert abs(after.agg(F.sum("value")).collect()[0][0] - sum_before) < 1e-6
