@@ -292,6 +292,18 @@ ORACLES_R5["q120_ngram_novelty"] = """
     GROUP BY g.source ORDER BY g.source
 """
 
+ORACLES_R5["q121_ewma"] = """
+    WITH per AS (
+        SELECT user_id, count(*) AS n_events,
+               list(value ORDER BY ts, event_id) AS l
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           round(reduce(l, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
+           round(l[-1], 6) AS last_value
+    FROM per ORDER BY user_id
+"""
+
 ORACLES_R5["q113_countmin"] = """
     WITH tok AS (
         SELECT unnest(list_filter(

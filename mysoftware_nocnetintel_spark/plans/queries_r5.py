@@ -655,6 +655,37 @@ def q120_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# W-family forecasting primitive — per-entity EWMA (exponential smoothing,
+# s_i = a·x_i + (1-a)·s_(i-1), s_0 = x_0): a linear recursion no SQL window
+# frame expresses, folded instead over the entity's ORDERED value array —
+# one groupBy shuffle, then a per-row sequential fold whose operation
+# order is identical in Spark (`aggregate` with explicit init) and DuckDB
+# (`reduce`, first element as init), so the doubles match bitwise. Arrays
+# are per-entity event histories (bounded); at 100 TB the same recursion
+# runs in applyInPandas per entity — this is the engine-portable exact
+# form.
+def q121_ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.3) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("a"),
+    )
+    vals = F.transform(F.col("a"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        F.round(ewma, 6).alias("ewma"),
+        F.round(F.element_at(vals, -1), 6).alias("last_value"),
+    ).orderBy("user_id")
+
+
 R5_QUERIES = {
     "q107_decontamination": q107_decontamination,
     "q108_sequence_packing": q108_sequence_packing,
@@ -670,4 +701,5 @@ R5_QUERIES = {
     "q118_frame_sample": q118_frame_sample,
     "q119_source_overlap": q119_source_overlap,
     "q120_ngram_novelty": q120_ngram_novelty,
+    "q121_ewma": q121_ewma,
 }
