@@ -140,6 +140,74 @@ class TestPackingRandomized:
         assert_matches_oracle(got, sql, sf_dir)
 
 
+class TestShingleOverlapRandomized:
+    """Fuzz the rewritten inverted-index core (window-lead shingles +
+    hashed keys + window-fused stop-shingle cap) across shingle sizes,
+    thresholds, and cap values against string-exact DuckDB SQL."""
+
+    @settings(**_SETTINGS)
+    @given(
+        k=st.integers(min_value=2, max_value=5),
+        threshold=st.sampled_from([0.3, 0.5, 0.8]),
+        cap=st.sampled_from([None, 50, 500]),
+    )
+    def test_jaccard_matches_duckdb(self, spark, sf_dir, k, threshold, cap):
+        from mysoftware_nocnetintel_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_k=k, threshold=threshold,
+            max_shingle_df=cap,
+        ).orderBy("id_a", "id_b")
+        gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k)).replace(
+            "t[i+0]", "t[i]"
+        )
+        cap_filter = (
+            ""
+            if cap is None
+            else f""",
+            hot AS (
+                SELECT shingle FROM ex GROUP BY shingle
+                HAVING count(*) > {cap}
+            )"""
+        )
+        ex_src = (
+            "ex" if cap is None else "(SELECT * FROM ex ANTI JOIN hot USING (shingle))"
+        )
+        sql = f"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(t) - {k - 1}, 0) + 1),
+                           i -> {gram})) AS s
+                FROM toks
+            ),
+            ex AS (
+                SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+            ){cap_filter},
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS common,
+                       any_value(a.n) AS na, any_value(b.n) AS nb
+                FROM {ex_src} a JOIN {ex_src} b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common * 1.0 / (na + nb - common), 6) AS jaccard
+            FROM pairs
+            WHERE round(common * 1.0 / (na + nb - common), 6) >= {threshold}
+            ORDER BY id_a, id_b
+        """
+        assert_matches_oracle(got, sql, sf_dir)
+
+
 class TestPagerankRandomized:
     """Random damping factors and iteration counts: the iterative operator
     must match the unrolled-CTE oracle at every configuration, not just
