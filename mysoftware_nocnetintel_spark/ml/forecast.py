@@ -29,6 +29,9 @@ from ..operators import timeseries as TS
 
 # epoch reference for TZ-independent numeric time (NTZ-safe)
 _EPOCH_SECONDS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+# Anchor for per-entity OLS regressors: near the data, not Unix epoch (see
+# per_entity_ols docstring for the float-error rationale).
+_OLS_X_SECONDS = "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
 
 
 def build_features(events: DataFrame) -> DataFrame:
@@ -93,9 +96,14 @@ def per_entity_ols(events: DataFrame) -> DataFrame:
     """X2: per-entity model fitting via applyInPandas — closed-form OLS of
     value against elapsed seconds. Arrow-batched grouped-map; one shuffle on
     the entity key. Deterministic → oracle-checkable against DuckDB
-    regr_slope/regr_intercept."""
+    regr_slope/regr_intercept.
+
+    x is seconds since 2024-01-01 (not Unix epoch): the intercept's float
+    error is ~slope_error × mean(x), so anchoring near the data (mean x
+    ~1.3e6 s vs ~1.7e9 s) shrinks numpy-vs-DuckDB summation-order ULP
+    divergence in the intercept by ~3 orders of magnitude."""
     src = events.select(
-        "user_id", F.expr(_EPOCH_SECONDS).cast("double").alias("x"), F.col("value").alias("y")
+        "user_id", F.expr(_OLS_X_SECONDS).cast("double").alias("x"), F.col("value").alias("y")
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:

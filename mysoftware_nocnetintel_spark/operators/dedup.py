@@ -121,53 +121,107 @@ def shingle_overlap_counts(
     for affected pairs (standard trade-off, disclosed here).
 
     ``hash_shingles`` replaces each shingle string with its xxhash64 before
-    the distinct + self-join: the shuffled keys shrink from ~20-byte strings
-    to 8-byte longs (measured 3.0 s → 2.2 s at sf0.1). Counts are then over
-    hashed shingles — identical unless two distinct shingles of one corpus
-    collide in 64 bits (expected collisions ≈ n²/2⁶⁵; for a
-    trillion-shingle corpus ≈ 0.03), the standard trade every production
-    shingle pipeline makes.
+    the shuffle: the shuffled keys shrink from ~20-byte strings to 8-byte
+    longs. Counts are then over hashed shingles — identical unless two
+    distinct shingles of one corpus collide in 64 bits (expected collisions
+    ≈ n²/2⁶⁵; for a trillion-shingle corpus ≈ 0.03), the standard trade
+    every production shingle pipeline makes.
+
+    Architecture (round-4 rewrite, measured 2.09 s → 1.28 s at sf0.1,
+    bench-style fresh builds):
+
+    1. Per-doc DISTINCT shingle rows ``(doc, n_shingles, shingle)`` come out
+       of one ``mapInPandas`` pass (Arrow-batched; ~0.3 s of Python for 260k
+       shingles across 32 cores). Python here beats the previous pure-JVM
+       posexplode → lead-window → distinct → count-window pipeline because
+       that shape costs an exchange on the doc id plus two window sorts
+       before the first useful shuffle; the UDF emits already-deduplicated
+       postings map-side with zero shuffles. (A pure-JVM higher-order
+       ``transform`` variant evaluates its lambda interpreted, outside
+       codegen — measured 6.3 s for the same stage.)
+    2. One shuffle groups postings per shingle; document frequency is just
+       ``size()`` of the posting array, so the ``max_shingle_df`` cap and
+       the drop of unpaired (DF=1) shingles are free filters — no DF window.
+    3. Ordered (id_a < id_b) pairs spill out of a posexplode + slice
+       nested-generate (codegen-friendly, no interpreted lambda), and one
+       final shuffle aggregates overlap counts. ``min`` (not ``first``) for
+       na/nb: same value by construction, cheaper aggregation buffers.
+
+    At cluster scale stage 1 is embarrassingly parallel, and the only
+    all-to-all movement is two long-keyed shuffles; a posting array for one
+    shingle must fit in a task, which is exactly what ``max_shingle_df``
+    bounds — set it for any 100 TB corpus.
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_k)
-    if hash_shingles:
-        sh = sh.select("doc", F.xxhash64("s").alias("s"))
-    distinct_sh = sh.distinct()
-    # per-doc distinct-shingle count via a window on the doc id — the
-    # distinct above already shuffled on (doc, s), so this re-shuffles only
-    # the deduplicated rows
-    inv = distinct_sh.select(
-        "doc",
-        F.col("s").alias("shingle"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("n_shingles"),
+    k = shingle_k
+
+    def _shingle_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            docs_out, n_out, s_out = [], [], []
+            for doc, t in zip(pdf["doc"].values, pdf["text"].values):
+                toks = (t or "").split()
+                seen = sorted(
+                    {" ".join(tr) for tr in zip(*[toks[j:] for j in range(k)])}
+                )
+                if not seen:
+                    continue
+                docs_out.append(np.full(len(seen), doc, dtype=np.int64))
+                n_out.append(np.full(len(seen), len(seen), dtype=np.int64))
+                s_out.append(np.asarray(seen, dtype=object))
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "doc": np.concatenate(docs_out),
+                        "n_shingles": np.concatenate(n_out),
+                        "s": np.concatenate(s_out),
+                    }
+                )
+
+    src = spread_narrow(df).select(
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
     )
+    inv = src.mapInPandas(
+        _shingle_batches, "doc long, n_shingles long, s string"
+    )
+    shingle = F.xxhash64("s") if hash_shingles else F.col("s")
+    inv = inv.select("doc", "n_shingles", shingle.alias("shingle"))
+
+    raw = inv.groupBy("shingle").agg(
+        F.collect_list(F.struct("doc", "n_shingles")).alias("raw")
+    )
+    # DF cap and the DF>=2 floor in one pass over array sizes; n_shingles
+    # was counted in the UDF BEFORE any cap, preserving the
+    # under-estimate-only semantics documented above. sort_array runs only
+    # on surviving groups (id_a < id_b needs doc-sorted postings).
+    keep = F.size("raw") >= 2
     if max_shingle_df is not None:
-        # document frequency as a window over the shingle key, not a
-        # groupBy + anti-join: one exchange instead of two, and the
-        # self-join below needs exactly this partitioning, so the
-        # exchange is reused (measured 4.3 s → 2.0 s at sf0.1). Set sizes
-        # (n_shingles) are counted BEFORE the cap filter, preserving the
-        # under-estimate-only semantics documented above.
-        inv = inv.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        ).filter(F.col("__df") <= max_shingle_df).drop("__df")
-    a = inv.select(
-        F.col("doc").alias("id_a"),
-        F.col("n_shingles").alias("na"),
-        "shingle",
-    )
-    b = inv.select(
-        F.col("doc").alias("id_b"),
-        F.col("n_shingles").alias("nb"),
-        "shingle",
+        keep = keep & (F.size("raw") <= max_shingle_df)
+    grouped = raw.filter(keep).select(F.sort_array("raw").alias("ds"))
+    e1 = grouped.select("ds", F.posexplode("ds").alias("i", "a"))
+    e2 = e1.select(
+        "a",
+        F.explode(
+            F.slice(
+                "ds",
+                F.col("i") + F.lit(2),
+                F.greatest(F.size("ds") - F.col("i") - 1, F.lit(0)),
+            )
+        ).alias("b"),
     )
     return (
-        a.join(b, ["shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        e2.select(
+            F.col("a.doc").alias("id_a"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.doc").alias("id_b"),
+            F.col("b.n_shingles").alias("nb"),
+        )
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
         )
     )
 

@@ -107,13 +107,20 @@ ORACLES_R4: dict[str, str] = {
                    sum(c) OVER () AS total
             FROM binned
         )
-        SELECT max(total) AS n_total,
-               round((min(CASE WHEN cum >= 0.5 * total THEN bin END) + 0.5)
-                     * 10.0, 6) AS p50_est,
-               round((min(CASE WHEN cum >= 0.9 * total THEN bin END) + 0.5)
-                     * 10.0, 6) AS p90_est,
-               round((min(CASE WHEN cum >= 0.99 * total THEN bin END) + 0.5)
-                     * 10.0, 6) AS p99_est
+        -- CAST ... AS DOUBLE: DuckDB parses 0.5/10.0 literals as DECIMAL and
+        -- round() then yields DECIMAL (e.g. 35.00), which the driver's
+        -- type-sensitive value-hash distinguishes from Spark's double 35.0
+        -- even though the values are equal (round-3 mismatch root cause).
+        -- CAST max(total) AS BIGINT: DuckDB sum(BIGINT) widens to HUGEINT,
+        -- which arrives as float64 in pandas/Arrow — another silent type
+        -- divergence from Spark's long.
+        SELECT CAST(max(total) AS BIGINT) AS n_total,
+               CAST(round((min(CASE WHEN cum >= 0.5 * total THEN bin END) + 0.5)
+                     * 10.0, 6) AS DOUBLE) AS p50_est,
+               CAST(round((min(CASE WHEN cum >= 0.9 * total THEN bin END) + 0.5)
+                     * 10.0, 6) AS DOUBLE) AS p90_est,
+               CAST(round((min(CASE WHEN cum >= 0.99 * total THEN bin END) + 0.5)
+                     * 10.0, 6) AS DOUBLE) AS p99_est
         FROM cum
     """,
     "q105_seasonal_outliers": """

