@@ -421,10 +421,17 @@ def minhash_near_dup_pairs(
     (array_intersect/array_union — per-pair, JVM-side). The verify join is
     only over candidate pairs, so the quadratic term never materializes."""
     # The shingle table feeds BOTH the signature pipeline (via the
-    # candidate generator) and the verification sets below — cache it so
-    # the tokenize+window gram build runs once per invocation (at cluster
-    # scale this is the intermediate you'd materialize to storage).
-    sh_rows = shingle_rows(df, id_col, text_col, shingle_k).cache()
+    # candidate generator) and the verification sets below —
+    # localCheckpoint (NOT .cache()) so the tokenize+window gram build runs
+    # once per invocation: checkpoint blocks are released by the
+    # ContextCleaner when the result is garbage-collected, while
+    # CacheManager entries would pin executor storage until an explicit
+    # unpersist — a leak across repeated invocations in a long-lived
+    # session (at cluster scale this is the intermediate you'd materialize
+    # to storage).
+    sh_rows = shingle_rows(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=False
+    )
     cands = lsh_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k, _shingles=sh_rows
     )

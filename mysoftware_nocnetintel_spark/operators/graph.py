@@ -74,4 +74,12 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < num_iters:
             ranks = ranks.localCheckpoint(eager=False)
+    # Materialize the final ranks, then release the iteration caches:
+    # without this, every pagerank() call in a long-lived session pins a
+    # fresh copy of the edge and node tables in executor storage. The eager
+    # checkpoint severs the returned plan's dependency on them, so the
+    # unpersist can't force a recompute for the caller's action.
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
     return ranks

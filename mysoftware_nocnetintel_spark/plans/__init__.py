@@ -106,10 +106,19 @@ _PLAN_CACHE: dict = {}
 
 
 def enable_plan_cache(on: bool = True) -> None:
+    """Caveats (cache is OFF by default): a cached DataFrame pins the file
+    listing captured when the plan was built — if the parquet under sf_dir
+    is REGENERATED mid-session, call ``clear_plan_cache()`` (or toggle off/
+    on) or cached plans will read the stale index. Entries for other
+    (stopped) sessions are evicted lazily on the next cache insert."""
     global _PLAN_CACHE_ENABLED
     _PLAN_CACHE_ENABLED = on
     if not on:
         _PLAN_CACHE.clear()
+
+
+def clear_plan_cache() -> None:
+    _PLAN_CACHE.clear()
 
 
 def _plan_cached(name, fn):
@@ -121,8 +130,15 @@ def _plan_cached(name, fn):
             return fn(spark, sf_dir, **kwargs)
         from ..sources.registry import _session_key
 
-        key = (_session_key(spark), sf_dir, name)
+        sk = _session_key(spark)
+        key = (sk, sf_dir, name)
         if key not in _PLAN_CACHE:
+            # Lazy cross-session eviction: plans built on a stopped session
+            # are unusable (their py4j refs are dead), so drop every entry
+            # keyed to a different session before inserting. Bounds the
+            # cache at one session x registry size.
+            for k in [k for k in _PLAN_CACHE if k[0] != sk]:
+                del _PLAN_CACHE[k]
             _PLAN_CACHE[key] = fn(spark, sf_dir)
         return _PLAN_CACHE[key]
 

@@ -60,9 +60,16 @@ def _ngram_strings(toks: Column, n: int) -> Column:
 # The 8-gram windows are built by posexplode + 7 window LEADs (one shuffle
 # on doc_id) rather than a higher-order-function transform over the token
 # array: HOF lambdas run interpreted (outside whole-stage codegen) and
-# measured 6× slower at sf0.1. The exploded gram table is cached because
-# two branches (test grams, train grams) consume it; at cluster scale the
-# same table would be materialized once to storage instead.
+# measured 6× slower at sf0.1. The exploded gram table is localCheckpoint'ed
+# (not .cache()'d) because two branches (test grams, train grams) consume
+# it: checkpoint blocks are released by the ContextCleaner once the result
+# DataFrame is garbage-collected, whereas CacheManager entries pin executor
+# storage until an explicit unpersist — a leak across repeated invocations
+# in a long-lived session. At cluster scale the same table would be
+# materialized once to storage instead.
+_Q107_BROADCAST_BUDGET = 32 << 20  # documents parquet bytes; see gate below
+
+
 def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bucket = F.substring(
@@ -88,7 +95,7 @@ def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             F.concat_ws(" ", *[f"w{j}" for j in range(8)]).alias("g"),
         )
-        .cache()
+        .localCheckpoint(eager=False)
     )
     test_grams = (
         grams.filter(F.col("b") >= "e6").select("g").distinct()
@@ -96,8 +103,26 @@ def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_grams = grams.filter(F.col("b") < "cd").select(
         "doc_id", "lang", "g"
     ).distinct()
+    # Broadcast the test split's distinct grams only under a size gate
+    # (estimated from the documents parquet footprint — the gram table is
+    # ~10× the text bytes and the test split is ~10% of docs, so the
+    # broadcast is roughly the documents file size): an unconditional hint
+    # bypasses autoBroadcastJoinThreshold and would OOM the driver at
+    # larger scale factors. Above the budget, fall back to a shuffled join
+    # (at 100 TB you'd add a bloom pre-prune on the train side).
+    import os
+
+    try:
+        docs_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        docs_bytes = _Q107_BROADCAST_BUDGET + 1
+    tg = (
+        F.broadcast(test_grams)
+        if docs_bytes <= _Q107_BROADCAST_BUDGET
+        else test_grams
+    )
     hits = (
-        train_grams.join(F.broadcast(test_grams), "g")
+        train_grams.join(tg, "g")
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

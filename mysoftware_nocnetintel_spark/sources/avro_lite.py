@@ -192,6 +192,21 @@ class _Writer:
 
     def value(self, schema: Any, v: Any) -> None:
         if isinstance(schema, list):
+            # Branch selection is by value-is-None only, which is ambiguous
+            # the moment a union has TWO non-null branches (e.g.
+            # ["null","long","string"] holding a str would silently encode
+            # through the "long" branch). Fail fast instead, matching the
+            # module's fail-fast scope for unsupported format features.
+            non_null = [
+                b
+                for b in schema
+                if (b if isinstance(b, str) else b["type"]) != "null"
+            ]
+            if len(non_null) > 1:
+                raise NotImplementedError(
+                    f"avro_lite writer supports only [null, T] unions, "
+                    f"got {schema!r}"
+                )
             for i, branch in enumerate(schema):
                 name = branch if isinstance(branch, str) else branch["type"]
                 if (v is None) == (name == "null"):

@@ -209,10 +209,27 @@ def compact_partitions(
     by one pipeline)."""
     import math
     import os
+    import shutil
     from glob import glob
 
+    _TMP, _OLD = ".__compact_tmp", ".__compact_old"
     report: dict = {}
-    dirs = sorted(glob(os.path.join(path, f"{partition_col}=*")))
+    # Crash hygiene BEFORE listing: a tmp/old dir left by an interrupted run
+    # matches the `day=*` glob (its name embeds the partition dirname) and
+    # would otherwise be compacted as a bogus partition on the next run.
+    for stale in glob(os.path.join(path, f"{partition_col}=*{_TMP}")):
+        shutil.rmtree(stale)  # never renamed in => incomplete output
+    for stale in glob(os.path.join(path, f"{partition_col}=*{_OLD}")):
+        live = stale[: -len(_OLD)]
+        if os.path.exists(live):
+            shutil.rmtree(stale)  # swap completed; old copy is garbage
+        else:
+            os.rename(stale, live)  # crashed mid-swap: restore original
+    dirs = sorted(
+        d
+        for d in glob(os.path.join(path, f"{partition_col}=*"))
+        if _TMP not in d and _OLD not in d
+    )
     for d in dirs:
         val = os.path.basename(d).split("=", 1)[1]
         if partitions is not None and val not in {str(p) for p in partitions}:
@@ -227,12 +244,16 @@ def compact_partitions(
             report[val] = (len(files), len(files))
             continue
         df = spark.read.parquet(d).coalesce(n_out)
-        tmp = d + ".__compact_tmp"
+        tmp = d + _TMP
         df.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(d)
+        # Swap via rename-aside, not rmtree-then-rename: the partition is
+        # absent only between the two renames (microseconds) instead of for
+        # the whole rmtree, and a crash between them is repaired by the
+        # hygiene pass above (old dir restored, tmp discarded).
+        old = d + _OLD
+        os.rename(d, old)
         os.rename(tmp, d)
+        shutil.rmtree(old)
         report[val] = (len(files), n_out)
     return report
 

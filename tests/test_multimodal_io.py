@@ -292,3 +292,35 @@ def test_compact_partitions_reduces_files(spark, sf_dir, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == n_before
     assert abs(after.agg(F.sum("value")).collect()[0][0] - sum_before) < 1e-6
+
+
+def test_compact_partitions_crash_artifacts(spark, sf_dir, tmp_path):
+    """Leftover tmp/old dirs from a crashed run must be repaired, never
+    treated as real partitions (their names match the `day=*` glob)."""
+    import os
+    import shutil
+    from glob import glob
+
+    from mysoftware_nocnetintel_spark.sources.sinks import compact_partitions
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    out = str(tmp_path / "frag")
+    ev.withColumn("day", F.to_date("ts")).repartition(4).write.partitionBy(
+        "day"
+    ).parquet(out)
+    day_dirs = sorted(glob(os.path.join(out, "day=*")))
+    assert len(day_dirs) >= 2
+    n_before = spark.read.parquet(out).count()
+
+    # crash scenario 1: tmp written, swap never started → tmp is garbage
+    shutil.copytree(day_dirs[0], day_dirs[0] + ".__compact_tmp")
+    # crash scenario 2: old renamed aside, new never renamed in → restore
+    victim = day_dirs[1]
+    os.rename(victim, victim + ".__compact_old")
+
+    report = compact_partitions(spark, out, target_mb=128)
+    # repaired: no artifact dirs remain, no bogus partition values reported
+    assert not glob(os.path.join(out, "*__compact_*"))
+    assert all("__compact" not in v for v in report)
+    assert os.path.isdir(victim)  # restored partition is back
+    assert spark.read.parquet(out).count() == n_before
