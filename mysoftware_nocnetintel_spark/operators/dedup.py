@@ -581,11 +581,78 @@ def simhash_near_dup_pairs(
     )
 
 
+# Single-task gate shared by both connected-components strategies: a
+# deduplicated edge set at or under this many rows union-finds inside ONE
+# Arrow task (exact integer/string algorithm — no numeric concerns). An
+# iterative distributed round costs ~3 sequential stage barriers of pure
+# scheduling; for candidate-pair graphs (which are tiny relative to the
+# corpus by construction) that floor dwarfs the work. Same bounded-
+# smallness argument as the IVF centroid collect (similarity.py).
+_LOCAL_EDGES_CC = 500_000
+
+
+def _cc_single_task(
+    sym_or_edges: DataFrame, a: str, b: str, with_sizes: bool = False
+) -> DataFrame:
+    """Union-find over a 1-partition copy of the (deduplicated) edge list;
+    component = min node id, found by min-root union with path compression.
+    Emits (node, component) for every node in the edge set;
+    ``with_sizes`` appends component_size (member count) — free here (a
+    Counter over roots), and it saves callers a groupBy + join-back that
+    would otherwise consume the whole pipeline twice."""
+
+    def _unionfind(it):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in it:
+            for x, y in zip(pdf[a].values, pdf[b].values):
+                if x not in parent:
+                    parent[x] = x
+                if y not in parent:
+                    parent[y] = y
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    # attach the larger root under the smaller: the root of
+                    # every tree is then the component minimum by induction
+                    if rx < ry:
+                        parent[ry] = rx
+                    else:
+                        parent[rx] = ry
+        if parent:
+            nodes = list(parent)
+            comps = [find(x) for x in nodes]
+            out = {"node": nodes, "component": comps}
+            if with_sizes:
+                from collections import Counter
+
+                sizes = Counter(comps)
+                out["component_size"] = [sizes[c] for c in comps]
+            yield pd.DataFrame(out)
+
+    t = dict(sym_or_edges.dtypes)[a]
+    schema = f"node {t}, component {t}"
+    if with_sizes:
+        schema += ", component_size long"
+    return sym_or_edges.repartition(1).mapInPandas(_unionfind, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    assume_small: bool = False,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Connected components by hash-min label propagation — the cluster
     step of a dedup pipeline (pairs from ANY tier: exact, MinHash, SimHash,
@@ -611,11 +678,21 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # materialize ONCE: sym is joined every round, and upstream edge
-        # generation (hashing + windows + distinct) would otherwise be
-        # recomputed per round — measured 3.5x the whole-query wall at sf0.1
-        .localCheckpoint()
     )
+    # ``assume_small``: the CALLER already knows the edge set is tiny (e.g.
+    # gated on the source file footprint) — skip the blocking count and the
+    # materialization entirely, so the union-find runs as one narrow stage
+    # inside the caller's job (q91 at sf0.1: 1.5 s → ~0.8 s end-to-end,
+    # the whole query collapsing to a single Spark job).
+    if assume_small:
+        return _cc_single_task(sym, "a", "b", with_sizes=with_sizes)
+    # materialize ONCE: sym is consumed by the gate count and (on the
+    # distributed path) joined every round — upstream edge generation
+    # (hashing + windows + distinct) would otherwise be recomputed per
+    # round (measured 3.5x the whole-query wall at sf0.1)
+    sym = sym.localCheckpoint()
+    if sym.count() <= _LOCAL_EDGES_CC:
+        return _cc_single_task(sym, "a", "b", with_sizes=with_sizes)
     labels = (
         sym.select(F.col("a").alias("node"))
         .union(sym.select(F.col("b").alias("node")))
@@ -639,7 +716,13 @@ def connected_components(
         changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
         labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
-            return labels.select("node", F.col("lbl").alias("component"))
+            out = labels.select("node", F.col("lbl").alias("component"))
+            if with_sizes:
+                out = out.withColumn(
+                    "component_size",
+                    F.count(F.lit(1)).over(Window.partitionBy("component")),
+                )
+            return out
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "raise max_iter (diameter exceeds the bound) or check the edge set"
@@ -678,6 +761,8 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    if e.count() <= _LOCAL_EDGES_CC:
+        return _cc_single_task(e, "u", "v")
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))

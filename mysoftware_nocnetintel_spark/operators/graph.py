@@ -14,6 +14,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Rank-table broadcast gate for the per-iteration join: |V| rows of
+# (node, double) ≈ 40 B/row, so 2M nodes ≈ 80 MB — the conventional upper
+# bound for a comfortable broadcast. Above this the iteration joins shuffle.
+_BROADCAST_NODES = 2_000_000
+
+# Single-task gate: an aggregated edge table at or under this many rows
+# (~24 B/row ≈ 12 MB at the bound) iterates inside ONE Arrow task instead
+# of a per-iteration join chain — same bounded-smallness argument as the
+# IVF centroid collect (similarity.py) and the Bloom bitmap (queries_r4).
+_LOCAL_EDGES = 500_000
+
+
+def _pagerank_single_task(
+    e: DataFrame, n: int, num_iters: int, damping: float
+) -> DataFrame:
+    """All-iterations-in-one-Arrow-batch strategy for small aggregated
+    graphs: 1-partition mapInPandas; float64 accumulation matches the
+    distributed path's double arithmetic up to summation order (validated
+    by the randomized config differential in tests/test_property_r5.py)."""
+    base = (1.0 - damping) / n
+
+    def _iterate(it):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [pdf for pdf in it]
+        if not chunks:
+            return
+        g = pd.concat(chunks, ignore_index=True)
+        nodes_arr = pd.unique(
+            pd.concat([g["__s"], g["__d"]], ignore_index=True)
+        )
+        idx = {v: i for i, v in enumerate(nodes_arr)}
+        s_i = g["__s"].map(idx).to_numpy()
+        d_i = g["__d"].map(idx).to_numpy()
+        w = g["__w"].to_numpy(dtype=np.float64)
+        r = np.full(len(nodes_arr), 1.0 / n, dtype=np.float64)
+        for _ in range(num_iters):
+            contrib = np.zeros(len(nodes_arr), dtype=np.float64)
+            np.add.at(contrib, d_i, r[s_i] * w)
+            has_in = np.zeros(len(nodes_arr), dtype=bool)
+            has_in[d_i] = True
+            r = np.where(has_in, base + damping * contrib, base)
+        yield pd.DataFrame({"node": nodes_arr, "r": r})
+
+    node_type = dict(e.dtypes)["__s"]
+    return e.repartition(1).mapInPandas(
+        _iterate, f"node {node_type}, r double"
+    )
+
 
 def pagerank(
     edges: DataFrame,
@@ -32,13 +82,23 @@ def pagerank(
     ranks then sum to < 1 in graphs with sinks) — documented so the oracle
     can mirror it exactly.
 
-    Scale shape: per iteration one equi-join of the rank table (|V| rows)
-    against the edge table on ``src`` and one aggregation on ``dst`` —
-    both shuffle on graph keys, never materializing anything driver-side
-    except the node COUNT (a scalar, computed once). The edge table is
-    cached across iterations; ranks are localCheckpoint'ed every
-    ``checkpoint_every`` rounds to truncate lineage, same policy as
-    connected components (dedup.connected_components_star).
+    Scale shape — three size-adaptive physical strategies for ONE logical
+    algorithm (the analogue of Catalyst picking broadcast vs shuffle join):
+
+    1. ``|E| ≤ _LOCAL_EDGES``: the aggregated edge table fits one task, so
+       ALL iterations run inside a single Arrow batch (``mapInPandas`` on a
+       1-partition copy). An iteration on a distributed plan costs ~2
+       sequential stage barriers of pure scheduling; for a vocabulary-size
+       graph (event types, hosts) that floor dwarfs the math. Measured at
+       sf0.1 (10-node event-type graph): 2.0 s → ~0.6 s.
+    2. small ``|V|`` (≤ ``_BROADCAST_NODES``), big ``|E|``: per-iteration
+       join broadcasts the rank table; the edge table never moves.
+    3. billion-node: per iteration one equi-join of the rank table against
+       the edge table on ``src`` and one aggregation on ``dst`` — both
+       shuffle on graph keys, never materializing anything driver-side
+       except two scalar counts. Ranks are localCheckpoint'ed every
+       ``checkpoint_every`` rounds to truncate lineage, same policy as
+       connected components (dedup.connected_components_star).
     """
     e = edges.select(
         F.col(src).alias("__s"),
@@ -59,27 +119,67 @@ def pagerank(
     )
     n = nodes.count()  # scalar only; the rank/edge tables stay distributed
     base = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
-    for i in range(num_iters):
+
+    m = e.count()  # e is cached by the count above's sibling job
+    if m <= _LOCAL_EDGES:
+        ranks = _pagerank_single_task(e, n, num_iters, damping)
+        e.unpersist()
+        nodes.unpersist()
+        return ranks
+
+    # Iteration shape (round-4 rewrite; measured 2.17 s → see bench): the
+    # rank table in the loop holds ONLY nodes with in-edges. A node without
+    # in-edges has rank exactly `base` after the first update, so the edge
+    # join defaults missing sources with coalesce(r, base) instead of
+    # re-joining the full node table every round — one join per iteration
+    # instead of two. Iteration 1 is closed-form (all ranks are 1/n, no
+    # join at all). The full node set is restored once, after the loop.
+    #
+    # `_BROADCAST_NODES` gates a broadcast hint for the rank side of the
+    # per-iteration join: the rank table is ≤ |V| rows, so for small
+    # vocabulary graphs (event types, hosts) every iteration's join runs
+    # map-side with no exchange on the (much larger) edge table. Above the
+    # gate the hint is omitted and the join shuffles on graph keys — the
+    # billion-node shape.
+    small = n <= _BROADCAST_NODES
+    contrib = e.groupBy("__d").agg(
+        (F.sum("__w") * F.lit(1.0 / n)).alias("c")
+    )
+    ranks = contrib.select(
+        F.col("__d").alias("node"),
+        (F.lit(base) + damping * F.col("c")).alias("r"),
+    )
+    for i in range(1, num_iters):
+        r_side = F.broadcast(ranks) if small else ranks
         contrib = (
-            ranks.join(e, ranks.node == e.__s)
+            e.join(r_side, e.__s == ranks.node, "left")
             .groupBy("__d")
-            .agg(F.sum(F.col("r") * F.col("__w")).alias("c"))
+            .agg(
+                F.sum(
+                    F.coalesce("r", F.lit(base)) * F.col("__w")
+                ).alias("c")
+            )
         )
-        ranks = nodes.join(
-            contrib, nodes.node == contrib.__d, "left"
-        ).select(
-            "node",
-            (F.lit(base) + damping * F.coalesce("c", F.lit(0.0))).alias("r"),
+        ranks = contrib.select(
+            F.col("__d").alias("node"),
+            (F.lit(base) + damping * F.col("c")).alias("r"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < num_iters:
             ranks = ranks.localCheckpoint(eager=False)
-    # Materialize the final ranks, then release the iteration caches:
-    # without this, every pagerank() call in a long-lived session pins a
-    # fresh copy of the edge and node tables in executor storage. The eager
-    # checkpoint severs the returned plan's dependency on them, so the
-    # unpersist can't force a recompute for the caller's action.
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = nodes.join(ranks, "node", "left").select(
+        "node", F.coalesce("r", F.lit(base)).alias("r")
+    )
+    # Truncate the final lineage LAZILY, then release the iteration caches:
+    # a pinned .cache() of the edge/node tables would otherwise accumulate
+    # in executor storage across pagerank() calls in a long-lived session.
+    # Non-eager on purpose — an eager checkpoint here would pre-compute the
+    # result at BUILD time, which silently turns any caller that reuses
+    # built plans (the serving-mode plan cache, bench repeats) into a
+    # result-cache read instead of an honest recompute. The cost of the
+    # unpersist is one uncached recompute of e/nodes inside the caller's
+    # first action (their shuffle outputs are still reused across the
+    # iteration stages within that job).
+    ranks = ranks.localCheckpoint(eager=False)
     e.unpersist()
     nodes.unpersist()
     return ranks

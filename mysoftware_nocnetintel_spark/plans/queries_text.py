@@ -412,49 +412,79 @@ def q92_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Keep-one dedup = filter doc_id = component; canonicalization = groupBy
 # component. Star edges keep candidate generation LINEAR (each doc joins
 # its group's min, never all pairs).
-def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, component) for every document — component = min doc_id
-    connected through exact-hash OR fingerprint star edges."""
+_DUP_SMALL_BUDGET = 512 << 20  # documents parquet bytes; edges ≤ 1/doc
+
+
+def _dup_components(
+    spark: SparkSession, sf_dir: str, with_sizes: bool = False
+) -> DataFrame:
+    """(doc_id, lang, component[, cluster_size]) for every document —
+    component = min doc_id connected through exact-hash OR fingerprint star
+    edges. ``with_sizes`` sources the member count from the clustering
+    itself (singletons default to 1), so callers avoid a groupBy +
+    join-back that would consume this whole pipeline twice."""
     from ..operators.dedup import connected_components, spread_narrow
 
-    # localCheckpoint: keyed (doc_id + two hashes, tiny rows) feeds the two
-    # star windows AND the final join — without it the md5/fingerprint scan
-    # runs three times
-    keyed = (
-        spread_narrow(_t(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            "lang",
-            F.md5(F.col("text").cast("binary")).alias("h_exact"),
-            TX.fingerprint("text").alias("h_fp"),
-        )
-        .localCheckpoint()
+    # The hash scan (md5 + fingerprint) feeds ONLY the star-edge branch; the
+    # probe side of the final join re-scans just (doc_id, lang) — a plain
+    # column-pruned parquet read. Sharing one hashed DataFrame between both
+    # branches (the previous shape) forced either a blocking checkpoint job
+    # or, with a lazy checkpoint, a concurrent-stage RACE under AQE where
+    # both branches computed the hash scan anyway.
+    keyed = spread_narrow(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h_exact"),
+        TX.fingerprint("text").alias("h_fp"),
     )
-    edges = None
-    for key in ("h_exact", "h_fp"):
-        w = Window.partitionBy(key)
-        star = (
-            keyed.withColumn("root", F.min("doc_id").over(w))
-            .filter(F.col("doc_id") != F.col("root"))
-            .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
-        )
-        edges = star if edges is None else edges.union(star)
-    cc = connected_components(edges)
-    return keyed.join(cc, keyed.doc_id == cc.node, "left").select(
-        "doc_id", "lang", F.coalesce("component", "doc_id").alias("component")
+    # Both star relations from ONE pass over the hash scan: unpivot the two
+    # hash columns into prefixed keys and run a single min-window over the
+    # combined key space (two separate windows would each re-evaluate the
+    # md5/fingerprint scan — no automatic subplan reuse).
+    kv = keyed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("e:"), "h_exact"),
+                F.concat(F.lit("f:"), "h_fp"),
+            )
+        ).alias("k"),
     )
+    w = Window.partitionBy("k")
+    edges = (
+        kv.withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    # Star edges are ≤ one per document BY CONSTRUCTION (each doc links to
+    # its group min), and gated here on the documents footprint: the whole
+    # clustering then runs as one job (no blocking count) via the
+    # single-task union-find inside connected_components.
+    import os
+
+    try:
+        small = (
+            os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+            <= _DUP_SMALL_BUDGET
+        )
+    except OSError:
+        small = False
+    cc = connected_components(edges, assume_small=small, with_sizes=with_sizes)
+    cols = [
+        "doc_id",
+        "lang",
+        F.coalesce("component", "doc_id").alias("component"),
+    ]
+    if with_sizes:
+        cols.append(
+            F.coalesce("component_size", F.lit(1)).alias("cluster_size")
+        )
+    probe = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return probe.join(cc, probe.doc_id == cc.node, "left").select(*cols)
 
 
 def q91_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _dup_components(spark, sf_dir)
-    sizes = out.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        out.join(sizes, "component")
-        .select("doc_id", "component", "cluster_size")
-        .orderBy("doc_id")
-    )
+    out = _dup_components(spark, sf_dir, with_sizes=True)
+    return out.select("doc_id", "component", "cluster_size").orderBy("doc_id")
 
 
 # U3 final step — keep-one dedup: per language, how much of the corpus survives

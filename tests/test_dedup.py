@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mysoftware_nocnetintel_spark.functions.text import word_shingles
@@ -79,18 +80,24 @@ def test_lsh_candidates_are_pairs_not_reflexive(spark, sf_dir):
         assert r.id_a < r.id_b
 
 
-def test_star_contraction_equals_hashmin(spark):
+@pytest.mark.parametrize("local_gate", [500_000, 0], ids=["single-task", "distributed"])
+def test_star_contraction_equals_hashmin(spark, monkeypatch, local_gate):
     """connected_components_star must produce the identical clustering as
     hash-min label propagation on arbitrary graphs — exercised on seeded
     random graphs AND a 400-node chain (the diameter case star contraction
     exists for: hash-min would need ~400 rounds there and is capped, so the
-    chain is checked against the closed-form answer instead)."""
+    chain is checked against the closed-form answer instead). Both the
+    single-task union-find gate and the distributed iteration paths are
+    driven (gate forced via _LOCAL_EDGES_CC)."""
     import random
 
+    from mysoftware_nocnetintel_spark.operators import dedup as DDm
     from mysoftware_nocnetintel_spark.operators.dedup import (
         connected_components,
         connected_components_star,
     )
+
+    monkeypatch.setattr(DDm, "_LOCAL_EDGES_CC", local_gate)
 
     rng = random.Random(1234)
     for trial in range(3):

@@ -217,33 +217,44 @@ class TestPagerankRandomized:
     @given(
         iters=st.integers(min_value=1, max_value=12),
         damping=st.sampled_from([0.5, 0.7, 0.85, 0.99]),
+        strategy=st.sampled_from(
+            [(500_000, 2_000_000), (0, 2_000_000), (0, 0)]
+        ),
     )
     def test_pagerank_config_matches_unrolled_sql(
-        self, spark, sf_dir, iters, damping
+        self, spark, sf_dir, iters, damping, strategy
     ):
+        from mysoftware_nocnetintel_spark.operators import graph as G
         from mysoftware_nocnetintel_spark.operators.graph import pagerank
+
         from mysoftware_nocnetintel_spark.plans.oracles_r5 import _pagerank_sql
 
-        ev = load_table(spark, sf_dir, "events")
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        edges = (
-            ev.select(
-                F.col("event_type").alias("src"),
-                F.lead("event_type").over(w).alias("dst"),
+        # exercise all three physical strategies against the same oracle
+        saved = (G._LOCAL_EDGES, G._BROADCAST_NODES)
+        G._LOCAL_EDGES, G._BROADCAST_NODES = strategy
+        try:
+            ev = load_table(spark, sf_dir, "events")
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            edges = (
+                ev.select(
+                    F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"),
+                )
+                .filter(F.col("dst").isNotNull())
+                .groupBy("src", "dst")
+                .agg(F.count(F.lit(1)).alias("n"))
             )
-            .filter(F.col("dst").isNotNull())
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        w_src = Window.partitionBy("src")
-        edges = edges.select(
-            "src", "dst", (F.col("n") / F.sum("n").over(w_src)).alias("w")
-        )
-        got = (
-            pagerank(edges, num_iters=iters, damping=damping, weight="w")
-            .select("node", F.round("r", 6).alias("pagerank"))
-        )
-        assert_matches_oracle(got, _pagerank_sql(iters, damping), sf_dir)
+            w_src = Window.partitionBy("src")
+            edges = edges.select(
+                "src", "dst", (F.col("n") / F.sum("n").over(w_src)).alias("w")
+            )
+            got = (
+                pagerank(edges, num_iters=iters, damping=damping, weight="w")
+                .select("node", F.round("r", 6).alias("pagerank"))
+            )
+            assert_matches_oracle(got, _pagerank_sql(iters, damping), sf_dir)
+        finally:
+            G._LOCAL_EDGES, G._BROADCAST_NODES = saved
 
 
 class TestAsofGridRandomized:
