@@ -96,6 +96,55 @@ def read_table_format(
         ) from e
 
 
+def _read_delta_checkpoint(
+    log_dir: str, cp_version: int, cp_meta: dict
+) -> dict[str, dict]:
+    """Live add-file map from a CLASSIC Delta parquet checkpoint (single
+    ``<v>.checkpoint.parquet`` or multi-part
+    ``<v>.checkpoint.<i>.<parts>.parquet``). Remove rows in a checkpoint
+    are only vacuum tombstones — the live set is exactly the add rows.
+    Driver-side metadata read via pyarrow (MB-scale)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts = cp_meta.get("parts")
+    if parts:
+        files = [
+            os.path.join(
+                log_dir,
+                f"{cp_version:020d}.checkpoint."
+                f"{i + 1:010d}.{parts:010d}.parquet",
+            )
+            for i in range(int(parts))
+        ]
+    else:
+        files = [os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise NotImplementedError(
+            f"expected classic checkpoint file(s) missing "
+            f"({os.path.basename(missing[0])}): v2/UUID-named checkpoints "
+            "are out of scope — use the delta-spark connector"
+        )
+    live: dict[str, dict] = {}
+    for f in files:
+        names = pq.read_schema(f).names
+        cols = [c for c in ("add", "protocol") if c in names]
+        for row in pq.read_table(f, columns=cols).to_pylist():
+            proto = row.get("protocol")
+            if proto and (proto.get("minReaderVersion") or 1) > 1:
+                raise NotImplementedError(
+                    "Delta minReaderVersion > 1 (deletion vectors / column "
+                    "mapping): use the delta-spark connector"
+                )
+            add = row.get("add")
+            if add and add.get("path"):
+                pv = add.get("partitionValues")
+                live[add["path"]] = dict(pv) if pv else {}
+    return live
+
+
 def read_delta_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -105,29 +154,61 @@ def read_delta_snapshot(
     ``version`` (time travel), then scan the surviving parquet files.
     Hive-style ``partitionValues`` are re-attached as literal columns.
 
+    Checkpointed logs are supported for CLASSIC parquet checkpoints (single
+    file or multi-part, per PROTOCOL.md "Checkpoints"): the live file set is
+    seeded from the checkpoint's add rows, then the JSON commit tail beyond
+    the checkpoint version replays on top — this is what makes any
+    long-lived real-world table readable (the log is periodically
+    checkpointed and old JSON commits vacuumed). Time travel BELOW the last
+    checkpoint falls back to pure JSON replay and fails fast if those
+    commits were cleaned up. V2 (UUID/sidecar) checkpoints and protocol
+    features beyond reader version 1 (deletion vectors, column mapping)
+    fail fast with NotImplementedError rather than returning wrong rows.
+
     This is the connector-less fallback; the delta-spark connector remains
-    the production path. Protocol features beyond reader version 1
-    (checkpointed logs, deletion vectors, column mapping) fail fast with
-    NotImplementedError rather than returning wrong rows. The log replay is
-    driver-side METADATA work (KB-scale JSON); the data scan itself stays
-    a distributed parquet read."""
+    the production path. The log replay is driver-side METADATA work
+    (KB-scale JSON, MB-scale checkpoint parquet); the data scan itself
+    stays a distributed parquet read."""
     import json
     import os
     from glob import glob
 
     log_dir = os.path.join(path, "_delta_log")
     commits = sorted(glob(os.path.join(log_dir, "[0-9]*.json")))
-    if not commits:
+    cp_meta_path = os.path.join(log_dir, "_last_checkpoint")
+    if not commits and not os.path.exists(cp_meta_path):
         raise FileNotFoundError(f"no Delta log at {log_dir}")
-    if os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
-        raise NotImplementedError(
-            "checkpointed Delta log: the minimal reader replays JSON commits "
-            "only — use the delta-spark connector"
-        )
+
     live: dict[str, dict] = {}
     max_seen = -1
+    if os.path.exists(cp_meta_path):
+        with open(cp_meta_path) as fh:
+            cp_meta = json.load(fh)
+        cp_version = cp_meta.get("version")
+        if cp_version is None:
+            raise NotImplementedError(
+                "malformed _last_checkpoint (no version): use the "
+                "delta-spark connector"
+            )
+        if version is not None and version < cp_version:
+            # time travel below the checkpoint: only possible from the full
+            # JSON prefix, which vacuum may have removed
+            have = {
+                int(os.path.basename(c).split(".")[0]) for c in commits
+            }
+            if not set(range(version + 1)) <= have:
+                raise NotImplementedError(
+                    f"time travel to version {version} is below the last "
+                    f"checkpoint ({cp_version}) and the JSON commit prefix "
+                    "was cleaned up: use the delta-spark connector"
+                )
+        else:
+            live = _read_delta_checkpoint(log_dir, cp_version, cp_meta)
+            max_seen = cp_version
     for c in commits:
         v = int(os.path.basename(c).split(".")[0])
+        if v <= max_seen:
+            continue  # state already covered by the checkpoint
         if version is not None and v > version:
             continue
         max_seen = max(max_seen, v)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mysoftware_nocnetintel_spark.operators import multimodal as MM
@@ -239,6 +240,86 @@ def test_delta_log_replay_and_time_travel(spark, tmp_path):
     # missing — including the versionAsOf option
     via_gate = {(r.id, r.val) for r in read_table_format(spark, root, fmt="delta", version=0).collect()}
     assert via_gate == v0
+
+
+def _write_checkpoint(log_dir, version, adds, parts=None):
+    """Hand-author a classic Delta parquet checkpoint (+_last_checkpoint):
+    one add-struct row per live file, one protocol row."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    add_t = pa.struct(
+        [("path", pa.string()), ("partitionValues", pa.map_(pa.string(), pa.string()))]
+    )
+    proto_t = pa.struct([("minReaderVersion", pa.int32())])
+    rows_add = [{"path": p, "partitionValues": list(pv.items())} for p, pv in adds] + [None]
+    rows_proto = [None] * len(adds) + [{"minReaderVersion": 1}]
+    table = pa.table(
+        {
+            "add": pa.array(rows_add, type=add_t),
+            "protocol": pa.array(rows_proto, type=proto_t),
+        }
+    )
+    n = len(rows_add)
+    if parts:
+        per = (n + parts - 1) // parts
+        for i in range(parts):
+            pq.write_table(
+                table.slice(i * per, per),
+                os.path.join(
+                    log_dir,
+                    f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+                ),
+            )
+    else:
+        pq.write_table(
+            table, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        )
+    meta = {"version": version, "size": n}
+    if parts:
+        meta["parts"] = parts
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps(meta))
+
+
+@pytest.mark.parametrize("parts", [None, 2], ids=["single", "multipart"])
+def test_delta_checkpoint_replay(spark, tmp_path, parts):
+    """A checkpointed log (checkpoint seed + JSON tail) must round-trip:
+    the live set is checkpoint adds minus tail removes plus tail adds, and
+    time travel below the checkpoint uses the JSON prefix when present,
+    fails fast when vacuumed."""
+    import json
+    import os
+
+    from mysoftware_nocnetintel_spark.sources.readers import read_delta_snapshot
+
+    root = str(tmp_path / "cptable")
+    _write_delta_fixture(spark, root)  # commits 0,1 and three parquet parts
+    log_dir = os.path.join(root, "_delta_log")
+    # checkpoint at v1 state: part-0000 + part-0002 live
+    _write_checkpoint(
+        log_dir, 1, [("part-0000.parquet", {}), ("part-0002.parquet", {})], parts=parts
+    )
+    # tail commit v2: replace part-0000 with part-0001 (re-adding it)
+    with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"remove": {"path": "part-0000.parquet", "dataChange": True}}) + "\n")
+        fh.write(json.dumps({"add": {"path": "part-0001.parquet", "size": 1, "dataChange": True}}) + "\n")
+
+    latest = {(r.id, r.val) for r in read_delta_snapshot(spark, root).collect()}
+    assert latest == {(3, "c"), (30, "z")}
+    # at the checkpoint version exactly (no tail)
+    v1 = {(r.id, r.val) for r in read_delta_snapshot(spark, root, version=1).collect()}
+    assert v1 == {(1, "a"), (2, "b"), (30, "z")}
+    # below the checkpoint: JSON prefix present → replay works
+    v0 = {(r.id, r.val) for r in read_delta_snapshot(spark, root, version=0).collect()}
+    assert v0 == {(1, "a"), (2, "b"), (3, "c")}
+    # below the checkpoint with the prefix vacuumed → refuse
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+    with pytest.raises(NotImplementedError, match="below the last checkpoint"):
+        read_delta_snapshot(spark, root, version=0)
 
 
 def test_delta_reader_refuses_advanced_protocol(spark, tmp_path):
