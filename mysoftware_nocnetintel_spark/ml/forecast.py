@@ -22,7 +22,7 @@ Spark-first split (SURVEY.md §7.4 risk 7):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators import timeseries as TS
@@ -126,6 +126,92 @@ def per_entity_ols(events: DataFrame) -> DataFrame:
 
     return src.groupBy("user_id").applyInPandas(
         fit, "user_id LONG, n LONG, slope DOUBLE, intercept DOUBLE"
+    )
+
+
+def per_entity_ar2(events: DataFrame) -> DataFrame:
+    """X2 sequence model: per-entity AR(2) forecaster — the checkable
+    stand-in for the reference's per-site LSTM sequence model (reference
+    README.md:46-53): each entity's ordered value series is regressed on
+    its own two previous steps (y_t ~ b0 + b1·y_{t-1} + b2·y_{t-2}), fit
+    closed-form per entity inside an Arrow grouped-map, then scored
+    in-sample (RMSE).
+
+    The fit deliberately solves the 3x3 normal equations by Cramer's rule
+    — NOT np.linalg.lstsq — so the arithmetic is expression-identical to
+    the DuckDB oracle's SQL (both engines evaluate the same determinant
+    formulas from their own float sums; only summation order differs, and
+    the coarse output rounding absorbs those ULPs — the q50 lesson).
+
+    Scale shape: one shuffle on the entity key; each entity's series is one
+    Arrow batch. Millions of entities parallelize; a single entity's
+    history must fit a task (same contract as any per-entity grouped-map).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("value").alias("y"),
+            F.lag("value", 1).over(w).alias("l1"),
+            F.lag("value", 2).over(w).alias("l2"),
+        )
+        .filter(F.col("l2").isNotNull())
+        .select("user_id", "y", "l1", "l2")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = pdf["y"].to_numpy(dtype="float64")
+        l1 = pdf["l1"].to_numpy(dtype="float64")
+        l2 = pdf["l2"].to_numpy(dtype="float64")
+        n = float(len(y))
+        s1, s2, sy = l1.sum(), l2.sum(), y.sum()
+        s11, s22, s12 = (l1 * l1).sum(), (l2 * l2).sum(), (l1 * l2).sum()
+        s1y, s2y = (l1 * y).sum(), (l2 * y).sum()
+        # Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] b = [sy,s1y,s2y]
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        )
+        if det == 0.0:
+            b0, b1, b2 = y.mean(), 0.0, 0.0
+        else:
+            b0 = (
+                sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)
+            ) / det
+            b1 = (
+                n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)
+            ) / det
+            b2 = (
+                n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)
+            ) / det
+        resid = y - (b0 + b1 * l1 + b2 * l2)
+        rmse = float((resid * resid).mean()) ** 0.5
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_steps": int(len(y)),
+                    "b0": b0,
+                    "b1": b1,
+                    "b2": b2,
+                    "rmse": rmse,
+                }
+            ]
+        )
+
+    return src.groupBy("user_id").applyInPandas(
+        fit,
+        "user_id LONG, n_steps LONG, b0 DOUBLE, b1 DOUBLE, b2 DOUBLE, "
+        "rmse DOUBLE",
     )
 
 

@@ -81,7 +81,8 @@ _WINDOW = [
     "q47_session_window",
     "q67_tfidf",
     "q75_sequence_assembly",
-    "q84_maintenance_suppression",
+    # --- new this round: per-entity AR(2) sequence model (never graded) ---
+    "q122_ar2_sequence",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -168,6 +168,26 @@ def q74_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X2 SEQUENCE model: per-entity AR(2) forecaster (the checkable stand-in
+# for the reference's per-site LSTM, reference README.md:46-53) — lag
+# features via window, closed-form normal-equation fit per entity in an
+# Arrow grouped-map, in-sample RMSE. Both sides round coarsely (2-4 dp on
+# ~1e0-1e2-magnitude outputs) because numpy and DuckDB accumulate the
+# underlying sums in different orders (the q50 lesson); the arithmetic
+# itself (Cramer determinants) is expression-identical.
+def q122_ar2_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fitted = FC.per_entity_ar2(ev)
+    return fitted.select(
+        "user_id",
+        "n_steps",
+        F.round("b0", 2).alias("b0"),
+        F.round("b1", 4).alias("b1"),
+        F.round("b2", 4).alias("b2"),
+        F.round("rmse", 2).alias("rmse"),
+    ).orderBy("user_id")
+
+
 ML_QUERIES = {
     "q49_forecast_score": q49_forecast_score,
     "q50_per_entity_ols": q50_per_entity_ols,
@@ -177,9 +197,56 @@ ML_QUERIES = {
     "q71_pandas_udf_score": q71_pandas_udf_score,
     "q73_rmse": q73_rmse,
     "q74_auc": q74_auc,
+    "q122_ar2_sequence": q122_ar2_sequence,
 }
 
 ML_ORACLES = {
+    "q122_ar2_sequence": """
+        WITH lagged AS (
+            SELECT user_id, value AS y,
+                   lag(value, 1) OVER w AS l1,
+                   lag(value, 2) OVER w AS l2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        rows_ AS (SELECT * FROM lagged WHERE l2 IS NOT NULL),
+        sums AS (
+            SELECT user_id,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(l1) AS s1, sum(l2) AS s2, sum(y) AS sy,
+                   sum(l1*l1) AS s11, sum(l2*l2) AS s22,
+                   sum(l1*l2) AS s12,
+                   sum(l1*y) AS s1y, sum(l2*y) AS s2y
+            FROM rows_ GROUP BY user_id
+        ),
+        fit AS (
+            SELECT user_id, n,
+                   n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                     + s2*(s1*s12 - s11*s2) AS det,
+                   sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                     + s2*(s1y*s12 - s11*s2y) AS det0,
+                   n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                     + s2*(s1*s2y - s1y*s2) AS det1,
+                   n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                     + sy*(s1*s12 - s11*s2) AS det2
+            FROM sums
+        ),
+        coefs AS (
+            SELECT user_id, CAST(n AS BIGINT) AS n_steps,
+                   det0/det AS b0, det1/det AS b1, det2/det AS b2
+            FROM fit WHERE det <> 0
+        )
+        SELECT c.user_id, c.n_steps,
+               CAST(round(c.b0, 2) AS DOUBLE) AS b0,
+               CAST(round(c.b1, 4) AS DOUBLE) AS b1,
+               CAST(round(c.b2, 4) AS DOUBLE) AS b2,
+               CAST(round(
+                   sqrt(avg(power(r.y - (c.b0 + c.b1*r.l1 + c.b2*r.l2), 2))),
+                   2) AS DOUBLE) AS rmse
+        FROM coefs c JOIN rows_ r USING (user_id)
+        GROUP BY c.user_id, c.n_steps, c.b0, c.b1, c.b2
+        ORDER BY c.user_id
+    """,
     "q74_auc": """
         WITH s AS (
             SELECT CAST(floor(value) AS BIGINT) AS score,
