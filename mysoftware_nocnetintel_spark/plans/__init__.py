@@ -26,7 +26,7 @@ _ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5}
 # changes (q37/q38/q91), and 21 core queries last graded in r02.
 # Outside the window this round (all previously driver-green, newest signals):
 # q11-q24, q26/q27, q29-q33, q35/q36, q40, q42-q44, q48/q49, q51-q66,
-# q68-q74, q76-q83, q85-q90, q93/q94, q100-q102, q106.
+# q68-q74, q76-q83, q84-q90, q93/q94, q100-q102, q106.
 _WINDOW = [
     # --- never driver-checked (23) ---
     "q92_ann_opq",
@@ -60,7 +60,7 @@ _WINDOW = [
     "q37_minhash_neardup",
     "q38_simhash_neardup",
     "q91_dedup_clusters",
-    # --- oldest signal: core queries last driver-graded in r02 (21) ---
+    # --- oldest signal: core queries last driver-graded in r02 (20) ---
     "q0_flagship_risk",
     "q1_pricing_summary",
     "q2_join_topn",
