@@ -180,3 +180,148 @@ def write_iceberg_append(df: DataFrame, path: str) -> int:
     with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
         json.dump(new_meta, fh)
     return snap_id
+
+
+# Delete commits collect (file_path, pos) rows to the driver before writing
+# the position-delete parquet; deletes touching more rows than this belong
+# to the connector (a real engine writes delete files distributed).
+_MAX_DELETE_ROWS = 1_000_000
+
+
+def write_iceberg_position_deletes(spark, path: str, condition) -> int:
+    """Merge-on-read DELETE: commit a v2 POSITION delete file marking every
+    currently-live row matching ``condition`` (a Column predicate over the
+    table's columns). Returns the new snapshot id.
+
+    The matching rows' (file_path, pos) coordinates come from the hidden
+    ``_metadata`` columns of a distributed scan (existing position deletes
+    are applied first, so re-deleting already-dead rows is a no-op); the
+    delete file itself is KB-scale driver-written parquet, sorted by
+    (file_path, pos) as the spec recommends. Same single-writer /
+    fail-fast scope as :func:`write_iceberg_append`.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from .readers import (
+        _iceberg_snapshot_files,
+        _norm_file_path,
+        _position_delete_rows,
+    )
+
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to modify an Iceberg table created by another writer: "
+            "use the iceberg-spark-runtime connector"
+        )
+    data_files, delete_files, _snap = _iceberg_snapshot_files(path)
+    # capture the (file, pos) coordinates WHILE the hidden _metadata columns
+    # are still resolvable (they exist only on the file-source relation),
+    # then apply any existing deletes before filtering
+    data = spark.read.parquet(*data_files).select(
+        "*",
+        _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    if delete_files:
+        data = data.join(
+            _position_delete_rows(spark, delete_files),
+            ["__fp", "__pos"],
+            "left_anti",
+        )
+    hits = (
+        data.filter(condition)
+        .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
+        .limit(_MAX_DELETE_ROWS + 1)
+        .collect()
+    )
+    if len(hits) > _MAX_DELETE_ROWS:
+        raise NotImplementedError(
+            f"delete touches more than {_MAX_DELETE_ROWS} rows: use the "
+            "iceberg-spark-runtime connector (distributed delete writes)"
+        )
+    rows = sorted((r.file_path, r.pos) for r in hits)
+
+    del_file = os.path.join(
+        os.path.join(path, "data"), f"delete-{uuid.uuid4().hex[:16]}.parquet"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([r[0] for r in rows], pa.string()),
+                "pos": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        del_file,
+    )
+
+    now_ms = int(time.time() * 1000)
+    snap_id = now_ms * 1000 + (ver + 1)
+    seq = meta.get("last-sequence-number", 0) + 1
+    manifest = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
+    write_avro_file(
+        manifest,
+        MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 1,  # position deletes
+                    "file_path": del_file,
+                    "file_format": "PARQUET",
+                    "record_count": len(rows),
+                    "file_size_in_bytes": os.path.getsize(del_file),
+                },
+            }
+        ],
+    )
+
+    from .avro_lite import read_avro_file
+
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, prior = read_avro_file(cur["manifest-list"])
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    write_avro_file(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [dict(m, sequence_number=m.get("sequence_number", 0)) for m in prior]
+        + [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 1,  # delete manifest
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist,
+        "summary": {"operation": "delete"},
+    }
+    new_meta = dict(
+        meta,
+        **{
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "snapshots": meta.get("snapshots", []) + [snapshot],
+            "current-snapshot-id": snap_id,
+        },
+    )
+    with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
+        json.dump(new_meta, fh)
+    return snap_id

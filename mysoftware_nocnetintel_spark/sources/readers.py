@@ -264,11 +264,37 @@ def read_iceberg_snapshot(
 
     Like the Delta fallback this is driver-side METADATA work only — a
     manifest is KB-scale Avro — and the data scan stays a distributed
-    parquet read. Tables using features the minimal reader can't honor
-    without wrong results fail fast with NotImplementedError: delete files
-    (merge-on-read v2), non-parquet data files, and ``status=2`` handling
-    follows the spec (deleted entries are skipped).
+    parquet read. V2 POSITION delete files (merge-on-read) are honored:
+    delete manifests' (file_path, pos) rows anti-join the data scan on the
+    hidden ``_metadata.file_path`` / ``_metadata.row_index`` columns — a
+    fully distributed application, no driver materialization. Features the
+    minimal reader can't honor without wrong results fail fast with
+    NotImplementedError: EQUALITY deletes, non-parquet files; ``status=2``
+    handling follows the spec (deleted entries are skipped).
     """
+    data_files, delete_files, snap = _iceberg_snapshot_files(
+        path, snapshot_id, as_of_ms
+    )
+    if not data_files:
+        raise ValueError(f"Iceberg snapshot {snap['snapshot-id']} has no files")
+    # identity-partitioned Iceberg data files still CONTAIN their partition
+    # source columns (unlike Hive layout), so a plain scan is complete
+    scan = spark.read.parquet(*data_files)
+    if delete_files:
+        scan = _apply_position_deletes(spark, scan, delete_files)
+    return scan
+
+
+def _iceberg_local_path(p: str) -> str:
+    return p[7:] if p.startswith("file://") else p
+
+
+def _iceberg_snapshot_files(
+    path: str, snapshot_id: int | None = None, as_of_ms: int | None = None
+) -> tuple[list[str], list[str], dict]:
+    """Resolve an Iceberg snapshot to its live (data_files, position_delete
+    files, snapshot) — the shared metadata walk of the minimal reader and
+    the position-delete writer. Driver-side KB-scale work."""
     import json
     import os
     from glob import glob
@@ -301,38 +327,70 @@ def read_iceberg_snapshot(
         cur = meta.get("current-snapshot-id")
         snap = next(s for s in snapshots if s["snapshot-id"] == cur)
 
-    def _local(p: str) -> str:
-        return p[7:] if p.startswith("file://") else p
-
     data_files: list[str] = []
-    _, manifests = read_avro_file(_local(snap["manifest-list"]))
+    delete_files: list[str] = []
+    _, manifests = read_avro_file(_iceberg_local_path(snap["manifest-list"]))
     for m in manifests:
         # v2 manifest-list rows carry `content`: 0=data, 1=deletes
-        if m.get("content", 0) != 0:
+        content = m.get("content", 0)
+        if content not in (0, 1):
             raise NotImplementedError(
-                "Iceberg delete manifests (merge-on-read): use the "
+                f"Iceberg manifest content={content}: use the "
                 "iceberg-spark-runtime connector"
             )
-        _, entries = read_avro_file(_local(m["manifest_path"]))
+        _, entries = read_avro_file(_iceberg_local_path(m["manifest_path"]))
         for e in entries:
             if e.get("status") == 2:  # DELETED entry — not live in snapshot
                 continue
             df_rec = e["data_file"]
-            if df_rec.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "Iceberg delete files: use the connector"
-                )
+            fc = df_rec.get("content", 0)
             if df_rec["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
-                    f"Iceberg {df_rec['file_format']} data files "
+                    f"Iceberg {df_rec['file_format']} files "
                     "(minimal reader scans parquet only)"
                 )
-            data_files.append(_local(df_rec["file_path"]))
-    if not data_files:
-        raise ValueError(f"Iceberg snapshot {snap['snapshot-id']} has no files")
-    # identity-partitioned Iceberg data files still CONTAIN their partition
-    # source columns (unlike Hive layout), so a plain scan is complete
-    return spark.read.parquet(*data_files)
+            if fc == 0:
+                data_files.append(_iceberg_local_path(df_rec["file_path"]))
+            elif fc == 1:  # position deletes
+                delete_files.append(_iceberg_local_path(df_rec["file_path"]))
+            else:  # 2 = equality deletes
+                raise NotImplementedError(
+                    "Iceberg EQUALITY delete files: use the "
+                    "iceberg-spark-runtime connector"
+                )
+    return data_files, delete_files, snap
+
+
+def _apply_position_deletes(
+    spark: SparkSession, scan: DataFrame, delete_files: list[str]
+) -> DataFrame:
+    """Merge-on-read: anti-join the data scan against the position-delete
+    rows (file_path, pos) on the hidden parquet metadata columns. Fully
+    distributed; Spark auto-broadcasts the (typically tiny) delete side.
+    Position deletes name concrete data-file paths, and paths are never
+    reused by writers, so the global anti-join needs no sequence-number
+    reasoning."""
+    data = scan.select(
+        "*",
+        _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    dels = _position_delete_rows(spark, delete_files)
+    return data.join(dels, ["__fp", "__pos"], "left_anti").drop(
+        "__fp", "__pos"
+    )
+
+
+def _norm_file_path(c):
+    return F.regexp_replace(c, "^file:/*", "/")
+
+
+def _position_delete_rows(spark: SparkSession, delete_files: list[str]):
+    """(__fp, __pos) rows of the given position-delete parquet files."""
+    return spark.read.parquet(*delete_files).select(
+        _norm_file_path(F.col("file_path")).alias("__fp"),
+        F.col("pos").cast("long").alias("__pos"),
+    )
 
 
 def jdbc_reader(

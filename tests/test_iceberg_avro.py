@@ -11,6 +11,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from mysoftware_nocnetintel_spark.sources.avro_lite import (
     read_avro_file,
@@ -282,14 +283,29 @@ def test_iceberg_fail_fast_gates(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(NotImplementedError, match="ORC"):
         read_iceberg_snapshot(spark, root)
-    # delete-manifest (content=1) gate
+    # EQUALITY delete files (data_file.content=2) stay out of scope
+    eq = os.path.join(root, "metadata", "m_eq.avro")
+    write_avro_file(
+        eq,
+        _MANIFEST_ENTRY_SCHEMA,
+        [_entry(1, os.path.join(root, "data", "d9.parquet"), 400, content=2)],
+    )
     write_avro_file(
         mlist_p,
         _MANIFEST_FILE_SCHEMA,
-        [{"manifest_path": bad, "manifest_length": 1,
+        [{"manifest_path": eq, "manifest_length": 1,
           "partition_spec_id": 0, "content": 1, "added_snapshot_id": 400}],
     )
-    with pytest.raises(NotImplementedError, match="delete manifests"):
+    with pytest.raises(NotImplementedError, match="EQUALITY"):
+        read_iceberg_snapshot(spark, root)
+    # unknown manifest content kinds refuse too
+    write_avro_file(
+        mlist_p,
+        _MANIFEST_FILE_SCHEMA,
+        [{"manifest_path": eq, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 7, "added_snapshot_id": 400}],
+    )
+    with pytest.raises(NotImplementedError, match="content=7"):
         read_iceberg_snapshot(spark, root)
 
 
@@ -337,3 +353,41 @@ def test_iceberg_append_refuses_foreign_table(spark, tmp_path):
     df = spark.createDataFrame([(9, "q")], "id bigint, val string")
     with pytest.raises(NotImplementedError, match="another"):
         write_iceberg_append(df, root)
+
+
+def test_iceberg_position_delete_roundtrip(spark, tmp_path):
+    """Merge-on-read DELETE: a position-delete commit must hide matching
+    rows in the current snapshot, leave prior snapshots intact (time
+    travel), compose with a later append, and stack with a second delete
+    (existing deletes applied before computing new coordinates)."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        write_iceberg_append,
+        write_iceberg_position_deletes,
+    )
+
+    root = str(tmp_path / "dtable")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id bigint, val string"
+    )
+    s1 = write_iceberg_append(df1, root)
+    sd = write_iceberg_position_deletes(spark, root, F.col("id") % 2 == 0)
+    assert sd > s1
+
+    def rows(df):
+        return {(r.id, r.val) for r in df.collect()}
+
+    assert rows(read_iceberg_snapshot(spark, root)) == {(1, "a"), (3, "c")}
+    # pre-delete snapshot still shows everything
+    assert rows(read_iceberg_snapshot(spark, root, snapshot_id=s1)) == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    }
+    # append after a delete: new rows visible, old deletes still applied
+    write_iceberg_append(
+        spark.createDataFrame([(6, "f")], "id bigint, val string"), root
+    )
+    assert rows(read_iceberg_snapshot(spark, root)) == {
+        (1, "a"), (3, "c"), (6, "f"),
+    }
+    # second delete stacks (and re-deleting dead rows is a no-op)
+    write_iceberg_position_deletes(spark, root, F.col("id") >= 3)
+    assert rows(read_iceberg_snapshot(spark, root)) == {(1, "a")}

@@ -132,7 +132,7 @@ class TestPackingRandomized:
                    count(*) AS n_docs,
                    sum(n_tok)::BIGINT AS total_tokens,
                    (max(end_bin) + 1)::BIGINT AS n_bins,
-                   sum((end_bin > bin)::BIGINT) AS n_straddling,
+                   sum((end_bin > bin)::BIGINT)::BIGINT AS n_straddling,
                    round(sum(n_tok)::DOUBLE
                          / ((max(end_bin) + 1) * {cap}.0), 6) AS fill_ratio
             FROM binned GROUP BY source ORDER BY source
