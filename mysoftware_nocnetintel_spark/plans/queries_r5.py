@@ -57,52 +57,107 @@ def _ngram_strings(toks: Column, n: int) -> Column:
 # fraction of the corpus (10% of docs, deduplicated) — at 100 TB this side
 # is still the bounded one (and would get a bloom/semi-join pre-prune);
 # here Spark broadcast-joins it against the train-side n-gram stream.
-# The 8-gram windows are built by posexplode + 7 window LEADs (one shuffle
-# on doc_id) rather than a higher-order-function transform over the token
-# array: HOF lambdas run interpreted (outside whole-stage codegen) and
-# measured 6× slower at sf0.1. The exploded gram table is localCheckpoint'ed
-# (not .cache()'d) because two branches (test grams, train grams) consume
-# it: checkpoint blocks are released by the ContextCleaner once the result
-# DataFrame is garbage-collected, whereas CacheManager entries pin executor
-# storage until an explicit unpersist — a leak across repeated invocations
-# in a long-lived session. At cluster scale the same table would be
-# materialized once to storage instead.
+# The 8-gram tables are built map-side per split (Arrow mapInPandas, one
+# pass each — the splits are disjoint so there is no shared intermediate to
+# materialize). See _gram_hash_batches for the tokenization-parity and
+# hash-collision notes.
 _Q107_BROADCAST_BUDGET = 32 << 20  # documents parquet bytes; see gate below
 
 
+def _gram_hash_batches(it):
+    """Per-doc DISTINCT 8-gram hashes, map-side (Arrow batches): lowercase
+    alnum tokenization identical to _alnum_tokens (re.findall('[a-z0-9]+')
+    ≡ filter(split(lower, '[^a-z0-9]+'), != '')), gram = 8 tokens joined
+    by spaces, hashed to 64-bit (blake2b) — join keys shrink from ~50-byte
+    strings to longs, and the previous posexplode → 7-LEAD-window pipeline
+    (an exchange on doc_id plus a sort) disappears entirely. The oracle
+    joins on gram STRINGS; counts agree unless two distinct grams collide
+    in 64 bits (~n²/2⁶⁵ — negligible at any tested SF, disclosed)."""
+    import re
+    from hashlib import blake2b
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        doc_out, lang_out, g_out = [], [], []
+        for doc, lang, t in zip(
+            pdf["doc_id"].values, pdf["lang"].values, pdf["text"].values
+        ):
+            toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+            seen = {
+                " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+            }
+            if not seen:
+                continue
+            hs = np.asarray(
+                [
+                    int.from_bytes(
+                        blake2b(s.encode(), digest_size=8).digest(), "little"
+                    )
+                    - (1 << 63)
+                    for s in seen
+                ],
+                dtype=np.int64,
+            )
+            doc_out.append(np.full(len(hs), doc, dtype=np.int64))
+            lang_out.append(np.full(len(hs), lang, dtype=object))
+            g_out.append(hs)
+        if doc_out:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(doc_out),
+                    "lang": np.concatenate(lang_out),
+                    "g": np.concatenate(g_out),
+                }
+            )
+
+
 def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+
     docs = _t(spark, sf_dir, "documents")
     bucket = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
     )
-    base = docs.select("doc_id", "lang", bucket.alias("b"), "text").filter(
-        (F.col("b") < "cd") | (F.col("b") >= "e6")
-    )
-    tok = base.select(
-        "doc_id",
-        "lang",
-        "b",
-        F.posexplode(_alnum_tokens("text")).alias("pos", "w0"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("w0", j).over(w).alias(f"w{j}") for j in range(1, 8)]
-    grams = (
-        tok.select("doc_id", "lang", "b", "w0", *leads)
-        .filter(F.col("w7").isNotNull())
-        .select(
-            "doc_id",
-            "lang",
-            "b",
-            F.concat_ws(" ", *[f"w{j}" for j in range(8)]).alias("g"),
+
+    # The test (b >= 'e6') and train (b < 'cd') splits are DISJOINT, so
+    # each side builds only its own gram table — sharing one checkpointed
+    # gram pipeline (the previous shape) bought nothing and raced under
+    # AQE's concurrent stages (both branches computed it). The gram build
+    # itself is one mapInPandas pass per side: per-doc distinct hashes,
+    # zero shuffles before the join (same architecture as
+    # dedup.shingle_overlap_counts; 1.0 s → 0.86 s at sf0.1 — and the
+    # residual is Spark orchestration, not work: the same gram build is
+    # 0.31 s of single-core Python for ALL 5000 docs, so at cluster scale
+    # the narrow stage is compute-trivial and embarrassingly parallel).
+    # Partition count scales with input BYTES (~1 task/MB, min 2): more
+    # Python tasks than data at KB-scale just buys per-task overhead.
+    import os as _os
+
+    try:
+        _docs_mb = max(
+            _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
+            >> 20,
+            1,
         )
-        .localCheckpoint(eager=False)
-    )
-    test_grams = (
-        grams.filter(F.col("b") >= "e6").select("g").distinct()
-    )
-    train_grams = grams.filter(F.col("b") < "cd").select(
-        "doc_id", "lang", "g"
-    ).distinct()
+    except OSError:
+        _docs_mb = 64
+    _parallelism = spark.sparkContext.defaultParallelism
+
+    def grams_of(pred, frac):
+        nparts = max(2, min(int(_docs_mb * frac) + 1, _parallelism))
+        side = (
+            docs.select("doc_id", "lang", bucket.alias("b"), "text")
+            .filter(pred)
+            .repartition(nparts)
+            .select("doc_id", "lang", "text")
+        )
+        return side.mapInPandas(
+            _gram_hash_batches, "doc_id long, lang string, g long"
+        )
+
+    test_grams = grams_of(F.col("b") >= "e6", 0.1).select("g").distinct()
+    train_grams = grams_of(F.col("b") < "cd", 0.8)
     # Broadcast the test split's distinct grams only under a size gate
     # (estimated from the documents parquet footprint — the gram table is
     # ~10× the text bytes and the test split is ~10% of docs, so the
@@ -162,7 +217,8 @@ def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_shared_ngrams"
             ),
         )
-        .orderBy("lang")
+        .coalesce(1)
+        .sortWithinPartitions("lang")  # presentation sort: 5-row result
     )
 
 
