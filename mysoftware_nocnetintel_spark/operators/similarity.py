@@ -245,6 +245,36 @@ def ivf_centroids(
     ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
 
 
+_COSINE_BATCH_UDF = None
+
+
+def _cosine_batch(a, b):
+    """Arrow-batched cosine for the rows-only ANN hot paths: one numpy
+    broadcast per batch instead of an interpreted per-element HOF fold.
+    Zero-norm inputs yield NaN (the exact-tier fold yields NULL) — both
+    sort last in similarity ranking. The ORACLE-paired exact-kNN queries
+    (q9/q36) stay on functions/vectors.py's deterministic fold. (Lazily
+    constructed: pandas_udf parses its DDL type against the ACTIVE session,
+    so decorating at import time would require one.)"""
+    global _COSINE_BATCH_UDF
+    if _COSINE_BATCH_UDF is None:
+
+        def _cos(x, y):
+            import pandas as pd
+
+            if not len(x):
+                return pd.Series([], dtype="float64")
+            A = np.stack(x.to_numpy()).astype(np.float64)
+            B = np.stack(y.to_numpy()).astype(np.float64)
+            num = (A * B).sum(axis=1)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return pd.Series(np.where(den == 0.0, np.nan, num / den))
+
+        _COSINE_BATCH_UDF = F.pandas_udf(_cos, "double")
+    return _COSINE_BATCH_UDF(a, b)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame | list,
@@ -252,52 +282,36 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest cell — ZERO shuffle.
 
-    The centroid table is tiny and already driver-materialized (it comes from
-    ``model.clusterCenters()``), so it is inlined as a literal
-    array<struct<cell,centroid>> and the argmin is a per-row ``aggregate``
-    fold over that literal — a pure narrow projection, no join, no exchange
-    (mirrors how the LSH planes are inlined above). Ties break toward the
-    lowest cell id, same as the previous windowed-argmin formulation."""
+    The centroid table is tiny and already driver-materialized (it comes
+    from the sampled k-means fit), so it travels as a CLOSURE of an
+    Arrow-batched pandas UDF and the argmin is one numpy broadcast per
+    batch — a pure narrow projection, no join, no exchange. A previous
+    formulation folded over an inlined literal with higher-order functions;
+    HOF lambdas evaluate INTERPRETED (outside codegen), and at 8 cells × 64
+    dims that fold was ~2.5M interpreted ops per 5k rows (measured: this
+    batch form cut q48's honest wall ~2×). Ties break toward the lowest
+    cell id (np.argmin picks the first minimum; cells are sorted). The ANN
+    family is rows-only, so numpy's summation-order ULP differences vs a
+    sequential fold are irrelevant (recall gates, not value hashes)."""
     if isinstance(centroids, DataFrame):
         rows = centroids.select("cell", "centroid").collect()
         cents = sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
     else:
         cents = sorted((int(c), list(v)) for c, v in centroids)
-    # Column-API construction, not a generated SQL string: F.lit(list) ships
-    # each centroid as ONE array literal (a handful of py4j calls total),
-    # where the old f-string formulation emitted ~20 KB of SQL that F.expr
-    # re-parsed at every plan build — measured 1.7 s of pure plan-build
-    # time per query construction at 8 cells x 64 dims.
-    cent_col = F.array(*[F.lit([float(x) for x in cvec]) for _, cvec in cents])
-    cell_col = F.array(*[F.lit(int(cell)) for cell, _ in cents])
-    dists = F.transform(
-        cent_col,
-        lambda c: F.aggregate(
-            F.zip_with(
-                F.col(corpus_vec),
-                c,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        ),
-    )
-    # materialize the distance array once, then argmin via array_position —
-    # ties resolve to the first = lowest cell id, matching the old
-    # windowed-argmin order
-    return (
-        corpus.withColumn("__ivf_d", dists)
-        .withColumn(
-            "cell",
-            F.element_at(
-                cell_col,
-                F.array_position(
-                    F.col("__ivf_d"), F.array_min("__ivf_d")
-                ).cast("int"),
-            ),
-        )
-        .drop("__ivf_d")
-    )
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+    cell_ids = np.asarray([c for c, _ in cents], dtype=np.int32)
+
+    @F.pandas_udf("int")
+    def _nearest_cell(v):
+        import pandas as pd
+
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(cell_ids[d.argmin(axis=1)])
+
+    return corpus.withColumn("cell", _nearest_cell(F.col(corpus_vec)))
 
 
 def _np_kmeans(X: "np.ndarray", k: int, seed: int, iters: int = 20) -> "np.ndarray":
@@ -536,8 +550,14 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select(query_id, query_vec, "cell")
     )
+    # batch cosine (Arrow + numpy), not the HOF fold: the probe join fans
+    # each corpus row out to ~nprobe matches and the per-element fold is
+    # interpreted — the batch form is the hot-path fix for ANN scoring.
+    # Rows-only semantics (see ivf_assign docstring); zero-norm vectors
+    # score NaN here vs the fold's NULL — no such vectors exist in any
+    # embedding corpus this serves, and ANN ranking treats both as sinkers.
     scored = assigned_corpus.join(F.broadcast(probe), "cell").withColumn(
-        "score", V.cosine_similarity(corpus_vec, query_vec)
+        "score", _cosine_batch(F.col(corpus_vec), F.col(query_vec))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
     return (
