@@ -73,11 +73,13 @@ def spread_narrow(df: DataFrame) -> DataFrame:
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """Word k-shingles as ROWS ``(doc, shingle)`` — NOT distinct, built by
-    posexplode + (k-1) window LEADs over token position.
-
-    This is the shared front end of every shingle consumer (inverted-index
-    Jaccard, MinHash). The per-row alternative (`functions.text.
+    """Word k-shingles as ROWS ``(doc, s)`` — NOT distinct, built by
+    posexplode + (k-1) window LEADs over token position. Pure-JVM; kept for
+    consumers that need the raw (duplicated) gram stream with its oracle-
+    mirrorable SQL shape (q117 bigram surprisal, q120 n-gram novelty) —
+    the dedup/minhash pipelines now use :func:`shingle_posting_rows`
+    (map-side, distinct, with set sizes). The per-row alternative
+    (`functions.text.
     word_shingles`, a higher-order `transform` + `slice` + `array_join`)
     evaluates its lambda INTERPRETED — outside whole-stage codegen — and
     measured ~6× slower at 5k docs; window lead + concat_ws stays inside
@@ -100,6 +102,55 @@ def shingle_rows(
             "doc",
             F.concat_ws(" ", *[f"w{j}" for j in range(k)]).alias("s"),
         )
+    )
+
+
+def shingle_posting_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-doc DISTINCT word-k-shingle rows ``(doc, n_shingles, s)`` out of
+    one Arrow ``mapInPandas`` pass — the shared map-side front end of the
+    shingle consumers (inverted-index Jaccard/containment, MinHash).
+
+    Tokenization is Python ``str.split()`` ≡ the JVM ``tokens()`` column
+    (split on whitespace runs, trimmed, empties dropped). Zero shuffles:
+    deduplication and set sizes happen inside the batch. The pure-JVM
+    alternatives both lose: posexplode → lead-window costs an exchange on
+    the doc id plus two window sorts before the first useful shuffle, and a
+    higher-order ``transform`` evaluates its lambda interpreted (measured
+    6.3 s vs 0.3 s for this stage at sf0.1). Documents with fewer than k
+    tokens yield no rows."""
+
+    def _shingle_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            docs_out, n_out, s_out = [], [], []
+            for doc, t in zip(pdf["doc"].values, pdf["text"].values):
+                toks = (t or "").split()
+                seen = sorted(
+                    {" ".join(tr) for tr in zip(*[toks[j:] for j in range(k)])}
+                )
+                if not seen:
+                    continue
+                docs_out.append(np.full(len(seen), doc, dtype=np.int64))
+                n_out.append(np.full(len(seen), len(seen), dtype=np.int64))
+                s_out.append(np.asarray(seen, dtype=object))
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "doc": np.concatenate(docs_out),
+                        "n_shingles": np.concatenate(n_out),
+                        "s": np.concatenate(s_out),
+                    }
+                )
+
+    src = spread_narrow(df).select(
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        _shingle_batches, "doc long, n_shingles long, s string"
     )
 
 
@@ -152,39 +203,7 @@ def shingle_overlap_counts(
     shingle must fit in a task, which is exactly what ``max_shingle_df``
     bounds — set it for any 100 TB corpus.
     """
-    k = shingle_k
-
-    def _shingle_batches(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            docs_out, n_out, s_out = [], [], []
-            for doc, t in zip(pdf["doc"].values, pdf["text"].values):
-                toks = (t or "").split()
-                seen = sorted(
-                    {" ".join(tr) for tr in zip(*[toks[j:] for j in range(k)])}
-                )
-                if not seen:
-                    continue
-                docs_out.append(np.full(len(seen), doc, dtype=np.int64))
-                n_out.append(np.full(len(seen), len(seen), dtype=np.int64))
-                s_out.append(np.asarray(seen, dtype=object))
-            if docs_out:
-                yield pd.DataFrame(
-                    {
-                        "doc": np.concatenate(docs_out),
-                        "n_shingles": np.concatenate(n_out),
-                        "s": np.concatenate(s_out),
-                    }
-                )
-
-    src = spread_narrow(df).select(
-        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
-    )
-    inv = src.mapInPandas(
-        _shingle_batches, "doc long, n_shingles long, s string"
-    )
+    inv = shingle_posting_rows(df, id_col, text_col, shingle_k)
     shingle = F.xxhash64("s") if hash_shingles else F.col("s")
     inv = inv.select("doc", "n_shingles", shingle.alias("shingle"))
 
@@ -334,15 +353,16 @@ def minhash_signatures(
     Documents with zero shingles produce no row (same effect as the old
     null-signature filter). Signature values are identical to
     :func:`minhash_signature` (same ``mh{i}`` salts)."""
-    # Shingles arrive as rows from the shared window-lead builder (see
-    # shingle_rows) — duplicates are harmless under min(), so no distinct
-    # pass is paid here. Zero-shingle docs produce no rows, preserving the
-    # "no row" contract. ``_shingles`` lets composite pipelines pass a
-    # cached shingle table so the gram build isn't recomputed per stage.
+    # Shingles arrive as rows from the shared map-side builder (see
+    # shingle_posting_rows); min() is duplicate-insensitive, so pre- vs
+    # post-distinct inputs give identical signatures. Zero-shingle docs
+    # produce no rows, preserving the "no row" contract. ``_shingles`` lets
+    # composite pipelines pass a materialized shingle table so the gram
+    # build isn't recomputed per stage.
     sh = (
         _shingles
         if _shingles is not None
-        else shingle_rows(df, id_col, text_col, shingle_k)
+        else shingle_posting_rows(df, id_col, text_col, shingle_k)
     )
     aggs = [
         F.min(F.xxhash64("s", F.lit(f"mh{i}"))).alias(f"__h{i}")
@@ -429,9 +449,9 @@ def minhash_near_dup_pairs(
     # unpersist — a leak across repeated invocations in a long-lived
     # session (at cluster scale this is the intermediate you'd materialize
     # to storage).
-    sh_rows = shingle_rows(df, id_col, text_col, shingle_k).localCheckpoint(
-        eager=False
-    )
+    sh_rows = shingle_posting_rows(
+        df, id_col, text_col, shingle_k
+    ).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k, _shingles=sh_rows
     )
