@@ -156,50 +156,126 @@ def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             _gram_hash_batches, "doc_id long, lang string, g long"
         )
 
-    test_grams = grams_of(F.col("b") >= "e6", 0.1).select("g").distinct()
-    train_grams = grams_of(F.col("b") < "cd", 0.8)
-    # Broadcast the test split's distinct grams only under a size gate
-    # (estimated from the documents parquet footprint — the gram table is
-    # ~10× the text bytes and the test split is ~10% of docs, so the
-    # broadcast is roughly the documents file size): an unconditional hint
-    # bypasses autoBroadcastJoinThreshold and would OOM the driver at
-    # larger scale factors. Above the budget, fall back to a shuffled join
-    # (at 100 TB you'd add a bloom pre-prune on the train side).
     import os
 
     try:
         docs_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
     except OSError:
         docs_bytes = _Q107_BROADCAST_BUDGET + 1
-    tg = (
-        F.broadcast(test_grams)
-        if docs_bytes <= _Q107_BROADCAST_BUDGET
-        else test_grams
-    )
-    hits = (
-        train_grams.join(tg, "g")
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    per_lang = (
-        docs.select(
-            "lang",
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
-            ).alias("b"),
+
+    if docs_bytes <= _Q107_BROADCAST_BUDGET:
+        # SMALL-test-set strategy (the common case: held-out evals are
+        # bounded regardless of corpus size): collect the test split's
+        # distinct gram HASHES (8 B each; the budget bounds this to a few
+        # hundred KB) and ship them as a CLOSURE of the train-side overlap
+        # pass. Per-doc overlap is then one C-level set intersection, the
+        # gram stream never shuffles, and the per-language denominators
+        # fuse into the SAME aggregation (n_shared=0 rows carry them).
+        # NOTE: an IN-list literal instead of a closure was measured at
+        # 17 s — Catalyst re-serializes plan literals per build; closures
+        # ship once via cloudpickle. The test TEXTS are collected raw and
+        # gram-hashed in the driver: the split is budget-bounded, and a
+        # driver loop over it (~0.03 s for 500 docs) is cheaper than
+        # scheduling a whole distributed Python job to hash it.
+        import re as _re
+        from hashlib import blake2b as _b2d
+
+        test_set: set = set()
+        for r in (
+            docs.select("doc_id", bucket.alias("b"), "text")
+            .filter(F.col("b") >= "e6")
+            .select("text")
+            .collect()
+        ):
+            toks = _re.findall(r"[a-z0-9]+", (r.text or "").lower())
+            for i in range(len(toks) - 7):
+                test_set.add(
+                    int.from_bytes(
+                        _b2d(
+                            " ".join(toks[i : i + 8]).encode(), digest_size=8
+                        ).digest(),
+                        "little",
+                    )
+                    - (1 << 63)
+                )
+
+        def _overlap(it):
+            import re as _re
+            from hashlib import blake2b as _b2
+
+            import pandas as pd
+
+            for pdf in it:
+                out = []
+                for doc, lang, t in zip(
+                    pdf["doc_id"].values,
+                    pdf["lang"].values,
+                    pdf["text"].values,
+                ):
+                    toks = _re.findall(r"[a-z0-9]+", (t or "").lower())
+                    seen = {
+                        " ".join(toks[i : i + 8])
+                        for i in range(len(toks) - 7)
+                    }
+                    n = sum(
+                        1
+                        for s in seen
+                        if (
+                            int.from_bytes(
+                                _b2(s.encode(), digest_size=8).digest(),
+                                "little",
+                            )
+                            - (1 << 63)
+                        )
+                        in test_set
+                    )
+                    out.append((doc, lang, n))
+                if out:
+                    yield pd.DataFrame(
+                        out, columns=["doc_id", "lang", "n_shared"]
+                    )
+
+        nparts = max(2, min(int(_docs_mb * 0.8) + 1, _parallelism))
+        per_doc = (
+            docs.select("doc_id", "lang", bucket.alias("b"), "text")
+            .filter(F.col("b") < "cd")
+            .repartition(nparts)
+            .select("doc_id", "lang", "text")
+            .mapInPandas(_overlap, "doc_id long, lang string, n_shared long")
         )
-        .filter(F.col("b") < "cd")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_train_docs"))
-    )
-    contaminated = hits.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_contaminated"),
-        F.max("n_shared").cast("bigint").alias("max_shared_ngrams"),
-        F.sum("n_shared").cast("bigint").alias("total_shared_ngrams"),
-    )
+        agg = per_doc.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum((F.col("n_shared") > 0).cast("bigint")).alias(
+                "n_contaminated"
+            ),
+            F.max("n_shared").alias("max_shared"),
+            F.sum("n_shared").alias("total_shared"),
+        )
+    else:
+        # LARGE-test-set fallback: distributed equi-join on gram hashes
+        # (at 100 TB you'd add a bloom pre-prune on the train side), then
+        # re-attach per-language denominators.
+        test_grams = grams_of(F.col("b") >= "e6", 0.1).select("g").distinct()
+        train_grams = grams_of(F.col("b") < "cd", 0.8)
+        hits = (
+            train_grams.join(test_grams, "g")
+            .groupBy("doc_id", "lang")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        per_lang = (
+            docs.select("lang", bucket.alias("b"))
+            .filter(F.col("b") < "cd")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_train_docs"))
+        )
+        contaminated = hits.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.max("n_shared").alias("max_shared"),
+            F.sum("n_shared").alias("total_shared"),
+        )
+        agg = per_lang.join(contaminated, "lang", "left")
     return (
-        per_lang.join(contaminated, "lang", "left")
-        .select(
+        agg.select(
             "lang",
             "n_train_docs",
             F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias(
@@ -210,10 +286,10 @@ def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_train_docs"),
                 6,
             ).alias("contamination_rate"),
-            F.coalesce("max_shared_ngrams", F.lit(0)).cast("bigint").alias(
+            F.coalesce("max_shared", F.lit(0)).cast("bigint").alias(
                 "max_shared_ngrams"
             ),
-            F.coalesce("total_shared_ngrams", F.lit(0)).cast("bigint").alias(
+            F.coalesce("total_shared", F.lit(0)).cast("bigint").alias(
                 "total_shared_ngrams"
             ),
         )
