@@ -57,7 +57,15 @@ def plan_summary(df: DataFrame) -> dict:
         "scans": n_ops("Scan parquet") or p.count("Scan parquet"),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", p),
         "top_k": "TakeOrderedAndProject" in p,
-        "python_evals": n_ops("ArrowEvalPython") + n_ops("BatchEvalPython"),
+        # every Python-execution operator kind: scalar UDFs (Arrow/row),
+        # mapInPandas, applyInPandas (grouped map / co-grouped map)
+        "python_evals": (
+            n_ops("ArrowEvalPython")
+            + n_ops("BatchEvalPython")
+            + n_ops("MapInPandas")
+            + n_ops("FlatMapGroupsInPandas")
+            + n_ops("FlatMapCoGroupsInPandas")
+        ),
     }
 
 
