@@ -172,6 +172,58 @@ def read_avro_file(path: str) -> tuple[Any, list[Any]]:
 # ---------------------------------------------------------------- encoding
 # Writer subset used by tests to fabricate spec-compliant fixtures (and to
 # round-trip-test the decoder). Null codec only.
+def _union_branch(schema: list, v: Any) -> tuple[int, Any]:
+    """Pick the union branch for a Python value by TYPE, in two passes:
+    exact type match first (so ``["null","long","string"]`` holding a str
+    selects ``string``, never ``long``), then a lenient pass that admits
+    int→float/double widening. Record branches match when every field
+    without a default is present in the value; among several matching
+    record branches the first wins (Avro's own resolution is also
+    first-match within a kind)."""
+
+    def kind(b):
+        return b if isinstance(b, str) else b["type"]
+
+    def matches(b, strict: bool) -> bool:
+        k = kind(b)
+        if v is None:
+            return k == "null"
+        if isinstance(v, bool):
+            return k == "boolean"
+        if isinstance(v, int):
+            if k in ("int", "long"):
+                return True
+            return not strict and k in ("float", "double")
+        if isinstance(v, float):
+            return k in ("float", "double")
+        if isinstance(v, str):
+            if k == "string":
+                return True
+            return k == "enum" and v in b.get("symbols", [])
+        if isinstance(v, (bytes, bytearray)):
+            if k == "bytes":
+                return True
+            return k == "fixed" and len(v) == b.get("size")
+        if isinstance(v, list):
+            return k == "array"
+        if isinstance(v, dict):
+            if k == "map":
+                return True
+            if k == "record":
+                need = {
+                    f["name"] for f in b["fields"] if "default" not in f
+                }
+                return need <= set(v)
+            return False
+        return False
+
+    for strict in (True, False):
+        for i, b in enumerate(schema):
+            if matches(b, strict):
+                return i, b
+    raise ValueError(f"no union branch for {v!r} in {schema!r}")
+
+
 class _Writer:
     def __init__(self):
         self._out = io.BytesIO()
@@ -192,33 +244,24 @@ class _Writer:
 
     def value(self, schema: Any, v: Any) -> None:
         if isinstance(schema, list):
-            # Branch selection is by value-is-None only, which is ambiguous
-            # the moment a union has TWO non-null branches (e.g.
-            # ["null","long","string"] holding a str would silently encode
-            # through the "long" branch). Fail fast instead, matching the
-            # module's fail-fast scope for unsupported format features.
-            non_null = [
-                b
-                for b in schema
-                if (b if isinstance(b, str) else b["type"]) != "null"
-            ]
-            if len(non_null) > 1:
-                raise NotImplementedError(
-                    f"avro_lite writer supports only [null, T] unions, "
-                    f"got {schema!r}"
-                )
-            for i, branch in enumerate(schema):
-                name = branch if isinstance(branch, str) else branch["type"]
-                if (v is None) == (name == "null"):
-                    self.long(i)
-                    self.value(branch, v)
-                    return
-            raise ValueError(f"no union branch for {v!r} in {schema!r}")
+            i, branch = _union_branch(schema, v)
+            self.long(i)
+            self.value(branch, v)
+            return
         if isinstance(schema, dict):
             t = schema["type"]
             if t == "record":
                 for f in schema["fields"]:
-                    self.value(f["type"], v[f["name"]])
+                    if f["name"] in v:
+                        fv = v[f["name"]]
+                    elif "default" in f:
+                        fv = f["default"]  # absent key: encode the default
+                    else:
+                        raise KeyError(
+                            f"record value missing field {f['name']!r} "
+                            "and the schema declares no default"
+                        )
+                    self.value(f["type"], fv)
                 return
             if t == "array":
                 if v:

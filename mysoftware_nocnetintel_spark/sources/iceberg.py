@@ -46,6 +46,11 @@ MANIFEST_ENTRY_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -64,6 +69,44 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
+
+
+def _spark_to_iceberg_type(dt) -> str | None:
+    """Map a Spark primitive type to the Iceberg schema type name (spec
+    'Primitive Types'); None for complex/unmapped types (the table is then
+    written without a field-id schema and equality deletes fail fast)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    return {
+        T.BooleanType: "boolean",
+        T.IntegerType: "int",
+        T.ShortType: "int",
+        T.ByteType: "int",
+        T.LongType: "long",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.StringType: "string",
+        T.DateType: "date",
+        T.TimestampType: "timestamptz",
+        T.TimestampNTZType: "timestamp",
+        T.BinaryType: "binary",
+    }.get(type(dt))
+
+
+def _iceberg_schema(spark_schema) -> dict | None:
+    """Field-id schema for metadata.json (ids 1..n in column order), or
+    None when any column type has no primitive mapping."""
+    fields = []
+    for i, f in enumerate(spark_schema.fields):
+        t = _spark_to_iceberg_type(f.dataType)
+        if t is None:
+            return None
+        fields.append(
+            {"id": i + 1, "name": f.name, "required": not f.nullable, "type": t}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
 def _load_meta(meta_dir: str) -> tuple[dict | None, int]:
@@ -167,6 +210,18 @@ def write_iceberg_append(df: DataFrame, path: str) -> int:
         "manifest-list": mlist,
         "summary": {"operation": "append"},
     }
+    if meta is None:
+        schema = _iceberg_schema(df.schema)
+        schemas = [schema] if schema else []
+    else:
+        schemas = meta.get("schemas") or []
+        if schemas:
+            names = {f["name"] for f in schemas[0]["fields"]}
+            if set(df.columns) != names:
+                raise ValueError(
+                    f"append schema {sorted(df.columns)} does not match the "
+                    f"table schema {sorted(names)}"
+                )
     new_meta = {
         "format-version": 2,
         "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
@@ -177,6 +232,12 @@ def write_iceberg_append(df: DataFrame, path: str) -> int:
         "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
         "current-snapshot-id": snap_id,
     }
+    if schemas:
+        new_meta["schemas"] = schemas
+        new_meta["current-schema-id"] = schemas[0]["schema-id"]
+        new_meta["last-column-id"] = max(
+            f["id"] for f in schemas[0]["fields"]
+        )
     with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
         json.dump(new_meta, fh)
     return snap_id
@@ -204,11 +265,7 @@ def write_iceberg_position_deletes(spark, path: str, condition) -> int:
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    from .readers import (
-        _iceberg_snapshot_files,
-        _norm_file_path,
-        _position_delete_rows,
-    )
+    from .readers import _iceberg_live_scan
 
     meta_dir = os.path.join(path, "metadata")
     meta, ver = _load_meta(meta_dir)
@@ -219,21 +276,10 @@ def write_iceberg_position_deletes(spark, path: str, condition) -> int:
             "refusing to modify an Iceberg table created by another writer: "
             "use the iceberg-spark-runtime connector"
         )
-    data_files, delete_files, _snap = _iceberg_snapshot_files(path)
-    # capture the (file, pos) coordinates WHILE the hidden _metadata columns
-    # are still resolvable (they exist only on the file-source relation),
-    # then apply any existing deletes before filtering
-    data = spark.read.parquet(*data_files).select(
-        "*",
-        _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
-        F.col("_metadata.row_index").alias("__pos"),
-    )
-    if delete_files:
-        data = data.join(
-            _position_delete_rows(spark, delete_files),
-            ["__fp", "__pos"],
-            "left_anti",
-        )
+    # the shared live scan keeps the (file, pos) coordinates resolvable and
+    # applies every existing position AND equality delete first, so deleting
+    # already-dead rows is a no-op
+    data = _iceberg_live_scan(spark, path, keep_coords=True)
     hits = (
         data.filter(condition)
         .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
@@ -260,6 +306,24 @@ def write_iceberg_position_deletes(spark, path: str, condition) -> int:
         del_file,
     )
 
+    return _commit_delete_file(
+        meta, ver, meta_dir, del_file, n_rows=len(rows), file_content=1
+    )
+
+
+def _commit_delete_file(
+    meta: dict,
+    ver: int,
+    meta_dir: str,
+    del_file: str,
+    n_rows: int,
+    file_content: int,
+    equality_ids: list[int] | None = None,
+) -> int:
+    """Shared delete-commit tail of the position- and equality-delete
+    writers: one manifest Avro, one manifest-list Avro, one metadata.json
+    bump — all driver-side KB-scale. ``file_content`` is the spec's
+    data_file content code (1=position deletes, 2=equality deletes)."""
     now_ms = int(time.time() * 1000)
     snap_id = now_ms * 1000 + (ver + 1)
     seq = meta.get("last-sequence-number", 0) + 1
@@ -272,11 +336,12 @@ def write_iceberg_position_deletes(spark, path: str, condition) -> int:
                 "status": 1,
                 "snapshot_id": snap_id,
                 "data_file": {
-                    "content": 1,  # position deletes
+                    "content": file_content,
                     "file_path": del_file,
                     "file_format": "PARQUET",
-                    "record_count": len(rows),
+                    "record_count": n_rows,
                     "file_size_in_bytes": os.path.getsize(del_file),
+                    "equality_ids": equality_ids,
                 },
             }
         ],
@@ -325,3 +390,75 @@ def write_iceberg_position_deletes(spark, path: str, condition) -> int:
     with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
         json.dump(new_meta, fh)
     return snap_id
+
+
+def write_iceberg_equality_deletes(spark, path: str, keys: DataFrame) -> int:
+    """Merge-on-read DELETE BY KEY: commit a v2 EQUALITY delete file whose
+    rows are the distinct key tuples of ``keys`` (a DataFrame whose column
+    names define the equality columns). Returns the new snapshot id.
+
+    Spec semantics (applied by the reader): a key row deletes every data
+    row that matches null-safely on all equality columns AND lives in a
+    data file with a strictly lower data sequence number — so appending a
+    row with the same key AFTER the delete resurrects the key. This is the
+    upsert primitive of streaming CDC writers: the engine knows which keys
+    changed without scanning the table, which is exactly when equality
+    deletes beat position deletes (no read needed at write time).
+
+    The equality column names must resolve in the table's field-id schema
+    (present unless the table was created with complex-typed columns).
+    Same single-writer / fail-fast / KB-scale-commit scope as the other
+    writers; the delete parquet is driver-written (capped at
+    ``_MAX_DELETE_ROWS`` distinct keys).
+    """
+    import pyarrow.parquet as pq
+
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to modify an Iceberg table created by another writer: "
+            "use the iceberg-spark-runtime connector"
+        )
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        raise NotImplementedError(
+            "equality deletes need a field-id schema and this table was "
+            "created without one (complex-typed columns): use the "
+            "iceberg-spark-runtime connector"
+        )
+    name_to_id = {f["name"]: f["id"] for f in schemas[0]["fields"]}
+    unknown = [c for c in keys.columns if c not in name_to_id]
+    if unknown:
+        raise ValueError(
+            f"equality columns {unknown} not in the table schema "
+            f"{sorted(name_to_id)}"
+        )
+    if not keys.columns:
+        raise ValueError("keys DataFrame has no columns")
+    equality_ids = [name_to_id[c] for c in keys.columns]
+
+    tbl = keys.distinct().limit(_MAX_DELETE_ROWS + 1).toArrow()
+    if tbl.num_rows > _MAX_DELETE_ROWS:
+        raise NotImplementedError(
+            f"equality delete with more than {_MAX_DELETE_ROWS} distinct "
+            "keys: use the iceberg-spark-runtime connector (distributed "
+            "delete writes)"
+        )
+    # deterministic file contents: sort the key tuples
+    tbl = tbl.sort_by([(c, "ascending") for c in keys.columns])
+    del_file = os.path.join(
+        os.path.join(path, "data"), f"eq-delete-{uuid.uuid4().hex[:16]}.parquet"
+    )
+    pq.write_table(tbl, del_file)
+    return _commit_delete_file(
+        meta,
+        ver,
+        meta_dir,
+        del_file,
+        n_rows=tbl.num_rows,
+        file_content=2,
+        equality_ids=equality_ids,
+    )

@@ -264,25 +264,62 @@ def read_iceberg_snapshot(
 
     Like the Delta fallback this is driver-side METADATA work only — a
     manifest is KB-scale Avro — and the data scan stays a distributed
-    parquet read. V2 POSITION delete files (merge-on-read) are honored:
-    delete manifests' (file_path, pos) rows anti-join the data scan on the
-    hidden ``_metadata.file_path`` / ``_metadata.row_index`` columns — a
-    fully distributed application, no driver materialization. Features the
-    minimal reader can't honor without wrong results fail fast with
-    NotImplementedError: EQUALITY deletes, non-parquet files; ``status=2``
-    handling follows the spec (deleted entries are skipped).
+    parquet read. V2 merge-on-read delete files are honored, both kinds:
+
+    - POSITION deletes: delete manifests' (file_path, pos) rows anti-join
+      the data scan on the hidden ``_metadata.file_path`` /
+      ``_metadata.row_index`` columns;
+    - EQUALITY deletes: each delete file's key rows anti-join the data
+      scan null-safely on the equality columns (resolved from the table
+      schema's field ids), scoped by the spec's sequence-number rule —
+      an equality delete applies only to data files whose data sequence
+      number is STRICTLY LOWER than the delete's, so re-inserted keys in
+      later appends survive.
+
+    Both applications are fully distributed (the delete side is broadcast;
+    no driver materialization). Features the minimal reader can't honor
+    without wrong results fail fast with NotImplementedError (non-parquet
+    files, equality ids without a field-id schema); ``status=2`` handling
+    follows the spec (deleted entries are skipped).
     """
-    data_files, delete_files, snap = _iceberg_snapshot_files(
+    return _iceberg_live_scan(
+        spark, path, snapshot_id, as_of_ms, keep_coords=False
+    )
+
+
+def _iceberg_live_scan(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    keep_coords: bool = False,
+) -> DataFrame:
+    """Shared live-row scan of the reader and the delete writers: data scan
+    with all existing position AND equality deletes applied. With
+    ``keep_coords`` the (``__fp``, ``__pos``) coordinate columns survive so
+    the position-delete writer can capture them."""
+    data_files, delete_files, eq_deletes, snap = _iceberg_snapshot_files(
         path, snapshot_id, as_of_ms
     )
     if not data_files:
         raise ValueError(f"Iceberg snapshot {snap['snapshot-id']} has no files")
     # identity-partitioned Iceberg data files still CONTAIN their partition
     # source columns (unlike Hive layout), so a plain scan is complete
-    scan = spark.read.parquet(*data_files)
+    scan = spark.read.parquet(*[p for p, _seq in data_files])
+    data = scan.select(
+        "*",
+        _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
     if delete_files:
-        scan = _apply_position_deletes(spark, scan, delete_files)
-    return scan
+        data = data.join(
+            _position_delete_rows(spark, delete_files),
+            ["__fp", "__pos"],
+            "left_anti",
+        )
+    if eq_deletes:
+        data = _apply_equality_deletes(spark, data, data_files, eq_deletes)
+    return data if keep_coords else data.drop("__fp", "__pos")
 
 
 def _iceberg_local_path(p: str) -> str:
@@ -291,10 +328,22 @@ def _iceberg_local_path(p: str) -> str:
 
 def _iceberg_snapshot_files(
     path: str, snapshot_id: int | None = None, as_of_ms: int | None = None
-) -> tuple[list[str], list[str], dict]:
-    """Resolve an Iceberg snapshot to its live (data_files, position_delete
-    files, snapshot) — the shared metadata walk of the minimal reader and
-    the position-delete writer. Driver-side KB-scale work."""
+) -> tuple[list[tuple[str, int]], list[str], list[tuple[str, int, list[str]]], dict]:
+    """Resolve an Iceberg snapshot to its live file sets — the shared
+    metadata walk of the minimal reader and the delete writers. Driver-side
+    KB-scale work. Returns::
+
+        (data_files,      # [(path, data_sequence_number)]
+         pos_delete_files,  # [path]
+         eq_deletes,      # [(path, sequence_number, [equality column name])]
+         snapshot)
+
+    Sequence numbers follow the spec's manifest inheritance: an entry with
+    no explicit sequence number inherits its manifest's ``sequence_number``
+    (our writer never writes per-entry overrides). Equality field ids are
+    resolved to column NAMES via the current table schema
+    (``metadata.json`` ``schemas`` / ``current-schema-id``); an equality
+    delete against a table with no field-id schema fails fast."""
     import json
     import os
     from glob import glob
@@ -327,8 +376,18 @@ def _iceberg_snapshot_files(
         cur = meta.get("current-snapshot-id")
         snap = next(s for s in snapshots if s["snapshot-id"] == cur)
 
-    data_files: list[str] = []
+    id_to_name: dict[int, str] = {}
+    schemas = meta.get("schemas") or []
+    cur_schema = next(
+        (s for s in schemas if s.get("schema-id") == meta.get("current-schema-id")),
+        schemas[0] if schemas else None,
+    )
+    if cur_schema:
+        id_to_name = {f["id"]: f["name"] for f in cur_schema.get("fields", [])}
+
+    data_files: list[tuple[str, int]] = []
     delete_files: list[str] = []
+    eq_deletes: list[tuple[str, int, list[str]]] = []
     _, manifests = read_avro_file(_iceberg_local_path(snap["manifest-list"]))
     for m in manifests:
         # v2 manifest-list rows carry `content`: 0=data, 1=deletes
@@ -338,6 +397,7 @@ def _iceberg_snapshot_files(
                 f"Iceberg manifest content={content}: use the "
                 "iceberg-spark-runtime connector"
             )
+        m_seq = m.get("sequence_number", 0)
         _, entries = read_avro_file(_iceberg_local_path(m["manifest_path"]))
         for e in entries:
             if e.get("status") == 2:  # DELETED entry — not live in snapshot
@@ -349,36 +409,67 @@ def _iceberg_snapshot_files(
                     f"Iceberg {df_rec['file_format']} files "
                     "(minimal reader scans parquet only)"
                 )
+            fpath = _iceberg_local_path(df_rec["file_path"])
             if fc == 0:
-                data_files.append(_iceberg_local_path(df_rec["file_path"]))
+                data_files.append((fpath, m_seq))
             elif fc == 1:  # position deletes
-                delete_files.append(_iceberg_local_path(df_rec["file_path"]))
+                delete_files.append(fpath)
             else:  # 2 = equality deletes
-                raise NotImplementedError(
-                    "Iceberg EQUALITY delete files: use the "
-                    "iceberg-spark-runtime connector"
+                ids = df_rec.get("equality_ids") or []
+                if not ids:
+                    raise NotImplementedError(
+                        "Iceberg equality delete file without equality_ids: "
+                        "use the iceberg-spark-runtime connector"
+                    )
+                missing = [i for i in ids if i not in id_to_name]
+                if missing:
+                    raise NotImplementedError(
+                        f"equality field ids {missing} not resolvable (table "
+                        "has no field-id schema for them): use the "
+                        "iceberg-spark-runtime connector"
+                    )
+                eq_deletes.append(
+                    (fpath, m_seq, [id_to_name[i] for i in ids])
                 )
-    return data_files, delete_files, snap
+    return data_files, delete_files, eq_deletes, snap
 
 
-def _apply_position_deletes(
-    spark: SparkSession, scan: DataFrame, delete_files: list[str]
+def _apply_equality_deletes(
+    spark: SparkSession,
+    data: DataFrame,
+    data_files: list[tuple[str, int]],
+    eq_deletes: list[tuple[str, int, list[str]]],
 ) -> DataFrame:
-    """Merge-on-read: anti-join the data scan against the position-delete
-    rows (file_path, pos) on the hidden parquet metadata columns. Fully
-    distributed; Spark auto-broadcasts the (typically tiny) delete side.
-    Position deletes name concrete data-file paths, and paths are never
-    reused by writers, so the global anti-join needs no sequence-number
-    reasoning."""
-    data = scan.select(
-        "*",
-        _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
-        F.col("_metadata.row_index").alias("__pos"),
+    """Merge-on-read equality deletes, spec semantics: a delete row kills a
+    data row iff the equality columns match NULL-SAFELY and the data file's
+    data sequence number is STRICTLY LOWER than the delete file's. The
+    per-file sequence number reaches the rows via a broadcast join on the
+    hidden file path (KB-scale map, never collected back); delete files are
+    grouped by their equality-column set so each set costs one broadcast
+    anti-join. Fully distributed — scales with the data scan, not the
+    driver."""
+    import functools
+    from collections import defaultdict
+
+    seq_df = spark.createDataFrame(
+        [(p, s) for p, s in data_files], "__fp: string, __fseq: long"
     )
-    dels = _position_delete_rows(spark, delete_files)
-    return data.join(dels, ["__fp", "__pos"], "left_anti").drop(
-        "__fp", "__pos"
-    )
+    data = data.join(F.broadcast(seq_df), "__fp", "inner")
+    groups: dict[tuple[str, ...], list[tuple[str, int]]] = defaultdict(list)
+    for fpath, seq, cols in eq_deletes:
+        groups[tuple(cols)].append((fpath, seq))
+    for cols, files in groups.items():
+        dels = None
+        for fpath, seq in files:
+            d = spark.read.parquet(fpath).select(
+                *cols, F.lit(seq).alias("__dseq")
+            )
+            dels = d if dels is None else dels.unionByName(d)
+        cond = functools.reduce(
+            lambda a, b: a & b, [data[c].eqNullSafe(dels[c]) for c in cols]
+        ) & (dels["__dseq"] > data["__fseq"])
+        data = data.join(F.broadcast(dels), cond, "left_anti")
+    return data.drop("__fseq")
 
 
 def _norm_file_path(c):

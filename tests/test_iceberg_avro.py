@@ -99,6 +99,62 @@ def test_avro_roundtrip_all_types(tmp_path, codec):
     assert got == _GNARLY_ROWS
 
 
+def test_avro_multi_branch_union_roundtrip(tmp_path):
+    """Unions with several non-null branches select by VALUE TYPE (a str
+    in ["null","long","string"] must encode through the string branch),
+    including enum-by-symbol, fixed-by-size, and int→double widening when
+    no integer branch exists."""
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [
+            {"name": "a", "type": ["null", "long", "string"]},
+            {"name": "b", "type": ["double", "string"]},
+            {
+                "name": "c",
+                "type": [
+                    "bytes",
+                    {"type": "fixed", "name": "F4", "size": 4},
+                    {"type": "enum", "name": "E", "symbols": ["X", "Y"]},
+                    "string",
+                ],
+            },
+            {
+                "name": "d",
+                "type": [
+                    {"type": "map", "values": "long"},
+                    {
+                        "type": "record",
+                        "name": "R",
+                        "fields": [{"name": "x", "type": "long"}],
+                    },
+                ],
+            },
+        ],
+    }
+    rows = [
+        {"a": "s1", "b": 2.5, "c": b"abc", "d": {"k": 1}},
+        {"a": 42, "b": "t", "c": "Y", "d": {"x": 7}},
+        {"a": None, "b": 3, "c": "plain", "d": {}},
+    ]
+    p = str(tmp_path / "u.avro")
+    write_avro_file(p, schema, rows)
+    _, got = read_avro_file(p)
+    # b=3 widened through the double branch; map-vs-record is first-match,
+    # so d={"x":7} decodes as a map (the map branch admits any dict) and
+    # d={} likewise
+    assert got[0] == rows[0]
+    assert got[1] == {"a": 42, "b": "t", "c": "Y", "d": {"x": 7}}
+    assert got[2] == {"a": None, "b": 3.0, "c": "plain", "d": {}}
+    with pytest.raises(ValueError, match="no union branch"):
+        write_avro_file(
+            str(tmp_path / "bad.avro"),
+            {"type": "record", "name": "B",
+             "fields": [{"name": "z", "type": ["null", "long"]}]},
+            [{"z": "not-a-long"}],
+        )
+
+
 def test_avro_rejects_non_avro(tmp_path):
     p = str(tmp_path / "not.avro")
     with open(p, "wb") as fh:
@@ -283,7 +339,9 @@ def test_iceberg_fail_fast_gates(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(NotImplementedError, match="ORC"):
         read_iceberg_snapshot(spark, root)
-    # EQUALITY delete files (data_file.content=2) stay out of scope
+    # foreign EQUALITY delete files without resolvable equality ids refuse
+    # (the fixture's manifest schema carries no equality_ids, and the table
+    # metadata has no field-id schema to resolve them against)
     eq = os.path.join(root, "metadata", "m_eq.avro")
     write_avro_file(
         eq,
@@ -296,7 +354,7 @@ def test_iceberg_fail_fast_gates(spark, tmp_path):
         [{"manifest_path": eq, "manifest_length": 1,
           "partition_spec_id": 0, "content": 1, "added_snapshot_id": 400}],
     )
-    with pytest.raises(NotImplementedError, match="EQUALITY"):
+    with pytest.raises(NotImplementedError, match="equality_ids"):
         read_iceberg_snapshot(spark, root)
     # unknown manifest content kinds refuse too
     write_avro_file(

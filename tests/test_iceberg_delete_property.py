@@ -66,3 +66,69 @@ def test_random_append_delete_interleavings(spark, tmp_path, seed):
             continue  # reader raises on empty snapshots by contract
         got = _rows(read_iceberg_snapshot(spark, root, snapshot_id=sid))
         assert got == want, f"seed={seed} snapshot {sid}"
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_mixed_delete_kind_interleavings(spark, tmp_path, seed):
+    """All three commit kinds interleaved. The reference model tracks each
+    live row's COMMIT SEQUENCE so the equality-delete rule (kills only rows
+    from strictly-older sequences; re-appended keys survive) is checked
+    independently of the reader's join plan. Keys deliberately repeat
+    across appends so equality deletes hit multiple generations."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        write_iceberg_equality_deletes,
+    )
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"mix{seed}")
+    # model: live row set keyed by (id, val, commit_seq); every commit of
+    # any kind advances the sequence number by 1 (matching the writer)
+    ref: dict[int, tuple[str, int]] = {}
+    seq = 0
+    snapshots: list[tuple[int, set]] = []
+
+    ops = ["append"] + [
+        rng.choice(["append", "posdel", "eqdel", "eqdel"]) for _ in range(7)
+    ]
+    for op in ops:
+        if op == "append" or not ref:
+            seq += 1
+            n = rng.randint(1, 3)
+            # keys drawn from a small space so re-insertion happens a lot
+            batch = {rng.randrange(8): chr(97 + seq) for _ in range(n)}
+            write_iceberg_append(
+                spark.createDataFrame(
+                    list(batch.items()), "id bigint, val string"
+                ),
+                root,
+            )
+            # NOTE: duplicate keys WITHIN one table are allowed by the
+            # format; the model keeps them all, keyed by (id, val, seq)
+            for k, v in batch.items():
+                ref[(k, v, seq)] = None
+        elif op == "posdel":
+            seq += 1
+            m = rng.choice([2, 3])
+            r = rng.randrange(m)
+            write_iceberg_position_deletes(spark, root, F.col("id") % m == r)
+            ref = {key: None for key in ref if key[0] % m != r}
+        else:
+            seq += 1
+            ks = sorted({key[0] for key in ref} | {rng.randrange(8)})
+            chosen = rng.sample(ks, k=min(len(ks), rng.randint(1, 3)))
+            write_iceberg_equality_deletes(
+                spark,
+                root,
+                spark.createDataFrame([(k,) for k in chosen], "id bigint"),
+            )
+            # strictly-lower-sequence rule
+            ref = {
+                key: None
+                for key in ref
+                if not (key[0] in chosen and key[2] < seq)
+            }
+        want = {(k, v) for (k, v, _s) in ref}
+        snapshots.append((seq, want))
+        if ref:
+            got = _rows(read_iceberg_snapshot(spark, root))
+            assert got == want, f"seed={seed} after {op} (seq {seq})"
