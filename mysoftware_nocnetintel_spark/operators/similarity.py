@@ -655,3 +655,103 @@ def opq_topk(
         k=k,
         shortlist=shortlist,
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau: float = 0.95,
+    seed: int = 42,
+    max_cell_rows: int = 100_000,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then inside
+    each cluster greedily keep a document only if no ALREADY-KEPT document
+    of that cluster has cosine similarity above ``tau`` with it (scan in
+    ascending id order, so the keep/drop decision is deterministic and the
+    survivor of a duplicate group is its lowest id).
+
+    Returns ``(id, cell, keep, dup_of)`` — ``dup_of`` is the kept id that
+    caused a drop (NULL for kept rows).
+
+    Scale design: the clustering step is the whole point — candidate
+    comparison is confined to a cell, so the quadratic term is m² per cell
+    (m ≈ n/k), not n². One shuffle on cell id; the per-cell greedy runs as
+    an Arrow ``applyInPandas`` group with numpy block matrix products. At
+    100 TB you grow ``n_cells`` with the corpus to hold m constant
+    (SemDeDup's own setting: tens of thousands of clusters for billions of
+    docs). ``max_cell_rows`` bounds MEMORY, not semantics: a runaway cell
+    (skewed embedding space) is processed in id-ordered blocks so no
+    m×m similarity matrix is ever materialized — every row still compares
+    against every previously kept row of its cell, so the greedy result is
+    identical to the unblocked scan at any block size.
+    """
+    import pandas as pd
+
+    centroids = ivf_centroids(
+        corpus, vec_col=vec_col, n_cells=n_cells, seed=seed
+    )
+    assigned = ivf_assign(corpus, centroids, corpus_vec=vec_col)
+
+    out_schema = (
+        f"{id_col} long, cell int, keep boolean, dup_of long"
+    )
+
+    def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0
+        Xn = X / norms[:, None]
+        kept_rows: list[np.ndarray] = []  # normalized kept vectors
+        kept_ids: list[int] = []
+        keep = np.zeros(len(ids), dtype=bool)
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for start in range(0, len(ids), max_cell_rows):
+            blk = Xn[start : start + max_cell_rows]
+            K = np.stack(kept_rows) if kept_rows else None
+            # sims of this block against all previously kept vectors
+            base = blk @ K.T if K is not None else None
+            n_prior = K.shape[0] if K is not None else 0
+            for i in range(blk.shape[0]):
+                gi = start + i
+                hit = -1
+                if base is not None:
+                    over = np.nonzero(base[i] >= tau)[0]
+                    if len(over):
+                        hit = kept_ids[over[0]]
+                if hit < 0:
+                    # compare against rows kept WITHIN this block so far
+                    n_in_block = len(kept_ids) - n_prior
+                    if n_in_block > 0:
+                        W = np.stack(kept_rows[n_prior:])
+                        s = W @ blk[i]
+                        over = np.nonzero(s >= tau)[0]
+                        if len(over):
+                            hit = kept_ids[n_prior + over[0]]
+                if hit >= 0:
+                    dup_of[gi] = hit
+                else:
+                    keep[gi] = True
+                    kept_rows.append(blk[i])
+                    kept_ids.append(int(ids[gi]))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": cell,
+                "keep": keep,
+                "dup_of": pd.array(
+                    [None if d < 0 else d for d in dup_of], dtype="Int64"
+                ),
+            }
+        )
+
+    return (
+        assigned.select(id_col, vec_col, "cell")
+        .groupBy("cell")
+        .applyInPandas(_dedup_cell, out_schema)
+    )

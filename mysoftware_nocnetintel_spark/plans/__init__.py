@@ -6,13 +6,15 @@ from .queries_ml import ML_QUERIES as _ML, ML_ORACLES as _O_ML
 from .queries_extra import EXTRA_QUERIES as _EXTRA
 from .queries_r4 import R4_QUERIES as _R4
 from .queries_r5 import R5_QUERIES as _R5
+from .queries_r6 import R6_QUERIES as _R6
 from .oracles import ORACLES as _O_CORE
+from .oracles_r6 import ORACLES_R6 as _O_R6
 from .oracles_ext import ORACLES_EXT as _O_EXT
 from .oracles_extra import ORACLES_EXTRA as _O_EXTRA
 from .oracles_r4 import ORACLES_R4 as _O_R4
 from .oracles_r5 import ORACLES_R5 as _O_R5
 
-_ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5}
+_ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6}
 
 # The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
 # order, so ordering here is load-bearing. ROTATION RULE (apply every round):
@@ -26,7 +28,7 @@ _ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5}
 # changes (q37/q38/q91), and 21 core queries last graded in r02.
 # Outside the window this round (all previously driver-green, newest signals):
 # q11-q24, q26/q27, q29-q33, q35/q36, q40, q42-q44, q48/q49, q51-q66,
-# q68-q74, q76-q83, q84-q90, q93/q94, q100-q102, q106.
+# q67, q68-q75, q76-q83, q84-q90, q93/q94, q100-q102, q106.
 _WINDOW = [
     # --- never driver-checked (23) ---
     "q92_ann_opq",
@@ -79,10 +81,11 @@ _WINDOW = [
     "q45_tumbling_window",
     "q46_sliding_window",
     "q47_session_window",
-    "q67_tfidf",
-    "q75_sequence_assembly",
-    # --- new this round: per-entity AR(2) sequence model (never graded) ---
+    # --- new this round, never graded (q67/q75 rotate out: they hold the
+    # youngest green signals of the old fill, r03) ---
     "q122_ar2_sequence",
+    "q123_semdedup",
+    "q124_bm25",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -91,7 +94,7 @@ assert not _missing, _missing
 
 QUERIES = {k: _ALL[k] for k in _WINDOW}
 QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
-ORACLES = {**_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5}
+ORACLES = {**_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5, **_O_R6}
 
 
 # Opt-in SERVING-MODE plan cache (the DataFrame analogue of a prepared
@@ -123,6 +126,7 @@ _NO_PLAN_CACHE = {
     "q103_bloom_prune",
     "q107_decontamination",
     "q110_pagerank",
+    "q123_semdedup",
 }
 
 
