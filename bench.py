@@ -4,16 +4,25 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Queries are fully materialized via the noop sink (no driver-side transfer, no
-result printing) on one shared SparkSession — the realistic amortized-session
-deployment mode (BASELINE.md "Interpretation for BENCH").
+SYMMETRIC FRESH-STATEMENT PROTOCOL (round 4; see materialize()): every
+timed invocation on BOTH engines is a complete statement — plan build +
+optimization + full execution + Arrow result fetch — on a warm shared
+session/connection over pinned-hot input. No plan reuse, no shuffle-output
+reuse, no result cache on either side. Earlier rounds' numbers are NOT
+directly comparable: the old noop-sink write under-counted DuckDB (its
+``fetchall`` paid Python tuple materialization Spark's noop sink skipped)
+and double-counted Spark analysis; see BASELINE.md "Round-4 protocol
+note".
 
 ``value`` is the wall-clock of the whole 10-query batch submitted
-concurrently (best-of-3): sub-second queries at this SF are dominated by a
-fixed per-job scheduling floor that a shared Spark session amortizes across
+concurrently (best-of-5): sub-second queries at this SF are dominated by a
+fixed per-statement floor that a shared Spark session amortizes across
 concurrent jobs — the serving pattern this engine targets. The ``queries``
-map reports each query's individual sequential latency (best-of-2), so both
-the per-query and the batch views are visible.
+map reports each query's individual sequential latency (best-of-2).
+``spark_statement_floor`` / ``duckdb_statement_floor`` report the measured
+cost of a TRIVIAL fresh statement (count over the 5-row region table) on
+each engine — the fixed overhead any per-query ratio at this SF should be
+read against (it is constant in data size and vanishes at cluster SF).
 """
 
 from __future__ import annotations
@@ -46,7 +55,21 @@ HEADLINE = [
 
 
 def materialize(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
+    """Execute a query end-to-end and fetch its result as Arrow —
+    like-for-like with the DuckDB twin's ``.arrow()`` fetch.
+
+    Bench symmetry contract (see main()): every timed invocation on BOTH
+    engines is a FRESH statement — plan build + optimization + full
+    execution + Arrow result transfer. Two prior designs each broke one
+    side of it: a noop-sink write re-ran analysis on an already-analyzed
+    plan (a write action wraps the plan in a fresh QueryExecution — pure
+    harness artifact, ~0.9 s on the widest plan vs 0.07 s execution), and
+    ``collect()`` on a plan-cache-reused DataFrame silently REUSED
+    SHUFFLE MAP OUTPUTS across invocations (skipped stages — a result
+    cache DuckDB's re-executed statement doesn't get). Fresh DataFrame +
+    ``toArrow()`` has neither artifact; Arrow transfer keeps the fetch of
+    wide results (100k+ rows) off the row-pickling path on both sides."""
+    df.toArrow()
 
 
 def main() -> None:
@@ -64,14 +87,15 @@ def main() -> None:
 
     # pin hot tables in memory for the amortized serving mode (the DuckDB
     # baseline equivalently enjoys its in-process buffer pool / page cache)
-    from mysoftware_nocnetintel_spark.plans import enable_plan_cache
     from mysoftware_nocnetintel_spark.sources.registry import enable_table_cache
 
     enable_table_cache(True)
-    # prepared-statement analogue: reuse built DataFrames across repeat
-    # invocations (plan construction is ~40 ms of py4j per query,
-    # GIL-serialized in the concurrent batch)
-    enable_plan_cache(True)
+    # The PLAN cache stays OFF here (unlike earlier rounds): reusing a
+    # built DataFrame across invocations lets Spark skip previously
+    # computed shuffle map stages — a partial result cache the DuckDB twin
+    # (which re-plans and re-executes every statement) doesn't get. Every
+    # timed invocation is a fresh statement on both engines: plan build +
+    # optimization + full execution + Arrow fetch (see materialize()).
 
     # warm-up: two full passes — JVM JIT, parquet footer caches, codegen
     # compilation; measured runs then reflect the amortized shared-session
@@ -129,14 +153,14 @@ def main() -> None:
 
     duck_cons = {name: _duck_con() for name in HEADLINE}
     for name in HEADLINE:  # warm
-        duck_cons[name].execute(_ORC[name]).fetchall()
+        duck_cons[name].execute(_ORC[name]).arrow()
     duckdb_batch_wall = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(HEADLINE)) as ex:
             list(
                 ex.map(
-                    lambda n: duck_cons[n].execute(_ORC[n]).fetchall(),
+                    lambda n: duck_cons[n].execute(_ORC[n]).arrow(),
                     HEADLINE,
                 )
             )
@@ -162,6 +186,8 @@ def main() -> None:
         "q48_ann_ivf",         # IVF ANN top-k (rows-only: approximate)
         "q107_decontamination",  # test-set 8-gram overlap vs train split
         "q110_pagerank",       # 10-iteration weighted PageRank
+        "q123_semdedup",       # semantic dedup (rows-only: k-means cells)
+        "q124_bm25",           # BM25 ranked retrieval (inverted index)
     ]
     from mysoftware_nocnetintel_spark.plans import ORACLES
 
@@ -182,17 +208,17 @@ def main() -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')"
                 )
-            con.execute(ORACLES[name]).fetchall()  # warm
+            con.execute(ORACLES[name]).arrow()  # warm
             best_d = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                con.execute(ORACLES[name]).fetchall()
+                con.execute(ORACLES[name]).arrow()
                 best_d = min(best_d, time.perf_counter() - t0)
             pipeline_duckdb[name] = round(best_d, 4)
             con.close()
 
     # Serving-mode view of the LLM-pipeline section too (round-3 judge):
-    # the SAME six pipeline queries submitted concurrently to the shared
+    # the SAME pipeline queries submitted concurrently to the shared
     # session (best-of-3; these are multi-second jobs, five repeats buys
     # noise not signal), and the like-for-like DuckDB batch — oracle-paired
     # pipeline queries on one warm connection per thread.
@@ -216,7 +242,7 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
-        con.execute(ORACLES[name]).fetchall()  # warm
+        con.execute(ORACLES[name]).arrow()  # warm
         pipe_cons[name] = con
     pipeline_duckdb_batch_wall = float("inf")
     for _ in range(3):
@@ -224,7 +250,7 @@ def main() -> None:
         with ThreadPoolExecutor(max_workers=len(_pipe_orc)) as ex:
             list(
                 ex.map(
-                    lambda n: pipe_cons[n].execute(ORACLES[n]).fetchall(),
+                    lambda n: pipe_cons[n].execute(ORACLES[n]).arrow(),
                     _pipe_orc,
                 )
             )
@@ -233,6 +259,37 @@ def main() -> None:
         )
     for con in pipe_cons.values():
         con.close()
+
+    # Measured per-statement FLOORS: the cheapest possible fresh statement
+    # (count over the 5-row region table) on each engine. Constant in data
+    # size; the denominator for reading any sub-second ratio at this SF.
+    from mysoftware_nocnetintel_spark.sources import load_table
+
+    def _spark_floor() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            load_table(spark, sf_dir, "region").selectExpr(
+                "count(*) as n"
+            ).toArrow()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    fcon = _duck_con()
+    fcon.execute("SELECT count(*) AS n FROM region").arrow()
+
+    def _duck_floor() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fcon.execute("SELECT count(*) AS n FROM region").arrow()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    _spark_floor()  # warm
+    spark_floor = _spark_floor()
+    duck_floor = _duck_floor()
+    fcon.close()
 
     # Both views under DISTINCT names (round-2 advisor): `value` is the
     # concurrent batch wall (the amortized serving mode this engine targets);
@@ -260,9 +317,24 @@ def main() -> None:
                     pipeline_duckdb_batch_wall, 4
                 ),
                 "pipeline_batch_note": (
-                    "concurrent wall for the 6 LLM-pipeline queries "
-                    "(best-of-3); the DuckDB twin batch covers the 5 "
-                    "oracle-paired of the 6 (q48_ann_ivf is rows-only)"
+                    "concurrent wall for the LLM-pipeline queries "
+                    "(best-of-3); the DuckDB twin batch covers the "
+                    "oracle-paired subset (rows-only ANN/semdedup entries "
+                    "have no SQL twin)"
+                ),
+                "spark_statement_floor": round(spark_floor, 4),
+                "duckdb_statement_floor": round(duck_floor, 4),
+                "protocol_note": (
+                    "symmetric fresh-statement protocol (round 4): each "
+                    "timed invocation on both engines = plan build + "
+                    "optimization + full execution + Arrow fetch; no plan/"
+                    "shuffle/result reuse. Floors above are a trivial "
+                    "fresh statement (count over 5-row region) per engine "
+                    "— the constant per-statement overhead that dominates "
+                    "sub-second ratios at this SF and vanishes at cluster "
+                    "scale. Not comparable to BENCH_r01-r03 (noop-sink "
+                    "writes vs DuckDB fetchall — see BASELINE.md round-4 "
+                    "protocol note)"
                 ),
                 "sf": sf,
             }

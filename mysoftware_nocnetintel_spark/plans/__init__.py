@@ -80,12 +80,12 @@ _WINDOW = [
     "q39_fingerprint_dedup",
     "q45_tumbling_window",
     "q46_sliding_window",
-    "q47_session_window",
-    # --- new this round, never graded (q67/q75 rotate out: they hold the
-    # youngest green signals of the old fill, r03) ---
+    # --- new this round, never graded (q47/q67/q75 rotate out: the
+    # youngest green signals of the old fill) ---
     "q122_ar2_sequence",
     "q123_semdedup",
     "q124_bm25",
+    "q125_mllib_pipeline",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -127,6 +127,7 @@ _NO_PLAN_CACHE = {
     "q107_decontamination",
     "q110_pagerank",
     "q123_semdedup",
+    "q125_mllib_pipeline",
 }
 
 

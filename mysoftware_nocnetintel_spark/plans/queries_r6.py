@@ -69,84 +69,131 @@ def q124_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score(q,d) = Σ_t ln(1 + (N-df+0.5)/(df+0.5))
                      · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
 
-    Scale shape: the explode builds the inverted index ONCE; the literal
-    IN-filter on the (tiny) query vocabulary prunes it before any shuffle,
-    so the tf aggregation shuffles only rows whose term appears in some
-    query — the sparse posting-list walk of a search engine, never a full
-    cross product. df/avgdl/N are scalar-or-tiny side tables and
-    broadcast; the only large shuffle key is doc_id (tf ⋈ dl), which AQE
-    co-partitions. Top-k is a per-query window over the (already sparse)
-    candidate set. Ties break on rounded score then doc_id, so the
-    ordering is engine-independent.
+    Scale shape: NO shuffle ever touches the token stream — there is no
+    token stream. Both tf (per query-vocabulary term) and dl are
+    ``regexp_count`` narrow projections over the raw text (the q94
+    precedent: counting matches beats materializing a token array and
+    aggregating it — the naive explode+groupBy formulation paid a
+    full-token shuffle that was >60% of the sf0.1 wall). The per-term
+    counters pivot to (doc_id, term, tf) rows via an explode of a
+    7-element literal struct array (narrow). df/avgdl/N are
+    scalar-or-tiny side tables and broadcast; the only data shuffles are
+    the candidate-set score aggregation and the per-query top-k window.
+    Ties break on rounded score then doc_id, so the ordering is
+    engine-independent.
+
+    The tf regex ``(?<![^ ])term(?![^ ])`` (zero-width guards: not
+    preceded/followed by a non-space) counts exactly the occurrences of
+    ``term`` as a whole space-delimited token, including consecutive
+    ones — identical to the oracle's unnest-then-count by construction,
+    for arbitrary spacing. Lookarounds are Java-regex-only, which is fine:
+    the ORACLE keeps the unnest formulation (semantic twin, not a
+    transliteration).
     """
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
-        ).alias("term"),
+    from ..operators.dedup import spread_narrow
+
+    # the tf/dl projection is the CPU stage: spread a byte-packed scan to
+    # all cores (no-op at cluster scale where inputs already exceed them)
+    docs = spread_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count("*").cast("double").alias("dl")
-    )
-    stats = dl.agg(F.avg("dl").alias("avgdl"))
-    n_df = docs.agg(F.count("*").cast("double").alias("n"))
     vocab = sorted({t for _q, t in _BM25_QUERIES})
-    tf = (
-        toks.filter(F.col("term").isin(vocab))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
+    k1, b = _BM25_K1, _BM25_B
+    # The formula expressions are built as SQL STRINGS (selectExpr/expr),
+    # not Column-object chains: the per-query scoring tree is a few
+    # hundred expression nodes, and building it node-by-node costs one
+    # py4j round-trip each (~0.7 s of pure driver chatter per plan build,
+    # measured — 10× the actual 72 ms execution). One parsed string
+    # carries the whole tree across in a single call.
+    counters = docs.selectExpr(
+        "doc_id",
+        "cast(regexp_count(text, '[^ ]+') as double) as dl",
+        *[
+            f"cast(regexp_count(text, '(?<![^ ]){t}(?![^ ])') as double)"
+            f" as __tf{i}"
+            for i, t in enumerate(vocab)
+        ],
     )
-    df_t = tf.groupBy("term").agg(
-        F.count("*").cast("double").alias("df")
+    # ONE single-row side table holds every global statistic (N, avgdl —
+    # over docs with tokens, matching the oracle's dl CTE — and the per-
+    # term document frequencies), so the whole formula needs exactly one
+    # broadcast instead of a side-table join per statistic
+    side = counters.agg(
+        F.expr("cast(count(*) as double) as n"),
+        F.expr("avg(if(dl > 0, dl, null)) as avgdl"),
+        *[
+            F.expr(f"sum(cast(__tf{i} > 0 as double)) as __df{i}")
+            for i in range(len(vocab))
+        ],
     )
-    # literal query table as pure Catalyst (explode of a struct array) —
-    # no LogicalRDD in the plan, so the serving-mode plan cache stays valid
-    qt = spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("query_id"), F.lit(t).alias("term")
-                    )
-                    for q, t in _BM25_QUERIES
-                ]
-            )
-        ).alias("s")
-    ).select("s.query_id", "s.term")
-    idf = F.log(
-        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_part = (
-        F.col("tf")
-        * (_BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + _BM25_K1
-            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+
+    def _term_score(i: int) -> str:
+        idf = f"ln(1.0D + (n - __df{i} + 0.5D) / (__df{i} + 0.5D))"
+        tf_part = (
+            f"__tf{i} * {k1 + 1.0}D / (__tf{i} + {k1}D"
+            f" * (1.0D - {b}D + {b}D * dl / avgdl))"
         )
+        return f"{idf} * {tf_part}"
+
+    by_query: dict[int, list[int]] = {}
+    for qid, t in _BM25_QUERIES:
+        by_query.setdefault(qid, []).append(vocab.index(t))
+    # per-query score as a NARROW columnar expression (a zero-tf term
+    # contributes exactly 0, so no conditional is needed); docs matching
+    # no term of a query are dropped — the oracle's candidate set.
+    # Scores materialize as PLAIN COLUMNS in one projection BEFORE the
+    # explode, and the exploded struct array references only those columns:
+    # putting the formulas inside the array makes the optimizer duplicate
+    # the whole expression into every extracted struct field, and a
+    # union-of-branches triples the scan tree — both measured at several
+    # hundred ms of extra per-statement planning on this query.
+    score_cols = [
+        f"round({' + '.join(_term_score(i) for i in idxs)}, 6)"
+        f" as __score{qid}"
+        for qid, idxs in sorted(by_query.items())
+    ]
+    hit_cols = [
+        f"{' + '.join(f'__tf{i}' for i in idxs)} as __hits{qid}"
+        for qid, idxs in sorted(by_query.items())
+    ]
+    per_doc = counters.crossJoin(F.broadcast(side)).selectExpr(
+        "doc_id", *score_cols, *hit_cols
+    )
+    structs = ", ".join(
+        f"struct({qid} as query_id, __score{qid} as score,"
+        f" __hits{qid} as hits)"
+        for qid in sorted(by_query)
     )
     scored = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(n_df))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id")
+        per_doc.selectExpr("doc_id", f"explode(array({structs})) as s")
+        .where("s.hits > 0")
+        .selectExpr("s.query_id as query_id", "doc_id", "s.score as score")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "doc_id", "score", "rk")
+        scored.selectExpr(
+            "query_id",
+            "doc_id",
+            "score",
+            "row_number() over ("
+            "partition by query_id order by score desc, doc_id) as rk",
+        )
+        .where("rk <= 10")
         .orderBy("query_id", "rk")
     )
+
+
+def q125_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 MLlib seam: distributed assembler→scaler→LogisticRegression
+    Pipeline on a planted-signal label, metrics on the md5-held-out split
+    (rows-only: LBFGS training has no SQL twin; the planted-signal
+    recovery gate lives in tests/test_ml_pipeline.py)."""
+    from ..ml.pipeline import mllib_failure_pipeline
+
+    return mllib_failure_pipeline(spark, sf_dir)
 
 
 R6_QUERIES = {
     "q123_semdedup": q123_semdedup,
     "q124_bm25": q124_bm25,
+    "q125_mllib_pipeline": q125_mllib_pipeline,
 }
