@@ -18,7 +18,7 @@ note".
 concurrently (best-of-5): sub-second queries at this SF are dominated by a
 fixed per-statement floor that a shared Spark session amortizes across
 concurrent jobs — the serving pattern this engine targets. The ``queries``
-map reports each query's individual sequential latency (best-of-2).
+map reports each query's individual sequential latency (best-of-3).
 ``spark_statement_floor`` / ``duckdb_statement_floor`` report the measured
 cost of a TRIVIAL fresh statement (count over the 5-row region table) on
 each engine — the fixed overhead any per-query ratio at this SF should be
@@ -104,11 +104,11 @@ def main() -> None:
         for name in HEADLINE:
             materialize(QUERIES[name](spark, sf_dir))
 
-    # per-query latencies (sequential, best-of-2) for the breakdown list
+    # per-query latencies (sequential, best-of-3) for the breakdown list
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -194,7 +194,7 @@ def main() -> None:
     for name in PIPELINE:
         materialize(QUERIES[name](spark, sf_dir))  # warm
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -210,7 +210,7 @@ def main() -> None:
                 )
             con.execute(ORACLES[name]).arrow()  # warm
             best_d = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.execute(ORACLES[name]).arrow()
                 best_d = min(best_d, time.perf_counter() - t0)
@@ -304,7 +304,7 @@ def main() -> None:
                 "duckdb_batch_wall": round(duckdb_batch_wall, 4),
                 "seq_total": round(sum(timings.values()), 4),
                 "seq_total_note": (
-                    "sum of per-query sequential best-of-2 latencies below; "
+                    "sum of per-query sequential best-of-3 latencies below; "
                     "BASELINE.md's DuckDB table was measured sequentially, so "
                     "seq_total is the like-for-like comparison and value is "
                     "the 10-query concurrent batch wall (best-of-5)"

@@ -514,7 +514,12 @@ def q93_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose constructs behave identically under Java regex (Spark) and RE2
 # (DuckDB), so the whole tokenization is value-hash oracle-checked.
 def q94_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from ..operators.dedup import spread_narrow
+
+    # spread_narrow: the subword regex scan is the CPU stage and a
+    # byte-packed KB-scale scan arrives as ONE partition (no-op at
+    # cluster scale where inputs already exceed core count)
+    docs = spread_narrow(_t(spark, sf_dir, "documents"))
     # regexp_count, not size(split/extract_all): only the COUNTS are
     # needed, so skip materializing token arrays per row (verified equal
     # output; measured 0.39 s → 0.30 s at sf0.1). '\\S+' matches ≡
