@@ -96,17 +96,50 @@ def read_table_format(
         ) from e
 
 
+# Reader-version-3 table features this minimal reader can honor. Anything
+# else (deletionVectors, columnMapping, timestampNtz…) fails fast: reading
+# past an unknown feature returns WRONG ROWS, not degraded ones.
+_DELTA_READER_FEATURES = {"v2Checkpoint"}
+
+
+def _delta_check_protocol(proto: dict) -> None:
+    """Table-features protocol gate (delta.io PROTOCOL.md "Protocol
+    Evolution"): reader version 1 is the base; version 3 is acceptable iff
+    every listed readerFeature is one this reader implements."""
+    mrv = proto.get("minReaderVersion") or 1
+    if mrv <= 1:
+        return
+    if mrv == 3 and "readerFeatures" in proto:
+        unsupported = set(proto.get("readerFeatures") or []) - _DELTA_READER_FEATURES
+        if not unsupported:
+            return
+        raise NotImplementedError(
+            f"Delta reader features {sorted(unsupported)} unsupported: "
+            "use the delta-spark connector"
+        )
+    raise NotImplementedError(
+        f"Delta minReaderVersion {mrv} (deletion vectors / column "
+        "mapping / malformed features list): use the delta-spark connector"
+    )
+
+
 def _read_delta_checkpoint(
     log_dir: str, cp_version: int, cp_meta: dict
 ) -> dict[str, dict]:
-    """Live add-file map from a CLASSIC Delta parquet checkpoint (single
-    ``<v>.checkpoint.parquet`` or multi-part
-    ``<v>.checkpoint.<i>.<parts>.parquet``). Remove rows in a checkpoint
-    are only vacuum tombstones — the live set is exactly the add rows.
-    Driver-side metadata read via pyarrow (MB-scale)."""
-    import os
+    """Live add-file map from a Delta parquet checkpoint:
 
-    import pyarrow.parquet as pq
+    - CLASSIC: single ``<v>.checkpoint.parquet`` or multi-part
+      ``<v>.checkpoint.<i>.<parts>.parquet``;
+    - V2 (UUID-named, PROTOCOL.md "V2 Checkpoints"): one
+      ``<v>.checkpoint.<uniqueStr>.{json|parquet}`` top-level file whose
+      actions may be inline add rows and/or ``sidecar`` actions pointing
+      at parquet files under ``_delta_log/_sidecars/``.
+
+    Remove rows in a checkpoint are only vacuum tombstones — the live set
+    is exactly the add rows. Driver-side metadata read via pyarrow
+    (MB-scale)."""
+    import os
+    from glob import glob as _glob
 
     parts = cp_meta.get("parts")
     if parts:
@@ -118,26 +151,102 @@ def _read_delta_checkpoint(
             )
             for i in range(int(parts))
         ]
-    else:
-        files = [os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")]
-    missing = [f for f in files if not os.path.exists(f)]
-    if missing:
-        raise NotImplementedError(
-            f"expected classic checkpoint file(s) missing "
-            f"({os.path.basename(missing[0])}): v2/UUID-named checkpoints "
-            "are out of scope — use the delta-spark connector"
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise NotImplementedError(
+                f"expected classic checkpoint part(s) missing "
+                f"({os.path.basename(missing[0])}): use the delta-spark "
+                "connector"
+            )
+        return _read_classic_checkpoint_files(files)
+    classic = os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        return _read_classic_checkpoint_files([classic])
+    # v2: exactly one UUID-named top-level checkpoint file
+    cands = [
+        f
+        for f in sorted(
+            _glob(os.path.join(log_dir, f"{cp_version:020d}.checkpoint.*"))
         )
+        if f.endswith((".json", ".parquet"))
+    ]
+    if len(cands) != 1:
+        raise NotImplementedError(
+            f"checkpoint v{cp_version}: no classic file and "
+            f"{len(cands)} UUID-named candidates: use the delta-spark "
+            "connector"
+        )
+    return _read_delta_v2_checkpoint(log_dir, cands[0])
+
+
+def _read_classic_checkpoint_files(files: list[str]) -> dict[str, dict]:
+    import pyarrow.parquet as pq
+
     live: dict[str, dict] = {}
     for f in files:
         names = pq.read_schema(f).names
         cols = [c for c in ("add", "protocol") if c in names]
         for row in pq.read_table(f, columns=cols).to_pylist():
             proto = row.get("protocol")
-            if proto and (proto.get("minReaderVersion") or 1) > 1:
-                raise NotImplementedError(
-                    "Delta minReaderVersion > 1 (deletion vectors / column "
-                    "mapping): use the delta-spark connector"
-                )
+            if proto:
+                _delta_check_protocol(proto)
+            add = row.get("add")
+            if add and add.get("path"):
+                pv = add.get("partitionValues")
+                live[add["path"]] = dict(pv) if pv else {}
+    return live
+
+
+def _read_delta_v2_checkpoint(log_dir: str, top: str) -> dict[str, dict]:
+    """V2 checkpoint replay: parse the top-level file's actions (inline
+    adds + sidecar references + protocol), then fold in every sidecar's
+    add rows. Sidecar paths resolve relative to ``_delta_log/_sidecars/``
+    unless absolute (per spec)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    live: dict[str, dict] = {}
+    sidecars: list[str] = []
+
+    def _action(act: dict) -> None:
+        proto = act.get("protocol")
+        if proto:
+            _delta_check_protocol(proto)
+        sc = act.get("sidecar")
+        if sc and sc.get("path"):
+            sidecars.append(sc["path"])
+        add = act.get("add")
+        if add and add.get("path"):
+            pv = add.get("partitionValues")
+            live[add["path"]] = dict(pv) if pv else {}
+
+    if top.endswith(".json"):
+        with open(top) as fh:
+            for line in fh:
+                if line.strip():
+                    _action(json.loads(line))
+    else:
+        names = pq.read_schema(top).names
+        cols = [c for c in ("add", "protocol", "sidecar") if c in names]
+        for row in pq.read_table(top, columns=cols).to_pylist():
+            _action({k: v for k, v in row.items() if v is not None})
+
+    for sc in sidecars:
+        scp = (
+            sc
+            if os.path.isabs(sc)
+            else os.path.join(log_dir, "_sidecars", sc)
+        )
+        if not os.path.exists(scp):
+            raise NotImplementedError(
+                f"v2 checkpoint sidecar missing ({os.path.basename(scp)}): "
+                "use the delta-spark connector"
+            )
+        names = pq.read_schema(scp).names
+        cols = [c for c in ("add",) if c in names]
+        for row in pq.read_table(scp, columns=cols).to_pylist():
             add = row.get("add")
             if add and add.get("path"):
                 pv = add.get("partitionValues")
@@ -155,15 +264,20 @@ def read_delta_snapshot(
     Hive-style ``partitionValues`` are re-attached as literal columns.
 
     Checkpointed logs are supported for CLASSIC parquet checkpoints (single
-    file or multi-part, per PROTOCOL.md "Checkpoints"): the live file set is
+    file or multi-part, per PROTOCOL.md "Checkpoints") AND V2 UUID-named
+    checkpoints (PROTOCOL.md "V2 Checkpoints": a ``<v>.checkpoint.<uuid>``
+    json/parquet top-level file with inline adds and/or sidecar parquet
+    references under ``_delta_log/_sidecars/``): the live file set is
     seeded from the checkpoint's add rows, then the JSON commit tail beyond
     the checkpoint version replays on top — this is what makes any
     long-lived real-world table readable (the log is periodically
     checkpointed and old JSON commits vacuumed). Time travel BELOW the last
     checkpoint falls back to pure JSON replay and fails fast if those
-    commits were cleaned up. V2 (UUID/sidecar) checkpoints and protocol
-    features beyond reader version 1 (deletion vectors, column mapping)
-    fail fast with NotImplementedError rather than returning wrong rows.
+    commits were cleaned up. The protocol gate follows the table-features
+    model: reader version 3 is accepted iff every readerFeature is
+    implemented here (currently ``v2Checkpoint``); anything else —
+    deletion vectors, column mapping, reader version 2 — fails fast with
+    NotImplementedError rather than returning wrong rows.
 
     This is the connector-less fallback; the delta-spark connector remains
     the production path. The log replay is driver-side METADATA work
@@ -218,11 +332,7 @@ def read_delta_snapshot(
                     continue
                 act = json.loads(line)
                 if "protocol" in act:
-                    if act["protocol"].get("minReaderVersion", 1) > 1:
-                        raise NotImplementedError(
-                            "Delta minReaderVersion > 1 (deletion vectors / "
-                            "column mapping): use the delta-spark connector"
-                        )
+                    _delta_check_protocol(act["protocol"])
                 elif "add" in act:
                     live[act["add"]["path"]] = (
                         act["add"].get("partitionValues") or {}
