@@ -6,7 +6,8 @@ part files), checkpoints at a random version, and checks
 Python replay reference — the engine-vs-reference boundary fuzzing pattern
 used for pagerank/packing. Covers: checkpoint seeding, JSON-tail replay,
 exact-checkpoint-version reads, below-checkpoint time travel, and
-single- vs multi-part checkpoints.
+single- vs multi-part CLASSIC checkpoints and V2 UUID-named checkpoints
+(inline-json and sidecar-parquet variants).
 """
 
 from __future__ import annotations
@@ -67,6 +68,94 @@ def _expected_ids(root, live):
     return out
 
 
+def _write_v2_checkpoint(log_dir, version, live, rng, kind):
+    """V2 UUID-named checkpoint: json with inline adds, or parquet whose
+    adds live in 1-2 sidecar files (random split)."""
+    import uuid
+
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    if kind == "v2json":
+        top = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{uuid.uuid4().hex}.json"
+        )
+        with open(top, "w") as fh:
+            fh.write(json.dumps({"checkpointMetadata": {"version": version}}) + "\n")
+            fh.write(json.dumps({"protocol": proto}) + "\n")
+            for p in sorted(live):
+                fh.write(json.dumps({"add": {"path": p}}) + "\n")
+    else:  # v2pq: sidecar-backed parquet top-level
+        os.makedirs(os.path.join(log_dir, "_sidecars"), exist_ok=True)
+        add_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ]
+        )
+        live_sorted = sorted(live)
+        cut = rng.randint(0, len(live_sorted))
+        sidecars = []
+        for i, chunk in enumerate([live_sorted[:cut], live_sorted[cut:]]):
+            if not chunk and len(sidecars) > 0:
+                continue  # at least one sidecar, skip empty second
+            name = f"sc-{version}-{i}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "add": pa.array(
+                            [
+                                {"path": p, "partitionValues": []}
+                                for p in chunk
+                            ],
+                            add_t,
+                        )
+                    }
+                ),
+                os.path.join(log_dir, "_sidecars", name),
+            )
+            sidecars.append(name)
+        sidecar_t = pa.struct(
+            [("path", pa.string()), ("sizeInBytes", pa.int64())]
+        )
+        proto_t = pa.struct(
+            [
+                ("minReaderVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+            ]
+        )
+        table = pa.table(
+            {
+                "sidecar": pa.array(
+                    [{"path": n, "sizeInBytes": 1} for n in sidecars] + [None],
+                    sidecar_t,
+                ),
+                "protocol": pa.array(
+                    [None] * len(sidecars)
+                    + [
+                        {
+                            "minReaderVersion": 3,
+                            "readerFeatures": ["v2Checkpoint"],
+                        }
+                    ],
+                    proto_t,
+                ),
+            }
+        )
+        pq.write_table(
+            table,
+            os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet",
+            ),
+        )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": version, "size": len(live)}))
+
+
 def _write_checkpoint(log_dir, version, live, parts_count):
     add_t = pa.struct(
         [
@@ -108,8 +197,18 @@ def _write_checkpoint(log_dir, version, live, parts_count):
         fh.write(json.dumps(meta))
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
-def test_checkpointed_history_matches_reference(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,kind",
+    [
+        (11, "classic"),
+        (23, "multipart"),
+        (47, "v2json"),
+        (59, "v2pq"),
+        (71, "v2json"),
+        (83, "v2pq"),
+    ],
+)
+def test_checkpointed_history_matches_reference(spark, tmp_path, seed, kind):
     rng = random.Random(seed)
     root = str(tmp_path / f"t{seed}")
     log_dir = os.path.join(root, "_delta_log")
@@ -133,12 +232,17 @@ def test_checkpointed_history_matches_reference(spark, tmp_path, seed):
                 fh.write(json.dumps(a) + "\n")
 
     cp_version = rng.randrange(n_commits)
-    _write_checkpoint(
-        log_dir,
-        cp_version,
-        live_after[cp_version],
-        parts_count=rng.choice([0, 2]),
-    )
+    if kind in ("classic", "multipart"):
+        _write_checkpoint(
+            log_dir,
+            cp_version,
+            live_after[cp_version],
+            parts_count=2 if kind == "multipart" else 0,
+        )
+    else:
+        _write_v2_checkpoint(
+            log_dir, cp_version, live_after[cp_version], rng, kind
+        )
     # optionally vacuum the JSON prefix at or below the checkpoint
     vacuumed = rng.random() < 0.5
     if vacuumed:
