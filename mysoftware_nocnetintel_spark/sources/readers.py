@@ -97,17 +97,20 @@ def read_table_format(
 
 
 # Reader-version-3 table features this minimal reader can honor. Anything
-# else (deletionVectors, columnMapping, timestampNtz…) fails fast: reading
-# past an unknown feature returns WRONG ROWS, not degraded ones.
-_DELTA_READER_FEATURES = {"v2Checkpoint"}
+# else (deletionVectors, timestampNtz…) fails fast: reading past an
+# unknown feature returns WRONG ROWS, not degraded ones.
+_DELTA_READER_FEATURES = {"v2Checkpoint", "columnMapping"}
 
 
 def _delta_check_protocol(proto: dict) -> None:
     """Table-features protocol gate (delta.io PROTOCOL.md "Protocol
-    Evolution"): reader version 1 is the base; version 3 is acceptable iff
-    every listed readerFeature is one this reader implements."""
+    Evolution"): reader version 1 is the base; version 2 is the column-
+    mapping era (honored via the metaData action — see
+    :func:`_apply_column_mapping`, which still refuses id-mode); version 3
+    is acceptable iff every listed readerFeature is one this reader
+    implements."""
     mrv = proto.get("minReaderVersion") or 1
-    if mrv <= 1:
+    if mrv <= 2:
         return
     if mrv == 3 and "readerFeatures" in proto:
         unsupported = set(proto.get("readerFeatures") or []) - _DELTA_READER_FEATURES
@@ -118,15 +121,62 @@ def _delta_check_protocol(proto: dict) -> None:
             "use the delta-spark connector"
         )
     raise NotImplementedError(
-        f"Delta minReaderVersion {mrv} (deletion vectors / column "
-        "mapping / malformed features list): use the delta-spark connector"
+        f"Delta minReaderVersion {mrv} (deletion vectors / "
+        "malformed features list): use the delta-spark connector"
     )
+
+
+def _apply_column_mapping(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Honor ``delta.columnMapping.mode = name`` (PROTOCOL.md "Column
+    Mapping"): data files store PHYSICAL column names
+    (``delta.columnMapping.physicalName`` in the schema field metadata);
+    the reader projects physical → logical, which also implements renamed
+    columns (only metaData changes) and dropped columns (the physical
+    column survives in parquet but leaves the schema). id-mode (matching
+    by parquet field ids) and nested-field mapping fail fast."""
+    import json
+
+    if not meta:
+        return df
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", ""):
+        return df
+    if mode != "name":
+        raise NotImplementedError(
+            f"Delta column mapping mode {mode!r} (id-mode needs parquet "
+            "field-id resolution): use the delta-spark connector"
+        )
+    schema = json.loads(meta["schemaString"])
+    renames: list[tuple[str, str]] = []
+    for f in schema.get("fields", []):
+        if not isinstance(f.get("type"), str):
+            raise NotImplementedError(
+                f"column mapping over nested field {f.get('name')!r}: "
+                "use the delta-spark connector"
+            )
+        phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise NotImplementedError(
+                f"column mapping mode=name but field {f.get('name')!r} "
+                "declares no physicalName: use the delta-spark connector"
+            )
+        renames.append((phys, f["name"]))
+    missing = [p for p, _l in renames if p not in df.columns]
+    if missing:
+        raise NotImplementedError(
+            f"physical columns {missing} absent from the data scan: "
+            "use the delta-spark connector"
+        )
+    return df.select(*[F.col(p).alias(l) for p, l in renames])
 
 
 def _read_delta_checkpoint(
     log_dir: str, cp_version: int, cp_meta: dict
-) -> dict[str, dict]:
-    """Live add-file map from a Delta parquet checkpoint:
+) -> tuple[dict[str, dict], dict | None]:
+    """(live add-file map, latest metaData action or None) from a Delta
+    parquet checkpoint:
 
     - CLASSIC: single ``<v>.checkpoint.parquet`` or multi-part
       ``<v>.checkpoint.<i>.<parts>.parquet``;
@@ -179,25 +229,32 @@ def _read_delta_checkpoint(
     return _read_delta_v2_checkpoint(log_dir, cands[0])
 
 
-def _read_classic_checkpoint_files(files: list[str]) -> dict[str, dict]:
+def _read_classic_checkpoint_files(
+    files: list[str],
+) -> tuple[dict[str, dict], dict | None]:
     import pyarrow.parquet as pq
 
     live: dict[str, dict] = {}
+    table_meta: dict | None = None
     for f in files:
         names = pq.read_schema(f).names
-        cols = [c for c in ("add", "protocol") if c in names]
+        cols = [c for c in ("add", "protocol", "metaData") if c in names]
         for row in pq.read_table(f, columns=cols).to_pylist():
             proto = row.get("protocol")
             if proto:
                 _delta_check_protocol(proto)
+            if row.get("metaData"):
+                table_meta = row["metaData"]
             add = row.get("add")
             if add and add.get("path"):
                 pv = add.get("partitionValues")
                 live[add["path"]] = dict(pv) if pv else {}
-    return live
+    return live, table_meta
 
 
-def _read_delta_v2_checkpoint(log_dir: str, top: str) -> dict[str, dict]:
+def _read_delta_v2_checkpoint(
+    log_dir: str, top: str
+) -> tuple[dict[str, dict], dict | None]:
     """V2 checkpoint replay: parse the top-level file's actions (inline
     adds + sidecar references + protocol), then fold in every sidecar's
     add rows. Sidecar paths resolve relative to ``_delta_log/_sidecars/``
@@ -209,11 +266,15 @@ def _read_delta_v2_checkpoint(log_dir: str, top: str) -> dict[str, dict]:
 
     live: dict[str, dict] = {}
     sidecars: list[str] = []
+    table_meta: dict | None = None
 
     def _action(act: dict) -> None:
+        nonlocal table_meta
         proto = act.get("protocol")
         if proto:
             _delta_check_protocol(proto)
+        if act.get("metaData"):
+            table_meta = act["metaData"]
         sc = act.get("sidecar")
         if sc and sc.get("path"):
             sidecars.append(sc["path"])
@@ -229,7 +290,11 @@ def _read_delta_v2_checkpoint(log_dir: str, top: str) -> dict[str, dict]:
                     _action(json.loads(line))
     else:
         names = pq.read_schema(top).names
-        cols = [c for c in ("add", "protocol", "sidecar") if c in names]
+        cols = [
+            c
+            for c in ("add", "protocol", "sidecar", "metaData")
+            if c in names
+        ]
         for row in pq.read_table(top, columns=cols).to_pylist():
             _action({k: v for k, v in row.items() if v is not None})
 
@@ -251,7 +316,7 @@ def _read_delta_v2_checkpoint(log_dir: str, top: str) -> dict[str, dict]:
             if add and add.get("path"):
                 pv = add.get("partitionValues")
                 live[add["path"]] = dict(pv) if pv else {}
-    return live
+    return live, table_meta
 
 
 def read_delta_snapshot(
@@ -294,6 +359,7 @@ def read_delta_snapshot(
         raise FileNotFoundError(f"no Delta log at {log_dir}")
 
     live: dict[str, dict] = {}
+    table_meta: dict | None = None
     max_seen = -1
     if os.path.exists(cp_meta_path):
         with open(cp_meta_path) as fh:
@@ -317,7 +383,9 @@ def read_delta_snapshot(
                     "was cleaned up: use the delta-spark connector"
                 )
         else:
-            live = _read_delta_checkpoint(log_dir, cp_version, cp_meta)
+            live, table_meta = _read_delta_checkpoint(
+                log_dir, cp_version, cp_meta
+            )
             max_seen = cp_version
     for c in commits:
         v = int(os.path.basename(c).split(".")[0])
@@ -333,6 +401,8 @@ def read_delta_snapshot(
                 act = json.loads(line)
                 if "protocol" in act:
                     _delta_check_protocol(act["protocol"])
+                elif "metaData" in act:
+                    table_meta = act["metaData"]
                 elif "add" in act:
                     live[act["add"]["path"]] = (
                         act["add"].get("partitionValues") or {}
@@ -356,7 +426,7 @@ def read_delta_snapshot(
         for k, val in pvals:
             df = df.withColumn(k, F.lit(val))
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
-    return out
+    return _apply_column_mapping(out, table_meta)
 
 
 def read_iceberg_snapshot(

@@ -1,0 +1,160 @@
+"""Delta column mapping, name mode (PROTOCOL.md "Column Mapping").
+
+Data files store physical column names (``col-<uuid>``); the logical
+schema lives in the metaData action. The reader must project physical →
+logical, honor later metaData actions (logical RENAME without data
+rewrite), implement dropped columns (physical data survives, schema entry
+leaves), and fail fast on id-mode / nested mapping / missing
+physicalName.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mysoftware_nocnetintel_spark.sources.readers import read_delta_snapshot
+
+
+def _schema_string(fields):
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": name,
+                    "type": typ,
+                    "nullable": True,
+                    "metadata": (
+                        {
+                            "delta.columnMapping.physicalName": phys,
+                            "delta.columnMapping.id": i + 1,
+                        }
+                        if phys
+                        else {}
+                    ),
+                }
+                for i, (name, typ, phys) in enumerate(fields)
+            ],
+        }
+    )
+
+
+def _meta_action(fields, mode="name"):
+    return {
+        "metaData": {
+            "id": "m-1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(fields),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": mode,
+                              "delta.columnMapping.maxColumnId": "9"},
+        }
+    }
+
+
+def _table(tmp_path, name, actions):
+    root = str(tmp_path / name)
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2], "col-bbb": ["a", "b"]}),
+        os.path.join(root, "part-0000.parquet"),
+    )
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+        fh.write(json.dumps({"add": {"path": "part-0000.parquet", "dataChange": True}}) + "\n")
+    return root
+
+
+def test_name_mode_projects_logical_names(spark, tmp_path):
+    root = _table(
+        tmp_path,
+        "cm1",
+        [_meta_action([("id", "long", "col-aaa"), ("val", "string", "col-bbb")])],
+    )
+    df = read_delta_snapshot(spark, root)
+    assert df.columns == ["id", "val"]
+    assert {(r.id, r.val) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_rename_is_metadata_only(spark, tmp_path):
+    # second metaData action renames val -> label; data files unchanged
+    root = _table(
+        tmp_path,
+        "cm2",
+        [_meta_action([("id", "long", "col-aaa"), ("val", "string", "col-bbb")])],
+    )
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                _meta_action(
+                    [("id", "long", "col-aaa"), ("label", "string", "col-bbb")]
+                )
+            )
+            + "\n"
+        )
+    df = read_delta_snapshot(spark, root)
+    assert df.columns == ["id", "label"]
+    # time travel BEFORE the rename shows the old logical name
+    assert read_delta_snapshot(spark, root, version=0).columns == ["id", "val"]
+
+
+def test_dropped_column(spark, tmp_path):
+    # schema only maps col-aaa: col-bbb is a dropped column, stays in
+    # parquet but must not surface
+    root = _table(tmp_path, "cm3", [_meta_action([("id", "long", "col-aaa")])])
+    df = read_delta_snapshot(spark, root)
+    assert df.columns == ["id"]
+    assert {r.id for r in df.collect()} == {1, 2}
+
+
+def test_no_mapping_mode_reads_raw(spark, tmp_path):
+    root = _table(
+        tmp_path,
+        "cm4",
+        [_meta_action([("col-aaa", "long", None), ("col-bbb", "string", None)],
+                      mode="none")],
+    )
+    df = read_delta_snapshot(spark, root)
+    assert set(df.columns) == {"col-aaa", "col-bbb"}
+
+
+def test_fail_fasts(spark, tmp_path):
+    # id mode
+    root = _table(
+        tmp_path, "cm5",
+        [_meta_action([("id", "long", "col-aaa")], mode="id")],
+    )
+    with pytest.raises(NotImplementedError, match="id-mode"):
+        read_delta_snapshot(spark, root)
+    # name mode but a field without physicalName
+    root = _table(
+        tmp_path, "cm6",
+        [_meta_action([("id", "long", None)])],
+    )
+    with pytest.raises(NotImplementedError, match="physicalName"):
+        read_delta_snapshot(spark, root)
+    # nested field mapping
+    bad = _meta_action([])
+    bad["metaData"]["schemaString"] = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "s",
+                    "type": {"type": "struct", "fields": []},
+                    "nullable": True,
+                    "metadata": {"delta.columnMapping.physicalName": "col-s"},
+                }
+            ],
+        }
+    )
+    root = _table(tmp_path, "cm7", [bad])
+    with pytest.raises(NotImplementedError, match="nested"):
+        read_delta_snapshot(spark, root)

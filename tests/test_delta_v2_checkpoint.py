@@ -148,11 +148,13 @@ def test_v2_missing_sidecar_refuses(spark, tmp_path):
 
 
 def test_reader_features_gate(spark, tmp_path):
-    # v2Checkpoint alone: readable; an extra unknown feature: refuse
+    # implemented features (v2Checkpoint, columnMapping) are readable; an
+    # extra unknown feature refuses
     for feats, ok in [
         (["v2Checkpoint"], True),
         (["v2Checkpoint", "deletionVectors"], False),
-        (["columnMapping"], False),
+        (["columnMapping"], True),
+        (["timestampNtz"], False),
     ]:
         root = str(tmp_path / f"gate-{'-'.join(feats)}")
         _data_files(spark, root)
