@@ -707,16 +707,20 @@ def semdedup(
         norms = np.sqrt((X * X).sum(axis=1))
         norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0
         Xn = X / norms[:, None]
-        kept_rows: list[np.ndarray] = []  # normalized kept vectors
+        # kept vectors live in a preallocated contiguous buffer with a
+        # fill pointer — slices are VIEWS, so neither the per-block matrix
+        # product nor the within-block row product ever copies the kept
+        # set (a per-row np.stack of a growing list is O(m²·d) copying)
+        kept_buf = np.empty_like(Xn)
         kept_ids: list[int] = []
+        k = 0
         keep = np.zeros(len(ids), dtype=bool)
         dup_of = np.full(len(ids), -1, dtype=np.int64)
         for start in range(0, len(ids), max_cell_rows):
             blk = Xn[start : start + max_cell_rows]
-            K = np.stack(kept_rows) if kept_rows else None
-            # sims of this block against all previously kept vectors
-            base = blk @ K.T if K is not None else None
-            n_prior = K.shape[0] if K is not None else 0
+            k0 = k  # kept count at block start
+            # sims of this whole block against all previously kept vectors
+            base = blk @ kept_buf[:k0].T if k0 else None
             for i in range(blk.shape[0]):
                 gi = start + i
                 hit = -1
@@ -724,21 +728,19 @@ def semdedup(
                     over = np.nonzero(base[i] >= tau)[0]
                     if len(over):
                         hit = kept_ids[over[0]]
-                if hit < 0:
+                if hit < 0 and k > k0:
                     # compare against rows kept WITHIN this block so far
-                    n_in_block = len(kept_ids) - n_prior
-                    if n_in_block > 0:
-                        W = np.stack(kept_rows[n_prior:])
-                        s = W @ blk[i]
-                        over = np.nonzero(s >= tau)[0]
-                        if len(over):
-                            hit = kept_ids[n_prior + over[0]]
+                    s = kept_buf[k0:k] @ blk[i]
+                    over = np.nonzero(s >= tau)[0]
+                    if len(over):
+                        hit = kept_ids[k0 + over[0]]
                 if hit >= 0:
                     dup_of[gi] = hit
                 else:
                     keep[gi] = True
-                    kept_rows.append(blk[i])
+                    kept_buf[k] = blk[i]
                     kept_ids.append(int(ids[gi]))
+                    k += 1
         return pd.DataFrame(
             {
                 id_col: ids,

@@ -216,11 +216,22 @@ def write_iceberg_append(df: DataFrame, path: str) -> int:
     else:
         schemas = meta.get("schemas") or []
         if schemas:
-            names = {f["name"] for f in schemas[0]["fields"]}
-            if set(df.columns) != names:
+            # compare (name, type) PAIRS, not just names: an append with
+            # matching names but different types would commit mixed-type
+            # parquet into data/ and corrupt every later scan
+            incoming = _iceberg_schema(df.schema)
+            table_sig = sorted(
+                (f["name"], f["type"]) for f in schemas[0]["fields"]
+            )
+            new_sig = (
+                sorted((f["name"], f["type"]) for f in incoming["fields"])
+                if incoming
+                else None
+            )
+            if new_sig != table_sig:
                 raise ValueError(
-                    f"append schema {sorted(df.columns)} does not match the "
-                    f"table schema {sorted(names)}"
+                    f"append schema {new_sig} does not match the "
+                    f"table schema {table_sig}"
                 )
     new_meta = {
         "format-version": 2,

@@ -112,8 +112,10 @@ def _delta_check_protocol(proto: dict) -> None:
     mrv = proto.get("minReaderVersion") or 1
     if mrv <= 2:
         return
-    if mrv == 3 and "readerFeatures" in proto:
-        unsupported = set(proto.get("readerFeatures") or []) - _DELTA_READER_FEATURES
+    # a null/non-list readerFeatures at mrv=3 is MALFORMED, not "no
+    # features": falling through to the final raise, never silently read
+    if mrv == 3 and isinstance(proto.get("readerFeatures"), list):
+        unsupported = set(proto["readerFeatures"]) - _DELTA_READER_FEATURES
         if not unsupported:
             return
         raise NotImplementedError(
@@ -138,9 +140,12 @@ def _apply_column_mapping(df: DataFrame, meta: dict | None) -> DataFrame:
 
     if not meta:
         return df
-    mode = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    )
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        # a metaData row decoded from a PARQUET checkpoint: pyarrow maps
+        # come back as [(key, value)] tuples, not dicts
+        conf = dict(conf)
+    mode = conf.get("delta.columnMapping.mode", "none")
     if mode in ("none", ""):
         return df
     if mode != "name":

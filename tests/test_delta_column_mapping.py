@@ -125,6 +125,56 @@ def test_no_mapping_mode_reads_raw(spark, tmp_path):
     assert set(df.columns) == {"col-aaa", "col-bbb"}
 
 
+def test_metadata_via_parquet_checkpoint(spark, tmp_path):
+    """metaData decoded from a PARQUET checkpoint row delivers its
+    configuration as a pyarrow MAP — [(key, value)] tuples, not a dict.
+    The mapping must still apply (this exact shape crashed the first
+    implementation with AttributeError on list.get)."""
+    root = _table(
+        tmp_path,
+        "cmcp",
+        [_meta_action([("id", "long", "col-aaa"), ("val", "string", "col-bbb")])],
+    )
+    log_dir = os.path.join(root, "_delta_log")
+    meta_struct = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    add_t = pa.struct(
+        [("path", pa.string()), ("partitionValues", pa.map_(pa.string(), pa.string()))]
+    )
+    meta_row = {
+        "id": "m-1",
+        "schemaString": _schema_string(
+            [("id", "long", "col-aaa"), ("val", "string", "col-bbb")]
+        ),
+        "configuration": [
+            ("delta.columnMapping.mode", "name"),
+            ("delta.appendOnly", "false"),
+        ],
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "add": pa.array(
+                    [{"path": "part-0000.parquet", "partitionValues": []}, None],
+                    add_t,
+                ),
+                "metaData": pa.array([None, meta_row], meta_struct),
+            }
+        ),
+        os.path.join(log_dir, f"{0:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 0, "size": 2}))
+    df = read_delta_snapshot(spark, root)
+    assert df.columns == ["id", "val"]
+    assert {(r.id, r.val) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
 def test_fail_fasts(spark, tmp_path):
     # id mode
     root = _table(

@@ -167,10 +167,16 @@ def test_reader_features_gate(spark, tmp_path):
         else:
             with pytest.raises(NotImplementedError, match="reader features"):
                 read_delta_snapshot(spark, root)
-    # minReaderVersion 3 WITHOUT a readerFeatures list is malformed
-    root = str(tmp_path / "gate-malformed")
-    _data_files(spark, root)
-    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
-        fh.write(json.dumps({"protocol": {"minReaderVersion": 3}}) + "\n")
-    with pytest.raises(NotImplementedError, match="minReaderVersion"):
-        read_delta_snapshot(spark, root)
+    # minReaderVersion 3 WITHOUT a readerFeatures list is malformed —
+    # both the key-absent and the null-valued shapes (a parquet checkpoint
+    # protocol struct can carry an explicit null)
+    for tag, proto in [
+        ("absent", {"minReaderVersion": 3}),
+        ("null", {"minReaderVersion": 3, "readerFeatures": None}),
+    ]:
+        root = str(tmp_path / f"gate-malformed-{tag}")
+        _data_files(spark, root)
+        with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": proto}) + "\n")
+        with pytest.raises(NotImplementedError, match="minReaderVersion"):
+            read_delta_snapshot(spark, root)

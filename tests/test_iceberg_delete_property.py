@@ -81,9 +81,9 @@ def test_random_mixed_delete_kind_interleavings(spark, tmp_path, seed):
 
     rng = random.Random(seed)
     root = str(tmp_path / f"mix{seed}")
-    # model: live row set keyed by (id, val, commit_seq); every commit of
+    # model: live row SET of (id, val, commit_seq) tuples; every commit of
     # any kind advances the sequence number by 1 (matching the writer)
-    ref: dict[int, tuple[str, int]] = {}
+    ref: set[tuple[int, str, int]] = set()
     seq = 0
     snapshots: list[tuple[int, set]] = []
 
@@ -96,39 +96,46 @@ def test_random_mixed_delete_kind_interleavings(spark, tmp_path, seed):
             n = rng.randint(1, 3)
             # keys drawn from a small space so re-insertion happens a lot
             batch = {rng.randrange(8): chr(97 + seq) for _ in range(n)}
-            write_iceberg_append(
+            sid = write_iceberg_append(
                 spark.createDataFrame(
                     list(batch.items()), "id bigint, val string"
                 ),
                 root,
             )
             # NOTE: duplicate keys WITHIN one table are allowed by the
-            # format; the model keeps them all, keyed by (id, val, seq)
-            for k, v in batch.items():
-                ref[(k, v, seq)] = None
+            # format; the model keeps them all as (id, val, seq) tuples
+            ref |= {(k, v, seq) for k, v in batch.items()}
         elif op == "posdel":
             seq += 1
             m = rng.choice([2, 3])
             r = rng.randrange(m)
-            write_iceberg_position_deletes(spark, root, F.col("id") % m == r)
-            ref = {key: None for key in ref if key[0] % m != r}
+            sid = write_iceberg_position_deletes(
+                spark, root, F.col("id") % m == r
+            )
+            ref = {t for t in ref if t[0] % m != r}
         else:
             seq += 1
-            ks = sorted({key[0] for key in ref} | {rng.randrange(8)})
+            ks = sorted({t[0] for t in ref} | {rng.randrange(8)})
             chosen = rng.sample(ks, k=min(len(ks), rng.randint(1, 3)))
-            write_iceberg_equality_deletes(
+            sid = write_iceberg_equality_deletes(
                 spark,
                 root,
                 spark.createDataFrame([(k,) for k in chosen], "id bigint"),
             )
             # strictly-lower-sequence rule
             ref = {
-                key: None
-                for key in ref
-                if not (key[0] in chosen and key[2] < seq)
+                t for t in ref if not (t[0] in chosen and t[2] < seq)
             }
         want = {(k, v) for (k, v, _s) in ref}
-        snapshots.append((seq, want))
+        snapshots.append((sid, want))
         if ref:
             got = _rows(read_iceberg_snapshot(spark, root))
             assert got == want, f"seed={seed} after {op} (seq {seq})"
+
+    # time travel: every recorded snapshot replays to its reference state
+    # (delete snapshots included — both delete kinds must replay)
+    for sid, want in snapshots:
+        if not want:
+            continue  # reader raises on empty snapshots by contract
+        got = _rows(read_iceberg_snapshot(spark, root, snapshot_id=sid))
+        assert got == want, f"seed={seed} snapshot {sid}"

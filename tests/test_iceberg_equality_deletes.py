@@ -144,3 +144,13 @@ def test_append_schema_mismatch_refused(spark, tmp_path):
         write_iceberg_append(
             spark.createDataFrame([(1, 2.0)], "id bigint, other double"), root
         )
+    # same NAMES but different TYPES must refuse too — committing
+    # mixed-type parquet would corrupt every later scan
+    with pytest.raises(ValueError, match="does not match the"):
+        write_iceberg_append(
+            spark.createDataFrame([("1", "a")], "id string, val string"), root
+        )
+    # matching (name, type) pairs in a different column order are fine
+    write_iceberg_append(
+        spark.createDataFrame([("b", 2)], "val string, id bigint"), root
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from mysoftware_nocnetintel_spark.plans import QUERIES
 
-SF = "/root/testdata/sf0.001"
+from .conftest import SF_DIR as SF
 
 # query -> (max BNLJ occurrences, bounded side justifying them)
 _BNLJ_OK = {
