@@ -1,4 +1,4 @@
-from . import avro_lite, iceberg, readers, sinks  # noqa: F401
+from . import avro_lite, delta, iceberg, readers, sinks  # noqa: F401
 from .registry import (  # noqa: F401
     TABLES,
     load_table,

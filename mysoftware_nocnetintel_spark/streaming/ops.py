@@ -544,3 +544,73 @@ def use_rocksdb_state(spark: SparkSession, **kwargs) -> dict[str, str]:
             prev[k] = None
         spark.conf.set(k, v)
     return prev
+
+
+def iceberg_cdc_upsert(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: tuple[str, ...] = ("user_id",),
+):
+    """Streaming CDC UPSERT into an Iceberg v2 table — the operation
+    equality deletes exist for (reference continuous ingestion,
+    README.md:24,26, re-expressed as a lakehouse sink).
+
+    Each micro-batch: reduce the batch to its LAST row per key
+    (row_number over (ts desc, event_id desc) — deterministic under
+    ties), commit ONE equality delete naming just the touched keys
+    (no-op on the creating batch), then append the fresh rows. The
+    reader's strictly-lower-sequence rule makes the pair atomic in
+    effect: old generations of a key die, this batch's generation
+    lives. The delete commit never scans the table — the writer knows
+    WHICH keys changed, which is exactly why CDC engines write equality
+    deletes instead of position deletes (those would need a read to
+    find coordinates).
+
+    Failure/retry posture: a foreachBatch retry re-runs delete+append;
+    the retry's delete (higher sequence) also kills the interrupted
+    attempt's partial append, so the net state converges to one live
+    row per key — idempotent under at-least-once replay.
+
+    Scale: per-batch cost is bounded by the batch's key count (the
+    delete parquet is keys-only, KB-scale); the append is a normal
+    distributed write. Compaction of accumulated delete files is the
+    maintenance job (sinks.compact_partitions is the model)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..sources.iceberg import (
+        write_iceberg_append,
+        write_iceberg_equality_deletes,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .cache()
+        )
+        try:
+            if latest.isEmpty():
+                return
+            if os.path.exists(os.path.join(path, "metadata")):
+                write_iceberg_equality_deletes(
+                    spark, path, latest.select(*key_cols)
+                )
+            write_iceberg_append(latest, path)
+        finally:
+            latest.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
