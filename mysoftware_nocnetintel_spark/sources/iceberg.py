@@ -473,3 +473,104 @@ def write_iceberg_equality_deletes(spark, path: str, keys: DataFrame) -> int:
         file_content=2,
         equality_ids=equality_ids,
     )
+
+
+def rewrite_iceberg_table(spark, path: str) -> int:
+    """MAJOR COMPACTION (the maintenance job behind a merge-on-read
+    writer like :func:`~..streaming.ops.iceberg_cdc_upsert`): materialize
+    the current LIVE rows — all position and equality deletes applied —
+    into fresh data files and commit a REPLACE snapshot whose manifest
+    list references ONLY them. Readers of the new snapshot touch zero
+    delete files (scan cost returns to pure-append shape); older
+    snapshots keep their old manifest lists, so time travel still sees
+    merge-on-read history. Returns the new snapshot id.
+
+    Scale: the rewrite is one distributed scan + write (the same
+    anti-joins the reader does); the commit is KB-scale metadata. A real
+    engine rewrites incrementally (bin-packing per partition) — at this
+    writer's unpartitioned scope, full rewrite IS the bin-pack. Same
+    single-writer / fail-fast scope as the other writers."""
+    import pyarrow.parquet as pq
+
+    from .readers import _iceberg_live_scan
+
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to rewrite an Iceberg table created by another "
+            "writer: use the iceberg-spark-runtime connector"
+        )
+    live = _iceberg_live_scan(spark, path)
+
+    stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
+    live.write.parquet(stage)
+    new_files: list[str] = []
+    for f in sorted(glob(os.path.join(stage, "*.parquet"))):
+        dest = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.parquet")
+        shutil.move(f, dest)
+        new_files.append(dest)
+    shutil.rmtree(stage)
+    if not new_files:
+        raise ValueError("rewrite produced no data files (empty live set)")
+
+    now_ms = int(time.time() * 1000)
+    snap_id = now_ms * 1000 + (ver + 1)
+    seq = meta.get("last-sequence-number", 0) + 1
+    entries = []
+    for f in new_files:
+        pmeta = pq.read_metadata(f)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f,
+                    "file_format": "PARQUET",
+                    "record_count": pmeta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(f),
+                },
+            }
+        )
+    manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
+    write_avro_file(manifest, MANIFEST_ENTRY_SCHEMA, entries)
+    # REPLACE semantics: the new manifest list holds ONLY this manifest —
+    # no prior data manifests, no delete manifests
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    write_avro_file(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist,
+        "summary": {"operation": "replace"},
+    }
+    new_meta = dict(
+        meta,
+        **{
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "snapshots": meta.get("snapshots", []) + [snapshot],
+            "current-snapshot-id": snap_id,
+        },
+    )
+    with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
+        json.dump(new_meta, fh)
+    return snap_id

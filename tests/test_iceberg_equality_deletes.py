@@ -135,6 +135,49 @@ def test_equality_delete_fail_fasts(spark, tmp_path):
         )
 
 
+def test_rewrite_compacts_away_delete_files(spark, tmp_path):
+    """Major compaction: after a rewrite the current snapshot's manifest
+    list must reference ONLY fresh data files (no delete manifests, no
+    old data files), rows must be unchanged, merge-on-read history must
+    stay time-travelable, and further upserts must work on top."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        rewrite_iceberg_table,
+    )
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        _iceberg_snapshot_files,
+    )
+
+    root = str(tmp_path / "compact")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+        ),
+        root,
+    )
+    write_iceberg_position_deletes(spark, root, F.col("id") == 1)
+    s_pre = write_iceberg_equality_deletes(
+        spark, root, spark.createDataFrame([(3,)], "id bigint")
+    )
+    want = {(2, "b")}
+    assert _rows(read_iceberg_snapshot(spark, root)) == want
+
+    sid = rewrite_iceberg_table(spark, root)
+    assert _rows(read_iceberg_snapshot(spark, root)) == want
+    data_files, pos_dels, eq_dels, snap = _iceberg_snapshot_files(root)
+    assert snap["snapshot-id"] == sid
+    assert not pos_dels and not eq_dels and len(data_files) >= 1
+    # pre-rewrite snapshot still replays merge-on-read
+    assert _rows(read_iceberg_snapshot(spark, root, snapshot_id=s_pre)) == want
+    # the table keeps working after compaction: upsert key 2
+    write_iceberg_equality_deletes(
+        spark, root, spark.createDataFrame([(2,)], "id bigint")
+    )
+    write_iceberg_append(
+        spark.createDataFrame([(2, "b2")], "id bigint, val string"), root
+    )
+    assert _rows(read_iceberg_snapshot(spark, root)) == {(2, "b2")}
+
+
 def test_append_schema_mismatch_refused(spark, tmp_path):
     root = str(tmp_path / "schemamismatch")
     write_iceberg_append(
