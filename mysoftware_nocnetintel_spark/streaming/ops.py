@@ -575,7 +575,30 @@ def iceberg_cdc_upsert(
     Scale: per-batch cost is bounded by the batch's key count (the
     delete parquet is keys-only, KB-scale); the append is a normal
     distributed write. Compaction of accumulated delete files is the
-    maintenance job (sinks.compact_partitions is the model)."""
+    maintenance job (sources.iceberg.rewrite_iceberg_table is the major
+    compaction: it folds the accumulated delete files back into plain
+    data files while keeping history time-travelable)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        cdc_upsert_batch(batch_df, path, key_cols)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_upsert_batch(
+    batch_df: DataFrame, path: str, key_cols: tuple[str, ...]
+) -> None:
+    """One CDC upsert micro-batch (the foreachBatch body of
+    :func:`iceberg_cdc_upsert`, exposed so the randomized differential in
+    tests/test_streaming_cdc.py can fuzz batch splits without streaming
+    machinery): latest row per key → equality-delete the touched keys →
+    append."""
     import os
 
     from pyspark.sql import Window
@@ -585,32 +608,23 @@ def iceberg_cdc_upsert(
         write_iceberg_equality_deletes,
     )
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .cache()
-        )
-        try:
-            if latest.isEmpty():
-                return
-            if os.path.exists(os.path.join(path, "metadata")):
-                write_iceberg_equality_deletes(
-                    spark, path, latest.select(*key_cols)
-                )
-            write_iceberg_append(latest, path)
-        finally:
-            latest.unpersist()
-
-    return (
-        events.writeStream.foreachBatch(upsert)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    spark = batch_df.sparkSession
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
     )
+    latest = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .cache()
+    )
+    try:
+        if latest.isEmpty():
+            return
+        if os.path.exists(os.path.join(path, "metadata")):
+            write_iceberg_equality_deletes(
+                spark, path, latest.select(*key_cols)
+            )
+        write_iceberg_append(latest, path)
+    finally:
+        latest.unpersist()

@@ -103,3 +103,69 @@ def test_cdc_upsert_equals_batch_argmax(spark, sf_dir, tmp_path):
                 ).count()
                 > 0
             )
+
+
+import random
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [13, 31])
+def test_cdc_upsert_random_batch_splits(spark, tmp_path, seed):
+    """Randomized differential: synthetic keyed events split into random
+    TIME-ORDERED batches (batch boundaries follow the (ts, event_id)
+    order), upserted batch-by-batch via the foreachBatch body, with a
+    compaction interleaved at a random point — the final table must equal
+    the global argmax per key regardless of how the stream was sliced."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        rewrite_iceberg_table,
+    )
+    from mysoftware_nocnetintel_spark.streaming.ops import cdc_upsert_batch
+
+    rng = random.Random(seed)
+    n = 60
+    rows = []
+    for eid in range(n):
+        # small key space → many generations per key; duplicate ts values
+        # → the event_id tie-break matters
+        rows.append(
+            (
+                eid,
+                rng.randrange(7),  # user_id
+                rng.randrange(10),  # ts bucket (seconds)
+                float(rng.randrange(100)),
+            )
+        )
+    # arrival order: by (ts, event_id) so later batches never carry
+    # earlier tuples (the CDC contract)
+    rows.sort(key=lambda r: (r[2], r[0]))
+
+    table = str(tmp_path / f"fuzz{seed}")
+    i = 0
+    compact_at = rng.randrange(1, 5)
+    batch_no = 0
+    while i < len(rows):
+        size = rng.randint(1, 25)
+        chunk = rows[i : i + size]
+        i += size
+        batch_no += 1
+        df = spark.createDataFrame(
+            [(e, u, t, v) for (e, u, t, v) in chunk],
+            "event_id bigint, user_id bigint, ts_s bigint, value double",
+        ).selectExpr(
+            "event_id", "user_id", "timestamp_seconds(ts_s) as ts", "value"
+        )
+        cdc_upsert_batch(df, table, ("user_id",))
+        if batch_no == compact_at:
+            rewrite_iceberg_table(spark, table)
+
+    got = {
+        (r.user_id, r.event_id, r.value)
+        for r in read_iceberg_snapshot(spark, table).collect()
+    }
+    best: dict[int, tuple] = {}
+    for eid, u, t, v in rows:
+        if u not in best or (t, eid) > (best[u][0], best[u][1]):
+            best[u] = (t, eid, v)
+    ref = {(u, eid, v) for u, (t, eid, v) in best.items()}
+    assert got == ref, f"seed={seed}"
