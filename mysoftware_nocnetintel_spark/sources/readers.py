@@ -325,13 +325,25 @@ def _read_delta_v2_checkpoint(
 
 
 def read_delta_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
 ) -> DataFrame:
     """Minimal Delta Lake snapshot reader built on the PUBLIC Delta
     transaction-log protocol (delta.io PROTOCOL.md): replay the
     ``_delta_log/<version>.json`` commit files' add/remove actions up to
     ``version`` (time travel), then scan the surviving parquet files.
     Hive-style ``partitionValues`` are re-attached as literal columns.
+
+    ``partition_filter`` is DRIVER-SIDE PARTITION PRUNING — the scan saver
+    that makes partitioned lakehouse tables usable at 100 TB: a dict of
+    exact partition-column matches (log values are strings) drops
+    non-matching files from the file list BEFORE any distributed scan is
+    planned, so excluded partitions cost zero I/O (they are never even
+    opened — the test proves it with a corrupt excluded file). Predicates
+    on non-partition columns belong in a normal ``.filter`` downstream
+    (parquet row-group pushdown applies there).
 
     Checkpointed logs are supported for CLASSIC parquet checkpoints (single
     file or multi-part, per PROTOCOL.md "Checkpoints") AND V2 UUID-named
@@ -416,6 +428,26 @@ def read_delta_snapshot(
                     live.pop(act["remove"]["path"], None)
     if version is not None and max_seen < version:
         raise ValueError(f"version {version} not found (latest: {max_seen})")
+    if partition_filter:
+        bad = [
+            k
+            for k in partition_filter
+            if not any(k in pv for pv in live.values())
+        ]
+        if bad and live:
+            raise ValueError(
+                f"partition_filter keys {bad} are not partition columns of "
+                "this table"
+            )
+        live = {
+            rel: pv
+            for rel, pv in live.items()
+            if all(pv.get(k) == v for k, v in partition_filter.items())
+        }
+        if not live:
+            raise ValueError(
+                f"no files match partition_filter {partition_filter}"
+            )
     if not live:
         raise ValueError(f"Delta snapshot at version {max_seen} has no files")
     # group files by identical partition values → one distributed scan per
