@@ -122,9 +122,61 @@ def _load_meta(meta_dir: str) -> tuple[dict | None, int]:
     return meta, v
 
 
-def write_iceberg_append(df: DataFrame, path: str) -> int:
+# identity partitioning: avro encoding for partition-record values by
+# iceberg type; partition columns outside this map are refused
+_PARTITION_AVRO_TYPES = {
+    "int": "long",
+    "long": "long",
+    "string": "string",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "double",
+    "date": "string",
+}
+_MAX_PARTITIONS_PER_APPEND = 256
+
+
+def _partition_manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """MANIFEST_ENTRY_SCHEMA extended with a partition record matching the
+    table's identity partition spec (Avro schemas are per-file, so
+    unpartitioned tables keep the base schema untouched)."""
+    import copy
+
+    schema = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+    schema["fields"][2]["type"]["fields"].append(
+        {
+            "name": "partition",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "rp",
+                    "fields": [
+                        {"name": n, "type": ["null", _PARTITION_AVRO_TYPES[t]]}
+                        for n, t in part_fields
+                    ],
+                },
+            ],
+            "default": None,
+        }
+    )
+    return schema
+
+
+def write_iceberg_append(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> int:
     """Append ``df`` to the Iceberg table at ``path`` (creating it on first
-    write). Returns the new snapshot id. See module docstring for scope."""
+    write). Returns the new snapshot id. See module docstring for scope.
+
+    ``partition_by`` (create-time only) declares an IDENTITY partition
+    spec: each append writes one file set per distinct partition tuple
+    (driver loop bounded by ``_MAX_PARTITIONS_PER_APPEND`` distinct tuples
+    per batch — a real engine fan-out-writes; for the daily-ingest shape
+    this loop is a handful of iterations) and the manifest entries carry
+    the partition record, so the reader can prune files by partition
+    BEFORE planning any scan. Iceberg data files keep the partition
+    source columns (unlike Hive layout), so scans need no re-attachment."""
     import pyarrow.parquet as pq
 
     meta_dir = os.path.join(path, "metadata")
@@ -139,16 +191,82 @@ def write_iceberg_append(df: DataFrame, path: str) -> int:
             "writer (unknown features could be dropped): use the "
             "iceberg-spark-runtime connector"
         )
+    if meta is not None and partition_by:
+        raise ValueError(
+            "partition_by is declared at table CREATE time; later appends "
+            "inherit the table's partition spec"
+        )
+    if meta is not None:
+        part_cols = [
+            f["name"]
+            for f in (
+                (meta.get("partition-specs") or [{}])[
+                    meta.get("default-spec-id", 0)
+                ].get("fields", [])
+            )
+        ]
+    else:
+        part_cols = list(partition_by)
+    part_fields: list[tuple[str, str]] = []
+    if part_cols:
+        sch = _iceberg_schema(df.schema)
+        if sch is None:
+            raise NotImplementedError(
+                "partitioned tables need a field-id schema (primitive "
+                "columns only)"
+            )
+        by_name = {f["name"]: f["type"] for f in sch["fields"]}
+        for c in part_cols:
+            if c not in by_name:
+                raise ValueError(f"partition column {c!r} not in schema")
+            t = by_name[c]
+            if t not in _PARTITION_AVRO_TYPES:
+                raise NotImplementedError(
+                    f"identity partitioning on type {t!r} unsupported"
+                )
+            part_fields.append((c, t))
 
-    # distributed data write into a staging dir, then move into data/
-    stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
-    df.write.parquet(stage)
-    new_files: list[str] = []
-    for f in sorted(glob(os.path.join(stage, "*.parquet"))):
-        dest = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.parquet")
-        shutil.move(f, dest)
-        new_files.append(dest)
-    shutil.rmtree(stage)
+    # distributed data write: one file set per partition tuple (bounded
+    # driver loop), or a single write for unpartitioned tables
+    new_files: list[tuple[str, dict | None]] = []
+
+    def _stage_out(part_df: DataFrame, pvals: dict | None) -> None:
+        stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
+        part_df.write.parquet(stage)
+        for f in sorted(glob(os.path.join(stage, "*.parquet"))):
+            dest = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.parquet")
+            shutil.move(f, dest)
+            new_files.append((dest, pvals))
+        shutil.rmtree(stage)
+
+    if part_fields:
+        from pyspark.sql import functions as F
+
+        tuples = (
+            df.select(*[c for c, _t in part_fields])
+            .distinct()
+            .limit(_MAX_PARTITIONS_PER_APPEND + 1)
+            .collect()
+        )
+        if len(tuples) > _MAX_PARTITIONS_PER_APPEND:
+            raise NotImplementedError(
+                f"append touches more than {_MAX_PARTITIONS_PER_APPEND} "
+                "distinct partition tuples: use the iceberg-spark-runtime "
+                "connector (fan-out partitioned writes)"
+            )
+        for row in tuples:
+            pvals = row.asDict()
+            cond = None
+            for c, _t in part_fields:
+                piece = (
+                    F.col(c).isNull()
+                    if pvals[c] is None
+                    else (F.col(c) == F.lit(pvals[c]))
+                )
+                cond = piece if cond is None else (cond & piece)
+            _stage_out(df.filter(cond), pvals)
+    else:
+        _stage_out(df, None)
     if not new_files:
         raise ValueError("append produced no data files")
 
@@ -157,7 +275,7 @@ def write_iceberg_append(df: DataFrame, path: str) -> int:
     seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
 
     entries = []
-    for f in new_files:
+    for f, pvals in new_files:
         pmeta = pq.read_metadata(f)  # driver-side footer read, KB-scale
         entries.append(
             {
@@ -169,11 +287,17 @@ def write_iceberg_append(df: DataFrame, path: str) -> int:
                     "file_format": "PARQUET",
                     "record_count": pmeta.num_rows,
                     "file_size_in_bytes": os.path.getsize(f),
+                    "partition": pvals,
                 },
             }
         )
     manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
-    write_avro_file(manifest, MANIFEST_ENTRY_SCHEMA, entries)
+    entry_schema = (
+        _partition_manifest_schema(part_fields)
+        if part_fields
+        else MANIFEST_ENTRY_SCHEMA
+    )
+    write_avro_file(manifest, entry_schema, entries)
 
     # append semantics: new manifest-list = all prior manifests + this one
     prior = []
@@ -243,6 +367,29 @@ def write_iceberg_append(df: DataFrame, path: str) -> int:
         "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
         "current-snapshot-id": snap_id,
     }
+    if meta is not None:
+        if meta.get("partition-specs"):
+            new_meta["partition-specs"] = meta["partition-specs"]
+            new_meta["default-spec-id"] = meta.get("default-spec-id", 0)
+    elif part_fields:
+        name_to_id = {
+            f["name"]: f["id"] for f in _iceberg_schema(df.schema)["fields"]
+        }
+        new_meta["partition-specs"] = [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": name_to_id[c],
+                        "field-id": 1000 + i,
+                    }
+                    for i, (c, _t) in enumerate(part_fields)
+                ],
+            }
+        ]
+        new_meta["default-spec-id"] = 0
     if schemas:
         new_meta["schemas"] = schemas
         new_meta["current-schema-id"] = schemas[0]["schema-id"]
@@ -503,6 +650,12 @@ def rewrite_iceberg_table(spark, path: str) -> int:
         raise NotImplementedError(
             "refusing to rewrite an Iceberg table created by another "
             "writer: use the iceberg-spark-runtime connector"
+        )
+    if meta.get("partition-specs"):
+        raise NotImplementedError(
+            "rewrite of PARTITIONED tables is out of scope (the compacted "
+            "entries would need per-partition regrouping to keep pruning "
+            "correct): use the iceberg-spark-runtime connector"
         )
     live = _iceberg_live_scan(spark, path)
 

@@ -471,6 +471,7 @@ def read_iceberg_snapshot(
     path: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Minimal Apache Iceberg snapshot reader built on the PUBLIC Iceberg
     table spec (iceberg.apache.org/spec/): pick a snapshot from the current
@@ -500,7 +501,12 @@ def read_iceberg_snapshot(
     follows the spec (deleted entries are skipped).
     """
     return _iceberg_live_scan(
-        spark, path, snapshot_id, as_of_ms, keep_coords=False
+        spark,
+        path,
+        snapshot_id,
+        as_of_ms,
+        keep_coords=False,
+        partition_filter=partition_filter,
     )
 
 
@@ -510,6 +516,7 @@ def _iceberg_live_scan(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     keep_coords: bool = False,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Shared live-row scan of the reader and the delete writers: data scan
     with all existing position AND equality deletes applied. With
@@ -518,11 +525,39 @@ def _iceberg_live_scan(
     data_files, delete_files, eq_deletes, snap = _iceberg_snapshot_files(
         path, snapshot_id, as_of_ms
     )
+    if partition_filter:
+        # manifest-level PARTITION PRUNING: entries whose identity
+        # partition record doesn't match are dropped BEFORE any scan is
+        # planned — excluded partitions cost zero I/O. The entry partition
+        # record decodes as [(name, value)] tuples from avro_lite.
+        def _pv(part):
+            return dict(part) if isinstance(part, list) else (part or {})
+
+        known = set()
+        for _p, _s, part in data_files:
+            known |= set(_pv(part))
+        bad = [k for k in partition_filter if k not in known]
+        if bad:
+            raise ValueError(
+                f"partition_filter keys {bad} are not partition columns "
+                "of this table"
+            )
+        data_files = [
+            (p, seq, part)
+            for p, seq, part in data_files
+            if all(
+                _pv(part).get(k) == v for k, v in partition_filter.items()
+            )
+        ]
+        if not data_files:
+            raise ValueError(
+                f"no files match partition_filter {partition_filter}"
+            )
     if not data_files:
         raise ValueError(f"Iceberg snapshot {snap['snapshot-id']} has no files")
     # identity-partitioned Iceberg data files still CONTAIN their partition
     # source columns (unlike Hive layout), so a plain scan is complete
-    scan = spark.read.parquet(*[p for p, _seq in data_files])
+    scan = spark.read.parquet(*[p for p, _seq, _part in data_files])
     data = scan.select(
         "*",
         _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
@@ -550,7 +585,7 @@ def _iceberg_snapshot_files(
     metadata walk of the minimal reader and the delete writers. Driver-side
     KB-scale work. Returns::
 
-        (data_files,      # [(path, data_sequence_number)]
+        (data_files,      # [(path, data_sequence_number, partition|None)]
          pos_delete_files,  # [path]
          eq_deletes,      # [(path, sequence_number, [equality column name])]
          snapshot)
@@ -602,7 +637,7 @@ def _iceberg_snapshot_files(
     if cur_schema:
         id_to_name = {f["id"]: f["name"] for f in cur_schema.get("fields", [])}
 
-    data_files: list[tuple[str, int]] = []
+    data_files: list[tuple[str, int, dict | None]] = []
     delete_files: list[str] = []
     eq_deletes: list[tuple[str, int, list[str]]] = []
     _, manifests = read_avro_file(_iceberg_local_path(snap["manifest-list"]))
@@ -628,7 +663,7 @@ def _iceberg_snapshot_files(
                 )
             fpath = _iceberg_local_path(df_rec["file_path"])
             if fc == 0:
-                data_files.append((fpath, m_seq))
+                data_files.append((fpath, m_seq, df_rec.get("partition")))
             elif fc == 1:  # position deletes
                 delete_files.append(fpath)
             else:  # 2 = equality deletes
@@ -654,7 +689,7 @@ def _iceberg_snapshot_files(
 def _apply_equality_deletes(
     spark: SparkSession,
     data: DataFrame,
-    data_files: list[tuple[str, int]],
+    data_files: list[tuple[str, int, dict | None]],
     eq_deletes: list[tuple[str, int, list[str]]],
 ) -> DataFrame:
     """Merge-on-read equality deletes, spec semantics: a delete row kills a
@@ -669,7 +704,7 @@ def _apply_equality_deletes(
     from collections import defaultdict
 
     seq_df = spark.createDataFrame(
-        [(p, s) for p, s in data_files], "__fp: string, __fseq: long"
+        [(p, s) for p, s, _part in data_files], "__fp: string, __fseq: long"
     )
     data = data.join(F.broadcast(seq_df), "__fp", "inner")
     groups: dict[tuple[str, ...], list[tuple[str, int]]] = defaultdict(list)

@@ -1,0 +1,143 @@
+"""Identity-partitioned Iceberg writes + manifest-level partition pruning.
+
+Zero-I/O proof mirrors the Delta pruning test: after the commit, one
+partition's data file is overwritten with garbage — a pruned read that
+excludes it succeeds, the unpruned read fails."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysoftware_nocnetintel_spark.sources.iceberg import (
+    rewrite_iceberg_table,
+    write_iceberg_append,
+    write_iceberg_equality_deletes,
+)
+from mysoftware_nocnetintel_spark.sources.readers import (
+    _iceberg_snapshot_files,
+    read_iceberg_snapshot,
+)
+
+
+def _rows(df):
+    return {(r.day, r.id, r.val) for r in df.collect()}
+
+
+def _make(spark, tmp_path, name="ptab"):
+    root = str(tmp_path / name)
+    write_iceberg_append(
+        spark.createDataFrame(
+            [
+                ("d1", 1, "a"),
+                ("d1", 2, "b"),
+                ("d2", 3, "c"),
+                ("d3", 4, "d"),
+            ],
+            "day string, id bigint, val string",
+        ),
+        root,
+        partition_by=("day",),
+    )
+    return root
+
+
+def test_partitioned_append_and_pruning(spark, tmp_path):
+    root = _make(spark, tmp_path)
+    # full read sees everything (data files contain the partition column)
+    assert _rows(read_iceberg_snapshot(spark, root)) == {
+        ("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c"), ("d3", 4, "d"),
+    }
+    # one file set per partition tuple, each entry carrying its record
+    data_files, _pos, _eq, _snap = _iceberg_snapshot_files(root)
+    parts = {tuple(sorted(dict(p).items())) if p else None for _f, _s, p in data_files}
+    assert parts == {(("day", "d1"),), (("day", "d2"),), (("day", "d3"),)}
+    # pruned read
+    assert _rows(
+        read_iceberg_snapshot(spark, root, partition_filter={"day": "d1"})
+    ) == {("d1", 1, "a"), ("d1", 2, "b")}
+
+    # zero-I/O proof: corrupt d3's file; pruned read fine, full read fails
+    d3_file = next(
+        f for f, _s, p in data_files if p and dict(p).get("day") == "d3"
+    )
+    with open(d3_file, "wb") as fh:
+        fh.write(b"GARBAGE")
+    assert _rows(
+        read_iceberg_snapshot(spark, root, partition_filter={"day": "d2"})
+    ) == {("d2", 3, "c")}
+    with pytest.raises(Exception):
+        read_iceberg_snapshot(spark, root).collect()
+
+
+def test_partitioned_appends_inherit_spec_and_deletes_work(spark, tmp_path):
+    root = _make(spark, tmp_path, "ptab2")
+    # later appends inherit the spec (no partition_by argument)
+    write_iceberg_append(
+        spark.createDataFrame(
+            [("d2", 5, "e")], "day string, id bigint, val string"
+        ),
+        root,
+    )
+    assert _rows(
+        read_iceberg_snapshot(spark, root, partition_filter={"day": "d2"})
+    ) == {("d2", 3, "c"), ("d2", 5, "e")}
+    # equality deletes compose with partitioned data
+    write_iceberg_equality_deletes(
+        spark, root, spark.createDataFrame([(3,)], "id bigint")
+    )
+    assert _rows(
+        read_iceberg_snapshot(spark, root, partition_filter={"day": "d2"})
+    ) == {("d2", 5, "e")}
+
+
+def test_partitioned_fail_fasts(spark, tmp_path):
+    root = _make(spark, tmp_path, "ptab3")
+    # partition_by on an existing table
+    with pytest.raises(ValueError, match="CREATE time"):
+        write_iceberg_append(
+            spark.createDataFrame(
+                [("d9", 9, "z")], "day string, id bigint, val string"
+            ),
+            root,
+            partition_by=("day",),
+        )
+    # rewrite of partitioned tables is out of scope
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        rewrite_iceberg_table(spark, root)
+    # unknown partition column at create
+    with pytest.raises(ValueError, match="not in schema"):
+        write_iceberg_append(
+            spark.createDataFrame([(1,)], "id bigint"),
+            str(tmp_path / "ptab4"),
+            partition_by=("nope",),
+        )
+    # unknown filter key on an unpartitioned table
+    root2 = str(tmp_path / "unpart")
+    write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id bigint, val string"), root2
+    )
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_iceberg_snapshot(spark, root2, partition_filter={"day": "d1"})
+    # no matching files
+    with pytest.raises(ValueError, match="no files match"):
+        read_iceberg_snapshot(spark, root, partition_filter={"day": "nope"})
+
+
+def test_partition_spec_in_metadata(spark, tmp_path):
+    import json
+    import os
+
+    root = _make(spark, tmp_path, "ptab5")
+    meta_dir = os.path.join(root, "metadata")
+    latest = sorted(
+        (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+        key=lambda p: int(p[1:].split(".")[0]),
+    )[-1]
+    with open(os.path.join(meta_dir, latest)) as fh:
+        meta = json.load(fh)
+    specs = meta["partition-specs"]
+    assert meta["default-spec-id"] == 0
+    assert specs[0]["fields"][0]["name"] == "day"
+    assert specs[0]["fields"][0]["transform"] == "identity"
+    assert specs[0]["fields"][0]["field-id"] == 1000
