@@ -55,10 +55,20 @@ def _schema_sig(schema_json: str) -> list[tuple[str, object]]:
     return sorted((f["name"], json.dumps(f["type"])) for f in s["fields"])
 
 
-def write_delta_append(df: DataFrame, path: str) -> int:
+def write_delta_append(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> int:
     """Append ``df`` to the Delta table at ``path`` (creating it on first
     write). Returns the committed version. See module docstring for scope.
-    """
+
+    ``partition_by`` (create-time only) writes Hive layout
+    (``col=value/part-*.parquet``, partition columns REMOVED from the
+    files per the Delta convention) and records ``partitionValues`` on
+    each add action — which is what the reader's ``partition_filter``
+    prunes on, and what re-attaches the columns at scan time. Later
+    appends inherit the table's partitionColumns."""
+    from urllib.parse import unquote
+
     log_dir = os.path.join(path, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     versions = _log_versions(log_dir)
@@ -68,6 +78,7 @@ def write_delta_append(df: DataFrame, path: str) -> int:
             "writer cannot maintain checkpoints): use the delta-spark "
             "connector"
         )
+    part_cols = list(partition_by)
     schema_json = df.schema.json()
     if versions:
         meta = _table_meta(log_dir, versions)
@@ -79,21 +90,44 @@ def write_delta_append(df: DataFrame, path: str) -> int:
                 "writer (unknown protocol features could be violated): use "
                 "the delta-spark connector"
             )
+        if partition_by:
+            raise ValueError(
+                "partition_by is declared at table CREATE time; later "
+                "appends inherit the table's partitionColumns"
+            )
+        part_cols = meta.get("partitionColumns") or []
         if _schema_sig(meta["schemaString"]) != _schema_sig(schema_json):
             raise ValueError(
                 f"append schema {_schema_sig(schema_json)} does not match "
                 f"the table schema {_schema_sig(meta['schemaString'])}"
             )
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in the schema")
     version = (versions[-1] + 1) if versions else 0
 
     # distributed data write into a staging dir, then move into the root
+    # (for partitioned tables the stage has Hive subdirs, moved as-is)
     stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
-    df.write.parquet(stage)
-    new_files: list[str] = []
-    for f in sorted(glob(os.path.join(stage, "*.parquet"))):
+    writer = df.write
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+    new_files: list[tuple[str, dict]] = []  # (rel path, partitionValues)
+    for f in sorted(
+        glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
+    ):
+        rel_dir = os.path.relpath(os.path.dirname(f), stage)
+        pvals: dict[str, str] = {}
+        if rel_dir != ".":
+            for piece in rel_dir.split(os.sep):
+                k, _, v = piece.partition("=")
+                pvals[k] = unquote(v)
+            os.makedirs(os.path.join(path, rel_dir), exist_ok=True)
         name = f"part-{uuid.uuid4().hex[:16]}.parquet"
-        shutil.move(f, os.path.join(path, name))
-        new_files.append(name)
+        rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+        shutil.move(f, os.path.join(path, rel))
+        new_files.append((rel, pvals))
     shutil.rmtree(stage)
     if not new_files:
         raise ValueError("append produced no data files")
@@ -110,19 +144,19 @@ def write_delta_append(df: DataFrame, path: str) -> int:
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_json,
-                    "partitionColumns": [],
+                    "partitionColumns": part_cols,
                     "configuration": {"writer": _WRITER_TAG},
                     "createdTime": now_ms,
                 }
             }
         )
-    for name in new_files:
+    for rel, pvals in new_files:
         actions.append(
             {
                 "add": {
-                    "path": name,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(path, name)),
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(os.path.join(path, rel)),
                     "modificationTime": now_ms,
                     "dataChange": True,
                 }

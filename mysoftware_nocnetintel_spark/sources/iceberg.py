@@ -727,3 +727,77 @@ def rewrite_iceberg_table(spark, path: str) -> int:
     with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
         json.dump(new_meta, fh)
     return snap_id
+
+
+def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
+    """Snapshot EXPIRATION (the other half of table maintenance next to
+    :func:`rewrite_iceberg_table`): keep only the newest ``keep_last``
+    snapshots, drop the rest from metadata, and DELETE every file — data,
+    delete, manifest, manifest list — referenced exclusively by expired
+    snapshots. Returns the number of files removed.
+
+    Time travel to expired snapshots then fails fast ("not found"), like
+    any engine after expiration. Driver-side metadata walk (KB-scale);
+    file deletion is local-fs here, an object-store batch delete in a
+    real deployment. Same single-writer scope as the writers."""
+    from .avro_lite import read_avro_file
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to expire snapshots of an Iceberg table created by "
+            "another writer: use the iceberg-spark-runtime connector"
+        )
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    if len(snaps) <= keep_last:
+        return 0
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    if not any(
+        s["snapshot-id"] == meta["current-snapshot-id"] for s in kept
+    ):
+        raise ValueError("keep_last would expire the current snapshot")
+
+    def _files_of(snapshot: dict) -> set[str]:
+        out = {_local(snapshot["manifest-list"])}
+        _, manifests = read_avro_file(_local(snapshot["manifest-list"]))
+        for m in manifests:
+            mp = _local(m["manifest_path"])
+            out.add(mp)
+            _, entries = read_avro_file(mp)
+            for e in entries:
+                out.add(_local(e["data_file"]["file_path"]))
+        return out
+
+    def _local(p: str) -> str:
+        return p[7:] if p.startswith("file://") else p
+
+    keep_refs: set[str] = set()
+    for s in kept:
+        keep_refs |= _files_of(s)
+    # walk ALL expired snapshots BEFORE deleting anything: expired
+    # snapshots share manifests (append manifest-lists carry prior
+    # manifests forward), so a delete-while-walking would try to read a
+    # manifest a previous iteration already removed
+    expired_refs: set[str] = set()
+    for s in expired:
+        expired_refs |= _files_of(s)
+    removed = 0
+    for f in expired_refs - keep_refs:
+        if os.path.exists(f):
+            os.remove(f)
+            removed += 1
+    new_meta = dict(
+        meta,
+        **{
+            "snapshots": kept,
+            "last-updated-ms": int(time.time() * 1000),
+        },
+    )
+    with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
+        json.dump(new_meta, fh)
+    return removed

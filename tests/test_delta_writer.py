@@ -88,3 +88,61 @@ def test_refuses_foreign_and_checkpointed_tables(spark, tmp_path):
         fh.write(json.dumps({"version": 0}))
     with pytest.raises(NotImplementedError, match="checkpointed"):
         write_delta_append(spark.createDataFrame([(2,)], "id bigint"), root2)
+
+
+def test_partitioned_append_roundtrip_and_pruning(spark, tmp_path):
+    """Hive-layout partitioned writes: the reader re-attaches partition
+    columns from partitionValues, later appends inherit the spec, and
+    partition_filter composes (zero-I/O proof via a corrupt excluded
+    file)."""
+    import glob as g
+
+    root = str(tmp_path / "dwp")
+    write_delta_append(
+        spark.createDataFrame(
+            [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c")],
+            "day string, id bigint, val string",
+        ),
+        root,
+        partition_by=("day",),
+    )
+    # inherit on the next append — no partition_by argument
+    write_delta_append(
+        spark.createDataFrame(
+            [("d2", 4, "d")], "day string, id bigint, val string"
+        ),
+        root,
+    )
+
+    def rows(df):
+        return {(r.day, r.id, r.val) for r in df.collect()}
+
+    assert rows(read_delta_snapshot(spark, root)) == {
+        ("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c"), ("d2", 4, "d"),
+    }
+    assert rows(
+        read_delta_snapshot(spark, root, partition_filter={"day": "d2"})
+    ) == {("d2", 3, "c"), ("d2", 4, "d")}
+    # hive layout on disk, partition column NOT in the files
+    d1_files = g.glob(os.path.join(root, "day=d1", "*.parquet"))
+    assert d1_files
+    import pyarrow.parquet as pq
+
+    assert "day" not in pq.read_schema(d1_files[0]).names
+    # zero-I/O proof: corrupt d1, pruned read to d2 still works
+    with open(d1_files[0], "wb") as fh:
+        fh.write(b"GARBAGE")
+    assert rows(
+        read_delta_snapshot(spark, root, partition_filter={"day": "d2"})
+    ) == {("d2", 3, "c"), ("d2", 4, "d")}
+    with pytest.raises(Exception):
+        read_delta_snapshot(spark, root).collect()
+    # declaring partition_by on an existing table refuses
+    with pytest.raises(ValueError, match="CREATE time"):
+        write_delta_append(
+            spark.createDataFrame(
+                [("d9", 9, "z")], "day string, id bigint, val string"
+            ),
+            root,
+            partition_by=("day",),
+        )

@@ -141,3 +141,46 @@ def test_partition_spec_in_metadata(spark, tmp_path):
     assert specs[0]["fields"][0]["name"] == "day"
     assert specs[0]["fields"][0]["transform"] == "identity"
     assert specs[0]["fields"][0]["field-id"] == 1000
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Expiration drops old snapshots from metadata and deletes files
+    referenced only by them; the kept snapshots stay readable and the
+    table keeps accepting commits."""
+    import os
+
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+    )
+
+    root = str(tmp_path / "expire")
+    s1 = write_iceberg_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, val string"),
+        root,
+    )
+    write_iceberg_equality_deletes(
+        spark, root, spark.createDataFrame([(1,)], "id bigint")
+    )
+    s3 = rewrite_iceberg_table(spark, root)  # compacted: fresh files only
+    n_files_before = len(os.listdir(os.path.join(root, "data")))
+
+    removed = expire_iceberg_snapshots(root, keep_last=1)
+    assert removed > 0
+    # current snapshot still reads; expired ids are gone
+    assert {(r.id, r.val) for r in read_iceberg_snapshot(spark, root).collect()} == {
+        (2, "b")
+    }
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_snapshot(spark, root, snapshot_id=s1)
+    # the pre-compaction data and delete files were deleted from disk
+    assert len(os.listdir(os.path.join(root, "data"))) < n_files_before
+    # further commits work on the expired table
+    write_iceberg_append(
+        spark.createDataFrame([(9, "z")], "id bigint, val string"), root
+    )
+    got = {(r.id, r.val) for r in read_iceberg_snapshot(spark, root).collect()}
+    assert got == {(2, "b"), (9, "z")}
+    # keep_last must retain the current snapshot
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_iceberg_snapshots(root, keep_last=0)
+    assert s3 is not None
