@@ -122,7 +122,11 @@ def write_delta_append(
         if rel_dir != ".":
             for piece in rel_dir.split(os.sep):
                 k, _, v = piece.partition("=")
-                pvals[k] = unquote(v)
+                # the spec records NULL partition values as JSON null, not
+                # Spark's on-disk __HIVE_DEFAULT_PARTITION__ sentinel
+                pvals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
             os.makedirs(os.path.join(path, rel_dir), exist_ok=True)
         name = f"part-{uuid.uuid4().hex[:16]}.parquet"
         rel = name if rel_dir == "." else os.path.join(rel_dir, name)

@@ -133,7 +133,6 @@ _PARTITION_AVRO_TYPES = {
     "float": "double",
     "date": "string",
 }
-_MAX_PARTITIONS_PER_APPEND = 256
 
 
 def _partition_manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
@@ -170,13 +169,12 @@ def write_iceberg_append(
     write). Returns the new snapshot id. See module docstring for scope.
 
     ``partition_by`` (create-time only) declares an IDENTITY partition
-    spec: each append writes one file set per distinct partition tuple
-    (driver loop bounded by ``_MAX_PARTITIONS_PER_APPEND`` distinct tuples
-    per batch — a real engine fan-out-writes; for the daily-ingest shape
-    this loop is a handful of iterations) and the manifest entries carry
-    the partition record, so the reader can prune files by partition
-    BEFORE planning any scan. Iceberg data files keep the partition
-    source columns (unlike Hive layout), so scans need no re-attachment."""
+    spec: the append fan-out-writes one file set per distinct partition
+    tuple in a single distributed pass (Spark partitionBy over DUPLICATE
+    columns, so the original columns stay in the data files as Iceberg
+    requires), and the manifest entries carry the typed partition record,
+    so the reader can prune files by partition BEFORE planning any scan.
+    Date partition values are recorded in ISO string form."""
     import pyarrow.parquet as pq
 
     meta_dir = os.path.join(path, "metadata")
@@ -226,47 +224,66 @@ def write_iceberg_append(
                 )
             part_fields.append((c, t))
 
-    # distributed data write: one file set per partition tuple (bounded
-    # driver loop), or a single write for unpartitioned tables
+    # distributed data write: ONE write for both shapes. Partitioned
+    # tables partitionBy DUPLICATE columns (``__part_<c>``) so Spark's
+    # fan-out writer does the per-tuple file split in one distributed
+    # pass (no per-partition driver loop, no double-execution of a
+    # non-deterministic source plan) while the ORIGINAL columns stay in
+    # the data files as Iceberg requires. Partition values come back from
+    # the Hive dir names, decoded to the spec's type.
     new_files: list[tuple[str, dict | None]] = []
+    stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
+    try:
+        if part_fields:
+            from urllib.parse import unquote
 
-    def _stage_out(part_df: DataFrame, pvals: dict | None) -> None:
-        stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
-        part_df.write.parquet(stage)
-        for f in sorted(glob(os.path.join(stage, "*.parquet"))):
-            dest = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.parquet")
-            shutil.move(f, dest)
-            new_files.append((dest, pvals))
-        shutil.rmtree(stage)
+            from pyspark.sql import functions as F
 
-    if part_fields:
-        from pyspark.sql import functions as F
-
-        tuples = (
-            df.select(*[c for c, _t in part_fields])
-            .distinct()
-            .limit(_MAX_PARTITIONS_PER_APPEND + 1)
-            .collect()
-        )
-        if len(tuples) > _MAX_PARTITIONS_PER_APPEND:
-            raise NotImplementedError(
-                f"append touches more than {_MAX_PARTITIONS_PER_APPEND} "
-                "distinct partition tuples: use the iceberg-spark-runtime "
-                "connector (fan-out partitioned writes)"
-            )
-        for row in tuples:
-            pvals = row.asDict()
-            cond = None
+            staged = df
             for c, _t in part_fields:
-                piece = (
-                    F.col(c).isNull()
-                    if pvals[c] is None
-                    else (F.col(c) == F.lit(pvals[c]))
+                staged = staged.withColumn(f"__part_{c}", F.col(c))
+            staged.write.partitionBy(
+                *[f"__part_{c}" for c, _t in part_fields]
+            ).parquet(stage)
+
+            def _decode(t: str, raw: str):
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                raw = unquote(raw)
+                if t in ("int", "long"):
+                    return int(raw)
+                if t in ("double", "float"):
+                    return float(raw)
+                if t == "boolean":
+                    return raw == "true"
+                return raw  # string / date (ISO form)
+
+            types = dict(part_fields)
+            for f in sorted(
+                glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
+            ):
+                pvals: dict = {}
+                for piece in os.path.relpath(
+                    os.path.dirname(f), stage
+                ).split(os.sep):
+                    k, _, v = piece.partition("=")
+                    name = k[len("__part_"):]
+                    pvals[name] = _decode(types[name], v)
+                dest = os.path.join(
+                    data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
                 )
-                cond = piece if cond is None else (cond & piece)
-            _stage_out(df.filter(cond), pvals)
-    else:
-        _stage_out(df, None)
+                shutil.move(f, dest)
+                new_files.append((dest, pvals))
+        else:
+            df.write.parquet(stage)
+            for f in sorted(glob(os.path.join(stage, "*.parquet"))):
+                dest = os.path.join(
+                    data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
+                )
+                shutil.move(f, dest)
+                new_files.append((dest, None))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     if not new_files:
         raise ValueError("append produced no data files")
 
@@ -762,6 +779,8 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
     ):
         raise ValueError("keep_last would expire the current snapshot")
 
+    from .readers import _iceberg_local_path as _local
+
     def _files_of(snapshot: dict) -> set[str]:
         out = {_local(snapshot["manifest-list"])}
         _, manifests = read_avro_file(_local(snapshot["manifest-list"]))
@@ -772,9 +791,6 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
             for e in entries:
                 out.add(_local(e["data_file"]["file_path"]))
         return out
-
-    def _local(p: str) -> str:
-        return p[7:] if p.startswith("file://") else p
 
     keep_refs: set[str] = set()
     for s in kept:

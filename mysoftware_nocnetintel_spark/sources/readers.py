@@ -450,6 +450,15 @@ def read_delta_snapshot(
             )
     if not live:
         raise ValueError(f"Delta snapshot at version {max_seen} has no files")
+    # partition columns re-attach TYPED when the table metaData carries a
+    # schemaString (the log stores partition values as strings; delta-spark
+    # casts them back to the declared type, and so do we — otherwise a
+    # bigint partition column would round-trip as a string)
+    part_types: dict[str, str] = {}
+    if table_meta and table_meta.get("schemaString"):
+        for fld in json.loads(table_meta["schemaString"]).get("fields", []):
+            if isinstance(fld.get("type"), str):
+                part_types[fld["name"]] = fld["type"]
     # group files by identical partition values → one distributed scan per
     # partition tuple, unioned (one scan total for unpartitioned tables)
     groups: dict[tuple, list[str]] = {}
@@ -461,7 +470,10 @@ def read_delta_snapshot(
     for pvals, files in groups.items():
         df = spark.read.parquet(*files)
         for k, val in pvals:
-            df = df.withColumn(k, F.lit(val))
+            col = F.lit(val)
+            if k in part_types:
+                col = col.cast(part_types[k])
+            df = df.withColumn(k, col)
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     return _apply_column_mapping(out, table_meta)
 
@@ -527,11 +539,11 @@ def _iceberg_live_scan(
     )
     if partition_filter:
         # manifest-level PARTITION PRUNING: entries whose identity
-        # partition record doesn't match are dropped BEFORE any scan is
-        # planned — excluded partitions cost zero I/O. The entry partition
-        # record decodes as [(name, value)] tuples from avro_lite.
+        # partition record (a dict from avro_lite's record decode) doesn't
+        # match are dropped BEFORE any scan is planned — excluded
+        # partitions cost zero I/O.
         def _pv(part):
-            return dict(part) if isinstance(part, list) else (part or {})
+            return part or {}
 
         known = set()
         for _p, _s, part in data_files:

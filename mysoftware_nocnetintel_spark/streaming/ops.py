@@ -608,6 +608,8 @@ def cdc_upsert_batch(
         write_iceberg_equality_deletes,
     )
 
+    from glob import glob as _glob
+
     spark = batch_df.sparkSession
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -621,7 +623,10 @@ def cdc_upsert_batch(
     try:
         if latest.isEmpty():
             return
-        if os.path.exists(os.path.join(path, "metadata")):
+        # "table exists" = a COMMITTED metadata version, not a metadata/
+        # dir (write_iceberg_append mkdirs before committing, so a failed
+        # first batch must leave retries on the create path)
+        if _glob(os.path.join(path, "metadata", "v*.metadata.json")):
             write_iceberg_equality_deletes(
                 spark, path, latest.select(*key_cols)
             )

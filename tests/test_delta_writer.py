@@ -146,3 +146,25 @@ def test_partitioned_append_roundtrip_and_pruning(spark, tmp_path):
             root,
             partition_by=("day",),
         )
+
+
+def test_partition_columns_reattach_typed_and_null(spark, tmp_path):
+    """Partition values live as STRINGS in the log; the reader must cast
+    them back to the schema type (a bigint partition column round-trips
+    as bigint, not string), and NULL partition values must come back as
+    real nulls, not the on-disk __HIVE_DEFAULT_PARTITION__ sentinel."""
+    root = str(tmp_path / "dwt2")
+    write_delta_append(
+        spark.createDataFrame(
+            [(10, 1, "a"), (20, 2, "b"), (None, 3, "c")],
+            "bucket bigint, id bigint, val string",
+        ),
+        root,
+        partition_by=("bucket",),
+    )
+    df = read_delta_snapshot(spark, root)
+    assert dict(df.dtypes)["bucket"] == "bigint"
+    got = {(r.bucket, r.id) for r in df.collect()}
+    assert got == {(10, 1), (20, 2), (None, 3)}
+    # typed filtering works (the string round-trip bug made this empty)
+    assert df.filter("bucket = 10").count() == 1

@@ -184,3 +184,42 @@ def test_expire_snapshots(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_last"):
         expire_iceberg_snapshots(root, keep_last=0)
     assert s3 is not None
+
+
+def test_date_and_long_partition_values(spark, tmp_path):
+    """Date partition values collect as datetime.date and long values as
+    ints — both must encode into the manifest partition record (date in
+    ISO string form) and prune correctly. Null partition values survive
+    as JSON null."""
+    import datetime
+
+    root = str(tmp_path / "pdate")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [
+                (datetime.date(2026, 1, 1), 7, 1, "a"),
+                (datetime.date(2026, 1, 2), 7, 2, "b"),
+                (None, None, 3, "c"),
+            ],
+            "d date, bucket bigint, id bigint, val string",
+        ),
+        root,
+        partition_by=("d", "bucket"),
+    )
+    full = {
+        (str(r.d), r.bucket, r.id)
+        for r in read_iceberg_snapshot(spark, root).collect()
+    }
+    assert full == {("2026-01-01", 7, 1), ("2026-01-02", 7, 2), ("None", None, 3)}
+    pruned = read_iceberg_snapshot(
+        spark, root, partition_filter={"d": "2026-01-01"}
+    ).collect()
+    assert [(r.id, r.bucket) for r in pruned] == [(1, 7)]
+    pruned2 = read_iceberg_snapshot(
+        spark, root, partition_filter={"bucket": 7}
+    ).collect()
+    assert {r.id for r in pruned2} == {1, 2}
+    pruned3 = read_iceberg_snapshot(
+        spark, root, partition_filter={"d": None}
+    ).collect()
+    assert {r.id for r in pruned3} == {3}
