@@ -208,3 +208,57 @@ def test_fail_fasts(spark, tmp_path):
     root = _table(tmp_path, "cm7", [bad])
     with pytest.raises(NotImplementedError, match="nested"):
         read_delta_snapshot(spark, root)
+
+
+import random
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_random_rename_drop_chains(spark, tmp_path, seed):
+    """Randomized schema-evolution differential: a chain of metadata-only
+    RENAME and DROP commits over fixed physical data must replay, at
+    EVERY version, to exactly the logical schema the reference model
+    predicts — with values projected from the untouched physical
+    columns."""
+    rng = random.Random(seed)
+    root = str(tmp_path / f"chain{seed}")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    phys = ["col-aa", "col-bb", "col-cc", "col-dd"]
+    values = {"col-aa": 1, "col-bb": 2, "col-cc": 3, "col-dd": 4}
+    pq_rows = [tuple(values[p] for p in phys)]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({p: [values[p]] for p in phys}),
+        os.path.join(root, "part-0000.parquet"),
+    )
+    # model: ordered list of (logical, physical); start = identity-ish
+    model = [(f"c{i}", p) for i, p in enumerate(phys)]
+
+    def meta_action(m):
+        return _meta_action([(lg, "long", ph) for lg, ph in m])
+
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps(meta_action(model)) + "\n")
+        fh.write(json.dumps({"add": {"path": "part-0000.parquet", "dataChange": True}}) + "\n")
+    history = [list(model)]
+    fresh = 0
+    for v in range(1, 6):
+        if len(model) > 1 and rng.random() < 0.4:
+            model.pop(rng.randrange(len(model)))  # DROP
+        else:  # RENAME
+            i = rng.randrange(len(model))
+            fresh += 1
+            model[i] = (f"renamed{fresh}", model[i][1])
+        with open(os.path.join(root, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            fh.write(json.dumps(meta_action(model)) + "\n")
+        history.append(list(model))
+
+    for v, m in enumerate(history):
+        df = read_delta_snapshot(spark, root, version=v)
+        assert df.columns == [lg for lg, _p in m], f"seed={seed} v={v}"
+        row = df.collect()[0]
+        assert tuple(row) == tuple(values[p] for _lg, p in m), f"v={v}"
+    assert pq_rows  # silence unused warning
