@@ -79,13 +79,13 @@ _WINDOW = [
     "q34_running_total",
     "q39_fingerprint_dedup",
     "q45_tumbling_window",
-    "q46_sliding_window",
-    # --- new this round, never graded (q47/q67/q75 rotate out: the
+    # --- new this round, never graded (q46/q47/q67/q75 rotate out: the
     # youngest green signals of the old fill) ---
     "q122_ar2_sequence",
     "q123_semdedup",
     "q124_bm25",
     "q125_mllib_pipeline",
+    "q126_edit_distance_pairs",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

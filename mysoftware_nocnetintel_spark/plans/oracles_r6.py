@@ -62,3 +62,17 @@ FROM ranked
 WHERE rk <= 10
 ORDER BY query_id, rk
 """
+
+ORACLES_R6["q126_edit_distance_pairs"] = """
+WITH p AS (
+    SELECT doc_id, lang, substr(text, 1, 40) AS pre,
+           CAST(n_chars // 50 AS BIGINT) AS band
+    FROM documents
+)
+SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.pre, b.pre) AS dist
+FROM p a
+JOIN p b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 18
+ORDER BY a.lang, id_a, id_b
+"""

