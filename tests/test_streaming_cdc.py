@@ -169,3 +169,22 @@ def test_cdc_upsert_random_batch_splits(spark, tmp_path, seed):
             best[u] = (t, eid, v)
     ref = {(u, eid, v) for u, (t, eid, v) in best.items()}
     assert got == ref, f"seed={seed}"
+
+
+def test_first_batch_retry_after_partial_failure(spark, tmp_path):
+    """A failed FIRST batch leaves metadata/ on disk but no committed
+    version (write_iceberg_append mkdirs before committing). The retry
+    must take the CREATE path — not call the equality-delete writer
+    against a table that doesn't exist yet."""
+    from mysoftware_nocnetintel_spark.streaming.ops import cdc_upsert_batch
+
+    table = str(tmp_path / "retry")
+    # simulate the interrupted first attempt: dirs exist, no commit
+    os.makedirs(os.path.join(table, "metadata"))
+    os.makedirs(os.path.join(table, "data"))
+    df = spark.createDataFrame(
+        [(1, 5, 1)], "event_id bigint, user_id bigint, ts_s bigint"
+    ).selectExpr("event_id", "user_id", "timestamp_seconds(ts_s) as ts")
+    cdc_upsert_batch(df, table, ("user_id",))
+    got = {(r.user_id, r.event_id) for r in read_iceberg_snapshot(spark, table).collect()}
+    assert got == {(5, 1)}
