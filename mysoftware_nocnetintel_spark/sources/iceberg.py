@@ -51,11 +51,87 @@ MANIFEST_ENTRY_SCHEMA = {
                         "type": ["null", {"type": "array", "items": "int"}],
                         "default": None,
                     },
+                    # per-file column bounds (zone maps), keyed by FIELD ID
+                    # (stringified: Avro map keys are strings); values typed
+                    # through the union by the writer's branch resolution
+                    {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "map",
+                                "values": ["null", "boolean", "long",
+                                           "double", "string"],
+                            },
+                        ],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "map",
+                                "values": ["null", "boolean", "long",
+                                           "double", "string"],
+                            },
+                        ],
+                        "default": None,
+                    },
                 ],
             },
         },
     ],
 }
+
+
+# iceberg types whose file bounds we record (string/binary stats can be
+# truncated by parquet writers, so using them for skipping would be unsafe;
+# dates compare correctly in ISO string form)
+_BOUNDABLE_TYPES = {"int", "long", "float", "double", "boolean", "date"}
+
+
+def _file_bounds(
+    pq_meta, schema: dict | None
+) -> tuple[dict | None, dict | None]:
+    """(lower_bounds, upper_bounds) maps — str(field id) → typed value —
+    aggregated across the file's row-group parquet statistics. A column
+    missing statistics in ANY row group gets no bounds (skipping on a
+    partial range would drop rows)."""
+    if not schema:
+        return None, None
+    by_name = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema["fields"]
+        if f["type"] in _BOUNDABLE_TYPES
+    }
+    if not by_name:
+        return None, None
+    lo: dict = {}
+    hi: dict = {}
+    dead: set[str] = set()
+    for rg in range(pq_meta.num_row_groups):
+        row_group = pq_meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in by_name or name in dead:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            fid = str(by_name[name][0])
+            mn, mx = st.min, st.max
+            if hasattr(mn, "isoformat"):  # date → ISO string (ordered)
+                mn, mx = mn.isoformat(), mx.isoformat()
+            lo[fid] = mn if fid not in lo else min(lo[fid], mn)
+            hi[fid] = mx if fid not in hi else max(hi[fid], mx)
+    for name in dead:
+        fid = str(by_name[name][0])
+        lo.pop(fid, None)
+        hi.pop(fid, None)
+    return (lo or None), (hi or None)
 
 MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -291,9 +367,11 @@ def write_iceberg_append(
     snap_id = now_ms * 1000 + (ver + 1)  # unique, monotone per table
     seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
 
+    bounds_schema = _iceberg_schema(df.schema)
     entries = []
     for f, pvals in new_files:
         pmeta = pq.read_metadata(f)  # driver-side footer read, KB-scale
+        lo, hi = _file_bounds(pmeta, bounds_schema)
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -305,6 +383,8 @@ def write_iceberg_append(
                     "record_count": pmeta.num_rows,
                     "file_size_in_bytes": os.path.getsize(f),
                     "partition": pvals,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
                 },
             }
         )
@@ -690,9 +770,11 @@ def rewrite_iceberg_table(spark, path: str) -> int:
     now_ms = int(time.time() * 1000)
     snap_id = now_ms * 1000 + (ver + 1)
     seq = meta.get("last-sequence-number", 0) + 1
+    bounds_schema = (meta.get("schemas") or [None])[0]
     entries = []
     for f in new_files:
         pmeta = pq.read_metadata(f)
+        lo, hi = _file_bounds(pmeta, bounds_schema)
         entries.append(
             {
                 "status": 1,
@@ -703,6 +785,8 @@ def rewrite_iceberg_table(spark, path: str) -> int:
                     "file_format": "PARQUET",
                     "record_count": pmeta.num_rows,
                     "file_size_in_bytes": os.path.getsize(f),
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
                 },
             }
         )

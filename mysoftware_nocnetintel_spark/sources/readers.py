@@ -8,6 +8,8 @@ instead (no database in this environment).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -484,6 +486,7 @@ def read_iceberg_snapshot(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     partition_filter: dict | None = None,
+    scan_filter: tuple | None = None,
 ) -> DataFrame:
     """Minimal Apache Iceberg snapshot reader built on the PUBLIC Iceberg
     table spec (iceberg.apache.org/spec/): pick a snapshot from the current
@@ -519,6 +522,7 @@ def read_iceberg_snapshot(
         as_of_ms,
         keep_coords=False,
         partition_filter=partition_filter,
+        scan_filter=scan_filter,
     )
 
 
@@ -529,6 +533,7 @@ def _iceberg_live_scan(
     as_of_ms: int | None = None,
     keep_coords: bool = False,
     partition_filter: dict | None = None,
+    scan_filter: tuple | None = None,
 ) -> DataFrame:
     """Shared live-row scan of the reader and the delete writers: data scan
     with all existing position AND equality deletes applied. With
@@ -546,8 +551,8 @@ def _iceberg_live_scan(
             return part or {}
 
         known = set()
-        for _p, _s, part in data_files:
-            known |= set(_pv(part))
+        for e in data_files:
+            known |= set(_pv(e.partition))
         bad = [k for k in partition_filter if k not in known]
         if bad:
             raise ValueError(
@@ -555,21 +560,27 @@ def _iceberg_live_scan(
                 "of this table"
             )
         data_files = [
-            (p, seq, part)
-            for p, seq, part in data_files
+            e
+            for e in data_files
             if all(
-                _pv(part).get(k) == v for k, v in partition_filter.items()
+                _pv(e.partition).get(k) == v
+                for k, v in partition_filter.items()
             )
         ]
         if not data_files:
             raise ValueError(
                 f"no files match partition_filter {partition_filter}"
             )
+    if scan_filter and data_files:
+        pruned = _zone_map_prune(path, data_files, scan_filter)
+        # all files skipped: a legal EMPTY result, not an error — scan one
+        # file for the schema and let the row filter drop everything
+        data_files = pruned or data_files[:1]
     if not data_files:
         raise ValueError(f"Iceberg snapshot {snap['snapshot-id']} has no files")
     # identity-partitioned Iceberg data files still CONTAIN their partition
     # source columns (unlike Hive layout), so a plain scan is complete
-    scan = spark.read.parquet(*[p for p, _seq, _part in data_files])
+    scan = spark.read.parquet(*[e.path for e in data_files])
     data = scan.select(
         "*",
         _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
@@ -583,11 +594,89 @@ def _iceberg_live_scan(
         )
     if eq_deletes:
         data = _apply_equality_deletes(spark, data, data_files, eq_deletes)
+    if scan_filter:
+        # the kept files are a SUPERSET (bounds are file-level): the row
+        # predicate still applies, pushed to the parquet scan by Catalyst
+        col_name, op, val = scan_filter
+        c = F.col(col_name)
+        data = data.filter(
+            {
+                ">=": c >= F.lit(val),
+                ">": c > F.lit(val),
+                "<=": c <= F.lit(val),
+                "<": c < F.lit(val),
+                "=": c == F.lit(val),
+            }[op]
+        )
     return data if keep_coords else data.drop("__fp", "__pos")
+
+
+_SCAN_FILTER_OPS = (">=", ">", "<=", "<", "=")
+
+
+def _zone_map_prune(
+    path: str, data_files: "list[_DataFile]", scan_filter: tuple
+) -> "list[_DataFile]":
+    """ZONE-MAP file skipping: drop data files whose manifest column
+    bounds (lower_bounds/upper_bounds, written from the parquet row-group
+    statistics) prove no row can satisfy ``(column, op, value)``. Files
+    without bounds for the column are always kept — skipping is only ever
+    an optimization, never a correctness decision; the row-level filter
+    still runs on the survivors."""
+    import json
+    import os
+
+    col_name, op, val = scan_filter
+    if op not in _SCAN_FILTER_OPS:
+        raise ValueError(f"scan_filter op must be one of {_SCAN_FILTER_OPS}")
+    meta_dir = os.path.join(path, "metadata")
+    versions = sorted(
+        (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+        key=lambda p: int(p[1:].split(".")[0]),
+    )
+    with open(os.path.join(meta_dir, versions[-1])) as fh:
+        meta = json.load(fh)
+    schemas = meta.get("schemas") or []
+    name_to_id = (
+        {f["name"]: f["id"] for f in schemas[0]["fields"]} if schemas else {}
+    )
+    if col_name not in name_to_id:
+        raise ValueError(
+            f"scan_filter column {col_name!r} not in the table's field-id "
+            "schema"
+        )
+    fid = str(name_to_id[col_name])
+
+    def may_match(e: "_DataFile") -> bool:
+        lo = (e.lower or {}).get(fid)
+        hi = (e.upper or {}).get(fid)
+        if lo is None or hi is None:
+            return True  # no bounds → cannot skip safely
+        if op == ">=":
+            return hi >= val
+        if op == ">":
+            return hi > val
+        if op == "<=":
+            return lo <= val
+        if op == "<":
+            return lo < val
+        return lo <= val <= hi  # "="
+
+    return [e for e in data_files if may_match(e)]
 
 
 def _iceberg_local_path(p: str) -> str:
     return p[7:] if p.startswith("file://") else p
+
+
+class _DataFile(NamedTuple):
+    """A live data-file entry from the snapshot walk."""
+
+    path: str
+    seq: int
+    partition: dict | None
+    lower: dict | None  # str(field id) -> typed min (zone map)
+    upper: dict | None
 
 
 def _iceberg_snapshot_files(
@@ -597,7 +686,7 @@ def _iceberg_snapshot_files(
     metadata walk of the minimal reader and the delete writers. Driver-side
     KB-scale work. Returns::
 
-        (data_files,      # [(path, data_sequence_number, partition|None)]
+        (data_files,      # [_DataFile(path, seq, partition, lower, upper)]
          pos_delete_files,  # [path]
          eq_deletes,      # [(path, sequence_number, [equality column name])]
          snapshot)
@@ -649,7 +738,7 @@ def _iceberg_snapshot_files(
     if cur_schema:
         id_to_name = {f["id"]: f["name"] for f in cur_schema.get("fields", [])}
 
-    data_files: list[tuple[str, int, dict | None]] = []
+    data_files: list[_DataFile] = []
     delete_files: list[str] = []
     eq_deletes: list[tuple[str, int, list[str]]] = []
     _, manifests = read_avro_file(_iceberg_local_path(snap["manifest-list"]))
@@ -675,7 +764,15 @@ def _iceberg_snapshot_files(
                 )
             fpath = _iceberg_local_path(df_rec["file_path"])
             if fc == 0:
-                data_files.append((fpath, m_seq, df_rec.get("partition")))
+                data_files.append(
+                    _DataFile(
+                        fpath,
+                        m_seq,
+                        df_rec.get("partition"),
+                        df_rec.get("lower_bounds"),
+                        df_rec.get("upper_bounds"),
+                    )
+                )
             elif fc == 1:  # position deletes
                 delete_files.append(fpath)
             else:  # 2 = equality deletes
@@ -701,7 +798,7 @@ def _iceberg_snapshot_files(
 def _apply_equality_deletes(
     spark: SparkSession,
     data: DataFrame,
-    data_files: list[tuple[str, int, dict | None]],
+    data_files: "list[_DataFile]",
     eq_deletes: list[tuple[str, int, list[str]]],
 ) -> DataFrame:
     """Merge-on-read equality deletes, spec semantics: a delete row kills a
@@ -716,7 +813,7 @@ def _apply_equality_deletes(
     from collections import defaultdict
 
     seq_df = spark.createDataFrame(
-        [(p, s) for p, s, _part in data_files], "__fp: string, __fseq: long"
+        [(e.path, e.seq) for e in data_files], "__fp: string, __fseq: long"
     )
     data = data.join(F.broadcast(seq_df), "__fp", "inner")
     groups: dict[tuple[str, ...], list[tuple[str, int]]] = defaultdict(list)

@@ -50,7 +50,10 @@ def test_partitioned_append_and_pruning(spark, tmp_path):
     }
     # one file set per partition tuple, each entry carrying its record
     data_files, _pos, _eq, _snap = _iceberg_snapshot_files(root)
-    parts = {tuple(sorted(dict(p).items())) if p else None for _f, _s, p in data_files}
+    parts = {
+        tuple(sorted(dict(e.partition).items())) if e.partition else None
+        for e in data_files
+    }
     assert parts == {(("day", "d1"),), (("day", "d2"),), (("day", "d3"),)}
     # pruned read
     assert _rows(
@@ -59,7 +62,9 @@ def test_partitioned_append_and_pruning(spark, tmp_path):
 
     # zero-I/O proof: corrupt d3's file; pruned read fine, full read fails
     d3_file = next(
-        f for f, _s, p in data_files if p and dict(p).get("day") == "d3"
+        e.path
+        for e in data_files
+        if e.partition and dict(e.partition).get("day") == "d3"
     )
     with open(d3_file, "wb") as fh:
         fh.write(b"GARBAGE")

@@ -1,0 +1,91 @@
+"""Iceberg column bounds (zone maps) + scan_filter file skipping.
+
+Bounds are written from parquet row-group statistics into the manifest
+entries; the reader skips files whose [min, max] provably excludes the
+predicate and still applies the row-level filter to the survivors (kept
+files are a superset). Zero-I/O proof: the excluded file is corrupted."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysoftware_nocnetintel_spark.sources.iceberg import (
+    rewrite_iceberg_table,
+    write_iceberg_append,
+    write_iceberg_position_deletes,
+)
+from mysoftware_nocnetintel_spark.sources.readers import (
+    _iceberg_snapshot_files,
+    read_iceberg_snapshot,
+)
+
+
+def _ids(df):
+    return {r.id for r in df.collect()}
+
+
+def _make(spark, tmp_path, name="zm"):
+    """Three appends = three files with disjoint value ranges."""
+    root = str(tmp_path / name)
+    for lo in (0, 100, 200):
+        write_iceberg_append(
+            spark.createDataFrame(
+                [(lo + i, float(lo + i), "x") for i in range(5)],
+                "id bigint, v double, s string",
+            ).coalesce(1),
+            root,
+        )
+    return root
+
+
+def test_bounds_written_and_skipping(spark, tmp_path):
+    root = _make(spark, tmp_path)
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert len(data_files) == 3
+    for e in data_files:
+        assert e.lower and e.upper
+        # field 1 = id (long), field 2 = v (double); strings get no bounds
+        assert set(e.lower) == {"1", "2"}
+    # predicate excludes the first two files
+    got = read_iceberg_snapshot(spark, root, scan_filter=("id", ">=", 200))
+    assert _ids(got) == {200, 201, 202, 203, 204}
+    # row-level filter still applies within a kept file
+    got = read_iceberg_snapshot(spark, root, scan_filter=("id", ">", 202))
+    assert _ids(got) == {203, 204}
+    # zero-I/O proof: corrupt the low file; high-range reads still work
+    low_file = min(data_files, key=lambda e: e.lower["1"]).path
+    with open(low_file, "wb") as fh:
+        fh.write(b"GARBAGE")
+    assert _ids(
+        read_iceberg_snapshot(spark, root, scan_filter=("v", ">=", 100.0))
+    ) == set(range(100, 105)) | set(range(200, 205))
+    with pytest.raises(Exception):
+        read_iceberg_snapshot(spark, root).collect()
+
+
+def test_empty_match_returns_empty_not_error(spark, tmp_path):
+    root = _make(spark, tmp_path, "zm2")
+    df = read_iceberg_snapshot(spark, root, scan_filter=("id", ">", 10_000))
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "v", "s"}
+
+
+def test_scan_filter_validation(spark, tmp_path):
+    root = _make(spark, tmp_path, "zm3")
+    with pytest.raises(ValueError, match="op must be"):
+        read_iceberg_snapshot(spark, root, scan_filter=("id", "!=", 1))
+    with pytest.raises(ValueError, match="not in the table"):
+        read_iceberg_snapshot(spark, root, scan_filter=("nope", ">=", 1))
+
+
+def test_bounds_survive_rewrite_and_deletes(spark, tmp_path):
+    root = _make(spark, tmp_path, "zm4")
+    write_iceberg_position_deletes(
+        spark, root, __import__("pyspark.sql.functions", fromlist=["col"]).col("id") == 100
+    )
+    sid = rewrite_iceberg_table(spark, root)
+    assert sid
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert all(e.lower and e.upper for e in data_files)
+    got = read_iceberg_snapshot(spark, root, scan_filter=("id", "<=", 101))
+    assert _ids(got) == {0, 1, 2, 3, 4, 101}
