@@ -53,7 +53,12 @@ MANIFEST_ENTRY_SCHEMA = {
                     },
                     # per-file column bounds (zone maps), keyed by FIELD ID
                     # (stringified: Avro map keys are strings); values typed
-                    # through the union by the writer's branch resolution
+                    # through the union by the writer's branch resolution.
+                    # DEVIATION from canonical Iceberg manifests (which
+                    # store bounds as the spec's binary single-value
+                    # serialization): typed Avro values are self-describing
+                    # and safe for this single-writer scope — tables are
+                    # already non-interoperable by the _WRITER_TAG gate
                     {
                         "name": "lower_bounds",
                         "type": [
