@@ -89,3 +89,45 @@ def test_bounds_survive_rewrite_and_deletes(spark, tmp_path):
     assert all(e.lower and e.upper for e in data_files)
     got = read_iceberg_snapshot(spark, root, scan_filter=("id", "<=", 101))
     assert _ids(got) == {0, 1, 2, 3, 4, 101}
+
+
+import random
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_zone_map_randomized_differential(spark, tmp_path, seed):
+    """Randomized ranges + predicates: file skipping must NEVER drop a
+    matching row — scan_filter results must equal a full scan with the
+    same row predicate, for every operator, including boundary values."""
+    rng = random.Random(seed)
+    root = str(tmp_path / f"zmf{seed}")
+    all_rows = []
+    for _ in range(5):
+        lo = rng.randrange(0, 900)
+        n = rng.randint(1, 8)
+        rows = [(lo + i * rng.randint(1, 3), float(rng.randrange(100))) for i in range(n)]
+        all_rows.extend(rows)
+        write_iceberg_append(
+            spark.createDataFrame(rows, "id bigint, v double").coalesce(1),
+            root,
+        )
+    ops = {
+        ">=": lambda a, b: a >= b,
+        ">": lambda a, b: a > b,
+        "<=": lambda a, b: a <= b,
+        "<": lambda a, b: a < b,
+        "=": lambda a, b: a == b,
+    }
+    ids = sorted({r[0] for r in all_rows})
+    for _ in range(8):
+        op = rng.choice(list(ops))
+        # half the probes land exactly ON a boundary value
+        val = rng.choice(ids) if rng.random() < 0.5 else rng.randrange(0, 1000)
+        got = {
+            (r.id, r.v)
+            for r in read_iceberg_snapshot(
+                spark, root, scan_filter=("id", op, val)
+            ).collect()
+        }
+        want = {(i, v) for i, v in all_rows if ops[op](i, val)}
+        assert got == want, f"seed={seed} id {op} {val}"
