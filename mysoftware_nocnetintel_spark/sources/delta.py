@@ -170,3 +170,65 @@ def write_delta_append(
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     return version
+
+
+def write_delta_overwrite(df: DataFrame, path: str) -> int:
+    """OVERWRITE the Delta table at ``path`` with ``df`` in one atomic
+    commit: remove actions for every currently-live file + add actions
+    for the new file set (the copy-on-write primitive — DELETE/UPDATE are
+    this applied to a filtered read). Time travel to pre-overwrite
+    versions still works: removed files stay on disk as tombstoned
+    history until a vacuum. Same single-writer / same-schema /
+    unCheckpointed scope as :func:`write_delta_append`; partitioned
+    tables keep their layout (the overwrite writes through the same
+    partitionColumns)."""
+    from .readers import read_delta_snapshot  # noqa: F401 (scope doc)
+
+    log_dir = os.path.join(path, "_delta_log")
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta table at {path} (use append)")
+    # replay the CURRENT live set (same walk the reader does) so the
+    # commit can tombstone it
+    live: list[str] = []
+    seen: dict[str, bool] = {}
+    for v in versions:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    seen[act["add"]["path"]] = True
+                elif "remove" in act:
+                    seen.pop(act["remove"]["path"], None)
+    live = sorted(seen)
+
+    # the append path does all the gating (foreign table, checkpoint,
+    # schema signature, partition layout) and commits the ADD actions…
+    version = write_delta_append(df, path)
+    # …then a SECOND commit would break atomicity: instead, rewrite the
+    # just-written commit file to include the remove tombstones FIRST
+    # (the commit only becomes visible when the json lands, and we are
+    # single-writer by scope, so editing our own uncommitted-to-readers
+    # file before returning is safe)
+    commit = os.path.join(log_dir, f"{version:020d}.json")
+    with open(commit) as fh:
+        added = fh.read()
+    now_ms = int(time.time() * 1000)
+    with open(commit, "w") as fh:
+        for rel in live:
+            fh.write(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+        fh.write(added)
+    return version

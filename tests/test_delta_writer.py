@@ -168,3 +168,37 @@ def test_partition_columns_reattach_typed_and_null(spark, tmp_path):
     assert got == {(10, 1), (20, 2), (None, 3)}
     # typed filtering works (the string round-trip bug made this empty)
     assert df.filter("bucket = 10").count() == 1
+
+
+def test_overwrite_roundtrip_and_time_travel(spark, tmp_path):
+    """Overwrite replaces the live set in one commit; prior versions stay
+    time-travelable (removed files are tombstones, not deletions); the
+    copy-on-write DELETE pattern (overwrite with a filtered read) works."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        write_delta_overwrite,
+    )
+
+    root = str(tmp_path / "dwo")
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+        ),
+        root,
+    )
+    v1 = write_delta_overwrite(
+        spark.createDataFrame([(9, "z")], "id bigint, val string"), root
+    )
+    assert v1 == 1
+    assert _rows(read_delta_snapshot(spark, root)) == {(9, "z")}
+    assert _rows(read_delta_snapshot(spark, root, version=0)) == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # copy-on-write DELETE: overwrite with the filtered current state
+    cur = read_delta_snapshot(spark, root)
+    write_delta_overwrite(cur.filter("id != 9").union(
+        spark.createDataFrame([(10, "y"), (11, "w")], "id bigint, val string")
+    ), root)
+    assert _rows(read_delta_snapshot(spark, root)) == {(10, "y"), (11, "w")}
+    # overwrite on a missing table refuses
+    with pytest.raises(FileNotFoundError):
+        write_delta_overwrite(cur, str(tmp_path / "missing"))
