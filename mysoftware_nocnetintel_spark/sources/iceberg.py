@@ -735,10 +735,13 @@ def rewrite_iceberg_table(spark, path: str) -> int:
     merge-on-read history. Returns the new snapshot id.
 
     Scale: the rewrite is one distributed scan + write (the same
-    anti-joins the reader does); the commit is KB-scale metadata. A real
-    engine rewrites incrementally (bin-packing per partition) — at this
-    writer's unpartitioned scope, full rewrite IS the bin-pack. Same
-    single-writer / fail-fast scope as the other writers."""
+    anti-joins the reader does); the commit is KB-scale metadata.
+    Partitioned tables regroup per partition tuple in the same single
+    fan-out pass the append path uses, so partition records — and
+    therefore pruning — survive compaction. A real engine rewrites
+    incrementally (bin-packing only the fragmented partitions); a full
+    rewrite is the degenerate bin-pack. Same single-writer / fail-fast
+    scope as the other writers."""
     import pyarrow.parquet as pq
 
     from .readers import _iceberg_live_scan
@@ -753,31 +756,84 @@ def rewrite_iceberg_table(spark, path: str) -> int:
             "refusing to rewrite an Iceberg table created by another "
             "writer: use the iceberg-spark-runtime connector"
         )
-    if meta.get("partition-specs"):
-        raise NotImplementedError(
-            "rewrite of PARTITIONED tables is out of scope (the compacted "
-            "entries would need per-partition regrouping to keep pruning "
-            "correct): use the iceberg-spark-runtime connector"
-        )
     live = _iceberg_live_scan(spark, path)
+    bounds_schema = (meta.get("schemas") or [None])[0]
+    # partitioned tables regroup per partition tuple (the same
+    # duplicate-column partitionBy fan-out as the append path), so the
+    # compacted entries keep their partition records and pruning stays
+    # correct after compaction
+    part_fields: list[tuple[str, str]] = []
+    if meta.get("partition-specs"):
+        spec = meta["partition-specs"][meta.get("default-spec-id", 0)]
+        if not bounds_schema:
+            raise NotImplementedError(
+                "partitioned rewrite needs the table's field-id schema"
+            )
+        type_by_name = {f["name"]: f["type"] for f in bounds_schema["fields"]}
+        part_fields = [
+            (f["name"], type_by_name[f["name"]]) for f in spec["fields"]
+        ]
 
     stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
-    live.write.parquet(stage)
-    new_files: list[str] = []
-    for f in sorted(glob(os.path.join(stage, "*.parquet"))):
-        dest = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.parquet")
-        shutil.move(f, dest)
-        new_files.append(dest)
-    shutil.rmtree(stage)
+    new_files: list[tuple[str, dict | None]] = []
+    try:
+        if part_fields:
+            from urllib.parse import unquote
+
+            from pyspark.sql import functions as F
+
+            staged = live
+            for c, _t in part_fields:
+                staged = staged.withColumn(f"__part_{c}", F.col(c))
+            staged.write.partitionBy(
+                *[f"__part_{c}" for c, _t in part_fields]
+            ).parquet(stage)
+
+            def _decode(t: str, raw: str):
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                raw = unquote(raw)
+                if t in ("int", "long"):
+                    return int(raw)
+                if t in ("double", "float"):
+                    return float(raw)
+                if t == "boolean":
+                    return raw == "true"
+                return raw
+            types = dict(part_fields)
+            for f in sorted(
+                glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
+            ):
+                pvals: dict = {}
+                for piece in os.path.relpath(
+                    os.path.dirname(f), stage
+                ).split(os.sep):
+                    k, _, v = piece.partition("=")
+                    name = k[len("__part_"):]
+                    pvals[name] = _decode(types[name], v)
+                dest = os.path.join(
+                    data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
+                )
+                shutil.move(f, dest)
+                new_files.append((dest, pvals))
+        else:
+            live.write.parquet(stage)
+            for f in sorted(glob(os.path.join(stage, "*.parquet"))):
+                dest = os.path.join(
+                    data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
+                )
+                shutil.move(f, dest)
+                new_files.append((dest, None))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     if not new_files:
         raise ValueError("rewrite produced no data files (empty live set)")
 
     now_ms = int(time.time() * 1000)
     snap_id = now_ms * 1000 + (ver + 1)
     seq = meta.get("last-sequence-number", 0) + 1
-    bounds_schema = (meta.get("schemas") or [None])[0]
     entries = []
-    for f in new_files:
+    for f, pvals in new_files:
         pmeta = pq.read_metadata(f)
         lo, hi = _file_bounds(pmeta, bounds_schema)
         entries.append(
@@ -790,13 +846,19 @@ def rewrite_iceberg_table(spark, path: str) -> int:
                     "file_format": "PARQUET",
                     "record_count": pmeta.num_rows,
                     "file_size_in_bytes": os.path.getsize(f),
+                    "partition": pvals,
                     "lower_bounds": lo,
                     "upper_bounds": hi,
                 },
             }
         )
     manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
-    write_avro_file(manifest, MANIFEST_ENTRY_SCHEMA, entries)
+    entry_schema = (
+        _partition_manifest_schema(part_fields)
+        if part_fields
+        else MANIFEST_ENTRY_SCHEMA
+    )
+    write_avro_file(manifest, entry_schema, entries)
     # REPLACE semantics: the new manifest list holds ONLY this manifest —
     # no prior data manifests, no delete manifests
     mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")

@@ -107,9 +107,6 @@ def test_partitioned_fail_fasts(spark, tmp_path):
             root,
             partition_by=("day",),
         )
-    # rewrite of partitioned tables is out of scope
-    with pytest.raises(NotImplementedError, match="PARTITIONED"):
-        rewrite_iceberg_table(spark, root)
     # unknown partition column at create
     with pytest.raises(ValueError, match="not in schema"):
         write_iceberg_append(
@@ -228,3 +225,29 @@ def test_date_and_long_partition_values(spark, tmp_path):
         spark, root, partition_filter={"d": None}
     ).collect()
     assert {r.id for r in pruned3} == {3}
+
+
+def test_partitioned_rewrite_keeps_pruning(spark, tmp_path):
+    """Compacting a partitioned table must regroup files per partition
+    tuple: delete files disappear from the read path while partition
+    records — and therefore pruning — survive (corrupt-excluded proof)."""
+    root = _make(spark, tmp_path, "pcompact")
+    write_iceberg_equality_deletes(
+        spark, root, spark.createDataFrame([(2,)], "id bigint")
+    )
+    rewrite_iceberg_table(spark, root)
+    data_files, pos_dels, eq_dels, _snap = _iceberg_snapshot_files(root)
+    assert not pos_dels and not eq_dels
+    assert all(e.partition for e in data_files)
+    assert _rows(
+        read_iceberg_snapshot(spark, root, partition_filter={"day": "d1"})
+    ) == {("d1", 1, "a")}
+    # zero-I/O proof on the compacted layout
+    d3 = next(
+        e.path for e in data_files if dict(e.partition).get("day") == "d3"
+    )
+    with open(d3, "wb") as fh:
+        fh.write(b"GARBAGE")
+    assert _rows(
+        read_iceberg_snapshot(spark, root, partition_filter={"day": "d2"})
+    ) == {("d2", 3, "c")}
