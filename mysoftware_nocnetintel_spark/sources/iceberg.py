@@ -138,6 +138,7 @@ def _file_bounds(
         hi.pop(fid, None)
     return (lo or None), (hi or None)
 
+
 MANIFEST_FILE_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
