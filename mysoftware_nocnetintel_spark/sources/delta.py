@@ -55,6 +55,21 @@ def _schema_sig(schema_json: str) -> list[tuple[str, object]]:
     return sorted((f["name"], json.dumps(f["type"])) for f in s["fields"])
 
 
+def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
+    """Write one version json ATOMICALLY: serialize every action to a
+    temp file in the log dir, fsync, then ``os.replace`` into place. A
+    reader can never observe an empty or partial commit, and a crash
+    before the replace leaves the table at the previous version."""
+    final = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = os.path.join(log_dir, f".{version:020d}.json.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+
+
 def write_delta_append(
     df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
 ) -> int:
@@ -67,6 +82,19 @@ def write_delta_append(
     each add action — which is what the reader's ``partition_filter``
     prunes on, and what re-attaches the columns at scan time. Later
     appends inherit the table's partitionColumns."""
+    version, actions = _stage_append(df, path, partition_by)
+    _commit_version(os.path.join(path, "_delta_log"), version, actions)
+    return version
+
+
+def _stage_append(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> tuple[int, list[dict]]:
+    """Gate + stage an append: runs every check ``write_delta_append``
+    documents, performs the distributed data write, moves the files into
+    the table root, and returns ``(version, actions)`` WITHOUT writing
+    the commit json — so overwrite can prepend remove tombstones and
+    commit removes+adds as one version file."""
     from urllib.parse import unquote
 
     log_dir = os.path.join(path, "_delta_log")
@@ -166,10 +194,7 @@ def write_delta_append(
                 }
             }
         )
-    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    return version
+    return version, actions
 
 
 def write_delta_overwrite(df: DataFrame, path: str) -> int:
@@ -205,30 +230,22 @@ def write_delta_overwrite(df: DataFrame, path: str) -> int:
     live = sorted(seen)
 
     # the append path does all the gating (foreign table, checkpoint,
-    # schema signature, partition layout) and commits the ADD actions…
-    version = write_delta_append(df, path)
-    # …then a SECOND commit would break atomicity: instead, rewrite the
-    # just-written commit file to include the remove tombstones FIRST
-    # (the commit only becomes visible when the json lands, and we are
-    # single-writer by scope, so editing our own uncommitted-to-readers
-    # file before returning is safe)
-    commit = os.path.join(log_dir, f"{version:020d}.json")
-    with open(commit) as fh:
-        added = fh.read()
+    # schema signature, partition layout) and stages the data + ADD
+    # actions WITHOUT committing; the full action list — remove
+    # tombstones first, then the adds — is then written as ONE version
+    # json via temp-file + os.replace, so no reader or crash can ever
+    # observe the append without its removes.
+    version, add_actions = _stage_append(df, path)
     now_ms = int(time.time() * 1000)
-    with open(commit, "w") as fh:
-        for rel in live:
-            fh.write(
-                json.dumps(
-                    {
-                        "remove": {
-                            "path": rel,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                        }
-                    }
-                )
-                + "\n"
-            )
-        fh.write(added)
+    actions = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for rel in live
+    ] + add_actions
+    _commit_version(log_dir, version, actions)
     return version

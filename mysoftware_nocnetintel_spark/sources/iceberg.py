@@ -17,6 +17,7 @@ distributed ``df.write.parquet``.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
@@ -130,6 +131,13 @@ def _file_bounds(
             mn, mx = st.min, st.max
             if hasattr(mn, "isoformat"):  # date → ISO string (ordered)
                 mn, mx = mn.isoformat(), mx.isoformat()
+            # parquet-mr / Spark include NaN in float/double min-max
+            # stats; every comparison against a NaN bound is False, so a
+            # NaN-poisoned bound would prune files that DO contain
+            # matching rows. Treat it like missing statistics.
+            if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+                dead.add(name)
+                continue
             lo[fid] = mn if fid not in lo else min(lo[fid], mn)
             hi[fid] = mx if fid not in hi else max(hi[fid], mx)
     for name in dead:
@@ -306,6 +314,31 @@ def write_iceberg_append(
                 )
             part_fields.append((c, t))
 
+    # schema compatibility is checked BEFORE the distributed write: a
+    # mismatched append must fail while the table is still untouched —
+    # failing after the data files moved into data/ would strand orphan
+    # parquet + manifest files forever (expire_iceberg_snapshots only
+    # removes files referenced by expired snapshots) and waste a full
+    # distributed write. Compare (name, type) PAIRS, not just names: an
+    # append with matching names but different types would commit
+    # mixed-type parquet and corrupt every later scan.
+    if meta is not None and (meta.get("schemas") or []):
+        incoming = _iceberg_schema(df.schema)
+        table_sig = sorted(
+            (f["name"], f["type"])
+            for f in (meta.get("schemas") or [])[0]["fields"]
+        )
+        new_sig = (
+            sorted((f["name"], f["type"]) for f in incoming["fields"])
+            if incoming
+            else None
+        )
+        if new_sig != table_sig:
+            raise ValueError(
+                f"append schema {new_sig} does not match the "
+                f"table schema {table_sig}"
+            )
+
     # distributed data write: ONE write for both shapes. Partitioned
     # tables partitionBy DUPLICATE columns (``__part_<c>``) so Spark's
     # fan-out writer does the per-tuple file split in one distributed
@@ -441,25 +474,8 @@ def write_iceberg_append(
         schema = _iceberg_schema(df.schema)
         schemas = [schema] if schema else []
     else:
+        # schema compatibility was validated BEFORE the data write above
         schemas = meta.get("schemas") or []
-        if schemas:
-            # compare (name, type) PAIRS, not just names: an append with
-            # matching names but different types would commit mixed-type
-            # parquet into data/ and corrupt every later scan
-            incoming = _iceberg_schema(df.schema)
-            table_sig = sorted(
-                (f["name"], f["type"]) for f in schemas[0]["fields"]
-            )
-            new_sig = (
-                sorted((f["name"], f["type"]) for f in incoming["fields"])
-                if incoming
-                else None
-            )
-            if new_sig != table_sig:
-                raise ValueError(
-                    f"append schema {new_sig} does not match the "
-                    f"table schema {table_sig}"
-                )
     new_meta = {
         "format-version": 2,
         "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),

@@ -8,6 +8,7 @@ instead (no database in this environment).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -458,9 +459,22 @@ def read_delta_snapshot(
     # bigint partition column would round-trip as a string)
     part_types: dict[str, str] = {}
     if table_meta and table_meta.get("schemaString"):
+        # under columnMapping mode=name, add.partitionValues (and the
+        # parquet files) carry PHYSICAL column names — key the cast map by
+        # physicalName so the cast applies BEFORE _apply_column_mapping
+        # renames physical → logical
+        conf = table_meta.get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        mapped = conf.get("delta.columnMapping.mode", "none") == "name"
         for fld in json.loads(table_meta["schemaString"]).get("fields", []):
             if isinstance(fld.get("type"), str):
-                part_types[fld["name"]] = fld["type"]
+                key = fld["name"]
+                if mapped:
+                    key = (fld.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName", key
+                    )
+                part_types[key] = fld["type"]
     # group files by identical partition values → one distributed scan per
     # partition tuple, unioned (one scan total for unpartitioned tables)
     groups: dict[tuple, list[str]] = {}
@@ -652,6 +666,10 @@ def _zone_map_prune(
         hi = (e.upper or {}).get(fid)
         if lo is None or hi is None:
             return True  # no bounds → cannot skip safely
+        # A NaN bound (e.g. written by another engine whose stats include
+        # NaN) makes every comparison below False; never skip on it.
+        if isinstance(lo, float) and (math.isnan(lo) or math.isnan(hi)):
+            return True
         if op == ">=":
             return hi >= val
         if op == ">":

@@ -262,3 +262,46 @@ def test_random_rename_drop_chains(spark, tmp_path, seed):
         row = df.collect()[0]
         assert tuple(row) == tuple(values[p] for _lg, p in m), f"v={v}"
     assert pq_rows  # silence unused warning
+
+
+def test_partitioned_mapped_table_casts_partition_types(spark, tmp_path):
+    """Under mode=name, add.partitionValues keys are PHYSICAL column
+    names; the declared-type cast must be applied to the physical column
+    BEFORE the physical→logical rename, or a bigint partition column
+    silently surfaces as a string."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "cmpart")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2]}),
+        os.path.join(root, "part-0000.parquet"),
+    )
+    meta = _meta_action(
+        [("id", "long", "col-aaa"), ("part", "long", "col-ppp")]
+    )
+    meta["metaData"]["partitionColumns"] = ["col-ppp"]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+        fh.write(json.dumps(meta) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "part-0000.parquet",
+                        "partitionValues": {"col-ppp": "7"},
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    got = read_delta_snapshot(spark, root)
+    assert set(got.columns) == {"id", "part"}
+    assert got.schema["part"].dataType == T.LongType()
+    assert {(r.id, r.part) for r in got.collect()} == {(1, 7), (2, 7)}

@@ -202,3 +202,52 @@ def test_overwrite_roundtrip_and_time_travel(spark, tmp_path):
     # overwrite on a missing table refuses
     with pytest.raises(FileNotFoundError):
         write_delta_overwrite(cur, str(tmp_path / "missing"))
+
+
+def test_overwrite_commits_atomically(spark, tmp_path, monkeypatch):
+    """Overwrite must write ONE version json (removes first, then adds)
+    via temp-file + os.replace — a failure at commit time leaves the
+    table at the previous version with the old rows intact, never an
+    intermediate append-only state."""
+    from mysoftware_nocnetintel_spark.sources import delta as delta_mod
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        write_delta_overwrite,
+    )
+
+    root = str(tmp_path / "dwa")
+    write_delta_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, val string"),
+        root,
+    )
+
+    # crash injection: the commit write itself fails → no version file
+    # may appear, and the table must still read as the old rows
+    real_commit = delta_mod._commit_version
+
+    def boom(log_dir, version, actions):
+        raise OSError("injected commit failure")
+
+    monkeypatch.setattr(delta_mod, "_commit_version", boom)
+    with pytest.raises(OSError, match="injected"):
+        write_delta_overwrite(
+            spark.createDataFrame([(9, "z")], "id bigint, val string"), root
+        )
+    log_dir = os.path.join(root, "_delta_log")
+    assert sorted(os.listdir(log_dir)) == [f"{0:020d}.json"]
+    assert _rows(read_delta_snapshot(spark, root)) == {(1, "a"), (2, "b")}
+
+    # real commit: one json whose remove tombstones PRECEDE the adds
+    monkeypatch.setattr(delta_mod, "_commit_version", real_commit)
+    v = write_delta_overwrite(
+        spark.createDataFrame([(9, "z")], "id bigint, val string"), root
+    )
+    with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+        kinds = [
+            next(iter(json.loads(line)))
+            for line in fh
+            if line.strip()
+        ]
+    assert "remove" in kinds and "add" in kinds
+    assert kinds.index("remove") < kinds.index("add")
+    assert kinds == sorted(kinds, key=lambda k: k == "add")  # removes first
+    assert _rows(read_delta_snapshot(spark, root)) == {(9, "z")}

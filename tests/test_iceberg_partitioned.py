@@ -251,3 +251,27 @@ def test_partitioned_rewrite_keeps_pruning(spark, tmp_path):
     assert _rows(
         read_iceberg_snapshot(spark, root, partition_filter={"day": "d2"})
     ) == {("d2", 3, "c")}
+
+
+def test_schema_mismatch_refused_before_any_write(spark, tmp_path):
+    """A mismatched append must fail while the table is still untouched:
+    validating after the distributed write would strand orphan parquet +
+    manifest files in the table directory forever (snapshot expiry only
+    removes files referenced by expired snapshots)."""
+    import os
+    from glob import glob
+
+    root = str(tmp_path / "sig")
+    write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id bigint, val string"), root
+    )
+    before_data = sorted(glob(os.path.join(root, "data", "*")))
+    before_meta = sorted(glob(os.path.join(root, "metadata", "*")))
+    with pytest.raises(ValueError, match="does not match"):
+        write_iceberg_append(
+            spark.createDataFrame([(1, 2.0)], "id bigint, val double"), root
+        )
+    # nothing staged, moved, or committed — byte-for-byte same file sets
+    assert sorted(glob(os.path.join(root, "data", "*"))) == before_data
+    assert sorted(glob(os.path.join(root, "metadata", "*"))) == before_meta
+    assert not glob(os.path.join(root, "__stage-*"))

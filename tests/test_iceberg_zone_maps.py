@@ -131,3 +131,30 @@ def test_zone_map_randomized_differential(spark, tmp_path, seed):
         }
         want = {(i, v) for i, v in all_rows if ops[op](i, val)}
         assert got == want, f"seed={seed} id {op} {val}"
+
+
+def test_nan_stats_never_poison_bounds(spark, tmp_path):
+    """Spark/parquet-mr min-max statistics INCLUDE NaN for float/double
+    columns (a [NaN, 3.5] file reports max=NaN); every comparison against
+    a NaN bound is False, so recording it verbatim would prune files that
+    DO contain matching rows. NaN-stat columns must get NO bounds, and
+    the scan must return exactly what Spark's own row filter returns —
+    including NaN rows, which Spark orders GREATER than any double."""
+    root = str(tmp_path / "zmnan")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 3.5)], "id bigint, v double"
+        ).coalesce(1),
+        root,
+    )
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    (entry,) = data_files
+    # id (field 1) keeps bounds; v (field 2, NaN-poisoned stats) must not
+    assert "1" in (entry.lower or {})
+    assert "2" not in (entry.lower or {}) and "2" not in (entry.upper or {})
+    got = read_iceberg_snapshot(spark, root, scan_filter=("v", "=", 3.5))
+    assert {r.id for r in got.collect()} == {2}
+    # Spark sorts/compares NaN as larger than any non-NaN double, so a
+    # '>' predicate must surface the NaN row, not skip its file
+    got = read_iceberg_snapshot(spark, root, scan_filter=("v", ">", 100.0))
+    assert {r.id for r in got.collect()} == {1}
