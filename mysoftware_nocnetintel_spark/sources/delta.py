@@ -1,13 +1,16 @@
-"""Minimal Delta Lake APPEND writer (companion to
+"""Minimal Delta Lake writer (companion to
 ``readers.read_delta_snapshot``), built on the PUBLIC Delta transaction-log
 protocol (delta.io PROTOCOL.md). Honestly scoped and fail-fast, mirroring
 the Iceberg writer's posture:
 
-- append-only, UNPARTITIONED, parquet data files, protocol (1, 2);
-- single-writer: the commit is a plain ``<version>.json`` write, not the
-  spec's atomic put-if-absent against a log store — concurrent writers
-  would race (the production path is the delta-spark connector);
-- refuses to append to tables it didn't create (unknown protocol/features
+- APPEND (plus partitioned create), atomic OVERWRITE (copy-on-write), and
+  merge-on-read DELETE via deletion vectors (``delete_delta_rows``);
+  parquet data files; protocol (1, 2), upgraded to (3, 7) with the
+  ``deletionVectors`` feature on first DV commit;
+- single-writer: the commit is an atomic local ``os.replace`` of
+  ``<version>.json``, not the spec's put-if-absent against a log store —
+  concurrent writers would race (the production path is delta-spark);
+- refuses to write to tables it didn't create (unknown protocol/features
   could be silently violated) and to tables whose schema doesn't match.
 
 The COMMIT is driver-side KB-scale JSON; the data write itself is a
@@ -247,5 +250,173 @@ def write_delta_overwrite(df: DataFrame, path: str) -> int:
         }
         for rel in live
     ] + add_actions
+    _commit_version(log_dir, version, actions)
+    return version
+
+
+_MAX_DELETE_POSITIONS = 5_000_000  # driver-side DV build cap (see below)
+
+
+def delete_delta_rows(spark, path: str, predicate: str) -> int:
+    """MERGE-ON-READ DELETE: mark the rows matching ``predicate`` deleted
+    via DELETION VECTORS (PROTOCOL.md "Deletion Vectors") — no data file
+    is rewritten. The commit re-adds each touched file with a
+    ``deletionVector`` descriptor (storageType ``u``: one UUID-named
+    ``deletion_vector_<uuid>.bin`` under the table root holds this
+    commit's bitmaps) plus the spec's remove tombstone for the old entry,
+    and upgrades the table protocol to reader 3 / writer 7 with the
+    ``deletionVectors`` feature on first use. Existing DVs are MERGED
+    (old positions ∪ new) so repeated deletes stack correctly.
+
+    The matching row positions come from ONE distributed scan over the
+    live files (hidden ``_metadata.file_path`` / ``row_index`` columns,
+    physical row order — unaffected by previously deleted rows, whose
+    re-deletion the union makes idempotent) followed by a driver-side
+    collect bounded by ``_MAX_DELETE_POSITIONS``: bitmaps are driver
+    KB/MB-scale objects by design, but an unbounded DELETE (e.g. WHERE
+    true at 100 TB) must fail fast toward the copy-on-write path
+    (``write_delta_overwrite`` with the inverted predicate) instead of
+    ballooning the driver. Returns the committed version."""
+    import uuid as uuid_mod
+
+    from pyspark.sql import functions as F
+
+    from .roaring import (
+        dv_positions_from_descriptor,
+        encode_rbm_array,
+        write_dv_file,
+        z85_encode,
+    )
+
+    log_dir = os.path.join(path, "_delta_log")
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta table at {path}")
+    meta = _table_meta(log_dir, versions)
+    if not meta or (meta.get("configuration") or {}).get(
+        "writer"
+    ) != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to delete from a Delta table created by another "
+            "writer: use the delta-spark connector"
+        )
+    # replay the live set INCLUDING current DV descriptors (merge target)
+    live: dict[str, dict] = {}
+    had_dv_protocol = False
+    for v in versions:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "protocol" in act:
+                    had_dv_protocol = "deletionVectors" in (
+                        act["protocol"].get("readerFeatures") or []
+                    )
+                elif "add" in act:
+                    a = act["add"]
+                    live[a["path"]] = a
+                elif "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+    if not live:
+        raise ValueError("empty table")
+
+    # ONE distributed scan finds (file, physical position) per match
+    matches = (
+        spark.read.parquet(*[os.path.join(path, rel) for rel in live])
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+        .filter(F.expr(predicate))
+        .select("__fp", "__pos")
+        .limit(_MAX_DELETE_POSITIONS + 1)
+        .collect()
+    )
+    if len(matches) > _MAX_DELETE_POSITIONS:
+        raise NotImplementedError(
+            f"DELETE matches more than {_MAX_DELETE_POSITIONS} rows: use "
+            "copy-on-write (write_delta_overwrite with the inverted "
+            "predicate) instead of a driver-built deletion vector"
+        )
+    by_file: dict[str, set] = {}
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, rel)): rel for rel in live
+    }
+    for r in matches:
+        fp = r["__fp"]
+        # _metadata.file_path is a URI: file:/abs or file:///abs
+        if fp.startswith("file://"):
+            fp = fp[7:]
+        elif fp.startswith("file:"):
+            fp = fp[5:]
+        by_file.setdefault(abs_to_rel[os.path.abspath(fp)], set()).add(
+            r["__pos"]
+        )
+    if not by_file:
+        raise ValueError(f"DELETE predicate {predicate!r} matched no rows")
+
+    # merge with existing DVs, encode one bitmap per touched file
+    rels = sorted(by_file)
+    bitmaps: list[bytes] = []
+    cards: list[int] = []
+    for rel in rels:
+        positions = set(by_file[rel])
+        old_dv = live[rel].get("deletionVector")
+        if old_dv:
+            positions |= set(dv_positions_from_descriptor(path, old_dv))
+        positions = sorted(positions)
+        bitmaps.append(encode_rbm_array(positions))
+        cards.append(len(positions))
+    dv_uuid = uuid_mod.uuid4()
+    dv_name = f"deletion_vector_{dv_uuid}.bin"
+    spans = write_dv_file(os.path.join(path, dv_name), bitmaps)
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if not had_dv_protocol:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": [
+                        "appendOnly",
+                        "invariants",
+                        "deletionVectors",
+                    ],
+                }
+            }
+        )
+    for rel, (offset, size), card in zip(rels, spans, cards):
+        old = live[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": old.get("partitionValues") or {},
+                    "size": old.get("size")
+                    or os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                        "offset": offset,
+                        "sizeInBytes": size,
+                        "cardinality": card,
+                    },
+                }
+            }
+        )
+    version = versions[-1] + 1
     _commit_version(log_dir, version, actions)
     return version

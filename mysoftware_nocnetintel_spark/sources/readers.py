@@ -100,9 +100,27 @@ def read_table_format(
 
 
 # Reader-version-3 table features this minimal reader can honor. Anything
-# else (deletionVectors, timestampNtz…) fails fast: reading past an
-# unknown feature returns WRONG ROWS, not degraded ones.
-_DELTA_READER_FEATURES = {"v2Checkpoint", "columnMapping"}
+# else (timestampNtz…) fails fast: reading past an unknown feature
+# returns WRONG ROWS, not degraded ones.
+_DELTA_READER_FEATURES = {"v2Checkpoint", "columnMapping", "deletionVectors"}
+
+# Deletion-vector masking decodes bitmaps DRIVER-side (they ship in the
+# log/DV files the driver already reads) and parallelizes the positions
+# for a broadcast anti-join. The decoded-position total is capped so a
+# pathological table can't balloon driver memory — same posture as the
+# Iceberg reader's _MAX_DELETE_ROWS.
+_MAX_DV_POSITIONS = 5_000_000
+
+
+def _dv_live_value(add: dict) -> dict:
+    """Normalize an add action (JSON or checkpoint-parquet row) into the
+    live-set entry: partitionValues + deletionVector descriptor (None
+    when absent — pyarrow materializes missing struct fields as None)."""
+    pv = add.get("partitionValues")
+    dv = add.get("deletionVector")
+    if dv is not None and not dv.get("storageType"):
+        dv = None
+    return {"pv": dict(pv) if pv else {}, "dv": dv}
 
 
 def _delta_check_protocol(proto: dict) -> None:
@@ -126,8 +144,8 @@ def _delta_check_protocol(proto: dict) -> None:
             "use the delta-spark connector"
         )
     raise NotImplementedError(
-        f"Delta minReaderVersion {mrv} (deletion vectors / "
-        "malformed features list): use the delta-spark connector"
+        f"Delta minReaderVersion {mrv} "
+        "(malformed/absent features list): use the delta-spark connector"
     )
 
 
@@ -255,8 +273,7 @@ def _read_classic_checkpoint_files(
                 table_meta = row["metaData"]
             add = row.get("add")
             if add and add.get("path"):
-                pv = add.get("partitionValues")
-                live[add["path"]] = dict(pv) if pv else {}
+                live[add["path"]] = _dv_live_value(add)
     return live, table_meta
 
 
@@ -288,8 +305,7 @@ def _read_delta_v2_checkpoint(
             sidecars.append(sc["path"])
         add = act.get("add")
         if add and add.get("path"):
-            pv = add.get("partitionValues")
-            live[add["path"]] = dict(pv) if pv else {}
+            live[add["path"]] = _dv_live_value(add)
 
     if top.endswith(".json"):
         with open(top) as fh:
@@ -322,8 +338,7 @@ def _read_delta_v2_checkpoint(
         for row in pq.read_table(scp, columns=cols).to_pylist():
             add = row.get("add")
             if add and add.get("path"):
-                pv = add.get("partitionValues")
-                live[add["path"]] = dict(pv) if pv else {}
+                live[add["path"]] = _dv_live_value(add)
     return live, table_meta
 
 
@@ -360,8 +375,11 @@ def read_delta_snapshot(
     checkpoint falls back to pure JSON replay and fails fast if those
     commits were cleaned up. The protocol gate follows the table-features
     model: reader version 3 is accepted iff every readerFeature is
-    implemented here (currently ``v2Checkpoint``); anything else —
-    deletion vectors, column mapping, reader version 2 — fails fast with
+    implemented here (``v2Checkpoint``, ``columnMapping``,
+    ``deletionVectors`` — DV-masked files drop their deleted rows via a
+    broadcast anti-join on the hidden ``_metadata`` file/row-index
+    columns, bitmaps decoded by :mod:`.roaring`); anything else
+    (timestampNtz, id-mode mapping, …) fails fast with
     NotImplementedError rather than returning wrong rows.
 
     This is the connector-less fallback; the delta-spark connector remains
@@ -424,9 +442,7 @@ def read_delta_snapshot(
                 elif "metaData" in act:
                     table_meta = act["metaData"]
                 elif "add" in act:
-                    live[act["add"]["path"]] = (
-                        act["add"].get("partitionValues") or {}
-                    )
+                    live[act["add"]["path"]] = _dv_live_value(act["add"])
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
     if version is not None and max_seen < version:
@@ -435,7 +451,7 @@ def read_delta_snapshot(
         bad = [
             k
             for k in partition_filter
-            if not any(k in pv for pv in live.values())
+            if not any(k in e["pv"] for e in live.values())
         ]
         if bad and live:
             raise ValueError(
@@ -443,9 +459,9 @@ def read_delta_snapshot(
                 "this table"
             )
         live = {
-            rel: pv
-            for rel, pv in live.items()
-            if all(pv.get(k) == v for k, v in partition_filter.items())
+            rel: e
+            for rel, e in live.items()
+            if all(e["pv"].get(k) == v for k, v in partition_filter.items())
         }
         if not live:
             raise ValueError(
@@ -478,13 +494,53 @@ def read_delta_snapshot(
     # group files by identical partition values → one distributed scan per
     # partition tuple, unioned (one scan total for unpartitioned tables)
     groups: dict[tuple, list[str]] = {}
-    for rel, pvals in live.items():
-        groups.setdefault(tuple(sorted(pvals.items())), []).append(
-            os.path.join(path, rel)
+    for rel, e in live.items():
+        groups.setdefault(tuple(sorted(e["pv"].items())), []).append(
+            (os.path.join(path, rel), e["dv"])
         )
+    dv_rows, dv_total = [], 0
+    for entries in groups.values():
+        for abspath, dv in entries:
+            if dv is None:
+                continue
+            from .roaring import dv_positions_from_descriptor
+
+            positions = dv_positions_from_descriptor(path, dv)
+            dv_total += len(positions)
+            if dv_total > _MAX_DV_POSITIONS:
+                raise NotImplementedError(
+                    f"deletion vectors mask more than {_MAX_DV_POSITIONS} "
+                    "rows; the minimal reader decodes them driver-side — "
+                    "use the delta-spark connector (or compact the table)"
+                )
+            dv_rows.extend((os.path.abspath(abspath), p) for p in positions)
+    deleted = (
+        spark.createDataFrame(dv_rows, "__fp string, __pos long")
+        if dv_rows
+        else None
+    )
     out: DataFrame | None = None
-    for pvals, files in groups.items():
+    for pvals, entries in groups.items():
+        files = [f for f, _dv in entries]
         df = spark.read.parquet(*files)
+        if deleted is not None and any(dv for _f, dv in entries):
+            # MERGE-ON-READ: drop DV-masked rows by (file, physical row
+            # index) with a broadcast anti-join on the hidden metadata
+            # columns — fully distributed, same shape as the Iceberg
+            # position-delete application
+            df = (
+                df.withColumn(
+                    "__fp",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ),
+                )
+                .withColumn("__pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(deleted), ["__fp", "__pos"], "left_anti"
+                )
+                .drop("__fp", "__pos")
+            )
         for k, val in pvals:
             col = F.lit(val)
             if k in part_types:

@@ -148,11 +148,11 @@ def test_v2_missing_sidecar_refuses(spark, tmp_path):
 
 
 def test_reader_features_gate(spark, tmp_path):
-    # implemented features (v2Checkpoint, columnMapping) are readable; an
-    # extra unknown feature refuses
+    # implemented features (v2Checkpoint, columnMapping, deletionVectors)
+    # are readable; an extra unknown feature refuses
     for feats, ok in [
         (["v2Checkpoint"], True),
-        (["v2Checkpoint", "deletionVectors"], False),
+        (["v2Checkpoint", "deletionVectors"], True),
         (["columnMapping"], True),
         (["timestampNtz"], False),
     ]:
