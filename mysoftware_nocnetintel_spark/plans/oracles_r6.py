@@ -63,16 +63,28 @@ WHERE rk <= 10
 ORDER BY query_id, rk
 """
 
+# Band-boundary recall twin of the Spark plan: every doc enters buckets
+# {band, band+1}, so same-band AND adjacent-band pairs share a bucket;
+# same-band pairs share two and are deduplicated before the verify.
 ORACLES_R6["q126_edit_distance_pairs"] = """
 WITH p AS (
     SELECT doc_id, lang, substr(text, 1, 40) AS pre,
            CAST(n_chars // 50 AS BIGINT) AS band
     FROM documents
+),
+e AS (
+    SELECT doc_id, lang, pre, band + x.i AS bucket
+    FROM p, (VALUES (0), (1)) x(i)
+),
+cand AS (
+    SELECT DISTINCT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.pre AS pre_a, b.pre AS pre_b
+    FROM e a
+    JOIN e b ON a.lang = b.lang AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
 )
-SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
-       levenshtein(a.pre, b.pre) AS dist
-FROM p a
-JOIN p b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-WHERE levenshtein(a.pre, b.pre) <= 18
-ORDER BY a.lang, id_a, id_b
+SELECT lang, id_a, id_b, levenshtein(pre_a, pre_b) AS dist
+FROM cand
+WHERE levenshtein(pre_a, pre_b) <= 18
+ORDER BY lang, id_a, id_b
 """

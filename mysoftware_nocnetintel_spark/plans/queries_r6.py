@@ -70,30 +70,36 @@ def q124_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                      · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
 
     Scale shape: NO shuffle ever touches the token stream — there is no
-    token stream. Both tf (per query-vocabulary term) and dl are
-    ``regexp_count`` narrow projections over the raw text (the q94
-    precedent: counting matches beats materializing a token array and
-    aggregating it — the naive explode+groupBy formulation paid a
-    full-token shuffle that was >60% of the sf0.1 wall). The per-term
-    counters pivot to (doc_id, term, tf) rows via an explode of a
-    7-element literal struct array (narrow). df/avgdl/N are
-    scalar-or-tiny side tables and broadcast; the only data shuffles are
-    the candidate-set score aggregation and the per-query top-k window.
-    Ties break on rounded score then doc_id, so the ordering is
-    engine-independent.
+    token stream. Each document is TOKENIZED ONCE (``split`` on the
+    corpus's single-space delimiter) into an in-memory array, and dl plus
+    every per-term tf are equality counts over that one array — one
+    string scan per document total, versus the previous formulation's
+    eight independent ``regexp_count`` passes (one lookaround scan per
+    vocabulary term plus one for dl). The token array never leaves the
+    projection: no explode, no shuffle, whole-stage codegen end to end
+    (an Arrow ``mapInPandas`` tokenize-once variant was measured SLOWER
+    at sf0.1 — the Python worker round-trip exceeds the regex work it
+    saves — and loses codegen; the split/array form keeps the same
+    single-tokenize work profile JVM-side). The per-term counters pivot
+    to (doc_id, term, tf) rows via an explode of a 7-element literal
+    struct array (narrow). df/avgdl/N are scalar-or-tiny side tables and
+    broadcast; the only data shuffles are the candidate-set score
+    aggregation and the per-query top-k window. Ties break on rounded
+    score then doc_id, so the ordering is engine-independent.
 
-    The tf regex ``(?<![^ ])term(?![^ ])`` (zero-width guards: not
-    preceded/followed by a non-space) counts exactly the occurrences of
+    ``filter(toks, x -> x = term)`` counts exactly the occurrences of
     ``term`` as a whole space-delimited token, including consecutive
-    ones — identical to the oracle's unnest-then-count by construction,
-    for arbitrary spacing. Lookarounds are Java-regex-only, which is fine:
-    the ORACLE keeps the unnest formulation (semantic twin, not a
-    transliteration).
+    ones — identical to the oracle's unnest-then-count by construction
+    (the oracle keeps the unnest formulation: semantic twin, not a
+    transliteration). Multiple consecutive spaces yield empty tokens,
+    which dl's ``x != ''`` filter drops, matching the oracle's
+    ``u.t <> ''``.
     """
     from ..operators.dedup import spread_narrow
 
-    # the tf/dl projection is the CPU stage: spread a byte-packed scan to
-    # all cores (no-op at cluster scale where inputs already exceed them)
+    # the tokenize projection is the CPU stage: spread a byte-packed scan
+    # to all cores (no-op at cluster scale where inputs already exceed
+    # them, and when the table cache pre-spread the scan at cache build)
     docs = spread_narrow(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
@@ -105,14 +111,31 @@ def q124_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # py4j round-trip each (~0.7 s of pure driver chatter per plan build,
     # measured — 10× the actual 72 ms execution). One parsed string
     # carries the whole tree across in a single call.
-    counters = docs.selectExpr(
-        "doc_id",
-        "cast(regexp_count(text, '[^ ]+') as double) as dl",
-        *[
-            f"cast(regexp_count(text, '(?<![^ ]){t}(?![^ ])') as double)"
-            f" as __tf{i}"
-            for i, t in enumerate(vocab)
-        ],
+    #
+    # __toks / __vt stay in their own projections: CollapseProject only
+    # inlines cheap/single-use aliases, so the split runs once per row
+    # and the counters share the arrays. The full token array is
+    # traversed exactly TWICE — once for dl, once to prefilter to the
+    # query vocabulary (a 7-literal IN compiles to an InSet hash probe
+    # per token) — and the per-term tf counts then scan only the tiny
+    # vocabulary-token remnant, instead of one full-array pass per term.
+    in_list = ", ".join(f"'{t}'" for t in vocab)
+    counters = (
+        docs.selectExpr("doc_id", "split(text, ' ') as __toks")
+        .selectExpr(
+            "doc_id",
+            "cast(size(filter(__toks, x -> x != '')) as double) as dl",
+            f"filter(__toks, x -> x IN ({in_list})) as __vt",
+        )
+        .selectExpr(
+            "doc_id",
+            "dl",
+            *[
+                f"cast(size(filter(__vt, x -> x = '{t}')) as double)"
+                f" as __tf{i}"
+                for i, t in enumerate(vocab)
+            ],
+        )
     )
     # ONE single-row side table holds every global statistic (N, avgdl —
     # over docs with tokens, matching the oracle's dl CTE — and the per-
@@ -195,35 +218,59 @@ def q125_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q126_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 fuzzy tier: EDIT-DISTANCE near-dup pairs (title/prefix dedup —
     the cheap fuzzy tier below shingle Jaccard). Candidate generation is
-    a (lang, length-band) equi-self-join — the banding is what makes this
-    scale: Levenshtein is O(m·n) per pair, so the join key must bound the
-    candidate set (here: same language, same 50-char document-length
-    band; measured 10× candidate reduction on this corpus), never
+    a (lang, length-bucket) equi-self-join — the banding is what makes
+    this scale: Levenshtein is O(m·n) per pair, so the join key must
+    bound the candidate set (here: same language, 50-char document-length
+    bands; measured ~10× candidate reduction on this corpus), never
     all-pairs. Verification is the built-in JVM ``levenshtein`` over
     40-char prefixes. Fully oracle-paired: DuckDB's levenshtein uses the
-    same unit-cost Wagner-Fischer definition."""
+    same unit-cost Wagner-Fischer definition.
+
+    BAND-BOUNDARY RECALL: every document enters TWO buckets, ``band``
+    and ``band + 1``, so two docs in the same or ADJACENT length bands
+    (e.g. 49 vs 51 chars straddling the 50-char boundary) always share a
+    bucket — an equality-only band join silently never compares them.
+    Same-band pairs share both buckets, so candidates are deduplicated
+    (distinct on the pair) BEFORE the Levenshtein verify runs. Docs two
+    or more bands apart (≥50 chars of length difference) are still never
+    compared: that is the operator's contract, not a recall gap — their
+    prefix edit distance is bounded below by the length gap only for
+    full-text distance; for 40-char prefixes the band is a length
+    blocking heuristic, disclosed as such."""
     docs = _t(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         "lang",
         "substring(text, 1, 40) as pre",
         "cast(n_chars div 50 as bigint) as band",
     )
-    a = docs.select(
-        F.col("lang"),
-        F.col("band"),
+    e = docs.select(
+        "lang",
+        "doc_id",
+        "pre",
+        F.explode(
+            F.array(F.col("band"), F.col("band") + F.lit(1))
+        ).alias("bucket"),
+    )
+    a = e.select(
+        "lang",
+        "bucket",
         F.col("doc_id").alias("id_a"),
         F.col("pre").alias("pre_a"),
     )
-    b = docs.select(
-        F.col("lang"),
-        F.col("band"),
+    b = e.select(
+        "lang",
+        "bucket",
         F.col("doc_id").alias("id_b"),
         F.col("pre").alias("pre_b"),
     )
-    return (
-        a.join(b, ["lang", "band"])
+    cand = (
+        a.join(b, ["lang", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        .select("lang", "id_a", "id_b", "pre_a", "pre_b")
+        .distinct()
+    )
+    return (
+        cand.select(
             "lang",
             "id_a",
             "id_b",
