@@ -96,6 +96,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
     if _CACHE_ENABLED:
+        # Cache-time spread for the CPU-heavy narrow-pipeline tables:
+        # parquet scans split by BYTES, so the byte-small documents/
+        # embeddings tables arrive as ONE partition and every regex/
+        # shingle/hash/vector stage over the cached table would run on
+        # one core — with each consumer paying a per-statement
+        # repartition exchange (spread_narrow) to fix it. Repartitioning
+        # ONCE at cache build amortizes that across every query on the
+        # session. Deliberately NOT applied to the scan-light relational
+        # tables: fanning a 5-row dimension into 32 cached partitions
+        # just multiplies per-statement task count (measured: the
+        # trivial-statement floor tripled). At cluster scale inputs
+        # exceed core count and this is a no-op either way.
+        if name in ("documents", "embeddings"):
+            target = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
         df = df.cache()
         _TABLE_CACHE[key] = df
     return df
