@@ -665,6 +665,7 @@ def semdedup(
     tau: float = 0.95,
     seed: int = 42,
     max_cell_rows: int = 100_000,
+    cell_cap: int = 2_000_000,
 ) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then inside
@@ -687,6 +688,17 @@ def semdedup(
     m×m similarity matrix is ever materialized — every row still compares
     against every previously kept row of its cell, so the greedy result is
     identical to the unblocked scan at any block size.
+
+    ``cell_cap`` is the RUNAWAY-CELL GUARD: ``applyInPandas`` still
+    materializes the whole group in one Python worker (blocking bounds
+    the similarity matrix, not the group), so a pathologically skewed
+    embedding space — everything in one cell — would OOM that worker
+    long after the job looked healthy. A cell larger than ``cell_cap``
+    rows fails fast with the SemDeDup remedy (grow ``n_cells``) instead;
+    splitting the cell silently would change the published algorithm's
+    semantics (docs in different splits would never be compared). The
+    default (2M rows × 64 float64 dims ≈ 1 GiB per worker) refuses well
+    before the worker is at risk.
     """
     import pandas as pd
 
@@ -700,6 +712,14 @@ def semdedup(
     )
 
     def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cell_cap:
+            raise ValueError(
+                f"semdedup cell {int(pdf['cell'].iloc[0])} holds "
+                f"{len(pdf)} rows > cell_cap={cell_cap}: the embedding "
+                "space is skewed into one cluster. Grow n_cells so cells "
+                "stay bounded (the SemDeDup remedy), or raise cell_cap "
+                "if the worker memory budget allows it."
+            )
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         ids = pdf[id_col].to_numpy()
         cell = int(pdf["cell"].iloc[0])

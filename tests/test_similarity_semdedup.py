@@ -114,3 +114,24 @@ def test_zero_vector_never_matches(spark):
     # zero vectors have cosine 0 with everything (normalized by 1), so both
     # zero rows are kept — they are not "duplicates" of anything
     assert out[1].keep and out[2].keep
+
+
+def test_runaway_cell_refused(spark):
+    """A pathologically skewed embedding space (everything in one cell)
+    must fail fast with the grow-n_cells remedy, not OOM the one Python
+    worker that receives the whole group: blocking bounds the similarity
+    matrix, cell_cap bounds the GROUP."""
+    import pytest
+
+    from mysoftware_nocnetintel_spark.operators.similarity import semdedup
+
+    rows = [(i, [1.0, 0.0, 0.0, float(i % 7)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="cell_cap"):
+        semdedup(
+            df, n_cells=1, tau=0.99, cell_cap=10
+        ).collect()
+    # under the cap the same corpus dedups normally
+    out = semdedup(df, n_cells=1, tau=0.99, cell_cap=100).collect()
+    assert len(out) == 40
+    assert any(r.keep for r in out) and any(not r.keep for r in out)
