@@ -20,72 +20,70 @@ _ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6}
 # order, so ordering here is load-bearing. ROTATION RULE (apply every round):
 # (1) every registry query with no driver signal yet goes in first; (2) then
 # every query whose implementation or oracle changed this round; (3) fill the
-# remainder with the queries whose last green signal is oldest. After r01-r03
-# the graded union is q0-q91 + q93/q94/q100/q101/q102/q104/q106; the 23
-# never-graded (q92, q95-q99, q103, q105, q107-q121) all enter now, plus the
-# two r03 mismatches (q50 precision / q104 oracle-type — both fixed this
-# round), q41 (perf rewrite), the dedup family touched by cache-lifecycle
-# changes (q37/q38/q91), and 21 core queries last graded in r02.
-# Outside the window this round (all previously driver-green, newest signals):
-# q11-q24, q26/q27, q29-q33, q35/q36, q40, q42-q44, q48/q49, q51-q66,
-# q67, q68-q75, q76-q83, q84-q90, q93/q94, q100-q102, q106.
+# remainder with the queries whose last green signal is oldest. After r01-r04
+# every registry query has a driver signal and all latest signals are green,
+# so this round is pure rule-(2)+(3): the three queries changed this round
+# (q124 tokenize-once rewrite, q94 docstring-only but re-pinned with it,
+# q126 band-boundary recall fix in query AND oracle), then the entire r02-era
+# block (31 queries, the oldest signals in the registry), then the 16 oldest
+# r03-era queries (q49-q65). Outside the window this round (all previously
+# driver-green, r03/r04 signals): q0-q10, q25, q28, q34, q37-q39, q41, q45,
+# q50, q66-q93 remainder, q95-q123, q125.
 _WINDOW = [
-    # --- never driver-checked (23) ---
-    "q92_ann_opq",
-    "q95_unpivot",
-    "q96_regr_native",
-    "q97_corpus_split",
-    "q98_corpus_mixture",
-    "q99_neardup_clusters",
-    "q103_bloom_prune",
-    "q105_seasonal_outliers",
-    "q107_decontamination",
-    "q108_sequence_packing",
-    "q109_pmi_bigrams",
-    "q110_pagerank",
-    "q111_weighted_sample",
-    "q112_chi2_independence",
-    "q113_countmin",
-    "q114_attribution",
-    "q115_containment",
-    "q116_retention",
-    "q117_bigram_surprisal",
-    "q118_frame_sample",
-    "q119_source_overlap",
-    "q120_ngram_novelty",
-    "q121_ewma",
-    # --- changed this round: r03 mismatches fixed + perf rewrite (3) ---
-    "q50_per_entity_ols",
-    "q104_histogram_quantiles",
-    "q41_ngram_jaccard",
-    # --- dedup family touched by cache-lifecycle changes this round (3) ---
-    "q37_minhash_neardup",
-    "q38_simhash_neardup",
-    "q91_dedup_clusters",
-    # --- oldest signal: core queries last driver-graded in r02 (20) ---
-    "q0_flagship_risk",
-    "q1_pricing_summary",
-    "q2_join_topn",
-    "q3_window_rank",
-    "q4_rolling_avg",
-    "q5_sessionize",
-    "q6_json_extract",
-    "q7_distinct",
-    "q8_dedup_docs",
-    "q9_knn",
-    "q10_setops",
-    "q25_pivot",
-    "q28_asof_join",
-    "q34_running_total",
-    "q39_fingerprint_dedup",
-    "q45_tumbling_window",
-    # --- new this round, never graded (q46/q47/q67/q75 rotate out: the
-    # youngest green signals of the old fill) ---
-    "q122_ar2_sequence",
-    "q123_semdedup",
+    # --- changed this round (3) ---
     "q124_bm25",
-    "q125_mllib_pipeline",
+    "q94_token_budget",
     "q126_edit_distance_pairs",
+    # --- oldest signals: the full r02-era block (31) ---
+    "q7_approx_distinct",
+    "q11_left_join_agg",
+    "q12_semi_join",
+    "q13_anti_join",
+    "q14_rollup",
+    "q15_cube",
+    "q16_full_outer",
+    "q17_union_all",
+    "q18_except",
+    "q19_exists_subquery",
+    "q20_topk_global",
+    "q21_daily_counts",
+    "q22_hourly_profile",
+    "q23_dow_profile",
+    "q24_string_funcs",
+    "q26_quantiles",
+    "q27_zscore_outliers",
+    "q29_range_join",
+    "q30_interpolate",
+    "q31_token_stats",
+    "q32_term_df",
+    "q33_quality_scores",
+    "q35_embedding_neardup",
+    "q36_knn_batch",
+    "q40_lang_id",
+    "q42_ann_lsh",
+    "q43_grouping_sets",
+    "q44_map_ops",
+    "q46_sliding_window",
+    "q47_session_window",
+    "q48_ann_ivf",
+    # --- next-oldest: first 16 of the r03-era block (q66-q90 and the
+    # rest of the r03 era rotate in next round) ---
+    "q49_forecast_score",
+    "q51_dispatch_plan",
+    "q52_model_metrics",
+    "q53_multimodal_features",
+    "q54_scalar_subquery",
+    "q55_in_subquery",
+    "q56_lead_window",
+    "q57_first_last_value",
+    "q58_ntile_percent_rank",
+    "q59_time_range_frame",
+    "q60_union_distinct",
+    "q61_except_all",
+    "q62_like_filter",
+    "q63_date_arithmetic",
+    "q64_resample_asof",
+    "q65_conditional_agg",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
