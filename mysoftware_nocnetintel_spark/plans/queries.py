@@ -325,7 +325,12 @@ def q6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from_json with a ONE-FIELD schema instead of get_json_object: the
     # parser materializes only the requested field (schema pruning), ~13%
     # off the scan-dominated wall at sf0.1 and the idiomatic scale path
-    # (a full-fidelity alternative is VARIANT, exercised by q72)
+    # (a full-fidelity alternative is VARIANT, exercised by q72).
+    # Round-5 A/B at sf1 (1M rows): from_json ≈ get_json_object ≈
+    # json_tuple within noise — the residual gap vs DuckDB is the JSON
+    # parser constant itself, not the extraction API; accepted as an
+    # engine constant (swapping the operator class, e.g. regex scraping,
+    # would stop being JSON semantics)
     from pyspark.sql import types as T
 
     k = F.from_json(

@@ -52,23 +52,21 @@ MANIFEST_ENTRY_SCHEMA = {
                         "type": ["null", {"type": "array", "items": "int"}],
                         "default": None,
                     },
-                    # per-file column bounds (zone maps), keyed by FIELD ID
-                    # (stringified: Avro map keys are strings); values typed
-                    # through the union by the writer's branch resolution.
-                    # DEVIATION from canonical Iceberg manifests (which
-                    # store bounds as the spec's binary single-value
-                    # serialization): typed Avro values are self-describing
-                    # and safe for this single-writer scope — tables are
-                    # already non-interoperable by the _WRITER_TAG gate
+                    # per-file column bounds (zone maps), keyed by FIELD
+                    # ID (stringified: Avro map keys are strings); VALUES
+                    # are the Iceberg spec's binary single-value
+                    # serialization (Appendix D: little-endian fixed-width
+                    # numerics, UTF-8 strings, date = LE int32 days), so
+                    # third-party readers can consume them. Remaining
+                    # container deviation: canonical manifests store
+                    # map<int, binary> as a key/value record array; ours
+                    # is a string-keyed Avro map (documented, and the
+                    # _WRITER_TAG gate already scopes interop).
                     {
                         "name": "lower_bounds",
                         "type": [
                             "null",
-                            {
-                                "type": "map",
-                                "values": ["null", "boolean", "long",
-                                           "double", "string"],
-                            },
+                            {"type": "map", "values": "bytes"},
                         ],
                         "default": None,
                     },
@@ -76,11 +74,7 @@ MANIFEST_ENTRY_SCHEMA = {
                         "name": "upper_bounds",
                         "type": [
                             "null",
-                            {
-                                "type": "map",
-                                "values": ["null", "boolean", "long",
-                                           "double", "string"],
-                            },
+                            {"type": "map", "values": "bytes"},
                         ],
                         "default": None,
                     },
@@ -97,13 +91,71 @@ MANIFEST_ENTRY_SCHEMA = {
 _BOUNDABLE_TYPES = {"int", "long", "float", "double", "boolean", "date"}
 
 
+def encode_bound_value(t: str, v) -> bytes:
+    """Iceberg SINGLE-VALUE binary serialization (table spec Appendix D,
+    "Binary single-value serialization") of a bound value of type ``t``:
+    little-endian fixed-width numerics, 1-byte booleans, UTF-8 strings,
+    date as little-endian int32 days from 1970-01-01."""
+    import datetime
+    import struct
+
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if t == "int":
+        return struct.pack("<i", int(v))
+    if t == "long":
+        return struct.pack("<q", int(v))
+    if t == "float":
+        return struct.pack("<f", float(v))
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "date":
+        if isinstance(v, str):
+            v = datetime.date.fromisoformat(v)
+        return struct.pack("<i", (v - datetime.date(1970, 1, 1)).days)
+    if t == "string":
+        return str(v).encode("utf-8")
+    raise NotImplementedError(f"bound serialization for type {t!r}")
+
+
+def decode_bound_value(t: str, b):
+    """Inverse of :func:`encode_bound_value`. Dates decode to ISO strings
+    (the form the reader's partition values and scan_filter comparisons
+    already use). Legacy pre-round-5 manifests stored bounds as typed
+    Avro values — anything that is not ``bytes`` passes through."""
+    import datetime
+    import struct
+
+    if not isinstance(b, (bytes, bytearray)):
+        return b  # legacy typed-Avro bound
+    if t == "boolean":
+        return b[0] != 0
+    if t == "int":
+        return struct.unpack("<i", b)[0]
+    if t == "long":
+        return struct.unpack("<q", b)[0]
+    if t == "float":
+        return struct.unpack("<f", b)[0]
+    if t == "double":
+        return struct.unpack("<d", b)[0]
+    if t == "date":
+        days = struct.unpack("<i", b)[0]
+        return (
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+        ).isoformat()
+    if t == "string":
+        return bytes(b).decode("utf-8")
+    raise NotImplementedError(f"bound deserialization for type {t!r}")
+
+
 def _file_bounds(
     pq_meta, schema: dict | None
 ) -> tuple[dict | None, dict | None]:
-    """(lower_bounds, upper_bounds) maps — str(field id) → typed value —
-    aggregated across the file's row-group parquet statistics. A column
-    missing statistics in ANY row group gets no bounds (skipping on a
-    partial range would drop rows)."""
+    """(lower_bounds, upper_bounds) maps — str(field id) → spec binary
+    single-value bytes (:func:`encode_bound_value`) — aggregated across
+    the file's row-group parquet statistics. A column missing statistics
+    in ANY row group gets no bounds (skipping on a partial range would
+    drop rows)."""
     if not schema:
         return None, None
     by_name = {
@@ -144,6 +196,9 @@ def _file_bounds(
         fid = str(by_name[name][0])
         lo.pop(fid, None)
         hi.pop(fid, None)
+    types_by_fid = {str(i): t for _n, (i, t) in by_name.items()}
+    lo = {k: encode_bound_value(types_by_fid[k], v) for k, v in lo.items()}
+    hi = {k: encode_bound_value(types_by_fid[k], v) for k, v in hi.items()}
     return (lo or None), (hi or None)
 
 

@@ -804,6 +804,7 @@ def _iceberg_snapshot_files(
         snap = next(s for s in snapshots if s["snapshot-id"] == cur)
 
     id_to_name: dict[int, str] = {}
+    id_to_type: dict[str, str] = {}
     schemas = meta.get("schemas") or []
     cur_schema = next(
         (s for s in schemas if s.get("schema-id") == meta.get("current-schema-id")),
@@ -811,6 +812,26 @@ def _iceberg_snapshot_files(
     )
     if cur_schema:
         id_to_name = {f["id"]: f["name"] for f in cur_schema.get("fields", [])}
+        id_to_type = {
+            str(f["id"]): f["type"]
+            for f in cur_schema.get("fields", [])
+            if isinstance(f.get("type"), str)
+        }
+
+    def _decode_bounds(raw: dict | None) -> dict | None:
+        """Manifest bound maps carry the spec's binary single-value
+        serialization (iceberg.decode_bound_value; legacy typed values
+        pass through) — decode to comparable python values for the
+        zone-map pruner."""
+        if not raw:
+            return raw
+        from .iceberg import decode_bound_value
+
+        return {
+            fid: decode_bound_value(id_to_type.get(fid, "string"), v)
+            for fid, v in raw.items()
+            if fid in id_to_type or not isinstance(v, (bytes, bytearray))
+        }
 
     data_files: list[_DataFile] = []
     delete_files: list[str] = []
@@ -843,8 +864,8 @@ def _iceberg_snapshot_files(
                         fpath,
                         m_seq,
                         df_rec.get("partition"),
-                        df_rec.get("lower_bounds"),
-                        df_rec.get("upper_bounds"),
+                        _decode_bounds(df_rec.get("lower_bounds")),
+                        _decode_bounds(df_rec.get("upper_bounds")),
                     )
                 )
             elif fc == 1:  # position deletes

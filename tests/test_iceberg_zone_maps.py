@@ -158,3 +158,69 @@ def test_nan_stats_never_poison_bounds(spark, tmp_path):
     # '>' predicate must surface the NaN row, not skip its file
     got = read_iceberg_snapshot(spark, root, scan_filter=("v", ">", 100.0))
     assert {r.id for r in got.collect()} == {1}
+
+
+def test_bound_values_are_spec_binary_serialization():
+    """Bounds in the manifests use the Iceberg table spec's binary
+    single-value serialization (Appendix D) — byte-PINNED here so a
+    third-party reader's decoder agrees: little-endian fixed-width
+    numerics, 1-byte booleans, UTF-8 strings, date = LE int32 days from
+    epoch."""
+    import datetime
+    import struct
+
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        decode_bound_value,
+        encode_bound_value,
+    )
+
+    pinned = [
+        ("int", 7, struct.pack("<i", 7)),
+        ("int", -1, b"\xff\xff\xff\xff"),
+        ("long", 2**40, struct.pack("<q", 2**40)),
+        ("double", 3.5, struct.pack("<d", 3.5)),
+        ("float", 1.5, struct.pack("<f", 1.5)),
+        ("boolean", True, b"\x01"),
+        ("boolean", False, b"\x00"),
+        ("string", "ASIA", b"ASIA"),
+        # 2024-03-01 = 19783 days from 1970-01-01
+        ("date", "2024-03-01", struct.pack("<i", 19783)),
+    ]
+    for t, v, want in pinned:
+        got = encode_bound_value(t, v)
+        assert got == want, (t, v, got.hex(), want.hex())
+        back = decode_bound_value(t, got)
+        if t == "float" or t == "double":
+            assert back == v
+        else:
+            assert back == v or str(back) == str(v)
+    # date given as datetime.date encodes identically
+    assert encode_bound_value(
+        "date", datetime.date(2024, 3, 1)
+    ) == struct.pack("<i", 19783)
+
+
+def test_manifest_bound_bytes_on_disk(spark, tmp_path):
+    """The raw manifest Avro rows carry bytes (not typed Avro values):
+    prove it by decoding a manifest directly."""
+    from glob import glob
+
+    from mysoftware_nocnetintel_spark.sources.avro_lite import (
+        read_avro_file,
+    )
+
+    root = str(tmp_path / "zmspec")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(5, 2.5, "x")], "id bigint, v double, s string"
+        ).coalesce(1),
+        root,
+    )
+    (manifest,) = glob(f"{root}/metadata/m-*.avro")
+    _, entries = read_avro_file(manifest)
+    (entry,) = entries
+    lo = entries[0]["data_file"]["lower_bounds"]
+    import struct
+
+    assert lo["1"] == struct.pack("<q", 5)      # id: long LE
+    assert lo["2"] == struct.pack("<d", 2.5)    # v: double LE
