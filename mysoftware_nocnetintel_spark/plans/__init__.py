@@ -7,14 +7,16 @@ from .queries_extra import EXTRA_QUERIES as _EXTRA
 from .queries_r4 import R4_QUERIES as _R4
 from .queries_r5 import R5_QUERIES as _R5
 from .queries_r6 import R6_QUERIES as _R6
+from .queries_r7 import R7_QUERIES as _R7
 from .oracles import ORACLES as _O_CORE
 from .oracles_r6 import ORACLES_R6 as _O_R6
+from .oracles_r7 import ORACLES_R7 as _O_R7
 from .oracles_ext import ORACLES_EXT as _O_EXT
 from .oracles_extra import ORACLES_EXTRA as _O_EXTRA
 from .oracles_r4 import ORACLES_R4 as _O_R4
 from .oracles_r5 import ORACLES_R5 as _O_R5
 
-_ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6}
+_ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6, **_R7}
 
 # The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
 # order, so ordering here is load-bearing. ROTATION RULE (apply every round):
@@ -30,6 +32,9 @@ _ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6}
 # driver-green, r03/r04 signals): q0-q10, q25, q28, q34, q37-q39, q41, q45,
 # q50, q66-q93 remainder, q95-q123, q125.
 _WINDOW = [
+    # --- NEW this round, never driver-graded (rule 1) ---
+    "q127_incremental_ingest",
+    "q128_balanced_sample",
     # --- changed this round (3) ---
     "q124_bm25",
     "q94_token_budget",
@@ -66,8 +71,9 @@ _WINDOW = [
     "q46_sliding_window",
     "q47_session_window",
     "q48_ann_ivf",
-    # --- next-oldest: first 16 of the r03-era block (q66-q90 and the
-    # rest of the r03 era rotate in next round) ---
+    # --- next-oldest: first 14 of the r03-era block (q64+ and the rest
+    # of the r03 era rotate in next round; two slots ceded to the new
+    # never-graded q127/q128 per rule 1) ---
     "q49_forecast_score",
     "q51_dispatch_plan",
     "q52_model_metrics",
@@ -82,8 +88,6 @@ _WINDOW = [
     "q61_except_all",
     "q62_like_filter",
     "q63_date_arithmetic",
-    "q64_resample_asof",
-    "q65_conditional_agg",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -92,7 +96,7 @@ assert not _missing, _missing
 
 QUERIES = {k: _ALL[k] for k in _WINDOW}
 QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
-ORACLES = {**_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5, **_O_R6}
+ORACLES = {**_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5, **_O_R6, **_O_R7}
 
 
 # Opt-in SERVING-MODE plan cache (the DataFrame analogue of a prepared
