@@ -420,3 +420,105 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
     version = versions[-1] + 1
     _commit_version(log_dir, version, actions)
     return version
+
+
+def vacuum_delta(
+    path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    now_ms: int | None = None,
+) -> list[str]:
+    """VACUUM: physically delete files under the table root that the
+    CURRENT snapshot no longer references and whose tombstone age exceeds
+    ``retention_ms`` (delta-spark's default posture: 7 days). Two file
+    classes are collected:
+
+    - data files with a ``remove`` tombstone older than the retention
+      cutoff (age = the tombstone's ``deletionTimestamp``);
+    - deletion-vector files (``deletion_vector_*.bin``) referenced by NO
+      live add action (superseded DVs have no tombstone of their own —
+      their age is the file's mtime).
+
+    Time travel to versions that needed a vacuumed file fails at scan
+    time afterwards — the version history itself stays intact (vacuum
+    never rewrites the log, matching the spec: data retention and log
+    retention are independent). Returns the deleted paths (relative to
+    the table root). Same single-writer scope as the other writers; a
+    concurrent reader of an old snapshot can observe missing files, which
+    is vacuum's documented tradeoff in every Delta engine."""
+    from glob import glob as _glob
+
+    from .roaring import z85_decode
+
+    log_dir = os.path.join(path, "_delta_log")
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta table at {path}")
+    meta = _table_meta(log_dir, versions)
+    if not meta or (meta.get("configuration") or {}).get(
+        "writer"
+    ) != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to vacuum a Delta table created by another writer: "
+            "use the delta-spark connector"
+        )
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    cutoff = now - retention_ms
+
+    live: dict[str, dict] = {}
+    tombstone_ts: dict[str, int] = {}
+    for v in versions:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    live[act["add"]["path"]] = act["add"]
+                    tombstone_ts.pop(act["add"]["path"], None)
+                elif "remove" in act:
+                    rm = act["remove"]
+                    live.pop(rm["path"], None)
+                    tombstone_ts[rm["path"]] = rm.get(
+                        "deletionTimestamp", 0
+                    )
+
+    live_dvs: set[str] = set()
+    for add in live.values():
+        dv = add.get("deletionVector")
+        if not dv:
+            continue
+        if dv["storageType"] == "u":
+            import uuid as uuid_mod
+
+            payload = dv["pathOrInlineDv"]
+            prefix, z = payload[:-20], payload[-20:]
+            u = uuid_mod.UUID(bytes=z85_decode(z))
+            name = f"deletion_vector_{u}.bin"
+            live_dvs.add(os.path.join(prefix, name) if prefix else name)
+        # "p" (absolute, outside the root) and "i" (inline) own no
+        # root-relative file to protect
+
+    deleted: list[str] = []
+    for f in sorted(
+        _glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(f, path).replace(os.sep, "/")
+        if rel.startswith("_delta_log/") or rel in live:
+            continue
+        ts = tombstone_ts.get(rel)
+        if ts is None:
+            # untombstoned stray (e.g. crashed stage dir): age by mtime
+            ts = int(os.path.getmtime(f) * 1000)
+        if ts < cutoff:
+            os.remove(f)
+            deleted.append(rel)
+    for f in sorted(
+        _glob(os.path.join(path, "**", "deletion_vector_*.bin"), recursive=True)
+    ):
+        rel = os.path.relpath(f, path).replace(os.sep, "/")
+        if rel in live_dvs:
+            continue
+        if int(os.path.getmtime(f) * 1000) < cutoff:
+            os.remove(f)
+            deleted.append(rel)
+    return deleted

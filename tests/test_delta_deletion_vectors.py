@@ -258,3 +258,65 @@ def test_absolute_path_dv_storage(spark, tmp_path):
     )
     got = {int(r.id) for r in read_delta_snapshot(spark, root).collect()}
     assert got == {0, 3, 4, 5, 6, 7, 8, 9}
+
+
+# ---------- vacuum ----------
+
+def test_vacuum_reclaims_tombstones_and_orphan_dvs(spark, tmp_path):
+    """After overwrite + stacked deletes: vacuum with retention 0 removes
+    tombstoned data files and superseded DV files, keeps everything the
+    head snapshot references, and breaks only EXPIRED time travel."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        vacuum_delta,
+        write_delta_overwrite,
+    )
+
+    root = _table(spark, tmp_path, "dvv", n=12)
+    delete_delta_rows(spark, root, "id < 3")      # DV #1
+    delete_delta_rows(spark, root, "id >= 10")    # DV #2 (supersedes #1)
+    head_before = _rows(read_delta_snapshot(spark, root))
+    write_delta_append(
+        spark.createDataFrame([(50, "x")], "id bigint, val string"), root
+    )
+    v_ow = write_delta_overwrite(
+        spark.createDataFrame(
+            sorted(head_before | {(50, "x")}), "id bigint, val string"
+        ),
+        root,
+    )
+    head = _rows(read_delta_snapshot(spark, root))
+
+    # a generous retention removes nothing
+    assert vacuum_delta(root) == []
+    assert _rows(read_delta_snapshot(spark, root)) == head
+
+    deleted = vacuum_delta(root, retention_ms=0, now_ms=2**62)
+    assert deleted, "expected tombstoned data files + orphan DVs removed"
+    assert any(d.startswith("deletion_vector_") for d in deleted)
+    # head still reads exactly the same
+    assert _rows(read_delta_snapshot(spark, root)) == head
+    # expired time travel now fails at scan (files physically gone)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_delta_snapshot(spark, root, version=v_ow - 1).collect()
+
+
+def test_vacuum_refuses_foreign_table(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.delta import vacuum_delta
+
+    root = _manual_table(
+        spark,
+        tmp_path,
+        "dv-foreign",
+        {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(
+                encode_rbm_array([0]) + b"\x00" * ((-len(encode_rbm_array([0]))) % 4)
+            ),
+            "sizeInBytes": len(encode_rbm_array([0])),
+            "cardinality": 1,
+        },
+    )
+    with pytest.raises(NotImplementedError, match="another writer"):
+        vacuum_delta(root)
