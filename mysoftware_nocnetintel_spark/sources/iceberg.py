@@ -796,7 +796,9 @@ def write_iceberg_equality_deletes(spark, path: str, keys: DataFrame) -> int:
     )
 
 
-def rewrite_iceberg_table(spark, path: str) -> int:
+def rewrite_iceberg_table(
+    spark, path: str, min_files_per_partition: int | None = None
+) -> int:
     """MAJOR COMPACTION (the maintenance job behind a merge-on-read
     writer like :func:`~..streaming.ops.iceberg_cdc_upsert`): materialize
     the current LIVE rows — all position and equality deletes applied —
@@ -806,17 +808,28 @@ def rewrite_iceberg_table(spark, path: str) -> int:
     snapshots keep their old manifest lists, so time travel still sees
     merge-on-read history. Returns the new snapshot id.
 
+    ``min_files_per_partition`` switches to INCREMENTAL BIN-PACKING —
+    the small-file maintenance job: only partitions holding at least
+    that many live files are rewritten; everything else is carried into
+    the new snapshot untouched (kept entries keep their partition
+    records and column bounds, so pruning and zone maps survive). A
+    no-op (nothing fragmented) returns the current snapshot id without
+    committing. The incremental path REFUSES tables with live delete
+    files: kept files' merge-on-read state would need per-entry
+    sequence-number scoping the collapsed kept-manifest can't express —
+    run the full rewrite first (it applies all deletes). At 100 TB this
+    is the difference between rewriting a handful of hot partitions and
+    rewriting the table.
+
     Scale: the rewrite is one distributed scan + write (the same
     anti-joins the reader does); the commit is KB-scale metadata.
     Partitioned tables regroup per partition tuple in the same single
     fan-out pass the append path uses, so partition records — and
-    therefore pruning — survive compaction. A real engine rewrites
-    incrementally (bin-packing only the fragmented partitions); a full
-    rewrite is the degenerate bin-pack. Same single-writer / fail-fast
-    scope as the other writers."""
+    therefore pruning — survive compaction. Same single-writer /
+    fail-fast scope as the other writers."""
     import pyarrow.parquet as pq
 
-    from .readers import _iceberg_live_scan
+    from .readers import _iceberg_live_scan, _iceberg_snapshot_files
 
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
@@ -828,8 +841,63 @@ def rewrite_iceberg_table(spark, path: str) -> int:
             "refusing to rewrite an Iceberg table created by another "
             "writer: use the iceberg-spark-runtime connector"
         )
-    live = _iceberg_live_scan(spark, path)
     bounds_schema = (meta.get("schemas") or [None])[0]
+    kept_entries: list = []
+    if min_files_per_partition is None:
+        live = _iceberg_live_scan(spark, path)
+    else:
+        data_files, pos_del, eq_del, snap = _iceberg_snapshot_files(path)
+        if pos_del or eq_del:
+            raise NotImplementedError(
+                "incremental bin-packing over live delete files: run the "
+                "full rewrite first (it applies all deletes)"
+            )
+        by_part: dict = {}
+        for e in data_files:
+            key = tuple(sorted((e.partition or {}).items()))
+            by_part.setdefault(key, []).append(e)
+        frag = [
+            e
+            for entries_ in by_part.values()
+            if len(entries_) >= min_files_per_partition
+            for e in entries_
+        ]
+        if not frag:
+            return snap["snapshot-id"]  # nothing fragmented — no-op
+        kept = [e for e in data_files if e not in frag]
+        type_by_fid = (
+            {str(f["id"]): f["type"] for f in bounds_schema["fields"]}
+            if bounds_schema
+            else {}
+        )
+
+        def _reencode(bounds: dict | None) -> dict | None:
+            if not bounds:
+                return None
+            return {
+                fid: encode_bound_value(type_by_fid[fid], v)
+                for fid, v in bounds.items()
+                if fid in type_by_fid
+            } or None
+
+        for e in kept:
+            kept_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,  # filled with the new snap id
+                    "data_file": {
+                        "content": 0,
+                        "file_path": e.path,
+                        "file_format": "PARQUET",
+                        "record_count": pq.read_metadata(e.path).num_rows,
+                        "file_size_in_bytes": os.path.getsize(e.path),
+                        "partition": e.partition,
+                        "lower_bounds": _reencode(e.lower),
+                        "upper_bounds": _reencode(e.upper),
+                    },
+                }
+            )
+        live = spark.read.parquet(*[e.path for e in frag])
     # partitioned tables regroup per partition tuple (the same
     # duplicate-column partitionBy fan-out as the append path), so the
     # compacted entries keep their partition records and pruning stays
@@ -931,23 +999,38 @@ def rewrite_iceberg_table(spark, path: str) -> int:
         else MANIFEST_ENTRY_SCHEMA
     )
     write_avro_file(manifest, entry_schema, entries)
-    # REPLACE semantics: the new manifest list holds ONLY this manifest —
-    # no prior data manifests, no delete manifests
-    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-    write_avro_file(
-        mlist,
-        MANIFEST_FILE_SCHEMA,
-        [
+    # REPLACE semantics: the new manifest list holds ONLY this snapshot's
+    # manifests — the compacted files plus (incremental bin-pack only) one
+    # manifest carrying the untouched partitions' entries verbatim; no
+    # prior manifests, no delete manifests (the incremental path refuses
+    # tables with live deletes precisely so this stays correct)
+    mlist_rows = [
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    if kept_entries:
+        for ke in kept_entries:
+            ke["snapshot_id"] = snap_id
+        kept_manifest = os.path.join(meta_dir, f"m-{snap_id}-kept.avro")
+        write_avro_file(kept_manifest, entry_schema, kept_entries)
+        mlist_rows.append(
             {
-                "manifest_path": manifest,
-                "manifest_length": os.path.getsize(manifest),
+                "manifest_path": kept_manifest,
+                "manifest_length": os.path.getsize(kept_manifest),
                 "partition_spec_id": 0,
                 "content": 0,
                 "sequence_number": seq,
                 "added_snapshot_id": snap_id,
             }
-        ],
-    )
+        )
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    write_avro_file(mlist, MANIFEST_FILE_SCHEMA, mlist_rows)
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
