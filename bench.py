@@ -185,12 +185,18 @@ def main() -> None:
     # tables: the gram/shingle tables these pipelines shuffle are ~10× the
     # input, so the 8-partition setting tuned for the scan-light headline
     # set starves them (measured q41: 1.8 s @ 8 → 1.4 s @ 16 partitions).
-    # AQE comes back ON here: these are multi-second iterative jobs
-    # (localCheckpoint chains, exploded-gram shuffles) where runtime
-    # coalescing pays for its re-planning latency — the opposite tradeoff
-    # from the sub-second headline statements above.
+    # AQE stays OFF here too — revised in round 5: these jobs are
+    # multi-second precisely because they chain MANY exchanges
+    # (localCheckpoint iterations, exploded-gram shuffles, k-means
+    # rounds), and AQE's materialize-and-replan barrier taxes every one
+    # of them (measured A/B at sf0.1, same session, best-of-3 per query:
+    # q41 1.23→1.08 s, q91 1.34→0.92 s, q48 1.90→1.56 s, q110
+    # 1.19→0.99 s, q124 0.60→0.42 s, q123 1.40→1.14 s; section total
+    # 6.28→5.18 s). The engine default (session.py) keeps AQE ON for
+    # cluster work, where skew splitting and coalescing act on
+    # multi-GB shuffles instead of KB-scale serving statements.
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     pipeline: dict[str, float] = {}
     pipeline_duckdb: dict[str, float] = {}
     PIPELINE = [
@@ -327,16 +333,19 @@ def main() -> None:
             ),
         )
         # 10× the data → shuffle partitions scale with input volume (the
-        # same rule the headline section documents), AQE back on: these
-        # are second-scale statements where runtime coalescing pays.
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # same rule the headline section documents). AQE stays OFF: these
+        # are still sub-second statements where the per-exchange
+        # materialize-and-replan barrier costs more than runtime
+        # coalescing buys (measured A/B at sf1: 4.42 s AQE-on/32 vs
+        # 3.30 s AQE-off/16 for the 10-query sequential total).
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         SF1_QUERIES = HEADLINE + ["q94_token_budget", "q124_bm25"]
         sf1_spark: dict[str, float] = {}
         for name in SF1_QUERIES:
             materialize(QUERIES[name](spark, sf1_dir))  # warm
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, sf1_dir))
                 best = min(best, time.perf_counter() - t0)
@@ -355,7 +364,7 @@ def main() -> None:
         for name in SF1_QUERIES:
             con.execute(ORACLES[name]).arrow()  # warm
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.execute(ORACLES[name]).arrow()
                 best = min(best, time.perf_counter() - t0)

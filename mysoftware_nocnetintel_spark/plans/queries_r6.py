@@ -105,49 +105,44 @@ def q124_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = sorted({t for _q, t in _BM25_QUERIES})
     k1, b = _BM25_K1, _BM25_B
-    # The formula expressions are built as SQL STRINGS (selectExpr/expr),
-    # not Column-object chains: the per-query scoring tree is a few
-    # hundred expression nodes, and building it node-by-node costs one
-    # py4j round-trip each (~0.7 s of pure driver chatter per plan build,
-    # measured — 10× the actual 72 ms execution). One parsed string
-    # carries the whole tree across in a single call.
+    # The WHOLE statement is built as ONE SQL string over a private temp
+    # view and handed to a single ``spark.sql`` call. Two measured
+    # reasons, both per-statement driver cost, not execution:
+    # Column-object chains pay one py4j round-trip per expression node
+    # (~0.7 s of driver chatter on this scoring tree), and even
+    # selectExpr-chained DataFrames pay EAGER ANALYSIS per intermediate
+    # Dataset — each link re-analyzes the whole growing tree, quadratic
+    # in depth (measured: 0.17 s build as five chained DataFrames vs
+    # 0.085 s as one parsed statement; total 0.51 s → 0.41 s at sf0.1).
     #
-    # __toks / __vt stay in their own projections: CollapseProject only
-    # inlines cheap/single-use aliases, so the split runs once per row
-    # and the counters share the arrays. The full token array is
+    # __toks / __vt stay in their own subquery layers: CollapseProject
+    # only inlines cheap/single-use aliases, so the split runs once per
+    # row and the counters share the arrays. The full token array is
     # traversed exactly TWICE — once for dl, once to prefilter to the
     # query vocabulary (a 7-literal IN compiles to an InSet hash probe
     # per token) — and the per-term tf counts then scan only the tiny
     # vocabulary-token remnant, instead of one full-array pass per term.
+    #
+    # Scores materialize as PLAIN COLUMNS in one projection BEFORE the
+    # explode, and the exploded struct array references only those
+    # columns: putting the formulas inside the array makes the optimizer
+    # duplicate the whole expression into every extracted struct field
+    # (measured at several hundred ms of extra per-statement planning).
+    # A zero-tf term contributes exactly 0, so no conditional is needed;
+    # docs matching no term of a query are dropped — the oracle's
+    # candidate set. The one-row side CTE of global statistics (N, avgdl
+    # over docs with tokens — matching the oracle's dl CTE — and per-term
+    # document frequencies) is BROADCAST by hint, so the whole formula
+    # needs exactly one broadcast instead of a join per statistic.
+    docs.createOrReplaceTempView("__q124_docs")
     in_list = ", ".join(f"'{t}'" for t in vocab)
-    counters = (
-        docs.selectExpr("doc_id", "split(text, ' ') as __toks")
-        .selectExpr(
-            "doc_id",
-            "cast(size(filter(__toks, x -> x != '')) as double) as dl",
-            f"filter(__toks, x -> x IN ({in_list})) as __vt",
-        )
-        .selectExpr(
-            "doc_id",
-            "dl",
-            *[
-                f"cast(size(filter(__vt, x -> x = '{t}')) as double)"
-                f" as __tf{i}"
-                for i, t in enumerate(vocab)
-            ],
-        )
+    tf_cols = ", ".join(
+        f"cast(size(filter(__vt, x -> x = '{t}')) as double) as __tf{i}"
+        for i, t in enumerate(vocab)
     )
-    # ONE single-row side table holds every global statistic (N, avgdl —
-    # over docs with tokens, matching the oracle's dl CTE — and the per-
-    # term document frequencies), so the whole formula needs exactly one
-    # broadcast instead of a side-table join per statistic
-    side = counters.agg(
-        F.expr("cast(count(*) as double) as n"),
-        F.expr("avg(if(dl > 0, dl, null)) as avgdl"),
-        *[
-            F.expr(f"sum(cast(__tf{i} > 0 as double)) as __df{i}")
-            for i in range(len(vocab))
-        ],
+    df_cols = ", ".join(
+        f"sum(cast(__tf{i} > 0 as double)) as __df{i}"
+        for i in range(len(vocab))
     )
 
     def _term_score(i: int) -> str:
@@ -161,48 +156,60 @@ def q124_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_query: dict[int, list[int]] = {}
     for qid, t in _BM25_QUERIES:
         by_query.setdefault(qid, []).append(vocab.index(t))
-    # per-query score as a NARROW columnar expression (a zero-tf term
-    # contributes exactly 0, so no conditional is needed); docs matching
-    # no term of a query are dropped — the oracle's candidate set.
-    # Scores materialize as PLAIN COLUMNS in one projection BEFORE the
-    # explode, and the exploded struct array references only those columns:
-    # putting the formulas inside the array makes the optimizer duplicate
-    # the whole expression into every extracted struct field, and a
-    # union-of-branches triples the scan tree — both measured at several
-    # hundred ms of extra per-statement planning on this query.
-    score_cols = [
+    score_cols = ", ".join(
         f"round({' + '.join(_term_score(i) for i in idxs)}, 6)"
         f" as __score{qid}"
         for qid, idxs in sorted(by_query.items())
-    ]
-    hit_cols = [
+    )
+    hit_cols = ", ".join(
         f"{' + '.join(f'__tf{i}' for i in idxs)} as __hits{qid}"
         for qid, idxs in sorted(by_query.items())
-    ]
-    per_doc = counters.crossJoin(F.broadcast(side)).selectExpr(
-        "doc_id", *score_cols, *hit_cols
     )
     structs = ", ".join(
         f"struct({qid} as query_id, __score{qid} as score,"
         f" __hits{qid} as hits)"
         for qid in sorted(by_query)
     )
-    scored = (
-        per_doc.selectExpr("doc_id", f"explode(array({structs})) as s")
-        .where("s.hits > 0")
-        .selectExpr("s.query_id as query_id", "doc_id", "s.score as score")
-    )
-    return (
-        scored.selectExpr(
-            "query_id",
-            "doc_id",
-            "score",
-            "row_number() over ("
-            "partition by query_id order by score desc, doc_id) as rk",
+    return spark.sql(f"""
+        WITH counters AS (
+          SELECT doc_id,
+                 cast(size(filter(__toks, x -> x != '')) as double) as dl,
+                 {tf_cols}
+          FROM (
+            SELECT doc_id, __toks,
+                   filter(__toks, x -> x IN ({in_list})) as __vt
+            FROM (
+              SELECT doc_id, split(text, ' ') as __toks FROM __q124_docs
+            )
+          )
+        ),
+        side AS (
+          SELECT cast(count(*) as double) as n,
+                 avg(if(dl > 0, dl, null)) as avgdl,
+                 {df_cols}
+          FROM counters
+        ),
+        per_doc AS (
+          SELECT /*+ BROADCAST(side) */ doc_id, {score_cols}, {hit_cols}
+          FROM counters CROSS JOIN side
+        ),
+        scored AS (
+          SELECT s.query_id as query_id, doc_id, s.score as score
+          FROM (
+            SELECT doc_id, explode(array({structs})) as s FROM per_doc
+          )
+          WHERE s.hits > 0
         )
-        .where("rk <= 10")
-        .orderBy("query_id", "rk")
-    )
+        SELECT query_id, doc_id, score, rk FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() over (
+                   partition by query_id order by score desc, doc_id
+                 ) as rk
+          FROM scored
+        )
+        WHERE rk <= 10
+        ORDER BY query_id, rk
+    """)
 
 
 def q125_mllib_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

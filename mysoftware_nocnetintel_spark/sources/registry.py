@@ -108,10 +108,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # just multiplies per-statement task count (measured: the
         # trivial-statement floor tripled). At cluster scale inputs
         # exceed core count and this is a no-op either way.
+        target = spark.sparkContext.defaultParallelism
         if name in ("documents", "embeddings"):
-            target = spark.sparkContext.defaultParallelism
             if df.rdd.getNumPartitions() < target:
                 df = df.repartition(target)
+        else:
+            # Relational fact tables get a BYTE-sized spread: the test
+            # corpus ships one single-row-group file per table, so the
+            # scan — and therefore the cached relation every statement
+            # reuses — arrives as ONE partition regardless of size
+            # (measured at sf1: a 184 MB lineitem cached single-partition
+            # ran every aggregation single-core; 3.6x the DuckDB wall).
+            # ~2 MiB of parquet per cached partition keeps small-SF
+            # statements at a handful of tasks (the 5-row dimensions stay
+            # at 1 — fanning those out tripled the statement floor) while
+            # a 10x-scaled corpus fans to full core count. At cluster
+            # scale inputs span many files/row groups and the scan
+            # already exceeds parallelism, so this never fires.
+            try:
+                nbytes = os.path.getsize(table_path(sf_dir, name))
+            except OSError:
+                nbytes = 0
+            spread = min(target, int(nbytes) >> 21)
+            if spread > 1 and df.rdd.getNumPartitions() < spread:
+                df = df.repartition(spread)
         df = df.cache()
         _TABLE_CACHE[key] = df
     return df
