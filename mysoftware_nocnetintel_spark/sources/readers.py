@@ -127,7 +127,7 @@ def _delta_check_protocol(proto: dict) -> None:
     """Table-features protocol gate (delta.io PROTOCOL.md "Protocol
     Evolution"): reader version 1 is the base; version 2 is the column-
     mapping era (honored via the metaData action — see
-    :func:`_apply_column_mapping`, which still refuses id-mode); version 3
+    :func:`_apply_column_mapping`); version 3
     is acceptable iff every listed readerFeature is one this reader
     implements."""
     mrv = proto.get("minReaderVersion") or 1
@@ -149,33 +149,42 @@ def _delta_check_protocol(proto: dict) -> None:
     )
 
 
-def _apply_column_mapping(df: DataFrame, meta: dict | None) -> DataFrame:
-    """Honor ``delta.columnMapping.mode = name`` (PROTOCOL.md "Column
-    Mapping"): data files store PHYSICAL column names
-    (``delta.columnMapping.physicalName`` in the schema field metadata);
-    the reader projects physical → logical, which also implements renamed
-    columns (only metaData changes) and dropped columns (the physical
-    column survives in parquet but leaves the schema). id-mode (matching
-    by parquet field ids) and nested-field mapping fail fast."""
-    import json
-
+def _cm_mode(meta: dict | None) -> str:
+    """The table's ``delta.columnMapping.mode`` (``none`` when unset)."""
     if not meta:
-        return df
+        return "none"
     conf = meta.get("configuration") or {}
     if isinstance(conf, list):
         # a metaData row decoded from a PARQUET checkpoint: pyarrow maps
         # come back as [(key, value)] tuples, not dicts
         conf = dict(conf)
-    mode = conf.get("delta.columnMapping.mode", "none")
+    return conf.get("delta.columnMapping.mode", "none") or "none"
+
+
+def _apply_column_mapping(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Honor Delta column mapping (PROTOCOL.md "Column Mapping"), both
+    modes. Under ``mode = name`` data files store PHYSICAL column names
+    (``delta.columnMapping.physicalName`` in the schema field metadata)
+    and the reader projects physical → logical here. Under ``mode = id``
+    the data scan already resolved parquet columns BY FIELD ID to their
+    logical names (:func:`_delta_id_read_schema`), so only the partition
+    columns — re-attached from ``add.partitionValues`` under their
+    physical names — still need the rename. Both projections also
+    implement renamed columns (only metaData changes) and dropped columns
+    (the physical column survives in parquet but leaves the schema).
+    Nested-field mapping fails fast."""
+    import json
+
+    mode = _cm_mode(meta)
     if mode in ("none", ""):
         return df
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise NotImplementedError(
-            f"Delta column mapping mode {mode!r} (id-mode needs parquet "
-            "field-id resolution): use the delta-spark connector"
+            f"Delta column mapping mode {mode!r}: use the delta-spark "
+            "connector"
         )
     schema = json.loads(meta["schemaString"])
-    renames: list[tuple[str, str]] = []
+    renames: list[tuple[str | None, str]] = []
     for f in schema.get("fields", []):
         if not isinstance(f.get("type"), str):
             raise NotImplementedError(
@@ -183,12 +192,25 @@ def _apply_column_mapping(df: DataFrame, meta: dict | None) -> DataFrame:
                 "use the delta-spark connector"
             )
         phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
-        if not phys:
+        if not phys and mode == "name":
             raise NotImplementedError(
                 f"column mapping mode=name but field {f.get('name')!r} "
                 "declares no physicalName: use the delta-spark connector"
             )
         renames.append((phys, f["name"]))
+    if mode == "id":
+        cols = []
+        for phys, logical in renames:
+            if logical in df.columns:
+                cols.append(F.col(logical))
+            elif phys and phys in df.columns:
+                cols.append(F.col(phys).alias(logical))
+            else:
+                raise NotImplementedError(
+                    f"id-mode column {logical!r} absent from the data "
+                    "scan: use the delta-spark connector"
+                )
+        return df.select(*cols)
     missing = [p for p, _l in renames if p not in df.columns]
     if missing:
         raise NotImplementedError(
@@ -196,6 +218,52 @@ def _apply_column_mapping(df: DataFrame, meta: dict | None) -> DataFrame:
             "use the delta-spark connector"
         )
     return df.select(*[F.col(p).alias(l) for p, l in renames])
+
+
+def _delta_id_read_schema(spark, table_meta: dict, part_phys: set):
+    """Build the explicit read schema for an id-mode table: one
+    StructField per LOGICAL schema field (partition columns excluded —
+    they live in ``add.partitionValues``, not in the data files), each
+    carrying ``parquet.field.id`` metadata so Spark's parquet reader
+    matches file columns by FIELD ID instead of by name
+    (``spark.sql.parquet.fieldId.read.enabled``). ``ignoreMissing`` is
+    also enabled: a file written before a column was added simply lacks
+    that id and must surface NULLs — Delta's add-column semantics. Both
+    confs are inert for every other read on the session (they only act
+    when the requested schema carries field-id metadata, which only this
+    path builds)."""
+    import json
+
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    fields = []
+    for f in json.loads(table_meta["schemaString"]).get("fields", []):
+        if not isinstance(f.get("type"), str):
+            raise NotImplementedError(
+                f"column mapping over nested field {f.get('name')!r}: "
+                "use the delta-spark connector"
+            )
+        md = f.get("metadata") or {}
+        fid = md.get("delta.columnMapping.id")
+        if fid is None:
+            raise NotImplementedError(
+                f"column mapping mode=id but field {f.get('name')!r} "
+                "declares no delta.columnMapping.id: use the delta-spark "
+                "connector"
+            )
+        if md.get("delta.columnMapping.physicalName") in part_phys:
+            continue
+        fields.append(
+            StructField(
+                f["name"],
+                _parse_datatype_string(f["type"]),
+                True,
+                {"parquet.field.id": int(fid)},
+            )
+        )
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    return StructType(fields)
 
 
 def _read_delta_checkpoint(
@@ -378,9 +446,11 @@ def read_delta_snapshot(
     implemented here (``v2Checkpoint``, ``columnMapping``,
     ``deletionVectors`` — DV-masked files drop their deleted rows via a
     broadcast anti-join on the hidden ``_metadata`` file/row-index
-    columns, bitmaps decoded by :mod:`.roaring`); anything else
-    (timestampNtz, id-mode mapping, …) fails fast with
-    NotImplementedError rather than returning wrong rows.
+    columns, bitmaps decoded by :mod:`.roaring`). Column mapping covers
+    BOTH modes: name (physical→logical projection) and id (parquet
+    field-id resolution via :func:`_delta_id_read_schema`). Anything
+    else (timestampNtz, …) fails fast with NotImplementedError rather
+    than returning wrong rows.
 
     This is the connector-less fallback; the delta-spark connector remains
     the production path. The log replay is driver-side METADATA work
@@ -475,14 +545,11 @@ def read_delta_snapshot(
     # bigint partition column would round-trip as a string)
     part_types: dict[str, str] = {}
     if table_meta and table_meta.get("schemaString"):
-        # under columnMapping mode=name, add.partitionValues (and the
-        # parquet files) carry PHYSICAL column names — key the cast map by
-        # physicalName so the cast applies BEFORE _apply_column_mapping
-        # renames physical → logical
-        conf = table_meta.get("configuration") or {}
-        if isinstance(conf, list):
-            conf = dict(conf)
-        mapped = conf.get("delta.columnMapping.mode", "none") == "name"
+        # under columnMapping (either mode), add.partitionValues (and, in
+        # name mode, the parquet files) carry PHYSICAL column names — key
+        # the cast map by physicalName so the cast applies BEFORE
+        # _apply_column_mapping renames physical → logical
+        mapped = _cm_mode(table_meta) in ("name", "id")
         for fld in json.loads(table_meta["schemaString"]).get("fields", []):
             if isinstance(fld.get("type"), str):
                 key = fld["name"]
@@ -519,10 +586,19 @@ def read_delta_snapshot(
         if dv_rows
         else None
     )
+    id_schema = None
+    if _cm_mode(table_meta) == "id":
+        part_phys = set()
+        for e in live.values():
+            part_phys.update(e["pv"].keys())
+        id_schema = _delta_id_read_schema(spark, table_meta, part_phys)
     out: DataFrame | None = None
     for pvals, entries in groups.items():
         files = [f for f, _dv in entries]
-        df = spark.read.parquet(*files)
+        reader = spark.read
+        if id_schema is not None:
+            reader = reader.schema(id_schema)
+        df = reader.parquet(*files)
         if deleted is not None and any(dv for _f, dv in entries):
             # MERGE-ON-READ: drop DV-masked rows by (file, physical row
             # index) with a broadcast anti-join on the hidden metadata

@@ -176,12 +176,14 @@ def test_metadata_via_parquet_checkpoint(spark, tmp_path):
 
 
 def test_fail_fasts(spark, tmp_path):
-    # id mode
+    # unknown mapping mode (id-mode is now SUPPORTED — see
+    # test_delta_id_mapping.py; a field without an id under mode=id is
+    # covered there)
     root = _table(
         tmp_path, "cm5",
-        [_meta_action([("id", "long", "col-aaa")], mode="id")],
+        [_meta_action([("id", "long", "col-aaa")], mode="nonsense")],
     )
-    with pytest.raises(NotImplementedError, match="id-mode"):
+    with pytest.raises(NotImplementedError, match="nonsense"):
         read_delta_snapshot(spark, root)
     # name mode but a field without physicalName
     root = _table(
