@@ -24,17 +24,23 @@ _ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6, **
 # every query whose implementation or oracle changed this round; (3) fill the
 # remainder with the queries whose last green signal is oldest. After r01-r04
 # every registry query has a driver signal and all latest signals are green,
-# so this round is pure rule-(2)+(3): the three queries changed this round
-# (q124 tokenize-once rewrite, q94 docstring-only but re-pinned with it,
-# q126 band-boundary recall fix in query AND oracle), then the entire r02-era
-# block (31 queries, the oldest signals in the registry), then the 16 oldest
-# r03-era queries (q49-q65). Outside the window this round (all previously
-# driver-green, r03/r04 signals): q0-q10, q25, q28, q34, q37-q39, q41, q45,
-# q50, q66-q93 remainder, q95-q123, q125.
+# so this round applies rules (1)-(3): the five NEW
+# round-5 queries (q127-q131, never graded), the three changed this round
+# (q124 tokenize-once + single-SQL rewrite, q94 docstring-only but
+# re-pinned with it, q126 band-boundary recall fix in query AND oracle),
+# then the entire r02-era block (31 queries, the oldest signals in the
+# registry), then the oldest r03-era queries through q60 (q61-q63 ceded
+# their slots to q129-q131 and rotate in next round). Outside the window
+# this round (all previously driver-green, r03/r04 signals): q0-q10, q25,
+# q28, q34, q37-q39, q41, q45, q50, q61-q63, q66-q93 remainder,
+# q95-q123, q125.
 _WINDOW = [
     # --- NEW this round, never driver-graded (rule 1) ---
     "q127_incremental_ingest",
     "q128_balanced_sample",
+    "q129_bpe_pairs",
+    "q130_repetition",
+    "q131_chunk_overlap",
     # --- changed this round (3) ---
     "q124_bm25",
     "q94_token_budget",
@@ -85,9 +91,6 @@ _WINDOW = [
     "q58_ntile_percent_rank",
     "q59_time_range_frame",
     "q60_union_distinct",
-    "q61_except_all",
-    "q62_like_filter",
-    "q63_date_arithmetic",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -33,6 +33,81 @@ GROUP BY lang, status
 ORDER BY lang, status
 """
 
+ORACLES_R7["q129_bpe_pairs"] = """
+WITH words AS (
+    SELECT u.t AS w, count(*) AS cnt
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+    WHERE u.t <> ''
+    GROUP BY u.t
+),
+pairs AS (
+    SELECT substr(w, CAST(r.i AS INT), 2) AS pair, cnt
+    FROM words, UNNEST(range(1, len(w))) AS r(i)
+    WHERE len(w) >= 2
+)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+ORACLES_R7["q130_repetition"] = """
+WITH toks AS (
+    SELECT lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT lang,
+           list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+           ) AS g
+    FROM toks
+),
+per AS (
+    SELECT lang,
+           CASE WHEN len(g) > 0
+                THEN (len(g) - len(list_distinct(g))) * 1.0 / len(g)
+                ELSE 0.0 END AS dup_frac
+    FROM grams
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(dup_frac), 6) AS avg_dup_frac,
+       round(max(dup_frac), 6) AS max_dup_frac,
+       CAST(sum(CASE WHEN dup_frac > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repetitive
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES_R7["q131_chunk_overlap"] = """
+WITH d AS (
+    SELECT source, doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok
+    FROM documents
+),
+chunks AS (
+    SELECT source,
+           least(64, n_tok - CAST(s.start AS INT) + 1) AS chunk_tokens
+    FROM d, UNNEST(generate_series(1, greatest(n_tok - 16, 1), 48))
+               AS s(start)
+)
+SELECT source,
+       count(*) AS n_chunks,
+       CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+       CAST(sum(CASE WHEN chunk_tokens = 64 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full,
+       round(avg(chunk_tokens), 6) AS avg_chunk_tokens
+FROM chunks
+GROUP BY source
+ORDER BY source
+"""
+
 ORACLES_R7["q128_balanced_sample"] = """
 WITH ranked AS (
     SELECT lang, source, doc_id, n_chars,

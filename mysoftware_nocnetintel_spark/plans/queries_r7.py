@@ -121,7 +121,141 @@ def q128_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/X5 tokenizer induction: the first BPE merge statistic — the 20
+    most frequent ADJACENT CHARACTER PAIRS across the corpus, weighted by
+    word frequency (Sennrich et al. 2016's algorithm computes exactly
+    this table every merge round; the top pair becomes the next merge).
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD table first
+    (one shuffle on the word; Heaps' law makes this table sublinear in
+    corpus size), so the char-pair explode runs over distinct words ×
+    word length, never over the token stream. Pair counting is the only
+    other shuffle, on a key space bounded by |alphabet|². Ties break on
+    the pair string, so top-20 is engine-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+def q130_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 quality signal: intra-document REPETITION — the fraction of
+    word 3-gram occurrences that are duplicates of an earlier 3-gram in
+    the SAME document (the Gopher/MassiveText repetition family, Rae et
+    al. 2021 §A1.1; boilerplate and looped generations score high and
+    get filtered before training).
+
+    Scale shape: ZERO shuffle until the final per-language aggregate —
+    the 3-gram array, its distinct count, and the duplicate fraction are
+    all computed INSIDE one narrow projection per document
+    (``transform(sequence(...))`` over the split token array; no explode,
+    no gram stream, whole-stage codegen). This is the cheap first-pass
+    formulation; the cross-document tiers (q37/q38/q41) pay the gram
+    shuffle only for the survivors."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.selectExpr(
+        "lang",
+        "filter(split(text, ' '), x -> x != '') as __t",
+    ).selectExpr(
+        "lang",
+        # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty
+        "if(size(__t) >= 3,"
+        " transform(sequence(1, size(__t) - 2),"
+        " i -> concat_ws(' ', element_at(__t, i), element_at(__t, i + 1),"
+        " element_at(__t, i + 2))),"
+        " array()) as __g",
+    ).selectExpr(
+        "lang",
+        "size(__g) as total",
+        "size(array_distinct(__g)) as n_distinct",
+    ).selectExpr(
+        "lang",
+        "if(total > 0,"
+        " (total - n_distinct) / cast(total as double), 0.0d) as dup_frac",
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+            F.round(F.max("dup_frac"), 6).alias("max_dup_frac"),
+            F.sum((F.col("dup_frac") > 0.3).cast("bigint")).alias(
+                "n_repetitive"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def q131_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/U1 corpus prep: OVERLAPPING CHUNKING — split each document's
+    token stream into chunk windows of 64 tokens with 16-token overlap
+    (stride 48), the standard RAG/embedding preprocessing fan-out. Chunk
+    starts follow the no-redundant-tail rule: a new chunk starts while
+    ``start <= n_tok - overlap`` (so the final chunk may be short but is
+    never fully contained in its predecessor), and every chunk i covers
+    ``min(64, n_tok - start + 1)`` tokens.
+
+    Scale shape: the chunk fan-out is a narrow per-row explode of an
+    arithmetic ``sequence`` (no shuffle; each chunk row would feed the
+    embedding stage downstream exactly like q123's input), and the
+    report aggregate is the only shuffle. Chunk geometry is pure
+    arithmetic on token counts, so the whole fan-out value-hash matches
+    the oracle."""
+    chunk, overlap, stride = 64, 16, 48
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.selectExpr(
+        "source",
+        "doc_id",
+        "size(filter(split(text, ' '), x -> x != '')) as n_tok",
+    ).selectExpr(
+        "source",
+        "doc_id",
+        "n_tok",
+        f"explode(sequence(1, greatest(n_tok - {overlap}, 1), {stride}))"
+        " as start",
+    ).selectExpr(
+        "source",
+        f"least({chunk}, n_tok - start + 1) as chunk_tokens",
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").cast("bigint").alias("sum_chunk_tokens"),
+            F.sum((F.col("chunk_tokens") == chunk).cast("bigint")).alias(
+                "n_full"
+            ),
+            F.round(F.avg("chunk_tokens"), 6).alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 R7_QUERIES = {
     "q127_incremental_ingest": q127_incremental_ingest,
     "q128_balanced_sample": q128_balanced_sample,
+    "q129_bpe_pairs": q129_bpe_pairs,
+    "q130_repetition": q130_repetition,
+    "q131_chunk_overlap": q131_chunk_overlap,
 }

@@ -1,0 +1,102 @@
+"""Round-7 corpus queries — edge-case differentials on a CRAFTED corpus.
+
+The registry parity suite already differentials q127-q131 against DuckDB
+on the driver testdata; this file re-runs the newest three on a corpus
+built to hit the guard paths the synthetic data never does: empty text,
+1/2/3-token documents (the ``sequence(1, 0)``-is-descending Spark trap in
+the 3-gram builder), single-chunk documents, and a pathologically
+repetitive document with a known duplicate fraction."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mysoftware_nocnetintel_spark.plans.oracles_r7 import ORACLES_R7
+from mysoftware_nocnetintel_spark.plans.queries_r7 import (
+    q129_bpe_pairs,
+    q130_repetition,
+    q131_chunk_overlap,
+)
+from tests.oracle_harness import assert_matches_oracle
+
+_DOCS = [
+    # (doc_id, source, lang, text)
+    (0, "srcA", "en", ""),                    # empty: 0 tokens, 0 grams
+    (1, "srcA", "en", "x"),                   # 1 token (no pairs/grams)
+    (2, "srcA", "en", "ab cd"),               # 2 tokens: pairs, no grams
+    (3, "srcB", "en", "ab cd ef"),            # exactly one 3-gram
+    (4, "srcB", "de", "a a a a a a a a"),     # max repetition: 6 grams, 1 distinct
+    (5, "srcB", "de", " ".join(f"t{i % 7}" for i in range(200))),  # 3+ chunks
+    (6, "srcA", "de", "ab  cd"),              # double space: empty token dropped
+]
+
+
+@pytest.fixture()
+def crafted_dir(tmp_path):
+    # the oracle harness registers EVERY table as a view; borrow the
+    # sf0.001 parquet for the tables this corpus doesn't redefine
+    import shutil
+
+    from mysoftware_nocnetintel_spark.sources.registry import TABLES
+
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet",
+                str(tmp_path / f"{t}.parquet"),
+            )
+    rows = list(zip(*[(d, s, la, len(t), t) for d, s, la, t in _DOCS]))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(rows[0], pa.int64()),
+                "source": pa.array(rows[1]),
+                "lang": pa.array(rows[2]),
+                "n_chars": pa.array(rows[3], pa.int64()),
+                "text": pa.array(rows[4]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_q129_edge_differential(spark, crafted_dir):
+    assert_matches_oracle(
+        q129_bpe_pairs(spark, crafted_dir),
+        ORACLES_R7["q129_bpe_pairs"],
+        crafted_dir,
+    )
+
+
+def test_q130_edge_differential_and_known_value(spark, crafted_dir):
+    df = q130_repetition(spark, crafted_dir)
+    assert_matches_oracle(
+        df, ORACLES_R7["q130_repetition"], crafted_dir
+    )
+    by_lang = {r.lang: r for r in df.collect()}
+    # the 200-token doc cycles 7 tokens → 198 grams, 7 distinct →
+    # dup_frac 191/198; 'a'×8 → 6 grams, 1 distinct → 5/6; both > 0.3
+    assert by_lang["de"].max_dup_frac == round(191 / 198, 6)
+    assert by_lang["de"].n_repetitive == 2
+    # en docs: 0/1/2-token docs and one single-3-gram doc → all dup_frac 0
+    assert by_lang["en"].avg_dup_frac == 0.0
+
+
+def test_q131_edge_differential_and_known_geometry(spark, crafted_dir):
+    df = q131_chunk_overlap(spark, crafted_dir)
+    assert_matches_oracle(
+        df, ORACLES_R7["q131_chunk_overlap"], crafted_dir
+    )
+    by_src = {r.source: r for r in df.collect()}
+    # srcB: 3-token doc → 1 chunk of 3; 8-token doc → 1 chunk of 8;
+    # 200-token doc → starts 1,49,97,145 (193 > 200-16), chunks
+    # 64,64,64,56
+    assert by_src["srcB"].n_chunks == 6
+    assert by_src["srcB"].sum_chunk_tokens == 3 + 8 + 64 + 64 + 64 + 56
+    assert by_src["srcB"].n_full == 3
+    # srcA: empty doc still yields one (0-token) chunk row — the
+    # degenerate-start guard (greatest(n_tok - overlap, 1))
+    assert by_src["srcA"].n_chunks == 4
