@@ -307,8 +307,93 @@ def _partition_manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
     return schema
 
 
+# spark/iceberg primitive -> avro type for row-oriented data files
+_AVRO_DATA_TYPES = {
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+def _write_avro_data_files(df: DataFrame, stage: str) -> dict[str, int]:
+    """Distributed row-format write for avro fast-appends: each non-empty
+    executor partition encodes its rows into ONE avro object-container
+    file under ``stage`` via :mod:`.avro_lite` (pure-Python, importable on
+    workers — Spark ships no avro writer without the external spark-avro
+    jar). Returns {staged path: record count} — one bounded row per
+    partition comes back to the driver, never data. The per-partition
+    record list is held in worker memory while encoding; fast-appends are
+    small hot batches by design (the compactor owns the big rewrites)."""
+    import os as _os
+
+    sch = _iceberg_schema(df.schema)
+    if sch is None or any(
+        f["type"] not in _AVRO_DATA_TYPES for f in sch["fields"]
+    ):
+        bad = [
+            (f.name, str(f.dataType)) for f in df.schema.fields
+        ]
+        raise NotImplementedError(
+            "avro appends support primitive int/long/float/double/string/"
+            f"boolean columns only: {bad}"
+        )
+    names = [f["name"] for f in sch["fields"]]
+    # pandas promotes nullable int columns to float — convert each value
+    # back by its DECLARED type so the avro branch encoding stays exact
+    _PY = {"int": int, "long": int, "float": float, "double": float,
+           "boolean": bool, "string": str}
+    convs = [(f["name"], _PY[f["type"]]) for f in sch["fields"]]
+    avro_schema = {
+        "type": "record",
+        "name": "iceberg_row",
+        "fields": [
+            {
+                "name": f["name"],
+                "type": ["null", _AVRO_DATA_TYPES[f["type"]]],
+                "default": None,
+            }
+            for f in sch["fields"]
+        ],
+    }
+    _os.makedirs(stage, exist_ok=True)
+
+    def _write_part(batches):
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from mysoftware_nocnetintel_spark.sources.avro_lite import (
+            write_avro_file,
+        )
+
+        recs = []
+        for pdf in batches:
+            for rowd in pdf[names].to_dict("records"):
+                recs.append(
+                    {
+                        n: None if pd.isna(rowd[n]) else py(rowd[n])
+                        for n, py in convs
+                    }
+                )
+        if recs:
+            p = _os.path.join(
+                stage, f"part-{_uuid.uuid4().hex[:16]}.avro"
+            )
+            write_avro_file(p, avro_schema, recs)
+            yield pd.DataFrame({"path": [p], "n": [len(recs)]})
+
+    rows = df.mapInPandas(_write_part, "path string, n long").collect()
+    return {r["path"]: int(r["n"]) for r in rows}
+
+
 def write_iceberg_append(
-    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    file_format: str = "parquet",
 ) -> int:
     """Append ``df`` to the Iceberg table at ``path`` (creating it on first
     write). Returns the new snapshot id. See module docstring for scope.
@@ -319,8 +404,25 @@ def write_iceberg_append(
     columns, so the original columns stay in the data files as Iceberg
     requires), and the manifest entries carry the typed partition record,
     so the reader can prune files by partition BEFORE planning any scan.
-    Date partition values are recorded in ISO string form."""
+    Date partition values are recorded in ISO string form.
+
+    ``file_format="avro"`` writes ROW-ORIENTED data files — the
+    fast-append shape the Iceberg spec supports for small frequent
+    commits, where buffering a columnar parquet footer per micro-batch is
+    the overhead (a streaming CDC writer's natural format). Each executor
+    partition encodes its rows through :mod:`.avro_lite` (one avro file
+    per non-empty partition, distributed; the driver only moves staged
+    files and writes KB-scale metadata). Avro entries carry no column
+    bounds (no row-group statistics to harvest) so zone maps never prune
+    them, and :func:`rewrite_iceberg_table` ALWAYS bin-packs them into
+    parquet — write-fast then compact-to-columnar is the intended
+    lifecycle. Scope: unpartitioned tables, primitive
+    int/long/float/double/string/boolean columns; everything else fails
+    fast."""
     import pyarrow.parquet as pq
+
+    if file_format not in ("parquet", "avro"):
+        raise ValueError(f"file_format must be parquet or avro: {file_format!r}")
 
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
@@ -394,6 +496,11 @@ def write_iceberg_append(
                 f"table schema {table_sig}"
             )
 
+    if file_format == "avro" and (part_fields or part_cols):
+        raise NotImplementedError(
+            "avro fast-appends are unpartitioned only (partitioned "
+            "tables append parquet)"
+        )
     # distributed data write: ONE write for both shapes. Partitioned
     # tables partitionBy DUPLICATE columns (``__part_<c>``) so Spark's
     # fan-out writer does the per-tuple file split in one distributed
@@ -401,10 +508,17 @@ def write_iceberg_append(
     # non-deterministic source plan) while the ORIGINAL columns stay in
     # the data files as Iceberg requires. Partition values come back from
     # the Hive dir names, decoded to the spec's type.
-    new_files: list[tuple[str, dict | None]] = []
+    new_files: list[tuple[str, dict | None, str, int | None]] = []
     stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
     try:
-        if part_fields:
+        if file_format == "avro":
+            counts = _write_avro_data_files(df, stage)
+            for f in sorted(counts):
+                dest = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.avro")
+                n = counts[f]
+                shutil.move(f, dest)
+                new_files.append((dest, None, "AVRO", n))
+        elif part_fields:
             from urllib.parse import unquote
 
             from pyspark.sql import functions as F
@@ -443,7 +557,7 @@ def write_iceberg_append(
                     data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
                 )
                 shutil.move(f, dest)
-                new_files.append((dest, pvals))
+                new_files.append((dest, pvals, "PARQUET", None))
         else:
             df.write.parquet(stage)
             for f in sorted(glob(os.path.join(stage, "*.parquet"))):
@@ -451,7 +565,7 @@ def write_iceberg_append(
                     data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
                 )
                 shutil.move(f, dest)
-                new_files.append((dest, None))
+                new_files.append((dest, None, "PARQUET", None))
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     if not new_files:
@@ -463,9 +577,13 @@ def write_iceberg_append(
 
     bounds_schema = _iceberg_schema(df.schema)
     entries = []
-    for f, pvals in new_files:
-        pmeta = pq.read_metadata(f)  # driver-side footer read, KB-scale
-        lo, hi = _file_bounds(pmeta, bounds_schema)
+    for f, pvals, fmt, nrows in new_files:
+        if fmt == "PARQUET":
+            pmeta = pq.read_metadata(f)  # driver-side footer read, KB-scale
+            lo, hi = _file_bounds(pmeta, bounds_schema)
+            nrows = pmeta.num_rows
+        else:
+            lo = hi = None  # row-format files carry no column statistics
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -473,8 +591,8 @@ def write_iceberg_append(
                 "data_file": {
                     "content": 0,
                     "file_path": f,
-                    "file_format": "PARQUET",
-                    "record_count": pmeta.num_rows,
+                    "file_format": fmt,
+                    "record_count": nrows,
                     "file_size_in_bytes": os.path.getsize(f),
                     "partition": pvals,
                     "lower_bounds": lo,
@@ -862,6 +980,11 @@ def rewrite_iceberg_table(
             if len(entries_) >= min_files_per_partition
             for e in entries_
         ]
+        # row-format AVRO fast-append files are ALWAYS bin-packed —
+        # converting them to columnar parquet is this job's purpose
+        frag += [
+            e for e in data_files if e.fmt == "AVRO" and e not in frag
+        ]
         if not frag:
             return snap["snapshot-id"]  # nothing fragmented — no-op
         kept = [e for e in data_files if e not in frag]
@@ -881,6 +1004,8 @@ def rewrite_iceberg_table(
             } or None
 
         for e in kept:
+            # kept entries are parquet by construction: every avro entry
+            # was routed into frag above
             kept_entries.append(
                 {
                     "status": 1,
@@ -897,7 +1022,22 @@ def rewrite_iceberg_table(
                     },
                 }
             )
-        live = spark.read.parquet(*[e.path for e in frag])
+        frag_pq = [e.path for e in frag if e.fmt == "PARQUET"]
+        frag_av = [e for e in frag if e.fmt == "AVRO"]
+        live_parts = []
+        if frag_pq:
+            live_parts.append(spark.read.parquet(*frag_pq))
+        if frag_av:
+            from .readers import _scan_iceberg_avro
+
+            live_parts.append(
+                _scan_iceberg_avro(spark, path, frag_av).drop(
+                    "__fp", "__pos"
+                )
+            )
+        live = live_parts[0]
+        for p in live_parts[1:]:
+            live = live.unionByName(p)
     # partitioned tables regroup per partition tuple (the same
     # duplicate-column partitionBy fan-out as the append path), so the
     # compacted entries keep their partition records and pruning stays

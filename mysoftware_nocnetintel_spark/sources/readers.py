@@ -725,13 +725,27 @@ def _iceberg_live_scan(
     if not data_files:
         raise ValueError(f"Iceberg snapshot {snap['snapshot-id']} has no files")
     # identity-partitioned Iceberg data files still CONTAIN their partition
-    # source columns (unlike Hive layout), so a plain scan is complete
-    scan = spark.read.parquet(*[e.path for e in data_files])
-    data = scan.select(
-        "*",
-        _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
-        F.col("_metadata.row_index").alias("__pos"),
-    )
+    # source columns (unlike Hive layout), so a plain scan is complete.
+    # Mixed-format tables (row-oriented AVRO fast-appends awaiting
+    # compaction next to columnar parquet) union the two scans; both emit
+    # the same (__fp, __pos) coordinates, so deletes compose identically.
+    pq_entries = [e for e in data_files if e.fmt == "PARQUET"]
+    av_entries = [e for e in data_files if e.fmt == "AVRO"]
+    parts = []
+    if pq_entries:
+        scan = spark.read.parquet(*[e.path for e in pq_entries])
+        parts.append(
+            scan.select(
+                "*",
+                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+    if av_entries:
+        parts.append(_scan_iceberg_avro(spark, path, av_entries))
+    data = parts[0]
+    for p in parts[1:]:
+        data = data.unionByName(p)
     if delete_files:
         data = data.join(
             _position_delete_rows(spark, delete_files),
@@ -755,6 +769,91 @@ def _iceberg_live_scan(
             }[op]
         )
     return data if keep_coords else data.drop("__fp", "__pos")
+
+
+# iceberg primitive -> spark DDL for the avro data-file scan (the subset
+# write_iceberg_append(file_format="avro") can produce)
+_ICE_TO_SPARK_DDL = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+def _scan_iceberg_avro(
+    spark: SparkSession, path: str, entries: "list[_DataFile]"
+) -> DataFrame:
+    """Distributed scan of Iceberg AVRO data files (row-oriented
+    fast-append files — the format small frequent commits use before
+    :func:`~.iceberg.rewrite_iceberg_table` bin-packs them to parquet).
+
+    Spark ships no avro reader without the external spark-avro jar, so the
+    decode runs through :mod:`.avro_lite` INSIDE the executors: the file
+    list parallelizes one-file-per-task (``repartition`` on the path — a
+    KB-scale shuffle of strings) and each task decodes its file into Arrow
+    batches via ``mapInPandas``. Emits the same hidden ``(__fp, __pos)``
+    coordinates as the parquet scan — ``__fp`` is the manifest-resolved
+    path and ``__pos`` the record index — so position and equality deletes
+    compose identically across formats. The expected schema comes from the
+    table's field-id schema, NOT from the files (renames stay
+    metadata-only); types outside the avro-append subset fail fast."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    meta_dir = os.path.join(path, "metadata")
+    versions = sorted(
+        (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+        key=lambda p: int(p[1:].split(".")[0]),
+    )
+    with open(os.path.join(meta_dir, versions[-1])) as fh:
+        meta = json.load(fh)
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        raise NotImplementedError(
+            "Iceberg AVRO data files need the table's field-id schema: "
+            "use the iceberg-spark-runtime connector"
+        )
+    names, ddl_parts = [], []
+    for f in schemas[0]["fields"]:
+        t = _ICE_TO_SPARK_DDL.get(f["type"])
+        if t is None:
+            raise NotImplementedError(
+                f"Iceberg AVRO data file column {f['name']!r} of type "
+                f"{f['type']!r}: use the iceberg-spark-runtime connector"
+            )
+        names.append(f["name"])
+        ddl_parts.append(f"`{f['name']}` {t}")
+    out_schema = StructType.fromDDL(
+        ", ".join(ddl_parts + ["`__fp` string", "`__pos` bigint"])
+    )
+    paths = [os.path.abspath(e.path) for e in entries]
+    files_df = spark.createDataFrame(
+        [(p,) for p in paths], "__path string"
+    ).repartition(len(paths), "__path")
+
+    def _decode(batches):
+        import pandas as pd
+
+        from mysoftware_nocnetintel_spark.sources.avro_lite import (
+            read_avro_file,
+        )
+
+        for pdf in batches:
+            for p in pdf["__path"]:
+                _, recs = read_avro_file(p)
+                out = pd.DataFrame(
+                    [[r.get(n) for n in names] for r in recs], columns=names
+                )
+                out["__fp"] = p
+                out["__pos"] = range(len(recs))
+                yield out
+
+    return files_df.mapInPandas(_decode, out_schema)
 
 
 _SCAN_FILTER_OPS = (">=", ">", "<=", "<", "=")
@@ -827,6 +926,7 @@ class _DataFile(NamedTuple):
     partition: dict | None
     lower: dict | None  # str(field id) -> typed min (zone map)
     upper: dict | None
+    fmt: str = "PARQUET"  # PARQUET | AVRO
 
 
 def _iceberg_snapshot_files(
@@ -928,10 +1028,16 @@ def _iceberg_snapshot_files(
                 continue
             df_rec = e["data_file"]
             fc = df_rec.get("content", 0)
-            if df_rec["file_format"].upper() != "PARQUET":
+            fmt = df_rec["file_format"].upper()
+            if fmt not in ("PARQUET", "AVRO"):
                 raise NotImplementedError(
                     f"Iceberg {df_rec['file_format']} files "
-                    "(minimal reader scans parquet only)"
+                    "(minimal reader scans parquet and avro only)"
+                )
+            if fc != 0 and fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"Iceberg {fmt} DELETE files (parquet delete files "
+                    "only): use the iceberg-spark-runtime connector"
                 )
             fpath = _iceberg_local_path(df_rec["file_path"])
             if fc == 0:
@@ -942,6 +1048,7 @@ def _iceberg_snapshot_files(
                         df_rec.get("partition"),
                         _decode_bounds(df_rec.get("lower_bounds")),
                         _decode_bounds(df_rec.get("upper_bounds")),
+                        fmt,
                     )
                 )
             elif fc == 1:  # position deletes
