@@ -73,8 +73,34 @@ def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
     os.replace(tmp, final)
 
 
+def latest_txn_version(path: str, app_id: str) -> int | None:
+    """The highest ``txn.version`` committed for ``app_id``, or None —
+    the Delta protocol's idempotent-writer handshake (PROTOCOL.md
+    "Transaction Identifiers"): a writer that stamps every commit with
+    ``{"txn": {"appId", "version"}}`` can detect, across process
+    restarts, which of its logical writes already landed. Driver-side
+    JSON replay only; complete here because this writer refuses
+    checkpointed tables (no txn state can hide in a checkpoint)."""
+    log_dir = os.path.join(path, "_delta_log")
+    best: int | None = None
+    for v in _log_versions(log_dir):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                t = act.get("txn")
+                if t and t.get("appId") == app_id:
+                    tv = int(t["version"])
+                    best = tv if best is None or tv > best else best
+    return best
+
+
 def write_delta_append(
-    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Append ``df`` to the Delta table at ``path`` (creating it on first
     write). Returns the committed version. See module docstring for scope.
@@ -84,8 +110,34 @@ def write_delta_append(
     files per the Delta convention) and records ``partitionValues`` on
     each add action — which is what the reader's ``partition_filter``
     prunes on, and what re-attaches the columns at scan time. Later
-    appends inherit the table's partitionColumns."""
+    appends inherit the table's partitionColumns.
+
+    ``txn=(app_id, version)`` makes the append IDEMPOTENT (the
+    protocol's Transaction Identifiers — how a streaming sink turns
+    at-least-once foreachBatch retries into exactly-once): if the log
+    already holds a ``txn`` for ``app_id`` at this version or higher,
+    the call SKIPS — no data write, no commit — and returns the current
+    table version; otherwise the txn action commits ATOMICALLY in the
+    same version json as the adds, so a crash can never record the
+    batch as done without its rows (or vice versa). The skip check runs
+    BEFORE the distributed write: a replayed batch costs one driver-side
+    log scan, zero executor work."""
+    if txn is not None:
+        app_id, tv = txn
+        done = latest_txn_version(path, app_id)
+        if done is not None and done >= tv:
+            return _log_versions(os.path.join(path, "_delta_log"))[-1]
     version, actions = _stage_append(df, path, partition_by)
+    if txn is not None:
+        actions = [
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": int(time.time() * 1000),
+                }
+            }
+        ] + actions
     _commit_version(os.path.join(path, "_delta_log"), version, actions)
     return version
 

@@ -633,3 +633,36 @@ def cdc_upsert_batch(
         write_iceberg_append(latest, path)
     finally:
         latest.unpersist()
+
+
+def delta_stream_append(
+    events: DataFrame, path: str, checkpoint: str, app_id: str
+):
+    """EXACTLY-ONCE streaming append into a Delta table — the other half
+    of the lakehouse sink story next to :func:`iceberg_cdc_upsert`
+    (reference continuous ingestion, README.md:24,26).
+
+    Structured Streaming's foreachBatch is AT-LEAST-ONCE: after a crash
+    between the sink write and the checkpoint commit, the engine replays
+    the same ``batch_id``. The sink turns that into exactly-once with the
+    Delta protocol's Transaction Identifiers: every commit carries
+    ``txn(appId=app_id, version=batch_id)`` atomically with its add
+    actions, and a replayed batch is SKIPPED when the log already holds
+    its txn (``sources.delta.write_delta_append(txn=...)``). The skip
+    costs one driver-side log scan — zero executor work — which is
+    exactly delta-spark's own streaming-sink design.
+
+    ``app_id`` must be stable per (query, checkpoint) — reuse across
+    different queries writing the same table would cross-skip batches."""
+    from ..sources.delta import write_delta_append
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        write_delta_append(batch_df, path, txn=(app_id, int(batch_id)))
+
+    return (
+        events.writeStream.foreachBatch(append)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
