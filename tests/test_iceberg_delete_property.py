@@ -139,3 +139,81 @@ def test_random_mixed_delete_kind_interleavings(spark, tmp_path, seed):
             continue  # reader raises on empty snapshots by contract
         got = _rows(read_iceberg_snapshot(spark, root, snapshot_id=sid))
         assert got == want, f"seed={seed} snapshot {sid}"
+
+
+@pytest.mark.parametrize("seed", [11, 31])
+def test_random_mixed_format_deletes_and_compaction(spark, tmp_path, seed):
+    """The full lifecycle fuzz: appends in RANDOM file format (parquet or
+    row-oriented avro fast-appends), both delete kinds, and MAJOR
+    COMPACTION interleaved. The model tracks per-row commit sequences;
+    compaction re-materializes every live row at the new sequence (so a
+    later equality delete still kills it — rewritten rows are not
+    magically older) and must leave only parquet files behind."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        rewrite_iceberg_table,
+        write_iceberg_equality_deletes,
+    )
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        _iceberg_snapshot_files,
+    )
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"fmt{seed}")
+    ref: set[tuple[int, str, int]] = set()
+    seq = 0
+    snapshots: list[tuple[int, set]] = []
+
+    ops = ["append"] + [
+        rng.choice(["append", "append", "posdel", "eqdel", "compact"])
+        for _ in range(8)
+    ]
+    for op in ops:
+        if op == "compact" and ref:
+            seq += 1
+            sid = rewrite_iceberg_table(spark, root)
+            ref = {(k, v, seq) for (k, v, _s) in ref}
+            data_files, pos_d, eq_d, _s = _iceberg_snapshot_files(root)
+            assert not pos_d and not eq_d  # REPLACE folds deletes away
+            assert all(e.fmt == "PARQUET" for e in data_files)
+        elif op == "append" or not ref:
+            seq += 1
+            fmt = rng.choice(["parquet", "avro"])
+            n = rng.randint(1, 3)
+            batch = {rng.randrange(8): chr(97 + seq) for _ in range(n)}
+            sid = write_iceberg_append(
+                spark.createDataFrame(
+                    list(batch.items()), "id bigint, val string"
+                ),
+                root,
+                file_format=fmt,
+            )
+            ref |= {(k, v, seq) for k, v in batch.items()}
+        elif op == "posdel":
+            seq += 1
+            m = rng.choice([2, 3])
+            r = rng.randrange(m)
+            sid = write_iceberg_position_deletes(
+                spark, root, F.col("id") % m == r
+            )
+            ref = {t for t in ref if t[0] % m != r}
+        else:
+            seq += 1
+            ks = sorted({t[0] for t in ref} | {rng.randrange(8)})
+            chosen = rng.sample(ks, k=min(len(ks), rng.randint(1, 3)))
+            sid = write_iceberg_equality_deletes(
+                spark,
+                root,
+                spark.createDataFrame([(k,) for k in chosen], "id bigint"),
+            )
+            ref = {t for t in ref if not (t[0] in chosen and t[2] < seq)}
+        want = {(k, v) for (k, v, _s) in ref}
+        snapshots.append((sid, want))
+        if ref:
+            got = _rows(read_iceberg_snapshot(spark, root))
+            assert got == want, f"seed={seed} after {op} (seq {seq})"
+
+    for sid, want in snapshots:
+        if not want:
+            continue
+        got = _rows(read_iceberg_snapshot(spark, root, snapshot_id=sid))
+        assert got == want, f"seed={seed} snapshot {sid}"
