@@ -635,6 +635,100 @@ def cdc_upsert_batch(
         latest.unpersist()
 
 
+_HH_STATE_SCHEMA = (
+    "items ARRAY<STRING>, counts ARRAY<LONG>, errs ARRAY<LONG>"
+)
+_HH_OUT_SCHEMA = "shard INT, item STRING, est_count LONG, max_err LONG"
+
+
+def _heavy_hitters_fn(key, pdf_iter, state):
+    """Batch SpaceSaving per shard (Metwally et al. 2005): keep at most
+    ``capacity`` (item → count, err) entries; an unseen item arriving at
+    a full summary evicts the minimum-count entry and inherits its count
+    as overestimation error. Guarantees: est_count >= true count >=
+    est_count - max_err, and any item with true frequency >
+    total/capacity is present. With capacity >= distinct items the
+    summary is EXACT (max_err 0) — the parity tests pin that case.
+    Batch variant: within-batch occurrences of one item fold into a
+    single increment (same bounds, one eviction per new item)."""
+    (shard,) = key
+    if state.exists:
+        items, counts, errs = state.get
+        summ = {i: [c, e] for i, c, e in zip(items, counts, errs)}
+    else:
+        summ = {}
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        capacity = int(pdf["__capacity"].iloc[0])
+        for item, n in pdf["item"].value_counts().items():
+            n = int(n)
+            if item in summ:
+                summ[item][0] += n
+            elif len(summ) < capacity:
+                summ[item] = [n, 0]
+            else:
+                victim = min(summ, key=lambda k: summ[k][0])
+                floor = summ[victim][0]
+                del summ[victim]
+                summ[item] = [floor + n, floor]
+    state.update(
+        (
+            list(summ.keys()),
+            [v[0] for v in summ.values()],
+            [v[1] for v in summ.values()],
+        )
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "shard": shard,
+                "item": i,
+                "est_count": c,
+                "max_err": e,
+            }
+            for i, (c, e) in sorted(summ.items())
+        ]
+    )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    item_col: str = "user_id",
+    n_shards: int = 8,
+    capacity: int = 64,
+) -> DataFrame:
+    """T6 stateful sketch: streaming HEAVY HITTERS (most frequent items)
+    via sharded SpaceSaving summaries — the training-pipeline move for
+    "which domains/tokens/entities dominate the feed" without keeping
+    O(distinct) state.
+
+    Scale shape: items hash-partition into ``n_shards`` DISJOINT shards
+    (each item lives in exactly one shard), so per-shard summaries merge
+    by plain union and a global top-k is the top-k of the emitted rows.
+    State is O(n_shards × capacity) regardless of stream cardinality;
+    shards spread across executors like any grouped state. Each
+    micro-batch emits every shard's CURRENT summary (output mode
+    ``update``-style via append; the last batch's emission is the live
+    summary)."""
+    items = events.select(
+        F.col(item_col).cast("string").alias("item"),
+        (F.abs(F.hash(F.col(item_col))) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.lit(capacity).alias("__capacity"),
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return items.groupBy("shard").applyInPandasWithState(
+        _heavy_hitters_fn,
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def delta_stream_append(
     events: DataFrame, path: str, checkpoint: str, app_id: str
 ):
