@@ -113,11 +113,13 @@ def main() -> None:
         for name in HEADLINE:
             materialize(QUERIES[name](spark, sf_dir))
 
-    # per-query latencies (sequential, best-of-3) for the breakdown list
+    # per-query latencies (sequential, best-of-5 — the shared-host box
+    # shows real run-to-run variance, see BASELINE.md round-5 note) for
+    # the breakdown list
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -108,6 +108,76 @@ GROUP BY source
 ORDER BY source
 """
 
+ORACLES_R7["q132_session_funnel"] = """
+WITH t1 AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'login' THEN ts END) AS t1
+    FROM events GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'purchase' AND e.ts >= t1.t1
+                    THEN e.ts END) AS t2
+    FROM events e JOIN t1 ON e.user_id = t1.user_id
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'error' AND e.ts >= t2.t2
+                    THEN e.ts END) AS t3
+    FROM events e JOIN t2 ON e.user_id = t2.user_id
+    GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS step1_login,
+       CAST(sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS step2_purchase,
+       CAST(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS step3_error
+FROM t1
+JOIN t2 ON t1.user_id = t2.user_id
+JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+ORACLES_R7["q133_rfm_segments"] = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(datediff('day', DATE '1990-01-01', max(o_orderdate))
+                AS DOUBLE) AS rec_days,
+           CAST(count(*) AS DOUBLE) AS freq,
+           round(sum(o_totalprice), 2) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+qs AS (
+    SELECT quantile_cont(rec_days, 0.25) AS r25,
+           quantile_cont(rec_days, 0.50) AS r50,
+           quantile_cont(rec_days, 0.75) AS r75,
+           quantile_cont(freq, 0.25) AS f25,
+           quantile_cont(freq, 0.50) AS f50,
+           quantile_cont(freq, 0.75) AS f75,
+           quantile_cont(monetary, 0.25) AS m25,
+           quantile_cont(monetary, 0.50) AS m50,
+           quantile_cont(monetary, 0.75) AS m75
+    FROM per_cust
+),
+scored AS (
+    SELECT 1 + CAST(rec_days > r25 AS INT) + CAST(rec_days > r50 AS INT)
+             + CAST(rec_days > r75 AS INT) AS r_score,
+           1 + CAST(freq > f25 AS INT) + CAST(freq > f50 AS INT)
+             + CAST(freq > f75 AS INT) AS f_score,
+           1 + CAST(monetary > m25 AS INT) + CAST(monetary > m50 AS INT)
+             + CAST(monetary > m75 AS INT) AS m_score
+    FROM per_cust CROSS JOIN qs
+)
+SELECT r_score, f_score,
+       count(*) AS n_customers,
+       round(avg(CAST(m_score AS DOUBLE)), 6) AS avg_m_score
+FROM scored
+GROUP BY r_score, f_score
+ORDER BY r_score, f_score
+"""
+
 ORACLES_R7["q128_balanced_sample"] = """
 WITH ranked AS (
     SELECT lang, source, doc_id, n_chars,

@@ -252,10 +252,129 @@ def q131_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/A7 behavioral funnel: ORDERED step conversion login →
+    purchase → error (the classic product-analytics funnel over the
+    reference's event stream). A user converts step k iff a step-k
+    event happens AT OR AFTER their first step-(k-1) conversion time —
+    strict ordering, not mere co-occurrence.
+
+    Scale shape: each pass is a groupBy(user_id) conditional-min
+    aggregate joined back to events on the SAME key (co-partitioned —
+    Catalyst reuses the hash partitioning, no broadcast of the user
+    table needed at 100 TB), and the final rollup is one scalar row.
+    No windows, no explode, no self-join on time ranges."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "login", F.col("ts"))).alias(
+            "t1"
+        )
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    steps = t1.join(t2, "user_id").join(t3, "user_id")
+    return steps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("t1").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("step1_login"),
+        F.sum(F.col("t2").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("step2_purchase"),
+        F.sum(F.col("t3").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("step3_error"),
+    )
+
+
+def q133_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W4 RFM SEGMENTATION: score every customer 1-4 on Recency
+    (last order date), Frequency (order count) and Monetary (total
+    spend), then report segment sizes — the classic CRM cut over the
+    TPC-H orders surface.
+
+    Scale-first scoring: NOT ntile — a global ntile window funnels the
+    whole per-customer table through one partition (exactly the shape
+    the plan sweep gates). Instead ONE scalar aggregate row computes the
+    nine exact quartile boundaries (``percentile``, the interpolated
+    definition DuckDB's ``quantile_cont`` shares) and broadcasts; scores
+    are then pure comparisons (1 + Σ v > boundary) in a narrow
+    projection. Boundary comparisons are parity-robust: interpolated
+    boundaries either fall BETWEEN data values (comparison unaffected by
+    last-ulp noise) or exactly ON one (frac = 0 → exact arithmetic in
+    both engines). Recency uses integer days from a fixed epoch so the
+    percentile input is numeric and engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("double")
+        .alias("rec_days"),
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    qs = per_cust.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{c}_{int(p * 100)}")
+            for c in ("rec_days", "freq", "monetary")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def _score(c: str):
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}_25")).cast("int")
+            + (F.col(c) > F.col(f"{c}_50")).cast("int")
+            + (F.col(c) > F.col(f"{c}_75")).cast("int")
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(qs)).select(
+        _score("rec_days").alias("r_score"),
+        _score("freq").alias("f_score"),
+        _score("monetary").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg(F.col("m_score").cast("double")), 6).alias(
+                "avg_m_score"
+            ),
+        )
+        .orderBy("r_score", "f_score")
+    )
+
+
 R7_QUERIES = {
     "q127_incremental_ingest": q127_incremental_ingest,
     "q128_balanced_sample": q128_balanced_sample,
     "q129_bpe_pairs": q129_bpe_pairs,
     "q130_repetition": q130_repetition,
     "q131_chunk_overlap": q131_chunk_overlap,
+    "q132_session_funnel": q132_session_funnel,
+    "q133_rfm_segments": q133_rfm_segments,
 }

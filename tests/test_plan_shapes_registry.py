@@ -43,6 +43,7 @@ _BNLJ_OK = {
     "q117_bigram_surprisal": (2, "scalar vocab/total aggregates"),
     "q119_source_overlap": (1, "scalar per-source vocab totals"),
     "q124_bm25": (1, "single-row corpus-statistics side table"),
+    "q133_rfm_segments": (1, "single-row quartile-boundary aggregate"),
 }
 
 # query -> (max SinglePartition exchanges, bounded set justifying them)
@@ -68,6 +69,8 @@ _SINGLE_OK = {
     "q123_semdedup": (1, "k-means sample bound (centroid fit input cap)"),
     "q124_bm25": (1, "single-row statistics aggregate"),
     "q125_mllib_pipeline": (1, "scalar metrics row"),
+    "q132_session_funnel": (1, "scalar funnel rollup"),
+    "q133_rfm_segments": (1, "single-row quartile-boundary aggregate"),
 }
 
 
