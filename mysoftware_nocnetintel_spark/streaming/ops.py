@@ -240,15 +240,55 @@ def with_drift_state(events: DataFrame) -> DataFrame:
 # comparison/parity). Same math, same output schema.
 #
 # Capability gate: the state-v2 Python protocol speaks protobuf to the JVM
-# state server; this container ships no google.protobuf, so execution would
+# state server; without an importable google.protobuf, execution would
 # crash the streaming runner mid-query. Checked ONCE here so callers fail
 # fast at plan-build with a clear message (tests skip on the same flag).
-try:
-    import google.protobuf  # noqa: F401
+# The pip package is absent in this container, but the system
+# google-cloud-sdk bundles a MODERN pure-python protobuf (6.x, builder
+# API); when found, it is added to BOTH the driver's sys.path and
+# PYTHONPATH — the state-v2 protocol decodes protobuf in the PYTHON
+# WORKERS, which inherit PYTHONPATH from the JVM's environment, so the
+# env var must be set before the SparkSession (and its workers) launch.
+# Import of this module precedes session construction in every entry
+# point (sources/registry imports are pulled in by session users first).
 
-    STATE_V2_AVAILABLE = True
-except ImportError:
-    STATE_V2_AVAILABLE = False
+
+def _find_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    import os as _os
+    import sys as _sys
+
+    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if _os.path.isdir(_os.path.join(sdk, "google", "protobuf")):
+        _sys.path.append(sdk)
+        try:
+            import google.protobuf  # noqa: F401
+            import google.protobuf.internal.builder  # noqa: F401
+        except ImportError:
+            _sys.path.remove(sdk)
+            return False
+        _os.environ["PYTHONPATH"] = (
+            sdk + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+        ).rstrip(_os.pathsep)
+        # pyspark's StateMessage gencode may be one minor version ahead
+        # of the SDK runtime (e.g. 6.33 gencode vs 6.32 runtime), which
+        # the runtime's validator refuses by default. The skew is within
+        # protobuf's stable-wire guarantee and the v1≡v2 drift PARITY
+        # differential is the behavioral gate that actually matters, so
+        # use the validator's own documented escape hatch.
+        _os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        return True
+    return False
+
+
+STATE_V2_AVAILABLE = _find_protobuf()
 
 
 def _make_drift_processor():
