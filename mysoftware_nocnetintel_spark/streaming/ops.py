@@ -692,15 +692,31 @@ def _heavy_hitters_fn(key, pdf_iter, state):
     Batch variant: within-batch occurrences of one item fold into a
     single increment (same bounds, one eviction per new item)."""
     (shard,) = key
-    if state.exists:
-        items, counts, errs = state.get
-        summ = {i: [c, e] for i, c, e in zip(items, counts, errs)}
-    else:
-        summ = {}
+    existing = state.get if state.exists else None
+    summ = _spacesaving_fold(existing, pdf_iter)
+    state.update(
+        (
+            list(summ.keys()),
+            [v[0] for v in summ.values()],
+            [v[1] for v in summ.values()],
+        )
+    )
+    yield _spacesaving_emit(shard, summ)
+
+
+def _spacesaving_fold(existing, pdf_iter, capacity: int | None = None) -> dict:
+    """Shared SpaceSaving fold for the v1 and v2 operators: merge the
+    batches into the (item -> [count, err]) summary. Capacity arrives as
+    the ``__capacity`` column (v1 path) unless given explicitly (v2
+    closure-captures it)."""
+    summ = (
+        {i: [c, e] for i, c, e in zip(*existing)} if existing else {}
+    )
     for pdf in pdf_iter:
         if not len(pdf):
             continue
-        capacity = int(pdf["__capacity"].iloc[0])
+        if capacity is None:
+            capacity = int(pdf["__capacity"].iloc[0])
         for item, n in pdf["item"].value_counts().items():
             n = int(n)
             if item in summ:
@@ -712,21 +728,13 @@ def _heavy_hitters_fn(key, pdf_iter, state):
                 floor = summ[victim][0]
                 del summ[victim]
                 summ[item] = [floor + n, floor]
-    state.update(
-        (
-            list(summ.keys()),
-            [v[0] for v in summ.values()],
-            [v[1] for v in summ.values()],
-        )
-    )
-    yield pd.DataFrame(
+    return summ
+
+
+def _spacesaving_emit(shard: int, summ: dict) -> "pd.DataFrame":
+    return pd.DataFrame(
         [
-            {
-                "shard": shard,
-                "item": i,
-                "est_count": c,
-                "max_err": e,
-            }
+            {"shard": shard, "item": i, "est_count": c, "max_err": e}
             for i, (c, e) in sorted(summ.items())
         ]
     )
@@ -766,6 +774,67 @@ def heavy_hitters_stream(
         stateStructType=_HH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _make_hh_processor(capacity: int):
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HeavyHittersProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._summ = handle.getValueState("summ", _HH_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (shard,) = key
+            existing = self._summ.get() if self._summ.exists() else None
+            # v2 delivers only the projected data columns; capacity is
+            # closure-captured (the processor is built per query)
+            summ = _spacesaving_fold(existing, rows, capacity)
+            self._summ.update(
+                (
+                    list(summ.keys()),
+                    [v[0] for v in summ.values()],
+                    [v[1] for v in summ.values()],
+                )
+            )
+            yield _spacesaving_emit(shard, summ)
+
+        def close(self) -> None:
+            pass
+
+    return HeavyHittersProcessor()
+
+
+def heavy_hitters_stream_v2(
+    events: DataFrame,
+    item_col: str = "user_id",
+    n_shards: int = 8,
+    capacity: int = 64,
+) -> DataFrame:
+    """:func:`heavy_hitters_stream` on the state-v2 API
+    (transformWithStateInPandas, named ValueState) — identical semantics
+    via the shared :func:`_spacesaving_fold`, asserted equal in
+    tests/test_streaming_heavy_hitters.py."""
+    if not STATE_V2_AVAILABLE:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pip install protobuf) — unavailable in this environment; "
+            "use heavy_hitters_stream (applyInPandasWithState) instead"
+        )
+    items = events.select(
+        F.col(item_col).cast("string").alias("item"),
+        (F.abs(F.hash(F.col(item_col))) % n_shards)
+        .cast("int")
+        .alias("shard"),
+    )
+    return items.groupBy("shard").transformWithStateInPandas(
+        statefulProcessor=_make_hh_processor(capacity),
+        outputStructType=_HH_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
 
 

@@ -35,6 +35,56 @@ def test_exact_when_capacity_exceeds_cardinality(spark, sf_dir):
     assert len(got) == len({r.item for r in got})
 
 
+def test_v2_equals_v1(spark, sf_dir):
+    """transformWithStateInPandas variant emits the identical summary
+    (shared SpaceSaving fold; named ValueState instead of v1 group
+    state)."""
+    import pytest
+
+    if not STR.STATE_V2_AVAILABLE:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            STR.heavy_hitters_stream_v2(
+                STR.read_events_stream(spark, sf_dir)
+            )
+        return
+    v1 = {
+        (r.shard, r.item): (r.est_count, r.max_err)
+        for r in STR.run_to_memory(
+            STR.heavy_hitters_stream(
+                STR.read_events_stream(spark, sf_dir),
+                item_col="event_type",
+                n_shards=2,
+                capacity=100,
+            ),
+            "t_hh_v1",
+            output_mode="append",
+        ).collect()
+    }
+    # state-v2 needs a multi-column-family store (RocksDB)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        v2 = {
+            (r.shard, r.item): (r.est_count, r.max_err)
+            for r in STR.run_to_memory(
+                STR.heavy_hitters_stream_v2(
+                    STR.read_events_stream(spark, sf_dir),
+                    item_col="event_type",
+                    n_shards=2,
+                    capacity=100,
+                ),
+                "t_hh_v2",
+                output_mode="append",
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert v1 and v2 == v1
+
+
 def test_spacesaving_bounds_under_capacity(spark, sf_dir):
     """Tiny capacity: the estimate brackets the truth and dominant items
     survive."""
