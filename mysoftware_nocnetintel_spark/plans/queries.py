@@ -221,22 +221,37 @@ def q2_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " ".join(f"WHEN {k} THEN '{cat['nation_name'][k]}'" for k in nkeys)
             + " END"
         )
-        cust_n = cust.filter(F.col("c_nationkey").isin(nkeys)).select(
-            "c_custkey", F.expr(case).alias("n_name")
-        )
-        ords = orders.filter(
-            (F.col("o_orderdate") >= _ntz("1995-01-01 00:00:00"))
-            & (F.col("o_orderdate") < _ntz("1997-01-01 00:00:00"))
-        ).select("o_orderkey", "o_custkey")
-        # Two INDEPENDENT broadcast builds (filtered orders, ASIA customers)
-        # probed by one lineitem pass. Chaining them (orders ⋈ cust first,
-        # broadcast the result) serializes build jobs on the critical path —
-        # measured 0.35 s → 0.26 s at sf0.1 from de-chaining. Both builds
-        # stay inside the same _Q2_BROADCAST_BUDGET gate: the broadcast
-        # orders side is a date-filtered 2-column projection.
-        joined = li.join(
-            F.broadcast(ords), li.l_orderkey == ords.o_orderkey
-        ).join(F.broadcast(cust_n), F.col("o_custkey") == cust_n.c_custkey)
+        # Two INDEPENDENT broadcast builds (filtered orders, ASIA
+        # customers) probed by one lineitem pass. Chaining them (orders ⋈
+        # cust first, broadcast the result) serializes build jobs on the
+        # critical path — measured 0.35 s → 0.26 s at sf0.1 from
+        # de-chaining. Both builds stay inside the same
+        # _Q2_BROADCAST_BUDGET gate: the broadcast orders side is a
+        # date-filtered 2-column projection. Issued as ONE spark.sql
+        # statement (the q124/q9 lesson: chained DataFrames pay eager
+        # re-analysis + py4j per link — ~0.1 s of this query's build).
+        cust.createOrReplaceTempView("__q2_cust")
+        orders.createOrReplaceTempView("__q2_orders")
+        li.createOrReplaceTempView("__q2_li")
+        in_keys = ", ".join(str(k) for k in nkeys)
+        return spark.sql(f"""
+            SELECT /*+ BROADCAST(o), BROADCAST(c) */
+                   c.n_name,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) as revenue
+            FROM __q2_li l
+            JOIN (
+              SELECT o_orderkey, o_custkey FROM __q2_orders
+              WHERE o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+            ) o ON l.l_orderkey = o.o_orderkey
+            JOIN (
+              SELECT c_custkey, {case} as n_name FROM __q2_cust
+              WHERE c_nationkey IN ({in_keys})
+            ) c ON o.o_custkey = c.c_custkey
+            GROUP BY c.n_name
+            ORDER BY revenue DESC, n_name
+            LIMIT 10
+        """)
     else:
         nation = _t(spark, sf_dir, "nation")
         region = _t(spark, sf_dir, "region")
@@ -396,18 +411,41 @@ def q8_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan side streams — no shuffle until the final top-k (TakeOrdered).
 # --------------------------------------------------------------------------
 def q9_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE spark.sql statement (the q124 lesson): the higher-order-function
+    # cosine tree built as chained Column ops paid ~0.15 s of py4j
+    # round-trips + eager re-analysis per statement — half this query's
+    # serving latency. Same expressions (functions/vectors.py semantics:
+    # double-cast fold, try_divide zero-norm safety), same physical plan
+    # (broadcast 1-row query side, TakeOrderedAndProject).
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .withColumn("cos_raw", V.cosine_similarity("embedding", "qv"))
+    emb.createOrReplaceTempView("__q9_emb")
+    dot = (
+        "aggregate(zip_with(transform(e.embedding, x -> cast(x as double)),"
+        " transform(q.qv, x -> cast(x as double)), (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
-    return (
-        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(10)
-        .select("vec_id", F.round("cos_raw", 6).alias("cosine_sim"))
+    n1 = (
+        "sqrt(aggregate(transform(e.embedding, x -> cast(x as double)),"
+        " 0.0D, (acc, x) -> acc + x * x))"
     )
+    n2 = (
+        "sqrt(aggregate(transform(q.qv, x -> cast(x as double)),"
+        " 0.0D, (acc, x) -> acc + x * x))"
+    )
+    return spark.sql(f"""
+        SELECT vec_id, round(cos_raw, 6) as cosine_sim
+        FROM (
+          SELECT /*+ BROADCAST(q) */ e.vec_id,
+                 try_divide({dot}, {n1} * {n2}) as cos_raw
+          FROM __q9_emb e
+          CROSS JOIN (
+            SELECT embedding as qv FROM __q9_emb WHERE vec_id = 0
+          ) q
+          WHERE e.vec_id != 0
+        )
+        ORDER BY cos_raw DESC, vec_id
+        LIMIT 10
+    """)
 
 
 # --------------------------------------------------------------------------

@@ -119,17 +119,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # reuses — arrives as ONE partition regardless of size
             # (measured at sf1: a 184 MB lineitem cached single-partition
             # ran every aggregation single-core; 3.6x the DuckDB wall).
-            # ~2 MiB of parquet per cached partition keeps small-SF
-            # statements at a handful of tasks (the 5-row dimensions stay
-            # at 1 — fanning those out tripled the statement floor) while
-            # a 10x-scaled corpus fans to full core count. At cluster
-            # scale inputs span many files/row groups and the scan
-            # already exceeds parallelism, so this never fires.
+            # ~256 KiB of parquet per cached partition (measured best of
+            # {2 MiB, 512 KiB, 256 KiB}: headline sf0.1 seq total 2.33 /
+            # 1.87 / 1.75 s — the window/JSON queries over the 2 MB
+            # events table were still single-core under coarser rules)
+            # while the KB-scale dimensions stay at 1 partition — fanning
+            # those out tripled the statement floor. At cluster scale
+            # inputs span many files/row groups and the scan already
+            # exceeds parallelism, so this never fires.
             try:
                 nbytes = os.path.getsize(table_path(sf_dir, name))
             except OSError:
                 nbytes = 0
-            spread = min(target, int(nbytes) >> 21)
+            spread = min(target, int(nbytes) >> 18)
             if spread > 1 and df.rdd.getNumPartitions() < spread:
                 df = df.repartition(spread)
         df = df.cache()
