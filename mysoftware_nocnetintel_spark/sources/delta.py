@@ -574,3 +574,70 @@ def vacuum_delta(
             os.remove(f)
             deleted.append(rel)
     return deleted
+
+
+def delta_history(spark, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for the minimal writer's tables: one row per
+    committed version with its action counts, inferred operation, and
+    any transaction identifier — the operational surface delta-spark
+    exposes as ``DESCRIBE HISTORY`` (PROTOCOL.md actions; commitInfo is
+    optional in the protocol and this writer doesn't emit it, so the
+    operation is derived from the action mix). Driver-side JSON walk —
+    one KB-scale row per commit — then a bounded createDataFrame."""
+    log_dir = os.path.join(path, "_delta_log")
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {log_dir}")
+    rows = []
+    for v in versions:
+        fp = os.path.join(log_dir, f"{v:020d}.json")
+        n_add = n_remove = 0
+        has_meta = False
+        txn_app = None
+        txn_ver = None
+        dv_adds = 0
+        with open(fp) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    n_add += 1
+                    if act["add"].get("deletionVector"):
+                        dv_adds += 1
+                elif "remove" in act:
+                    n_remove += 1
+                elif "metaData" in act:
+                    has_meta = True
+                elif "txn" in act:
+                    txn_app = act["txn"].get("appId")
+                    txn_ver = act["txn"].get("version")
+        if v == 0:
+            op = "CREATE TABLE AS APPEND"
+        elif dv_adds and n_remove:
+            op = "DELETE (deletion vectors)"
+        elif n_add and n_remove:
+            op = "OVERWRITE"
+        elif n_add:
+            op = "APPEND"
+        elif n_remove:
+            op = "DELETE"
+        else:
+            op = "METADATA" if has_meta else "EMPTY"
+        rows.append(
+            (
+                v,
+                int(os.path.getmtime(fp) * 1000),
+                op,
+                n_add,
+                n_remove,
+                txn_app,
+                txn_ver,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, commit_mtime_ms long, operation string, "
+        "n_added_files long, n_removed_files long, "
+        "txn_app_id string, txn_version long",
+    )

@@ -1263,3 +1263,52 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
     with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
         json.dump(new_meta, fh)
     return removed
+
+
+def iceberg_snapshots(spark, path: str) -> "DataFrame":
+    """Snapshot history as a DataFrame — the operational surface the
+    iceberg-spark connector exposes as the ``snapshots``/``manifests``
+    metadata tables: one row per snapshot with its operation, sequence
+    number, and LIVE file/record/delete-file counts resolved from its
+    manifest list (KB-scale driver-side Avro walk, bounded
+    createDataFrame; the data files themselves are never touched)."""
+    from .avro_lite import read_avro_file
+
+    meta_dir = os.path.join(path, "metadata")
+    meta, _ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    rows = []
+    for s in meta.get("snapshots") or []:
+        n_files = n_records = n_deletes = 0
+        _sch, manifests = read_avro_file(s["manifest-list"])
+        for m in manifests:
+            _es, entries = read_avro_file(m["manifest_path"])
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                rec = e["data_file"]
+                if rec.get("content", 0) == 0:
+                    n_files += 1
+                    n_records += rec.get("record_count") or 0
+                else:
+                    n_deletes += 1
+        rows.append(
+            (
+                s["snapshot-id"],
+                s.get("sequence-number", 0),
+                s.get("timestamp-ms"),
+                (s.get("summary") or {}).get("operation"),
+                len(manifests),
+                n_files,
+                n_records,
+                n_deletes,
+                s["snapshot-id"] == meta.get("current-snapshot-id"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, sequence_number long, timestamp_ms long, "
+        "operation string, n_manifests long, n_data_files long, "
+        "n_records long, n_delete_files long, is_current boolean",
+    )
