@@ -29,10 +29,10 @@ _ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6, **
 # (q124 tokenize-once + single-SQL rewrite, q94 docstring-only but
 # re-pinned with it, q126 band-boundary recall fix in query AND oracle),
 # then the entire r02-era block (31 queries, the oldest signals in the
-# registry), then the oldest r03-era queries through q58 (q59-q63 ceded
-# their slots to q129-q133 and rotate in next round). Outside the window
+# registry), then the oldest r03-era queries through q57 (q58-q63 ceded
+# their slots to q129-q134 and rotate in next round). Outside the window
 # this round (all previously driver-green, r03/r04 signals): q0-q10, q25,
-# q28, q34, q37-q39, q41, q45, q50, q59-q63, q66-q93 remainder,
+# q28, q34, q37-q39, q41, q45, q50, q58-q63, q66-q93 remainder,
 # q95-q123, q125.
 _WINDOW = [
     # --- NEW this round, never driver-graded (rule 1) ---
@@ -43,6 +43,7 @@ _WINDOW = [
     "q131_chunk_overlap",
     "q132_session_funnel",
     "q133_rfm_segments",
+    "q134_profile",
     # --- changed this round (3) ---
     "q124_bm25",
     "q94_token_budget",
@@ -90,7 +91,6 @@ _WINDOW = [
     "q55_in_subquery",
     "q56_lead_window",
     "q57_first_last_value",
-    "q58_ntile_percent_rank",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

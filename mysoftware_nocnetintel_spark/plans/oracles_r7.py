@@ -178,6 +178,30 @@ GROUP BY r_score, f_score
 ORDER BY r_score, f_score
 """
 
+_PROFILE_NUM = ("event_id", "user_id", "value")
+_PROFILE_STR = ("event_type", "props")
+ORACLES_R7["q134_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_num,
+           CAST(max({c}) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM events"""
+    for c in _PROFILE_NUM
+) + "\nUNION ALL\n" + "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num,
+           CAST(NULL AS DOUBLE) AS max_num,
+           min({c}) AS min_str,
+           max({c}) AS max_str
+    FROM events"""
+    for c in _PROFILE_STR
+) + '\nORDER BY "column"'
+
 ORACLES_R7["q128_balanced_sample"] = """
 WITH ranked AS (
     SELECT lang, source, doc_id, n_chars,

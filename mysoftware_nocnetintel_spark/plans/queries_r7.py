@@ -369,6 +369,62 @@ def q133_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 data-quality PROFILE of the events table: one row per
+    column — row count, null count, exact distinct count, numeric
+    min/max (as double) and string min/max — the first thing any
+    pipeline runs against a new source.
+
+    Scale shape: ONE aggregation pass computes every statistic (the
+    multiple exact count-distincts plan through Spark's Expand — one
+    scan, rows multiplied by the distinct-column count with map-side
+    partial aggregation; at 100 TB swap ``countDistinct`` for
+    ``approx_count_distinct`` and Expand disappears). The per-column
+    pivot is an explode of a literal struct array over the ONE result
+    row. Numeric extremes stay typed (double) and string extremes stay
+    strings — no float-to-string formatting, which differs between
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    num_cols = ["event_id", "user_id", "value"]
+    str_cols = ["event_type", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    for c in str_cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = ev.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{c}' as column, n_rows, {c}__nulls as n_nulls,"
+        f" {c}__dist as n_distinct,"
+        + (
+            f" {c}__min as min_num, {c}__max as max_num,"
+            " cast(null as string) as min_str,"
+            " cast(null as string) as max_str)"
+            if c in num_cols
+            else " cast(null as double) as min_num,"
+            " cast(null as double) as max_num,"
+            f" {c}__min as min_str, {c}__max as max_str)"
+        )
+        for c in num_cols + str_cols
+    )
+    return (
+        one.selectExpr(f"explode(array({structs})) as s")
+        .select("s.*")
+        .orderBy("column")
+    )
+
+
 R7_QUERIES = {
     "q127_incremental_ingest": q127_incremental_ingest,
     "q128_balanced_sample": q128_balanced_sample,
@@ -377,4 +433,5 @@ R7_QUERIES = {
     "q131_chunk_overlap": q131_chunk_overlap,
     "q132_session_funnel": q132_session_funnel,
     "q133_rfm_segments": q133_rfm_segments,
+    "q134_profile": q134_profile,
 }

@@ -71,6 +71,7 @@ _SINGLE_OK = {
     "q125_mllib_pipeline": (1, "scalar metrics row"),
     "q132_session_funnel": (1, "scalar funnel rollup"),
     "q133_rfm_segments": (1, "single-row quartile-boundary aggregate"),
+    "q134_profile": (1, "scalar profile aggregate (one row, then explode)"),
 }
 
 
