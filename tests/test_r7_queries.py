@@ -63,6 +63,74 @@ def crafted_dir(tmp_path):
     return str(tmp_path)
 
 
+import random
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [13, 37])
+def test_q133_boundary_ties_randomized(spark, tmp_path, seed):
+    """Adversarial quartile boundaries: draw per-customer metrics from
+    TINY value sets so interpolated percentile boundaries frequently
+    land EXACTLY ON repeated data values (the knife-edge the docstring
+    claims is parity-robust) — Spark and DuckDB must bucket identically
+    for every seed."""
+    import shutil
+
+    from mysoftware_nocnetintel_spark.plans.oracles_r7 import ORACLES_R7
+    from mysoftware_nocnetintel_spark.plans.queries_r7 import (
+        q133_rfm_segments,
+    )
+    from mysoftware_nocnetintel_spark.sources.registry import TABLES
+
+    rng = random.Random(seed)
+    for t in TABLES:
+        if t != "orders":
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet",
+                str(tmp_path / f"{t}.parquet"),
+            )
+    from datetime import datetime
+
+    n = 400
+    days = [
+        datetime(1995, rng.randint(1, 9), rng.randint(1, 9))
+        for _ in range(4)
+    ]
+    prices = [round(rng.uniform(10, 50), 2) for _ in range(5)]
+    rows = [
+        (
+            i,
+            rng.randint(0, 60),  # skewed custkeys → tied freq values
+            "O",
+            rng.choice(prices),
+            rng.choice(days),
+            "1-URGENT",
+        )
+        for i in range(n)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in rows]),
+                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+                "o_orderdate": pa.array(
+                    [r[4] for r in rows], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array([r[5] for r in rows]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    assert_matches_oracle(
+        q133_rfm_segments(spark, str(tmp_path)),
+        ORACLES_R7["q133_rfm_segments"],
+        str(tmp_path),
+    )
+
+
 def test_q129_edge_differential(spark, crafted_dir):
     assert_matches_oracle(
         q129_bpe_pairs(spark, crafted_dir),
