@@ -495,6 +495,16 @@ def write_iceberg_append(
                 f"append schema {new_sig} does not match the "
                 f"table schema {table_sig}"
             )
+        # normalize COLUMN ORDER to the table schema: the signature
+        # compare is order-insensitive, but a reordered append would (a)
+        # write parquet whose sampled-first schema flips the scan's
+        # column order and (b) — before this fix — record zone-map
+        # bounds under the REORDERED field ids with the wrong binary
+        # types (measured: a double column's bits decoded as long, so
+        # scan_filter pruned files that contained matching rows)
+        df = df.select(
+            *[f["name"] for f in (meta.get("schemas") or [])[0]["fields"]]
+        )
 
     if file_format == "avro" and (part_fields or part_cols):
         raise NotImplementedError(
@@ -575,7 +585,13 @@ def write_iceberg_append(
     snap_id = now_ms * 1000 + (ver + 1)  # unique, monotone per table
     seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
 
-    bounds_schema = _iceberg_schema(df.schema)
+    # bounds are keyed by the TABLE's field ids — never derive them from
+    # the incoming DataFrame's column order on an existing table
+    bounds_schema = (
+        (meta.get("schemas") or [None])[0]
+        if meta is not None
+        else _iceberg_schema(df.schema)
+    )
     entries = []
     for f, pvals, fmt, nrows in new_files:
         if fmt == "PARQUET":

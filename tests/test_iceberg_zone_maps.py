@@ -133,6 +133,33 @@ def test_zone_map_randomized_differential(spark, tmp_path, seed):
         assert got == want, f"seed={seed} id {op} {val}"
 
 
+def test_reordered_append_keeps_bounds_and_order_honest(spark, tmp_path):
+    """An append whose columns arrive in a DIFFERENT order than the table
+    schema (legal: the compatibility check is order-insensitive) must
+    still record bounds under the TABLE's field ids with the right
+    binary types, and the scan schema must stay in table order.
+    Regression: bounds were keyed by the incoming order — a double
+    column's bits were recorded as a long under the wrong id, and
+    scan_filter pruned files containing matching rows."""
+    root = str(tmp_path / "zmreorder")
+    write_iceberg_append(
+        spark.createDataFrame([(1, 100.0)], "a bigint, b double").coalesce(1),
+        root,
+    )
+    write_iceberg_append(
+        spark.createDataFrame([(900.0, 9)], "b double, a bigint").coalesce(1),
+        root,
+    )
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    by_min_a = {e.lower["1"]: e for e in data_files}
+    assert set(by_min_a) == {1, 9}  # field 1 = a (table order), typed long
+    assert by_min_a[9].lower["2"] == 900.0  # field 2 = b, typed double
+    got = read_iceberg_snapshot(spark, root, scan_filter=("a", "=", 9))
+    assert [tuple(r) for r in got.collect()] == [(9, 900.0)]  # table order
+    got = read_iceberg_snapshot(spark, root, scan_filter=("b", "<", 500.0))
+    assert [tuple(r) for r in got.collect()] == [(1, 100.0)]
+
+
 def test_nan_stats_never_poison_bounds(spark, tmp_path):
     """Spark/parquet-mr min-max statistics INCLUDE NaN for float/double
     columns (a [NaN, 3.5] file reports max=NaN); every comparison against
