@@ -479,31 +479,62 @@ def write_iceberg_append(
     # distributed write. Compare (name, type) PAIRS, not just names: an
     # append with matching names but different types would commit
     # mixed-type parquet and corrupt every later scan.
+    #
+    # ADDITIVE SCHEMA EVOLUTION: an append carrying every table column
+    # (same types) PLUS new primitive columns evolves the table — new
+    # fields get fresh ids above the current maximum (ids are forever,
+    # spec "Schema Evolution"), arrive as optional, and files written
+    # before the evolution simply lack the id: the reader's explicit
+    # expected schema null-fills them (parquet scan) / name-misses them
+    # (avro scan). Dropping or retyping a column still fails fast.
+    evolved_schema: dict | None = None
     if meta is not None and (meta.get("schemas") or []):
         incoming = _iceberg_schema(df.schema)
-        table_sig = sorted(
-            (f["name"], f["type"])
-            for f in (meta.get("schemas") or [])[0]["fields"]
-        )
-        new_sig = (
-            sorted((f["name"], f["type"]) for f in incoming["fields"])
+        table_fields = (meta.get("schemas") or [])[0]["fields"]
+        tb = {f["name"]: f["type"] for f in table_fields}
+        inc = (
+            {f["name"]: f["type"] for f in incoming["fields"]}
             if incoming
-            else None
+            else {}
         )
-        if new_sig != table_sig:
+        if not incoming or any(
+            n not in inc or inc[n] != t for n, t in tb.items()
+        ):
             raise ValueError(
-                f"append schema {new_sig} does not match the "
-                f"table schema {table_sig}"
+                f"append schema {sorted(inc.items()) or None} does not "
+                f"cover the table schema {sorted(tb.items())} (drops or "
+                "type changes are refused; only additive evolution is "
+                "supported)"
             )
-        # normalize COLUMN ORDER to the table schema: the signature
-        # compare is order-insensitive, but a reordered append would (a)
-        # write parquet whose sampled-first schema flips the scan's
-        # column order and (b) — before this fix — record zone-map
-        # bounds under the REORDERED field ids with the wrong binary
-        # types (measured: a double column's bits decoded as long, so
-        # scan_filter pruned files that contained matching rows)
+        extra = [f for f in incoming["fields"] if f["name"] not in tb]
+        if extra:
+            next_id = max(f["id"] for f in table_fields) + 1
+            evolved_schema = {
+                "type": "struct",
+                "schema-id": (meta.get("schemas") or [])[0].get(
+                    "schema-id", 0
+                ),
+                "fields": table_fields
+                + [
+                    {
+                        "id": next_id + i,
+                        "name": f["name"],
+                        "required": False,
+                        "type": f["type"],
+                    }
+                    for i, f in enumerate(extra)
+                ],
+            }
+        # normalize COLUMN ORDER to the (evolved) table schema: the
+        # compatibility check is order-insensitive, but a reordered
+        # append would (a) write parquet whose sampled-first schema flips
+        # the scan's column order and (b) — before this fix — record
+        # zone-map bounds under the REORDERED field ids with the wrong
+        # binary types (measured: a double column's bits decoded as long,
+        # so scan_filter pruned files that contained matching rows)
         df = df.select(
-            *[f["name"] for f in (meta.get("schemas") or [])[0]["fields"]]
+            *[f["name"] for f in table_fields],
+            *[f["name"] for f in extra],
         )
 
     if file_format == "avro" and (part_fields or part_cols):
@@ -587,11 +618,12 @@ def write_iceberg_append(
 
     # bounds are keyed by the TABLE's field ids — never derive them from
     # the incoming DataFrame's column order on an existing table
-    bounds_schema = (
-        (meta.get("schemas") or [None])[0]
-        if meta is not None
-        else _iceberg_schema(df.schema)
-    )
+    if evolved_schema is not None:
+        bounds_schema = evolved_schema
+    elif meta is not None:
+        bounds_schema = (meta.get("schemas") or [None])[0]
+    else:
+        bounds_schema = _iceberg_schema(df.schema)
     entries = []
     for f, pvals, fmt, nrows in new_files:
         if fmt == "PARQUET":
@@ -662,6 +694,10 @@ def write_iceberg_append(
     if meta is None:
         schema = _iceberg_schema(df.schema)
         schemas = [schema] if schema else []
+    elif evolved_schema is not None:
+        # additive evolution: this commit's metadata carries the widened
+        # schema (new ids already assigned above the prior maximum)
+        schemas = [evolved_schema]
     else:
         # schema compatibility was validated BEFORE the data write above
         schemas = meta.get("schemas") or []

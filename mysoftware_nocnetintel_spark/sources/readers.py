@@ -733,7 +733,14 @@ def _iceberg_live_scan(
     av_entries = [e for e in data_files if e.fmt == "AVRO"]
     parts = []
     if pq_entries:
-        scan = spark.read.parquet(*[e.path for e in pq_entries])
+        reader = spark.read
+        expected = _iceberg_expected_schema(path)
+        if expected is not None:
+            # schema-evolution correctness: files predating an added
+            # column null-fill it, and the scan's column order follows
+            # the TABLE schema instead of whichever file got sampled
+            reader = reader.schema(expected)
+        scan = reader.parquet(*[e.path for e in pq_entries])
         parts.append(
             scan.select(
                 "*",
@@ -781,6 +788,54 @@ _ICE_TO_SPARK_DDL = {
     "string": "string",
     "boolean": "boolean",
 }
+
+# full iceberg primitive -> spark DDL map for the parquet scan's expected
+# schema (schema evolution: files written before a column was added lack
+# it, and an EXPLICIT read schema makes Spark null-fill by name instead
+# of pinning the scan to whichever file it samples first)
+_ICE_TO_SPARK_DDL_FULL = {
+    **_ICE_TO_SPARK_DDL,
+    "date": "date",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _iceberg_expected_schema(path: str):
+    """The table's CURRENT schema as a Spark StructType (all fields
+    nullable), or None when the table has no field-id schema or uses a
+    type outside the primitive map — the scan then falls back to
+    parquet-sampled schema exactly as before."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    meta_dir = os.path.join(path, "metadata")
+    try:
+        versions = sorted(
+            (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+            key=lambda p: int(p[1:].split(".")[0]),
+        )
+        with open(os.path.join(meta_dir, versions[-1])) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        return None
+    parts = []
+    for f in schemas[0]["fields"]:
+        t = f.get("type")
+        if isinstance(t, str) and t.startswith("decimal("):
+            ddl = t
+        else:
+            ddl = _ICE_TO_SPARK_DDL_FULL.get(t)
+        if ddl is None:
+            return None
+        parts.append(f"`{f['name']}` {ddl}")
+    return StructType.fromDDL(", ".join(parts))
 
 
 def _scan_iceberg_avro(

@@ -183,13 +183,13 @@ def test_append_schema_mismatch_refused(spark, tmp_path):
     write_iceberg_append(
         spark.createDataFrame([(1, "a")], "id bigint, val string"), root
     )
-    with pytest.raises(ValueError, match="does not match the"):
+    with pytest.raises(ValueError, match="does not cover the"):
         write_iceberg_append(
             spark.createDataFrame([(1, 2.0)], "id bigint, other double"), root
         )
     # same NAMES but different TYPES must refuse too — committing
     # mixed-type parquet would corrupt every later scan
-    with pytest.raises(ValueError, match="does not match the"):
+    with pytest.raises(ValueError, match="does not cover the"):
         write_iceberg_append(
             spark.createDataFrame([("1", "a")], "id string, val string"), root
         )

@@ -267,7 +267,7 @@ def test_schema_mismatch_refused_before_any_write(spark, tmp_path):
     )
     before_data = sorted(glob(os.path.join(root, "data", "*")))
     before_meta = sorted(glob(os.path.join(root, "metadata", "*")))
-    with pytest.raises(ValueError, match="does not match"):
+    with pytest.raises(ValueError, match="does not cover"):
         write_iceberg_append(
             spark.createDataFrame([(1, 2.0)], "id bigint, val double"), root
         )
