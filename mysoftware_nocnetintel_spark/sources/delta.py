@@ -163,6 +163,7 @@ def _stage_append(
         )
     part_cols = list(partition_by)
     schema_json = df.schema.json()
+    evolved_schema_json: str | None = None
     if versions:
         meta = _table_meta(log_dir, versions)
         if not meta or (meta.get("configuration") or {}).get(
@@ -179,10 +180,52 @@ def _stage_append(
                 "appends inherit the table's partitionColumns"
             )
         part_cols = meta.get("partitionColumns") or []
-        if _schema_sig(meta["schemaString"]) != _schema_sig(schema_json):
+        conf = meta.get("configuration") or {}
+        mapped = conf.get("delta.columnMapping.mode", "none") not in (
+            "none",
+            "",
+            None,
+        )
+        tb = dict(_schema_sig(meta["schemaString"]))
+        inc = dict(_schema_sig(schema_json))
+        if mapped:
+            # column-mapped tables keep the exact-match requirement: new
+            # fields would need physicalName/id assignment
+            if tb != inc:
+                raise ValueError(
+                    f"append schema {sorted(inc.items())} does not match "
+                    f"the mapped table schema {sorted(tb.items())}"
+                )
+        elif any(n not in inc or inc[n] != t for n, t in tb.items()):
             raise ValueError(
-                f"append schema {_schema_sig(schema_json)} does not match "
-                f"the table schema {_schema_sig(meta['schemaString'])}"
+                f"append schema {sorted(inc.items())} does not cover the "
+                f"table schema {sorted(tb.items())} (drops or type "
+                "changes are refused; only additive evolution is "
+                "supported)"
+            )
+        else:
+            # ADDITIVE SCHEMA EVOLUTION: extra incoming columns widen the
+            # table — the commit carries a new metaData action whose
+            # schemaString appends them (nullable), and older files
+            # null-fill on read via the explicit expected scan schema
+            table_fields = json.loads(meta["schemaString"])["fields"]
+            extra = [
+                f
+                for f in json.loads(schema_json)["fields"]
+                if f["name"] not in tb
+            ]
+            if extra:
+                widened = json.loads(meta["schemaString"])
+                widened["fields"] = table_fields + [
+                    dict(f, nullable=True) for f in extra
+                ]
+                evolved_schema_json = json.dumps(widened)
+            # normalize column order to (evolved) table order — the
+            # signature compare is order-insensitive but the scan schema
+            # should not depend on which file Spark samples first
+            df = df.select(
+                *[f["name"] for f in table_fields],
+                *[f["name"] for f in extra],
             )
     missing = [c for c in part_cols if c not in df.columns]
     if missing:
@@ -236,6 +279,13 @@ def _stage_append(
                     "createdTime": now_ms,
                 }
             }
+        )
+    elif evolved_schema_json is not None:
+        # additive evolution: the widened schema commits atomically with
+        # this append's add actions
+        meta = _table_meta(log_dir, versions)
+        actions.append(
+            {"metaData": dict(meta, schemaString=evolved_schema_json)}
         )
     for rel, pvals in new_files:
         actions.append(

@@ -592,6 +592,21 @@ def read_delta_snapshot(
         for e in live.values():
             part_phys.update(e["pv"].keys())
         id_schema = _delta_id_read_schema(spark, table_meta, part_phys)
+    elif (
+        _cm_mode(table_meta) in ("none", "")
+        and table_meta
+        and table_meta.get("schemaString")
+    ):
+        # schema-evolution correctness for UNMAPPED tables: read with the
+        # table's declared schema (schemaString IS a Spark StructType
+        # JSON) minus the partition columns (not stored in data files) —
+        # files written before an added column null-fill it, and the
+        # scan's column order follows the table, not a sampled file
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(table_meta["schemaString"]))
+        pcs = set(table_meta.get("partitionColumns") or [])
+        id_schema = StructType([f for f in st.fields if f.name not in pcs])
     out: DataFrame | None = None
     for pvals, entries in groups.items():
         files = [f for f, _dv in entries]

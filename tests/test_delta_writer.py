@@ -45,11 +45,11 @@ def test_refuses_schema_drift(spark, tmp_path):
     write_delta_append(
         spark.createDataFrame([(1, "a")], "id bigint, val string"), root
     )
-    with pytest.raises(ValueError, match="does not match"):
+    with pytest.raises(ValueError, match="does not cover"):
         write_delta_append(
             spark.createDataFrame([("1", "a")], "id string, val string"), root
         )
-    with pytest.raises(ValueError, match="does not match"):
+    with pytest.raises(ValueError, match="does not cover"):
         write_delta_append(
             spark.createDataFrame([(1, 2.0)], "id bigint, other double"), root
         )
