@@ -591,6 +591,7 @@ def iceberg_cdc_upsert(
     path: str,
     checkpoint: str,
     key_cols: tuple[str, ...] = ("user_id",),
+    file_format: str = "parquet",
 ):
     """Streaming CDC UPSERT into an Iceberg v2 table — the operation
     equality deletes exist for (reference continuous ingestion,
@@ -617,10 +618,17 @@ def iceberg_cdc_upsert(
     distributed write. Compaction of accumulated delete files is the
     maintenance job (sources.iceberg.rewrite_iceberg_table is the major
     compaction: it folds the accumulated delete files back into plain
-    data files while keeping history time-travelable)."""
+    data files while keeping history time-travelable).
+
+    ``file_format="avro"`` appends micro-batches as ROW-ORIENTED avro
+    fast-append files (no columnar footer per tiny commit — the write
+    amplification small CDC batches suffer); the compactor converts
+    them to parquet when it folds the delete files away. Scope follows
+    the avro writer: primitive int/long/float/double/string/boolean
+    payloads only — timestamp-carrying payloads keep parquet."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        cdc_upsert_batch(batch_df, path, key_cols)
+        cdc_upsert_batch(batch_df, path, key_cols, file_format)
 
     return (
         events.writeStream.foreachBatch(upsert)
@@ -632,7 +640,10 @@ def iceberg_cdc_upsert(
 
 
 def cdc_upsert_batch(
-    batch_df: DataFrame, path: str, key_cols: tuple[str, ...]
+    batch_df: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    file_format: str = "parquet",
 ) -> None:
     """One CDC upsert micro-batch (the foreachBatch body of
     :func:`iceberg_cdc_upsert`, exposed so the randomized differential in
@@ -670,7 +681,7 @@ def cdc_upsert_batch(
             write_iceberg_equality_deletes(
                 spark, path, latest.select(*key_cols)
             )
-        write_iceberg_append(latest, path)
+        write_iceberg_append(latest, path, file_format=file_format)
     finally:
         latest.unpersist()
 

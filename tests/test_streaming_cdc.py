@@ -171,6 +171,55 @@ def test_cdc_upsert_random_batch_splits(spark, tmp_path, seed):
     assert got == ref, f"seed={seed}"
 
 
+@pytest.mark.parametrize("seed", [19])
+def test_cdc_upsert_avro_fast_appends(spark, tmp_path, seed):
+    """The CDC sink's avro fast-append mode (row-oriented micro-batch
+    files, primitive payload with epoch-seconds ts): same randomized
+    argmax differential, with a mid-stream compaction that must convert
+    every avro file to parquet while preserving the upsert state."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        rewrite_iceberg_table,
+    )
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        _iceberg_snapshot_files,
+    )
+    from mysoftware_nocnetintel_spark.streaming.ops import cdc_upsert_batch
+
+    rng = random.Random(seed)
+    rows = sorted(
+        (
+            (eid, rng.randrange(6), rng.randrange(9), float(rng.randrange(50)))
+            for eid in range(40)
+        ),
+        key=lambda r: (r[2], r[0]),
+    )
+    table = str(tmp_path / f"avrofuzz{seed}")
+    i, batch_no = 0, 0
+    compact_at = rng.randrange(1, 4)
+    while i < len(rows):
+        size = rng.randint(1, 15)
+        chunk = rows[i : i + size]
+        i += size
+        batch_no += 1
+        df = spark.createDataFrame(
+            chunk, "event_id bigint, user_id bigint, ts bigint, value double"
+        )
+        cdc_upsert_batch(df, table, ("user_id",), file_format="avro")
+        if batch_no == compact_at:
+            rewrite_iceberg_table(spark, table)
+            d, _p, _e, _s = _iceberg_snapshot_files(table)
+            assert all(e.fmt == "PARQUET" for e in d)
+    got = {
+        (r.user_id, r.event_id, r.value)
+        for r in read_iceberg_snapshot(spark, table).collect()
+    }
+    best: dict[int, tuple] = {}
+    for eid, u, t, v in rows:
+        if u not in best or (t, eid) > (best[u][0], best[u][1]):
+            best[u] = (t, eid, v)
+    assert got == {(u, eid, v) for u, (t, eid, v) in best.items()}
+
+
 def test_first_batch_retry_after_partial_failure(spark, tmp_path):
     """A failed FIRST batch leaves metadata/ on disk but no committed
     version (write_iceberg_append mkdirs before committing). The retry
