@@ -77,7 +77,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="nocnetintel-bench")
+    # FAIR job scheduling for the serving session: the concurrent-batch
+    # metric submits N independent statements, and FIFO serializes their
+    # stage waves behind whichever job got in first (measured A/B,
+    # best-of-5 batch wall at sf0.1: FIFO 1.05 s → FAIR 0.77 s).
+    # Construction-time conf — a real serving deployment sets the same.
+    spark = get_spark(
+        app_name="nocnetintel-bench",
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
     # size shuffle partitions to DATA, not cores: sf0.1 is ~100 MB total, so
     # ~8 partitions lands near the 100-200 MB/partition guidance — fewer
     # tasks to schedule per stage at this SF (measured: batch wall 0.97 s →
