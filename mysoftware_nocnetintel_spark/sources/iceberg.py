@@ -394,6 +394,7 @@ def write_iceberg_append(
     path: str,
     partition_by: tuple[str, ...] = (),
     file_format: str = "parquet",
+    sort_by: tuple[str, ...] = (),
 ) -> int:
     """Append ``df`` to the Iceberg table at ``path`` (creating it on first
     write). Returns the new snapshot id. See module docstring for scope.
@@ -418,7 +419,18 @@ def write_iceberg_append(
     parquet — write-fast then compact-to-columnar is the intended
     lifecycle. Scope: unpartitioned tables, primitive
     int/long/float/double/string/boolean columns; everything else fails
-    fast."""
+    fast.
+
+    ``sort_by`` CLUSTERS the write: rows range-partition on the given
+    columns and sort within each output file, so per-file zone-map
+    bounds become near-disjoint and ``scan_filter`` skips most files
+    instead of none — after partitioning, data clustering is the
+    single biggest scan-cost lever at 100 TB (the degenerate unsorted
+    append gives every file the full value range and zone maps prune
+    nothing). One extra shuffle at write time (range exchange), zero
+    read-side cost; composes with ``partition_by`` (clusters within
+    each partition's file set) but not with avro (no bounds to
+    tighten — refused)."""
     import pyarrow.parquet as pq
 
     if file_format not in ("parquet", "avro"):
@@ -542,6 +554,28 @@ def write_iceberg_append(
             "avro fast-appends are unpartitioned only (partitioned "
             "tables append parquet)"
         )
+    if sort_by:
+        if file_format == "avro":
+            raise NotImplementedError(
+                "sort_by clusters parquet zone maps; avro files carry "
+                "no bounds to tighten"
+            )
+        bad = [c for c in sort_by if c not in df.columns]
+        if bad:
+            raise ValueError(f"sort_by columns {bad} not in the schema")
+        # range exchange on the cluster key, then an in-partition sort:
+        # each output file covers a narrow key slice, so its bounds are
+        # near-disjoint from its siblings'. The partition count is passed
+        # EXPLICITLY (from the session's shuffle-partition conf) so AQE
+        # cannot coalesce the clustered write back into one wide file.
+        from pyspark.sql import functions as F
+
+        num = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
+        )
+        df = df.repartitionByRange(
+            num, *[F.col(c) for c in sort_by]
+        ).sortWithinPartitions(*sort_by)
     # distributed data write: ONE write for both shapes. Partitioned
     # tables partitionBy DUPLICATE columns (``__part_<c>``) so Spark's
     # fan-out writer does the per-tuple file split in one distributed
