@@ -1001,7 +1001,10 @@ def write_iceberg_equality_deletes(spark, path: str, keys: DataFrame) -> int:
 
 
 def rewrite_iceberg_table(
-    spark, path: str, min_files_per_partition: int | None = None
+    spark,
+    path: str,
+    min_files_per_partition: int | None = None,
+    sort_by: tuple[str, ...] = (),
 ) -> int:
     """MAJOR COMPACTION (the maintenance job behind a merge-on-read
     writer like :func:`~..streaming.ops.iceberg_cdc_upsert`): materialize
@@ -1024,6 +1027,14 @@ def rewrite_iceberg_table(
     run the full rewrite first (it applies all deletes). At 100 TB this
     is the difference between rewriting a handful of hot partitions and
     rewriting the table.
+
+    ``sort_by`` RE-CLUSTERS during the rewrite (unpartitioned tables):
+    the production lifecycle is unsorted fast-appends + a clustering
+    compactor — the rewrite's range exchange + in-partition sort gives
+    the compacted files near-disjoint zone-map bounds exactly like a
+    clustered append (:func:`write_iceberg_append` ``sort_by``), at a
+    moment the data is being rewritten anyway, so the clustering is
+    FREE of extra passes.
 
     Scale: the rewrite is one distributed scan + write (the same
     anti-joins the reader does); the commit is KB-scale metadata.
@@ -1140,6 +1151,21 @@ def rewrite_iceberg_table(
             (f["name"], type_by_name[f["name"]]) for f in spec["fields"]
         ]
 
+    if sort_by:
+        if part_fields:
+            raise NotImplementedError(
+                "sort_by re-clustering is unpartitioned-only (partition "
+                "fan-out already groups the write)"
+            )
+        bad = [c for c in sort_by if c not in live.columns]
+        if bad:
+            raise ValueError(f"sort_by columns {bad} not in the schema")
+        from pyspark.sql import functions as F
+
+        num = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+        live = live.repartitionByRange(
+            num, *[F.col(c) for c in sort_by]
+        ).sortWithinPartitions(*sort_by)
     stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
     new_files: list[tuple[str, dict | None]] = []
     try:

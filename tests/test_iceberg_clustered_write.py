@@ -65,6 +65,38 @@ def test_unsorted_append_gives_full_range_files(spark, tmp_path):
     assert all(hi - lo > 700 for lo, hi in spans), spans
 
 
+def test_compaction_reclusters(spark, tmp_path):
+    """The production lifecycle: unsorted (even avro) fast-appends, then
+    a CLUSTERING compactor — rewrite(sort_by) must leave near-disjoint
+    parquet bounds where the appends had none."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        rewrite_iceberg_table,
+    )
+
+    root = str(tmp_path / "cl4")
+    rng = random.Random(11)
+    ids = rng.sample(range(600), 600)
+    for k in range(3):
+        write_iceberg_append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in ids[k * 200 : (k + 1) * 200]],
+                "id bigint, v double",
+            ).coalesce(1),
+            root,
+            file_format="avro" if k == 2 else "parquet",
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", "6")
+    rewrite_iceberg_table(spark, root, sort_by=("id",))
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert len(data_files) >= 4
+    assert all(e.fmt == "PARQUET" for e in data_files)
+    spans = sorted((e.lower["1"], e.upper["1"]) for e in data_files)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans
+    got = read_iceberg_snapshot(spark, root, scan_filter=("id", "<", 50))
+    assert {r.id for r in got.collect()} == set(range(50))
+
+
 def test_sort_by_fail_fasts(spark, tmp_path):
     root = str(tmp_path / "cl3")
     with pytest.raises(ValueError, match="sort_by columns"):
