@@ -7,6 +7,10 @@ the Iceberg writer's posture:
   merge-on-read DELETE via deletion vectors (``delete_delta_rows``);
   parquet data files; protocol (1, 2), upgraded to (3, 7) with the
   ``deletionVectors`` feature on first DV commit;
+- classic single-file parquet CHECKPOINTS (``checkpoint_delta_table`` +
+  ``cleanup_delta_log``): every writer replays checkpoint-seeded state,
+  so log replay stays O(tail) as history grows; foreign checkpoint
+  layouts (multi-part, v2) are refused;
 - single-writer: the commit is an atomic local ``os.replace`` of
   ``<version>.json``, not the spec's put-if-absent against a log store —
   concurrent writers would race (the production path is delta-spark);
@@ -35,22 +39,128 @@ def _log_versions(log_dir: str) -> list[int]:
     return sorted(
         int(os.path.basename(p).split(".")[0])
         for p in glob(os.path.join(log_dir, "[0-9]*.json"))
+        if "checkpoint" not in os.path.basename(p)
     )
 
 
-def _table_meta(log_dir: str, versions: list[int]) -> dict | None:
-    """Latest metaData action in the JSON log (our tables never have
-    checkpoints, so the log is complete)."""
-    meta = None
-    for v in versions:
+def _checkpoint_version(log_dir: str) -> int | None:
+    """Version of the writer-maintained classic checkpoint, or None."""
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    with open(lc) as fh:
+        meta = json.loads(fh.read() or "{}")
+    v = meta.get("version")
+    if v is None:
+        raise NotImplementedError(
+            "malformed _last_checkpoint (no version): use the delta-spark "
+            "connector"
+        )
+    return int(v)
+
+
+def _replay_state(log_dir: str) -> dict:
+    """Full writer-visible table state: the classic checkpoint (if one
+    exists — this writer only ever maintains single-file classic
+    checkpoints, see :func:`checkpoint_delta_table`) seeded first, then
+    every JSON commit ABOVE it replayed in order. Returns::
+
+        {"version": latest committed version,
+         "meta": latest metaData action or None,
+         "live": {path: add action dict (deletionVector included)},
+         "tombstones": {path: deletionTimestamp_ms},
+         "txns": {appId: highest version},
+         "dv_protocol": bool (deletionVectors reader feature present)}
+
+    Driver-side metadata walk (KB/MB scale). JSON commits at or below
+    the checkpoint version may have been removed by
+    :func:`cleanup_delta_log`; the checkpoint carries everything the
+    writer needs (live adds, un-vacuumed remove tombstones, latest txn
+    per app, protocol, metaData), so state is complete either way."""
+    import pyarrow.parquet as _pq
+
+    state = {
+        "version": None,
+        "meta": None,
+        "protocol": None,
+        "live": {},
+        "tombstones": {},
+        "txns": {},
+        "dv_protocol": False,
+    }
+
+    def _fold(act: dict) -> None:
+        if act.get("protocol"):
+            state["protocol"] = act["protocol"]
+            state["dv_protocol"] = "deletionVectors" in (
+                act["protocol"].get("readerFeatures") or []
+            )
+        if act.get("metaData"):
+            m = act["metaData"]
+            # a metaData row decoded from a PARQUET checkpoint delivers
+            # pyarrow maps as [(key, value)] tuples — normalize so the
+            # writer gates (.get("writer"), partitionColumns) keep working
+            if isinstance(m.get("configuration"), list):
+                m = dict(m, configuration=dict(m["configuration"]))
+            fmt = m.get("format")
+            if fmt and isinstance(fmt.get("options"), list):
+                m = dict(m, format=dict(fmt, options=dict(fmt["options"])))
+            state["meta"] = m
+        t = act.get("txn")
+        if t and t.get("appId") is not None and t.get("version") is not None:
+            prev = state["txns"].get(t["appId"])
+            tv = int(t["version"])
+            if prev is None or tv > prev:
+                state["txns"][t["appId"]] = tv
+        add = act.get("add")
+        if add and add.get("path"):
+            dv = add.get("deletionVector")
+            if dv is not None and not dv.get("storageType"):
+                add = dict(add, deletionVector=None)
+            pv = add.get("partitionValues")
+            if pv is not None and not isinstance(pv, dict):
+                add = dict(add, partitionValues=dict(pv))
+            state["live"][add["path"]] = add
+            state["tombstones"].pop(add["path"], None)
+        rm = act.get("remove")
+        if rm and rm.get("path"):
+            state["live"].pop(rm["path"], None)
+            state["tombstones"][rm["path"]] = rm.get("deletionTimestamp") or 0
+
+    cp_v = _checkpoint_version(log_dir)
+    if cp_v is not None:
+        with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+            cp_parts = json.loads(fh.read() or "{}").get("parts")
+        cp = os.path.join(log_dir, f"{cp_v:020d}.checkpoint.parquet")
+        if cp_parts or not os.path.exists(cp):
+            raise NotImplementedError(
+                "only single-file classic checkpoints are maintained by "
+                "this writer (multi-part/v2 found): use the delta-spark "
+                "connector"
+            )
+        names = _pq.read_schema(cp).names
+        cols = [
+            c
+            for c in ("txn", "add", "remove", "metaData", "protocol")
+            if c in names
+        ]
+        for row in _pq.read_table(cp, columns=cols).to_pylist():
+            _fold({k: v for k, v in row.items() if v is not None})
+        state["version"] = cp_v
+    for v in _log_versions(log_dir):
+        if cp_v is not None and v <= cp_v:
+            continue
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
             for line in fh:
-                if not line.strip():
-                    continue
-                act = json.loads(line)
-                if "metaData" in act:
-                    meta = act["metaData"]
-    return meta
+                if line.strip():
+                    _fold(json.loads(line))
+        state["version"] = v
+    return state
+
+
+def _table_meta(log_dir: str, versions: list[int]) -> dict | None:
+    """Latest metaData action (checkpoint-seeded log replay)."""
+    return _replay_state(log_dir)["meta"]
 
 
 def _schema_sig(schema_json: str) -> list[tuple[str, object]]:
@@ -79,21 +189,14 @@ def latest_txn_version(path: str, app_id: str) -> int | None:
     "Transaction Identifiers"): a writer that stamps every commit with
     ``{"txn": {"appId", "version"}}`` can detect, across process
     restarts, which of its logical writes already landed. Driver-side
-    JSON replay only; complete here because this writer refuses
-    checkpointed tables (no txn state can hide in a checkpoint)."""
+    replay only; complete even on checkpointed tables because
+    :func:`checkpoint_delta_table` persists the latest txn per appId
+    into the checkpoint (the spec's requirement for classic
+    checkpoints)."""
     log_dir = os.path.join(path, "_delta_log")
-    best: int | None = None
-    for v in _log_versions(log_dir):
-        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                act = json.loads(line)
-                t = act.get("txn")
-                if t and t.get("appId") == app_id:
-                    tv = int(t["version"])
-                    best = tv if best is None or tv > best else best
-    return best
+    if not os.path.isdir(log_dir):
+        return None
+    return _replay_state(log_dir)["txns"].get(app_id)
 
 
 def write_delta_append(
@@ -126,7 +229,7 @@ def write_delta_append(
         app_id, tv = txn
         done = latest_txn_version(path, app_id)
         if done is not None and done >= tv:
-            return _log_versions(os.path.join(path, "_delta_log"))[-1]
+            return _replay_state(os.path.join(path, "_delta_log"))["version"]
     version, actions = _stage_append(df, path, partition_by)
     if txn is not None:
         actions = [
@@ -154,18 +257,13 @@ def _stage_append(
 
     log_dir = os.path.join(path, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
-    versions = _log_versions(log_dir)
-    if glob(os.path.join(log_dir, "_last_checkpoint")):
-        raise NotImplementedError(
-            "refusing to append to a checkpointed Delta table (the minimal "
-            "writer cannot maintain checkpoints): use the delta-spark "
-            "connector"
-        )
+    state = _replay_state(log_dir)
+    exists = state["version"] is not None
     part_cols = list(partition_by)
     schema_json = df.schema.json()
     evolved_schema_json: str | None = None
-    if versions:
-        meta = _table_meta(log_dir, versions)
+    if exists:
+        meta = state["meta"]
         if not meta or (meta.get("configuration") or {}).get(
             "writer"
         ) != _WRITER_TAG:
@@ -230,7 +328,7 @@ def _stage_append(
     missing = [c for c in part_cols if c not in df.columns]
     if missing:
         raise ValueError(f"partition columns {missing} not in the schema")
-    version = (versions[-1] + 1) if versions else 0
+    version = (state["version"] + 1) if exists else 0
 
     # distributed data write into a staging dir, then move into the root
     # (for partitioned tables the stage has Hive subdirs, moved as-is)
@@ -283,9 +381,8 @@ def _stage_append(
     elif evolved_schema_json is not None:
         # additive evolution: the widened schema commits atomically with
         # this append's add actions
-        meta = _table_meta(log_dir, versions)
         actions.append(
-            {"metaData": dict(meta, schemaString=evolved_schema_json)}
+            {"metaData": dict(state["meta"], schemaString=evolved_schema_json)}
         )
     for rel, pvals in new_files:
         actions.append(
@@ -315,24 +412,12 @@ def write_delta_overwrite(df: DataFrame, path: str) -> int:
     from .readers import read_delta_snapshot  # noqa: F401 (scope doc)
 
     log_dir = os.path.join(path, "_delta_log")
-    versions = _log_versions(log_dir)
-    if not versions:
+    state = _replay_state(log_dir)
+    if state["version"] is None:
         raise FileNotFoundError(f"no Delta table at {path} (use append)")
-    # replay the CURRENT live set (same walk the reader does) so the
-    # commit can tombstone it
-    live: list[str] = []
-    seen: dict[str, bool] = {}
-    for v in versions:
-        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                act = json.loads(line)
-                if "add" in act:
-                    seen[act["add"]["path"]] = True
-                elif "remove" in act:
-                    seen.pop(act["remove"]["path"], None)
-    live = sorted(seen)
+    # the CURRENT live set (checkpoint-seeded replay, same walk the
+    # reader does) so the commit can tombstone it
+    live = sorted(state["live"])
 
     # the append path does all the gating (foreign table, checkpoint,
     # schema signature, partition layout) and stages the data + ADD
@@ -391,10 +476,10 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
     )
 
     log_dir = os.path.join(path, "_delta_log")
-    versions = _log_versions(log_dir)
-    if not versions:
+    state = _replay_state(log_dir)
+    if state["version"] is None:
         raise FileNotFoundError(f"no Delta table at {path}")
-    meta = _table_meta(log_dir, versions)
+    meta = state["meta"]
     if not meta or (meta.get("configuration") or {}).get(
         "writer"
     ) != _WRITER_TAG:
@@ -402,24 +487,9 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
             "refusing to delete from a Delta table created by another "
             "writer: use the delta-spark connector"
         )
-    # replay the live set INCLUDING current DV descriptors (merge target)
-    live: dict[str, dict] = {}
-    had_dv_protocol = False
-    for v in versions:
-        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                act = json.loads(line)
-                if "protocol" in act:
-                    had_dv_protocol = "deletionVectors" in (
-                        act["protocol"].get("readerFeatures") or []
-                    )
-                elif "add" in act:
-                    a = act["add"]
-                    live[a["path"]] = a
-                elif "remove" in act:
-                    live.pop(act["remove"]["path"], None)
+    # the live set INCLUDING current DV descriptors (merge target)
+    live = state["live"]
+    had_dv_protocol = state["dv_protocol"]
     if not live:
         raise ValueError("empty table")
 
@@ -519,7 +589,7 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
                 }
             }
         )
-    version = versions[-1] + 1
+    version = state["version"] + 1
     _commit_version(log_dir, version, actions)
     return version
 
@@ -552,10 +622,10 @@ def vacuum_delta(
     from .roaring import z85_decode
 
     log_dir = os.path.join(path, "_delta_log")
-    versions = _log_versions(log_dir)
-    if not versions:
+    state = _replay_state(log_dir)
+    if state["version"] is None:
         raise FileNotFoundError(f"no Delta table at {path}")
-    meta = _table_meta(log_dir, versions)
+    meta = state["meta"]
     if not meta or (meta.get("configuration") or {}).get(
         "writer"
     ) != _WRITER_TAG:
@@ -566,23 +636,8 @@ def vacuum_delta(
     now = int(time.time() * 1000) if now_ms is None else now_ms
     cutoff = now - retention_ms
 
-    live: dict[str, dict] = {}
-    tombstone_ts: dict[str, int] = {}
-    for v in versions:
-        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                act = json.loads(line)
-                if "add" in act:
-                    live[act["add"]["path"]] = act["add"]
-                    tombstone_ts.pop(act["add"]["path"], None)
-                elif "remove" in act:
-                    rm = act["remove"]
-                    live.pop(rm["path"], None)
-                    tombstone_ts[rm["path"]] = rm.get(
-                        "deletionTimestamp", 0
-                    )
+    live = state["live"]
+    tombstone_ts = state["tombstones"]
 
     live_dvs: set[str] = set()
     for add in live.values():
@@ -626,6 +681,182 @@ def vacuum_delta(
     return deleted
 
 
+def checkpoint_delta_table(path: str) -> int:
+    """Write a CLASSIC single-file parquet checkpoint of the table's
+    CURRENT version (PROTOCOL.md "Checkpoints"): one row per action —
+    the latest ``protocol`` and ``metaData``, the latest ``txn`` per
+    appId, every live ``add`` (deletion-vector descriptors included),
+    and every un-vacuumed ``remove`` tombstone — then atomically point
+    ``_last_checkpoint`` at it. Readers (ours and delta-spark's) seed
+    replay from the checkpoint and only walk JSON commits above it, so
+    log replay cost stops growing with table history; at 100 TB /
+    thousands of commits this is what keeps snapshot construction O(tail)
+    instead of O(all history). The JSON commits are NOT deleted here —
+    :func:`cleanup_delta_log` does that separately (losing time travel
+    below the checkpoint, exactly like delta-spark's log retention).
+
+    Same single-writer scope as the other writers; refuses foreign
+    tables. Returns the checkpointed version. Driver-side pyarrow write
+    (KB/MB-scale metadata)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    log_dir = os.path.join(path, "_delta_log")
+    state = _replay_state(log_dir)
+    if state["version"] is None:
+        raise FileNotFoundError(f"no Delta table at {path}")
+    meta = state["meta"]
+    if not meta or (meta.get("configuration") or {}).get(
+        "writer"
+    ) != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to checkpoint a Delta table created by another "
+            "writer: use the delta-spark connector"
+        )
+    version = state["version"]
+
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("deletionVector", dv_t),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            (
+                "format",
+                pa.struct(
+                    [
+                        ("provider", pa.string()),
+                        ("options", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+
+    protocol = state["protocol"] or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    rows: list[dict] = [{"protocol": protocol}, {"metaData": meta}]
+    for app_id in sorted(state["txns"]):
+        rows.append(
+            {"txn": {"appId": app_id, "version": state["txns"][app_id]}}
+        )
+    for rel in sorted(state["live"]):
+        add = state["live"][rel]
+        rows.append(
+            {
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": add.get("partitionValues") or {},
+                    "size": add.get("size"),
+                    "modificationTime": add.get("modificationTime"),
+                    "dataChange": False,
+                    "deletionVector": add.get("deletionVector"),
+                }
+            }
+        )
+    for rel in sorted(state["tombstones"]):
+        rows.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": state["tombstones"][rel],
+                    "dataChange": False,
+                }
+            }
+        )
+    table = pa.table(
+        {
+            "txn": pa.array([r.get("txn") for r in rows], type=txn_t),
+            "add": pa.array([r.get("add") for r in rows], type=add_t),
+            "remove": pa.array(
+                [r.get("remove") for r in rows], type=remove_t
+            ),
+            "metaData": pa.array(
+                [r.get("metaData") for r in rows], type=meta_t
+            ),
+            "protocol": pa.array(
+                [r.get("protocol") for r in rows], type=proto_t
+            ),
+        }
+    )
+    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp_cp = cp_path + f".{uuid.uuid4().hex[:8]}.tmp"
+    _pq.write_table(table, tmp_cp)
+    os.replace(tmp_cp, cp_path)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    tmp = lc + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"version": version, "size": len(rows)}))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, lc)
+    return version
+
+
+def cleanup_delta_log(path: str) -> list[int]:
+    """Delete JSON commit files AT OR BELOW the last checkpoint version
+    (delta-spark's metadata cleanup): the checkpoint carries the complete
+    state, so the table stays fully readable and writable at HEAD — but
+    time travel to the removed versions is gone, which is the documented
+    tradeoff of log retention in every Delta engine. Refuses tables with
+    no checkpoint. Returns the removed version numbers."""
+    log_dir = os.path.join(path, "_delta_log")
+    cp_v = _checkpoint_version(log_dir)
+    if cp_v is None:
+        raise ValueError(
+            f"no checkpoint at {path}: run checkpoint_delta_table first"
+        )
+    removed = []
+    for v in _log_versions(log_dir):
+        if v <= cp_v:
+            os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+            removed.append(v)
+    return removed
+
+
 def delta_history(spark, path: str) -> DataFrame:
     """DESCRIBE HISTORY for the minimal writer's tables: one row per
     committed version with its action counts, inferred operation, and
@@ -636,9 +867,25 @@ def delta_history(spark, path: str) -> DataFrame:
     one KB-scale row per commit — then a bounded createDataFrame."""
     log_dir = os.path.join(path, "_delta_log")
     versions = _log_versions(log_dir)
-    if not versions:
+    cp_v = _checkpoint_version(log_dir)
+    if not versions and cp_v is None:
         raise FileNotFoundError(f"no Delta log at {log_dir}")
     rows = []
+    # history truncated below a checkpoint (cleanup_delta_log): one
+    # synthetic row stands in for the compacted prefix
+    if cp_v is not None and (not versions or versions[0] > cp_v):
+        cp = os.path.join(log_dir, f"{cp_v:020d}.checkpoint.parquet")
+        rows.append(
+            (
+                cp_v,
+                int(os.path.getmtime(cp) * 1000),
+                "CHECKPOINT (earlier history truncated)",
+                0,
+                0,
+                None,
+                None,
+            )
+        )
     for v in versions:
         fp = os.path.join(log_dir, f"{v:020d}.json")
         n_add = n_remove = 0

@@ -79,14 +79,17 @@ def test_refuses_foreign_and_checkpointed_tables(spark, tmp_path):
         write_delta_append(
             spark.createDataFrame([(1,)], "id bigint"), root
         )
-    # checkpointed: the minimal writer can't maintain checkpoints
+    # foreign checkpoint LAYOUT (multi-part / v2 — _last_checkpoint with
+    # no classic single-file parquet): the writer can't reconstruct
+    # state from layouts it doesn't maintain, so it must refuse rather
+    # than commit against a partial live set
     root2 = str(tmp_path / "dwc")
     write_delta_append(spark.createDataFrame([(1,)], "id bigint"), root2)
     with open(
         os.path.join(root2, "_delta_log", "_last_checkpoint"), "w"
     ) as fh:
-        fh.write(json.dumps({"version": 0}))
-    with pytest.raises(NotImplementedError, match="checkpointed"):
+        fh.write(json.dumps({"version": 0, "parts": 2}))
+    with pytest.raises(NotImplementedError, match="classic checkpoint"):
         write_delta_append(spark.createDataFrame([(2,)], "id bigint"), root2)
 
 
