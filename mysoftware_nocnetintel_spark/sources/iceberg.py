@@ -3,9 +3,14 @@
 (iceberg.apache.org/spec/). Honestly scoped and fail-fast:
 
 - format-version 2, UNPARTITIONED, parquet data files, append-only;
-- single-writer: the metadata version bump is a plain file write, not a
-  compare-and-swap against a catalog — concurrent writers would race
-  (the production path is the Iceberg connector + a real catalog);
+- the metadata version bump is a FILESYSTEM compare-and-swap
+  (``_commit_metadata``: hard-link put-if-absent of
+  ``v<N>.metadata.json``, the HadoopTableOperations recipe) — a lost
+  race raises :class:`IcebergCommitConflict` instead of clobbering the
+  winner, and appends retry on top of it (they commute; delete/rewrite/
+  expire surface the conflict for a re-run). Object stores without
+  atomic link/rename still need a real catalog (REST/Hive/Glue) — that
+  remains the production path;
 - refuses to append to tables it didn't create (unknown features could
   be silently dropped).
 
@@ -252,6 +257,50 @@ def _iceberg_schema(spark_schema) -> dict | None:
             {"id": i + 1, "name": f.name, "required": not f.nullable, "type": t}
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+class IcebergCommitConflict(RuntimeError):
+    """Another writer committed the metadata version this commit was
+    staged against. Appends retry internally (they commute); delete /
+    rewrite / expire commits surface this — re-run them against the new
+    table state (their inputs may have changed)."""
+
+
+def _commit_metadata(meta_dir: str, prev_ver: int, new_meta: dict) -> None:
+    """ATOMIC compare-and-swap commit of ``v{prev_ver+1}.metadata.json``
+    (the Iceberg HadoopTableOperations recipe): serialize to a temp file,
+    then ``os.link`` it into place — hard-linking is put-if-absent on a
+    POSIX filesystem, so if ANY other writer committed the same version
+    first the link fails with EEXIST and this commit raises
+    :class:`IcebergCommitConflict` instead of silently clobbering the
+    other writer's snapshot. A best-effort ``version-hint.text`` (the
+    Hadoop-catalog convention) is refreshed after the swap so external
+    tooling can find the current version without globbing.
+
+    This is single-FILESYSTEM CAS — the real multi-engine answer is a
+    catalog (REST/Hive/Glue) whose commit endpoint does the swap
+    transactionally; object stores without atomic rename (S3) need that
+    catalog path. Scope documented in the module docstring."""
+    final = os.path.join(meta_dir, f"v{prev_ver + 1}.metadata.json")
+    tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise IcebergCommitConflict(
+            f"metadata version v{prev_ver + 1} was committed by another "
+            "writer while this commit was staged"
+        ) from None
+    finally:
+        os.remove(tmp)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    hint_tmp = hint + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(prev_ver + 1))
+    os.replace(hint_tmp, hint)
 
 
 def _load_meta(meta_dir: str) -> tuple[dict | None, int]:
@@ -646,137 +695,177 @@ def write_iceberg_append(
     if not new_files:
         raise ValueError("append produced no data files")
 
-    now_ms = int(time.time() * 1000)
-    snap_id = now_ms * 1000 + (ver + 1)  # unique, monotone per table
-    seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
+    def _table_sig(m: dict | None) -> str:
+        return json.dumps(
+            [
+                (m or {}).get("schemas"),
+                (m or {}).get("partition-specs"),
+                (m or {}).get("default-spec-id"),
+            ],
+            sort_keys=True,
+        )
 
-    # bounds are keyed by the TABLE's field ids — never derive them from
-    # the incoming DataFrame's column order on an existing table
-    if evolved_schema is not None:
-        bounds_schema = evolved_schema
-    elif meta is not None:
-        bounds_schema = (meta.get("schemas") or [None])[0]
-    else:
-        bounds_schema = _iceberg_schema(df.schema)
-    entries = []
-    for f, pvals, fmt, nrows in new_files:
-        if fmt == "PARQUET":
-            pmeta = pq.read_metadata(f)  # driver-side footer read, KB-scale
-            lo, hi = _file_bounds(pmeta, bounds_schema)
-            nrows = pmeta.num_rows
+    orig_sig = _table_sig(meta)
+    last_err: IcebergCommitConflict | None = None
+    for _attempt in range(3):
+        if _attempt:
+            # CAS lost: reload and re-stage the METADATA on top of the
+            # winner — appends commute, so the staged data files (and
+            # their footer-derived stats) stay valid as long as the
+            # schema and partition spec did not change underneath us.
+            meta, ver = _load_meta(meta_dir)
+            if meta is not None and meta.get("properties", {}).get(
+                "writer"
+            ) != _WRITER_TAG:
+                raise NotImplementedError(
+                    "refusing to append to an Iceberg table created by "
+                    "another writer: use the iceberg-spark-runtime "
+                    "connector"
+                )
+            if _table_sig(meta) != orig_sig:
+                raise IcebergCommitConflict(
+                    "concurrent commit changed the table schema or "
+                    "partition spec while this append was staged: re-run "
+                    "the append"
+                )
+        now_ms = int(time.time() * 1000)
+        snap_id = now_ms * 1000 + (ver + 1)  # unique, monotone per table
+        seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
+
+        # bounds are keyed by the TABLE's field ids — never derive them
+        # from the incoming DataFrame's column order on an existing table
+        if evolved_schema is not None:
+            bounds_schema = evolved_schema
+        elif meta is not None:
+            bounds_schema = (meta.get("schemas") or [None])[0]
         else:
-            lo = hi = None  # row-format files carry no column statistics
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "data_file": {
+            bounds_schema = _iceberg_schema(df.schema)
+        entries = []
+        for f, pvals, fmt, nrows in new_files:
+            if fmt == "PARQUET":
+                pmeta = pq.read_metadata(f)  # driver-side footer, KB-scale
+                lo, hi = _file_bounds(pmeta, bounds_schema)
+                nrows = pmeta.num_rows
+            else:
+                lo = hi = None  # row-format files carry no column stats
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f,
+                        "file_format": fmt,
+                        "record_count": nrows,
+                        "file_size_in_bytes": os.path.getsize(f),
+                        "partition": pvals,
+                        "lower_bounds": lo,
+                        "upper_bounds": hi,
+                    },
+                }
+            )
+        manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
+        entry_schema = (
+            _partition_manifest_schema(part_fields)
+            if part_fields
+            else MANIFEST_ENTRY_SCHEMA
+        )
+        write_avro_file(manifest, entry_schema, entries)
+
+        # append semantics: manifest-list = all prior manifests + this one
+        prior = []
+        if meta is not None:
+            cur = next(
+                s
+                for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            from .avro_lite import read_avro_file
+
+            _, prior = read_avro_file(cur["manifest-list"])
+        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        write_avro_file(
+            mlist,
+            MANIFEST_FILE_SCHEMA,
+            [
+                dict(m, sequence_number=m.get("sequence_number", 0))
+                for m in prior
+            ]
+            + [
+                {
+                    "manifest_path": manifest,
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": 0,
                     "content": 0,
-                    "file_path": f,
-                    "file_format": fmt,
-                    "record_count": nrows,
-                    "file_size_in_bytes": os.path.getsize(f),
-                    "partition": pvals,
-                    "lower_bounds": lo,
-                    "upper_bounds": hi,
-                },
-            }
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            ],
         )
-    manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
-    entry_schema = (
-        _partition_manifest_schema(part_fields)
-        if part_fields
-        else MANIFEST_ENTRY_SCHEMA
-    )
-    write_avro_file(manifest, entry_schema, entries)
 
-    # append semantics: new manifest-list = all prior manifests + this one
-    prior = []
-    if meta is not None:
-        cur = next(
-            s
-            for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
-        )
-        from .avro_lite import read_avro_file
-
-        _, prior = read_avro_file(cur["manifest-list"])
-    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-    write_avro_file(
-        mlist,
-        MANIFEST_FILE_SCHEMA,
-        [dict(m, sequence_number=m.get("sequence_number", 0)) for m in prior]
-        + [
-            {
-                "manifest_path": manifest,
-                "manifest_length": os.path.getsize(manifest),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
-            }
-        ],
-    )
-
-    snapshot = {
-        "snapshot-id": snap_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": mlist,
-        "summary": {"operation": "append"},
-    }
-    if meta is None:
-        schema = _iceberg_schema(df.schema)
-        schemas = [schema] if schema else []
-    elif evolved_schema is not None:
-        # additive evolution: this commit's metadata carries the widened
-        # schema (new ids already assigned above the prior maximum)
-        schemas = [evolved_schema]
-    else:
-        # schema compatibility was validated BEFORE the data write above
-        schemas = meta.get("schemas") or []
-    new_meta = {
-        "format-version": 2,
-        "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
-        "location": path,
-        "last-sequence-number": seq,
-        "last-updated-ms": now_ms,
-        "properties": {"writer": _WRITER_TAG},
-        "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
-        "current-snapshot-id": snap_id,
-    }
-    if meta is not None:
-        if meta.get("partition-specs"):
-            new_meta["partition-specs"] = meta["partition-specs"]
-            new_meta["default-spec-id"] = meta.get("default-spec-id", 0)
-    elif part_fields:
-        name_to_id = {
-            f["name"]: f["id"] for f in _iceberg_schema(df.schema)["fields"]
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "summary": {"operation": "append"},
         }
-        new_meta["partition-specs"] = [
-            {
-                "spec-id": 0,
-                "fields": [
-                    {
-                        "name": c,
-                        "transform": "identity",
-                        "source-id": name_to_id[c],
-                        "field-id": 1000 + i,
-                    }
-                    for i, (c, _t) in enumerate(part_fields)
-                ],
+        if meta is None:
+            schema = _iceberg_schema(df.schema)
+            schemas = [schema] if schema else []
+        elif evolved_schema is not None:
+            # additive evolution: this commit's metadata carries the
+            # widened schema (new ids assigned above the prior maximum)
+            schemas = [evolved_schema]
+        else:
+            # schema compatibility was validated BEFORE the data write
+            schemas = meta.get("schemas") or []
+        new_meta = {
+            "format-version": 2,
+            "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
+            "location": path,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "properties": {"writer": _WRITER_TAG},
+            "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
+            "current-snapshot-id": snap_id,
+        }
+        if meta is not None:
+            if meta.get("partition-specs"):
+                new_meta["partition-specs"] = meta["partition-specs"]
+                new_meta["default-spec-id"] = meta.get("default-spec-id", 0)
+        elif part_fields:
+            name_to_id = {
+                f["name"]: f["id"]
+                for f in _iceberg_schema(df.schema)["fields"]
             }
-        ]
-        new_meta["default-spec-id"] = 0
-    if schemas:
-        new_meta["schemas"] = schemas
-        new_meta["current-schema-id"] = schemas[0]["schema-id"]
-        new_meta["last-column-id"] = max(
-            f["id"] for f in schemas[0]["fields"]
-        )
-    with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
-        json.dump(new_meta, fh)
-    return snap_id
+            new_meta["partition-specs"] = [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": name_to_id[c],
+                            "field-id": 1000 + i,
+                        }
+                        for i, (c, _t) in enumerate(part_fields)
+                    ],
+                }
+            ]
+            new_meta["default-spec-id"] = 0
+        if schemas:
+            new_meta["schemas"] = schemas
+            new_meta["current-schema-id"] = schemas[0]["schema-id"]
+            new_meta["last-column-id"] = max(
+                f["id"] for f in schemas[0]["fields"]
+            )
+        try:
+            _commit_metadata(meta_dir, ver, new_meta)
+            return snap_id
+        except IcebergCommitConflict as e:
+            last_err = e
+    raise last_err
 
 
 # Delete commits collect (file_path, pos) rows to the driver before writing
@@ -923,8 +1012,7 @@ def _commit_delete_file(
             "current-snapshot-id": snap_id,
         },
     )
-    with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
-        json.dump(new_meta, fh)
+    _commit_metadata(meta_dir, ver, new_meta)
     return snap_id
 
 
@@ -1299,8 +1387,7 @@ def rewrite_iceberg_table(
             "current-snapshot-id": snap_id,
         },
     )
-    with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
-        json.dump(new_meta, fh)
+    _commit_metadata(meta_dir, ver, new_meta)
     return snap_id
 
 
@@ -1360,11 +1447,6 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
     expired_refs: set[str] = set()
     for s in expired:
         expired_refs |= _files_of(s)
-    removed = 0
-    for f in expired_refs - keep_refs:
-        if os.path.exists(f):
-            os.remove(f)
-            removed += 1
     new_meta = dict(
         meta,
         **{
@@ -1372,8 +1454,15 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
             "last-updated-ms": int(time.time() * 1000),
         },
     )
-    with open(os.path.join(meta_dir, f"v{ver + 1}.metadata.json"), "w") as fh:
-        json.dump(new_meta, fh)
+    # COMMIT FIRST, delete after: if the CAS loses, the winner's
+    # snapshots still reference every file; a crash after the commit
+    # merely leaves unreferenced orphans (safe, re-collectable)
+    _commit_metadata(meta_dir, ver, new_meta)
+    removed = 0
+    for f in expired_refs - keep_refs:
+        if os.path.exists(f):
+            os.remove(f)
+            removed += 1
     return removed
 
 
