@@ -44,6 +44,8 @@ _WINDOW = [
     "q132_session_funnel",
     "q133_rfm_segments",
     "q134_profile",
+    "q135_repeated_spans",
+    "q136_temperature_mix",
     # --- changed this round (3) ---
     "q124_bm25",
     "q94_token_budget",
@@ -80,17 +82,15 @@ _WINDOW = [
     "q46_sliding_window",
     "q47_session_window",
     "q48_ann_ivf",
-    # --- next-oldest: first 14 of the r03-era block (q64+ and the rest
-    # of the r03 era rotate in next round; two slots ceded to the new
-    # never-graded q127/q128 per rule 1) ---
+    # --- next-oldest: start of the r03-era block (q56+ and the rest of
+    # the r03 era rotate in next round; four slots ceded to the new
+    # never-graded q127/q128 and q135/q136 per rule 1) ---
     "q49_forecast_score",
     "q51_dispatch_plan",
     "q52_model_metrics",
     "q53_multimodal_features",
     "q54_scalar_subquery",
     "q55_in_subquery",
-    "q56_lead_window",
-    "q57_first_last_value",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

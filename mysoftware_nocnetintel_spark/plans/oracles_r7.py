@@ -222,3 +222,87 @@ FROM ranked
 GROUP BY lang, source
 ORDER BY lang, source
 """
+
+ORACLES_R7["q135_repeated_spans"] = """
+WITH base AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, lang, len(t) AS n_tok, t FROM base
+),
+grams AS (
+    SELECT doc_id, CAST(r.i AS INT) AS s,
+           array_to_string(
+               list_slice(t, CAST(r.i AS INT), CAST(r.i AS INT) + 7), ' '
+           ) AS g
+    FROM sized, UNNEST(range(1, n_tok - 6)) AS r(i)
+    WHERE n_tok >= 8
+),
+dup AS (
+    SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+),
+hits AS (
+    SELECT gr.doc_id, gr.s, gr.s + 7 AS e
+    FROM grams gr JOIN dup USING (g)
+),
+marked AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM hits
+),
+islands AS (
+    SELECT doc_id, s, e,
+           sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, isl, min(s) AS ms, max(e) AS me
+    FROM islands GROUP BY doc_id, isl
+),
+cov AS (
+    SELECT doc_id, sum(me - ms + 1) AS covered FROM spans GROUP BY doc_id
+),
+per_doc AS (
+    SELECT z.lang, z.n_tok, coalesce(c.covered, 0) AS covered
+    FROM sized z LEFT JOIN cov c USING (doc_id)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(covered) AS BIGINT) AS covered_tokens,
+       round(avg(CASE WHEN n_tok > 0
+                      THEN covered / CAST(n_tok AS DOUBLE)
+                      ELSE 0.0 END), 6) AS avg_cover_frac,
+       CAST(sum(CASE WHEN n_tok > 0
+                     AND covered / CAST(n_tok AS DOUBLE) > 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_dup
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES_R7["q136_temperature_mix"] = """
+WITH per AS (
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS DOUBLE)
+               AS toks
+    FROM documents
+    GROUP BY source
+),
+tot AS (
+    SELECT sum(toks) AS tot, sum(sqrt(toks)) AS tot_a FROM per
+)
+SELECT source,
+       CAST(toks AS BIGINT) AS n_tokens,
+       round(toks / tot, 6) AS p_natural,
+       round(sqrt(toks) / tot_a, 6) AS q_temp,
+       CAST(round(sqrt(toks) / tot_a * 1000000.0) AS BIGINT)
+           AS budget_tokens,
+       round((sqrt(toks) / tot_a) / (toks / tot), 6) AS oversample
+FROM per CROSS JOIN tot
+ORDER BY source
+"""

@@ -425,6 +425,149 @@ def q134_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q135_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 EXACT-SUBSTRING dedup tier (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, operator family): find every 8-word shingle that
+    occurs in MORE THAN ONE document, merge each document's hit
+    positions into maximal covered spans (gaps-and-islands interval
+    merge), and report per-language how much of the corpus is
+    cross-document duplicated text — the statistic that decides whether
+    span-removal (vs whole-doc dedup) is worth running.
+
+    Scale shape: two shuffles — gram → distinct-doc count (the same
+    bounded-key shuffle as q107 decontamination) and the gram→doc hit
+    join — then a PER-DOCUMENT window (partitioned by doc_id, never
+    global) for the interval merge. The paper's suffix array is a
+    single-machine construct; the shingle-join formulation is its
+    distributed equivalent and finds the identical ≥8-token repeats."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "filter(split(text, ' '), x -> x != '') as __t",
+    ).selectExpr("doc_id", "lang", "size(__t) as n_tok", "__t")
+    grams = (
+        base.filter("n_tok >= 8")
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, n_tok - 7),"
+            " i -> struct(i as s,"
+            " concat_ws(' ', slice(__t, i, 8)) as g))) as e",
+        )
+        .select("doc_id", F.col("e.s").alias("s"), F.col("e.g").alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd > 1")
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select(
+        "doc_id", "s", (F.col("s") + F.lit(7)).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        hits.withColumn("pmax", F.max("e").over(w_prev))
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("ni").over(w_run))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(F.col("me") - F.col("ms") + 1).alias("covered")
+    )
+    per_doc = (
+        base.select("doc_id", "lang", "n_tok")
+        .join(cov, "doc_id", "left")
+        .select(
+            "lang",
+            "n_tok",
+            F.coalesce("covered", F.lit(0)).alias("covered"),
+        )
+        .withColumn(
+            "frac",
+            F.coalesce(
+                F.try_divide(
+                    F.col("covered").cast("double"),
+                    F.col("n_tok").cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("covered").cast("bigint").alias("covered_tokens"),
+            F.round(F.avg("frac"), 6).alias("avg_cover_frac"),
+            F.sum((F.col("frac") > 0.5).cast("bigint")).alias("n_heavy_dup"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q136_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/X3 corpus assembly: TEMPERATURE-reweighted multilingual /
+    multi-source sampling (Lample & Conneau 2019 XLM §3.1, also mT5):
+    sampling probability q_s ∝ p_s^α with α = 0.5 flattens the source
+    distribution so low-resource sources are upsampled. Since
+    p_s^α = n_s^α / N^α, the normalizer cancels: q_s = √n_s / Σ√n.
+    Reports, per source, its natural share, temperature share, the
+    token budget it receives out of a 1M-token draw, and the
+    oversampling factor q/p the loader must apply.
+
+    Scale shape: one partial-agg shuffle to the per-source token table
+    (|sources| rows), then a BROADCAST of the one-row normalizer onto
+    it — no window over a single partition, no second pass over the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source",
+            F.regexp_count("text", F.lit(r"\S+")).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("double").alias("toks"))
+    )
+    tot = per.agg(
+        F.sum("toks").alias("tot"),
+        F.sum(F.sqrt("toks")).alias("tot_a"),
+    )
+    budget = F.lit(1_000_000.0)
+    q = F.sqrt(F.col("toks")) / F.col("tot_a")
+    p = F.col("toks") / F.col("tot")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("toks").cast("bigint").alias("n_tokens"),
+            F.round(p, 6).alias("p_natural"),
+            F.round(q, 6).alias("q_temp"),
+            F.round(q * budget).cast("bigint").alias("budget_tokens"),
+            F.round(q / p, 6).alias("oversample"),
+        )
+        .orderBy("source")
+    )
+
+
 R7_QUERIES = {
     "q127_incremental_ingest": q127_incremental_ingest,
     "q128_balanced_sample": q128_balanced_sample,
@@ -434,4 +577,6 @@ R7_QUERIES = {
     "q132_session_funnel": q132_session_funnel,
     "q133_rfm_segments": q133_rfm_segments,
     "q134_profile": q134_profile,
+    "q135_repeated_spans": q135_repeated_spans,
+    "q136_temperature_mix": q136_temperature_mix,
 }

@@ -44,6 +44,7 @@ _BNLJ_OK = {
     "q119_source_overlap": (1, "scalar per-source vocab totals"),
     "q124_bm25": (1, "single-row corpus-statistics side table"),
     "q133_rfm_segments": (1, "single-row quartile-boundary aggregate"),
+    "q136_temperature_mix": (1, "single-row temperature-normalizer aggregate"),
 }
 
 # query -> (max SinglePartition exchanges, bounded set justifying them)
@@ -72,6 +73,10 @@ _SINGLE_OK = {
     "q132_session_funnel": (1, "scalar funnel rollup"),
     "q133_rfm_segments": (1, "single-row quartile-boundary aggregate"),
     "q134_profile": (1, "scalar profile aggregate (one row, then explode)"),
+    "q136_temperature_mix": (
+        1,
+        "normalizer agg over the per-source table (|sources| rows)",
+    ),
 }
 
 

@@ -168,3 +168,95 @@ def test_q131_edge_differential_and_known_geometry(spark, crafted_dir):
     # srcA: empty doc still yields one (0-token) chunk row — the
     # degenerate-start guard (greatest(n_tok - overlap, 1))
     assert by_src["srcA"].n_chunks == 4
+
+
+# --- q135 / q136: crafted corpus with hand-computable span geometry ---
+
+_DOCS_135 = [
+    # en: docs 10/11 share exactly their first 10 tokens → duplicated
+    # 8-grams at s=1..3 in BOTH docs → one merged island [1, 10]
+    (10, "mixA", "en", " ".join(f"w{i}" for i in range(20))),
+    (11, "mixA", "en",
+     " ".join(f"w{i}" for i in range(10))
+     + " " + " ".join(f"z{i}" for i in range(10))),
+    # de: doc 12 is one shared 8-gram (coverage 8/8), doc 13 contains it
+    # plus a tail token (8/9), doc 14 is too short for any gram
+    (12, "mixA", "de", " ".join(f"a{i}" for i in range(8))),
+    (13, "mixB", "de", " ".join(f"a{i}" for i in range(8)) + " b0"),
+    (14, "mixB", "de", " ".join(f"c{i}" for i in range(7))),
+    (15, "mixB", "en", ""),  # zero tokens: the try_divide guard
+]
+
+
+@pytest.fixture()
+def crafted_dir_135(tmp_path):
+    import shutil
+
+    from mysoftware_nocnetintel_spark.sources.registry import TABLES
+
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet",
+                str(tmp_path / f"{t}.parquet"),
+            )
+    rows = list(zip(*[(d, s, la, len(t), t) for d, s, la, t in _DOCS_135]))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(rows[0], pa.int64()),
+                "source": pa.array(rows[1]),
+                "lang": pa.array(rows[2]),
+                "n_chars": pa.array(rows[3], pa.int64()),
+                "text": pa.array(rows[4]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_q135_span_merge_known_geometry(spark, crafted_dir_135):
+    from mysoftware_nocnetintel_spark.plans.queries_r7 import (
+        q135_repeated_spans,
+    )
+
+    df = q135_repeated_spans(spark, crafted_dir_135)
+    assert_matches_oracle(
+        df, ORACLES_R7["q135_repeated_spans"], crafted_dir_135
+    )
+    by_lang = {r.lang: r for r in df.collect()}
+    # en: three duplicated grams (s=1,2,3) merge into ONE [1,10] island
+    # per doc — 10 covered tokens each, never 3×8=24 (the merge is the
+    # point); the empty doc contributes frac 0
+    assert by_lang["en"].covered_tokens == 20
+    assert by_lang["en"].avg_cover_frac == round((0.5 + 0.5 + 0.0) / 3, 6)
+    assert by_lang["en"].n_heavy_dup == 0
+    # de: full-coverage doc (8/8) + contained-prefix doc (8/9) are both
+    # heavy; the 7-token doc has no gram at all
+    assert by_lang["de"].covered_tokens == 16
+    assert by_lang["de"].avg_cover_frac == round((1.0 + 8 / 9 + 0.0) / 3, 6)
+    assert by_lang["de"].n_heavy_dup == 2
+
+
+def test_q136_temperature_math(spark, crafted_dir_135):
+    import math
+
+    from mysoftware_nocnetintel_spark.plans.queries_r7 import (
+        q136_temperature_mix,
+    )
+
+    df = q136_temperature_mix(spark, crafted_dir_135)
+    assert_matches_oracle(
+        df, ORACLES_R7["q136_temperature_mix"], crafted_dir_135
+    )
+    by_src = {r.source: r for r in df.collect()}
+    # mixA = 20+20+8 = 48 tokens, mixB = 9+7+0 = 16
+    a, b = math.sqrt(48.0), math.sqrt(16.0)
+    assert by_src["mixA"].n_tokens == 48 and by_src["mixB"].n_tokens == 16
+    assert by_src["mixA"].p_natural == 0.75
+    assert by_src["mixA"].q_temp == round(a / (a + b), 6)
+    assert by_src["mixB"].budget_tokens == round(b / (a + b) * 1_000_000)
+    # temperature flattening: the small source is OVERsampled (>1), the
+    # big one under
+    assert by_src["mixB"].oversample > 1.0 > by_src["mixA"].oversample
