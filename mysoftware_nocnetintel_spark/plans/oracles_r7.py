@@ -306,3 +306,78 @@ SELECT source,
 FROM per CROSS JOIN tot
 ORDER BY source
 """
+
+ORACLES_R7["q137_gopher_rules"] = """
+WITH toks AS (
+    SELECT lang,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               AS t
+    FROM documents
+),
+feats AS (
+    SELECT lang,
+           len(t) AS n,
+           coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+               AS sumlen,
+           len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it'],
+               lower(x)))) AS n_stop,
+           len(list_filter(t, x -> contains(x, '#')
+               OR contains(x, '...'))) AS n_sym
+    FROM toks
+),
+flags AS (
+    SELECT lang,
+           n BETWEEN 5 AND 5000 AS r_wordcount,
+           CASE WHEN n = 0 THEN false
+                ELSE (sumlen / CAST(n AS DOUBLE)) BETWEEN 2.0 AND 12.0
+           END AS r_meanlen,
+           CASE WHEN n = 0 THEN false
+                ELSE n_alpha / CAST(n AS DOUBLE) >= 0.6
+           END AS r_alpha,
+           n_stop >= 2 AS r_stopword,
+           CASE WHEN n = 0 THEN true
+                ELSE n_sym / CAST(n AS DOUBLE) <= 0.1
+           END AS r_symbol
+    FROM feats
+),
+kept AS (
+    SELECT lang, r_wordcount, r_meanlen, r_alpha, r_stopword, r_symbol,
+           (r_wordcount AND r_meanlen AND r_alpha AND r_stopword
+            AND r_symbol) AS keep
+    FROM flags
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN NOT r_wordcount THEN 1 ELSE 0 END) AS BIGINT)
+           AS f_wordcount,
+       CAST(sum(CASE WHEN NOT r_meanlen THEN 1 ELSE 0 END) AS BIGINT)
+           AS f_meanlen,
+       CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+           AS f_alpha,
+       CAST(sum(CASE WHEN NOT r_stopword THEN 1 ELSE 0 END) AS BIGINT)
+           AS f_stopword,
+       CAST(sum(CASE WHEN NOT r_symbol THEN 1 ELSE 0 END) AS BIGINT)
+           AS f_symbol,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES_R7["q138_regression_aggs"] = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       round(covar_samp(l_extendedprice, l_quantity), 4)
+           AS covar_price_qty,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -568,6 +568,107 @@ def q136_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q137_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/P6 document-level QUALITY-FILTER FUNNEL in the style of the
+    Gopher / MassiveText heuristic rules (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1): five independent per-document rules —
+    word-count bounds, mean-word-length bounds, alphabetic-word
+    fraction, minimum stopword hits, symbol-token ratio — evaluated in
+    ONE pass, reported per language as a removal funnel (per-rule fail
+    counts + survivors + keep rate). Thresholds are scaled to the
+    synthetic corpus (docs are 1-2 sentences, vs Gopher's 50-100k-word
+    web pages) but the rule structure is the paper's.
+
+    Scale shape: one narrow projection computing all five flags with
+    higher-order array functions (zero explode — the token array never
+    leaves the row), then a single per-lang partial-agg shuffle. The
+    whole rule battery is whole-stage-codegen JVM work; at 100 TB this
+    is a map-side pipeline with a |langs|-row result."""
+    docs = _t(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+    flags = docs.selectExpr(
+        "lang",
+        r"filter(split(text, '\\s+'), x -> x != '') as __t",
+    ).selectExpr(
+        "lang",
+        "size(__t) as n",
+        "aggregate(__t, 0, (a, x) -> a + length(x)) as sumlen",
+        "size(filter(__t, x -> x rlike '[A-Za-z]')) as n_alpha",
+        f"size(filter(__t, x -> array_contains(array({stop_list}),"
+        " lower(x)))) as n_stop",
+        "size(filter(__t, x -> contains(x, '#') or contains(x, '...')))"
+        " as n_sym",
+    ).selectExpr(
+        "lang",
+        "n between 5 and 5000 as r_wordcount",
+        "case when n = 0 then false else"
+        " (sumlen / cast(n as double)) between 2.0 and 12.0 end"
+        " as r_meanlen",
+        "case when n = 0 then false else"
+        " n_alpha / cast(n as double) >= 0.6 end as r_alpha",
+        "n_stop >= 2 as r_stopword",
+        "case when n = 0 then true else"
+        " n_sym / cast(n as double) <= 0.1 end as r_symbol",
+    )
+    keep = (
+        F.col("r_wordcount")
+        & F.col("r_meanlen")
+        & F.col("r_alpha")
+        & F.col("r_stopword")
+        & F.col("r_symbol")
+    )
+    fail = lambda c: F.sum((~F.col(c)).cast("bigint")).alias(f"f_{c[2:]}")
+    return (
+        flags.withColumn("keep", keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fail("r_wordcount"),
+            fail("r_meanlen"),
+            fail("r_alpha"),
+            fail("r_stopword"),
+            fail("r_symbol"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.round(
+                F.avg(F.col("keep").cast("double")), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q138_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F2 bivariate-statistics aggregates: Pearson correlation,
+    sample covariance, and least-squares regression line
+    (slope/intercept/R²) of extended price on quantity per
+    (returnflag, linestatus) group — the SQL-standard REGR_* family
+    the reference's stats surface implies (SURVEY.md §2 A4; reference
+    README.md:44 "statistical aggregation").
+
+    Scale shape: all six statistics are algebraic aggregates with O(1)
+    mergeable partials (co-moment updating, Spark's own corr/covar/regr
+    implementations), so this is ONE map-side-combined shuffle to
+    |flag×status| rows — the cheapest possible shape. Covariance-family
+    outputs are rounded to 4 decimals (correlation-class to 6): both
+    engines use numerically stable one-pass co-moment updates, but the
+    accumulation ORDER differs across engines/partitionings, so the
+    last digits of the raw doubles are not contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.corr(y, x), 6).alias("corr_price_qty"),
+            F.round(F.covar_samp(y, x), 4).alias("covar_price_qty"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 R7_QUERIES = {
     "q127_incremental_ingest": q127_incremental_ingest,
     "q128_balanced_sample": q128_balanced_sample,
@@ -579,4 +680,6 @@ R7_QUERIES = {
     "q134_profile": q134_profile,
     "q135_repeated_spans": q135_repeated_spans,
     "q136_temperature_mix": q136_temperature_mix,
+    "q137_gopher_rules": q137_gopher_rules,
+    "q138_regression_aggs": q138_regression_aggs,
 }

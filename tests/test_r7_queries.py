@@ -260,3 +260,106 @@ def test_q136_temperature_math(spark, crafted_dir_135):
     # temperature flattening: the small source is OVERsampled (>1), the
     # big one under
     assert by_src["mixB"].oversample > 1.0 > by_src["mixA"].oversample
+
+
+# --- q137: one crafted doc per rule, independent-counter semantics ---
+
+_DOCS_137 = [
+    # fails wordcount (n=3) AND stopword (0 hits)
+    (20, "s", "en", "aa bb cc"),
+    # fails meanlen (1.0) AND stopword
+    (21, "s", "en", "x y z w v u"),
+    # fails alpha only (2/8 alphabetic; 'the it' give the 2 stop hits)
+    (22, "s", "en", "11 22 33 44 55 66 the it"),
+    # fails stopword only (no exact-token stopword match)
+    (23, "s", "en", "alpha beta gamma delta epsilon zeta"),
+    # fails symbol only (3/10 tokens contain '#')
+    (24, "s", "en", "the cat is on # ## ### mat now too"),
+    # passes every rule
+    (25, "s", "en", "the quick brown fox jumps over it today"),
+    # empty: fails wordcount/meanlen/alpha/stopword; symbol vacuously ok
+    (26, "s", "en", ""),
+]
+
+
+@pytest.fixture()
+def crafted_dir_137(tmp_path):
+    import shutil
+
+    from mysoftware_nocnetintel_spark.sources.registry import TABLES
+
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet",
+                str(tmp_path / f"{t}.parquet"),
+            )
+    rows = list(zip(*[(d, s, la, len(t), t) for d, s, la, t in _DOCS_137]))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(rows[0], pa.int64()),
+                "source": pa.array(rows[1]),
+                "lang": pa.array(rows[2]),
+                "n_chars": pa.array(rows[3], pa.int64()),
+                "text": pa.array(rows[4]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_q137_per_rule_funnel(spark, crafted_dir_137):
+    from mysoftware_nocnetintel_spark.plans.queries_r7 import (
+        q137_gopher_rules,
+    )
+
+    df = q137_gopher_rules(spark, crafted_dir_137)
+    assert_matches_oracle(
+        df, ORACLES_R7["q137_gopher_rules"], crafted_dir_137
+    )
+    row = {r.lang: r for r in df.collect()}["en"]
+    # counters are per-rule INDEPENDENT (a doc can fail several), the
+    # funnel keeps only the all-rules survivor
+    assert row.n_docs == 7
+    assert row.f_wordcount == 2   # 3-token doc + empty doc
+    assert row.f_meanlen == 2     # 1-char-token doc + empty doc
+    assert row.f_alpha == 2       # digit doc + empty doc
+    assert row.f_stopword == 4    # docs 20/21/23/26
+    assert row.f_symbol == 1      # the '#' doc; empty doc is vacuously ok
+    assert row.n_kept == 1
+    assert row.keep_rate == round(1 / 7, 6)
+
+
+def test_q138_regression_vs_numpy(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from mysoftware_nocnetintel_spark.plans.queries_r7 import (
+        q138_regression_aggs,
+    )
+
+    df = q138_regression_aggs(spark, sf_dir)
+    assert_matches_oracle(df, ORACLES_R7["q138_regression_aggs"], sf_dir)
+    # independent numpy differential for one group: guards against BOTH
+    # engines agreeing on a wrong convention (e.g. regr_slope arg order
+    # — slope must be d(price)/d(quantity), not the inverse)
+    t = _pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"],
+    ).to_pandas()
+    g = t[(t.l_returnflag == "A") & (t.l_linestatus == "F")]
+    slope, intercept = np.polyfit(
+        g.l_quantity.astype(float), g.l_extendedprice.astype(float), 1
+    )
+    row = {
+        (r.l_returnflag, r.l_linestatus): r for r in df.collect()
+    }[("A", "F")]
+    assert row.n_rows == len(g)
+    assert abs(row.slope - slope) < 1e-2
+    assert abs(row.intercept - intercept) < 1e-2
+    c = np.corrcoef(g.l_quantity, g.l_extendedprice)[0, 1]
+    assert abs(row.corr_price_qty - c) < 1e-6
+    assert abs(row.r2 - c * c) < 1e-6
