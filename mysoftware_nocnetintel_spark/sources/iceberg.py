@@ -448,13 +448,19 @@ def write_iceberg_append(
     """Append ``df`` to the Iceberg table at ``path`` (creating it on first
     write). Returns the new snapshot id. See module docstring for scope.
 
-    ``partition_by`` (create-time only) declares an IDENTITY partition
-    spec: the append fan-out-writes one file set per distinct partition
-    tuple in a single distributed pass (Spark partitionBy over DUPLICATE
-    columns, so the original columns stay in the data files as Iceberg
-    requires), and the manifest entries carry the typed partition record,
-    so the reader can prune files by partition BEFORE planning any scan.
-    Date partition values are recorded in ISO string form.
+    ``partition_by`` (create-time only) declares the partition spec: each
+    entry is an identity column name, ``"bucket(N, col)"`` (spec-exact
+    murmur3 hash bucketing — the high-cardinality-key strategy; see
+    :mod:`.iceberg_transforms`) or ``"truncate(W, col)"`` (floor-to-width
+    ints / prefix-of-width strings, keeps range pruning). The append
+    fan-out-writes one file set per distinct partition tuple in a single
+    distributed pass (Spark partitionBy over DUPLICATE computed columns,
+    so the original columns stay in the data files as Iceberg requires),
+    and the manifest entries carry the typed partition record, so the
+    reader can prune files by partition — and, via ``scan_filter`` on a
+    transform SOURCE column, by bucket/truncated range — BEFORE planning
+    any scan. Date partition values are recorded in ISO string form
+    (identity only).
 
     ``file_format="avro"`` writes ROW-ORIENTED data files — the
     fast-append shape the Iceberg spec supports for small frequent
@@ -502,19 +508,27 @@ def write_iceberg_append(
             "partition_by is declared at table CREATE time; later appends "
             "inherit the table's partition spec"
         )
+    from .iceberg_transforms import (
+        PartField,
+        parse_partition_by,
+        resolve_part_field,
+        spec_field_to_part_field,
+    )
+
+    pfs: list[PartField] = []
     if meta is not None:
-        part_cols = [
-            f["name"]
-            for f in (
-                (meta.get("partition-specs") or [{}])[
-                    meta.get("default-spec-id", 0)
-                ].get("fields", [])
+        spec_fields = (meta.get("partition-specs") or [{}])[
+            meta.get("default-spec-id", 0)
+        ].get("fields", [])
+        if spec_fields:
+            schema_fields = (meta.get("schemas") or [{}])[0].get(
+                "fields", []
             )
-        ]
-    else:
-        part_cols = list(partition_by)
-    part_fields: list[tuple[str, str]] = []
-    if part_cols:
+            pfs = [
+                spec_field_to_part_field(f, schema_fields)
+                for f in spec_fields
+            ]
+    elif partition_by:
         sch = _iceberg_schema(df.schema)
         if sch is None:
             raise NotImplementedError(
@@ -522,15 +536,21 @@ def write_iceberg_append(
                 "columns only)"
             )
         by_name = {f["name"]: f["type"] for f in sch["fields"]}
-        for c in part_cols:
+        for item in partition_by:
+            kind, c, param = parse_partition_by(item)
             if c not in by_name:
                 raise ValueError(f"partition column {c!r} not in schema")
-            t = by_name[c]
-            if t not in _PARTITION_AVRO_TYPES:
+            pf = resolve_part_field(kind, c, param, by_name[c])
+            if pf.value_type not in _PARTITION_AVRO_TYPES:
                 raise NotImplementedError(
-                    f"identity partitioning on type {t!r} unsupported"
+                    f"{kind} partitioning on type {by_name[c]!r} unsupported"
                 )
-            part_fields.append((c, t))
+            pfs.append(pf)
+    # (field-name, partition-VALUE type) drives the manifest partition
+    # record + Hive dir decode; the transform itself lives in the spec
+    part_fields: list[tuple[str, str]] = [
+        (pf.name, pf.value_type) for pf in pfs
+    ]
 
     # schema compatibility is checked BEFORE the distributed write: a
     # mismatched append must fail while the table is still untouched —
@@ -598,7 +618,7 @@ def write_iceberg_append(
             *[f["name"] for f in extra],
         )
 
-    if file_format == "avro" and (part_fields or part_cols):
+    if file_format == "avro" and part_fields:
         raise NotImplementedError(
             "avro fast-appends are unpartitioned only (partitioned "
             "tables append parquet)"
@@ -647,11 +667,15 @@ def write_iceberg_append(
 
             from pyspark.sql import functions as F
 
+            from .iceberg_transforms import transform_column
+
             staged = df
-            for c, _t in part_fields:
-                staged = staged.withColumn(f"__part_{c}", F.col(c))
+            for pf in pfs:
+                staged = staged.withColumn(
+                    f"__part_{pf.name}", transform_column(pf)
+                )
             staged.write.partitionBy(
-                *[f"__part_{c}" for c, _t in part_fields]
+                *[f"__part_{pf.name}" for pf in pfs]
             ).parquet(stage)
 
             def _decode(t: str, raw: str):
@@ -844,12 +868,12 @@ def write_iceberg_append(
                     "spec-id": 0,
                     "fields": [
                         {
-                            "name": c,
-                            "transform": "identity",
-                            "source-id": name_to_id[c],
+                            "name": pf.name,
+                            "transform": pf.transform,
+                            "source-id": name_to_id[pf.source_col],
                             "field-id": 1000 + i,
                         }
-                        for i, (c, _t) in enumerate(part_fields)
+                        for i, pf in enumerate(pfs)
                     ],
                 }
             ]
@@ -1227,17 +1251,24 @@ def rewrite_iceberg_table(
     # duplicate-column partitionBy fan-out as the append path), so the
     # compacted entries keep their partition records and pruning stays
     # correct after compaction
+    from .iceberg_transforms import (
+        spec_field_to_part_field,
+        transform_column,
+    )
+
     part_fields: list[tuple[str, str]] = []
+    pfs = []
     if meta.get("partition-specs"):
         spec = meta["partition-specs"][meta.get("default-spec-id", 0)]
         if not bounds_schema:
             raise NotImplementedError(
                 "partitioned rewrite needs the table's field-id schema"
             )
-        type_by_name = {f["name"]: f["type"] for f in bounds_schema["fields"]}
-        part_fields = [
-            (f["name"], type_by_name[f["name"]]) for f in spec["fields"]
+        pfs = [
+            spec_field_to_part_field(f, bounds_schema["fields"])
+            for f in spec["fields"]
         ]
+        part_fields = [(pf.name, pf.value_type) for pf in pfs]
 
     if sort_by:
         if part_fields:
@@ -1263,10 +1294,12 @@ def rewrite_iceberg_table(
             from pyspark.sql import functions as F
 
             staged = live
-            for c, _t in part_fields:
-                staged = staged.withColumn(f"__part_{c}", F.col(c))
+            for pf in pfs:
+                staged = staged.withColumn(
+                    f"__part_{pf.name}", transform_column(pf)
+                )
             staged.write.partitionBy(
-                *[f"__part_{c}" for c, _t in part_fields]
+                *[f"__part_{pf.name}" for pf in pfs]
             ).parquet(stage)
 
             def _decode(t: str, raw: str):

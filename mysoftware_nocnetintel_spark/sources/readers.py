@@ -733,7 +733,10 @@ def _iceberg_live_scan(
                 f"no files match partition_filter {partition_filter}"
             )
     if scan_filter and data_files:
-        pruned = _zone_map_prune(path, data_files, scan_filter)
+        # partition-transform pruning first (manifest-side, whole
+        # bucket/range partitions drop), then zone maps on the survivors
+        pruned = _transform_partition_prune(path, data_files, scan_filter)
+        pruned = _zone_map_prune(path, pruned, scan_filter) if pruned else []
         # all files skipped: a legal EMPTY result, not an error — scan one
         # file for the schema and let the row filter drop everything
         data_files = pruned or data_files[:1]
@@ -982,6 +985,79 @@ def _zone_map_prune(
         return lo <= val <= hi  # "="
 
     return [e for e in data_files if may_match(e)]
+
+
+def _transform_partition_prune(
+    path: str, data_files: "list[_DataFile]", scan_filter: tuple
+) -> "list[_DataFile]":
+    """PARTITION-TRANSFORM pruning for ``scan_filter`` predicates on a
+    partition SOURCE column (Iceberg spec "Partition Transforms"):
+
+    - ``bucket[N]`` fields prune equality predicates — a file whose
+      partition record holds a different bucket than
+      ``bucket(literal)`` cannot contain the value (1/N of the data
+      survives, decided manifest-side before any scan is planned);
+    - ``truncate[W]`` fields prune ranges too, because int
+      floor-to-width and string prefix-of-width are MONOTONIC: v ≥ L
+      implies trunc(v) ≥ trunc(L), so strict ops compare non-strictly
+      on the truncated value;
+    - identity fields are left to the zone-map pruner (identity
+      partition values equal the per-file min=max bounds).
+
+    Files with no partition record or a null value are always kept —
+    like zone maps, this is an optimization, never a correctness
+    decision (the row filter still runs on survivors)."""
+    import json
+    import os
+
+    from .iceberg_transforms import bucket_value, truncate_value
+
+    col_name, op, val = scan_filter
+    meta_dir = os.path.join(path, "metadata")
+    versions = sorted(
+        (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+        key=lambda p: int(p[1:].split(".")[0]),
+    )
+    with open(os.path.join(meta_dir, versions[-1])) as fh:
+        meta = json.load(fh)
+    specs = meta.get("partition-specs") or []
+    if not specs:
+        return data_files
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        return data_files
+    by_id = {f["id"]: f for f in schemas[0]["fields"]}
+    for f in specs[meta.get("default-spec-id", 0)].get("fields", []):
+        src = by_id.get(f.get("source-id"))
+        if src is None or src["name"] != col_name:
+            continue
+        t = f.get("transform", "identity")
+        if t.startswith("bucket["):
+            if op != "=":
+                continue
+            want = bucket_value(val, src["type"], int(t[7:-1]))
+
+            def keep(e, name=f["name"], want=want):
+                pv = (e.partition or {}).get(name)
+                return pv is None or pv == want
+
+        elif t.startswith("truncate["):
+            want = truncate_value(val, src["type"], int(t[9:-1]))
+
+            def keep(e, name=f["name"], want=want, op=op):
+                pv = (e.partition or {}).get(name)
+                if pv is None:
+                    return True
+                if op == "=":
+                    return pv == want
+                if op in (">=", ">"):
+                    return pv >= want
+                return pv <= want  # "<=", "<"
+
+        else:
+            continue
+        data_files = [e for e in data_files if keep(e)]
+    return data_files
 
 
 def _iceberg_local_path(p: str) -> str:

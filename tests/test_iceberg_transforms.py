@@ -1,0 +1,288 @@
+"""Iceberg bucket[N] / truncate[W] partition transforms.
+
+Spec fidelity is byte-pinned against the PUBLISHED hash vectors from the
+Iceberg table spec (Appendix B): bucket writers that disagree with
+iceberg-java's murmur3 would scatter rows into the wrong buckets and
+make every downstream reader's bucket pruning silently wrong.
+
+Pruning proofs use the corrupt-excluded-file pattern shared with the
+identity-partition and Delta tests: after the commit, files outside the
+predicate's bucket/range are overwritten with garbage — a pruned read
+that skips them succeeds, proving zero I/O on the excluded partitions.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysoftware_nocnetintel_spark.sources.iceberg import (
+    rewrite_iceberg_table,
+    write_iceberg_append,
+)
+from mysoftware_nocnetintel_spark.sources.iceberg_transforms import (
+    PartField,
+    bucket_hash,
+    bucket_value,
+    murmur3_32,
+    parse_partition_by,
+    resolve_part_field,
+    transform_column,
+    truncate_value,
+)
+from mysoftware_nocnetintel_spark.sources.readers import (
+    _iceberg_snapshot_files,
+    read_iceberg_snapshot,
+)
+
+
+# ---------------------------------------------------------------- unit
+
+
+def test_spec_hash_vectors():
+    # Iceberg table spec Appendix B published examples
+    assert bucket_hash(34, "int") == 2017239379
+    assert bucket_hash(34, "long") == 2017239379          # int ≡ long
+    assert bucket_hash("iceberg", "string") == 1210000089
+    assert bucket_hash(17486, "int") == -653330422        # date 2017-11-16
+    # murmur3_x86_32 reference vector (empty input, seed 0)
+    assert murmur3_32(b"") == 0
+
+
+def test_bucket_and_truncate_semantics():
+    assert bucket_value(None, "long", 16) is None
+    assert 0 <= bucket_value(34, "long", 16) < 16
+    # spec example: truncate(-1, W=10) floors toward -inf
+    assert truncate_value(-1, "int", 10) == -10
+    assert truncate_value(9, "long", 10) == 0
+    assert truncate_value(10, "long", 10) == 10
+    assert truncate_value("iceberg", "string", 3) == "ice"
+    assert truncate_value(None, "string", 3) is None
+    with pytest.raises(NotImplementedError):
+        bucket_hash(1.5, "double")
+
+
+def test_parse_partition_by():
+    assert parse_partition_by("day") == ("identity", "day", None)
+    assert parse_partition_by("bucket(16, user_id)") == (
+        "bucket", "user_id", 16,
+    )
+    assert parse_partition_by("truncate(4, code)") == (
+        "truncate", "code", 4,
+    )
+    for bad in ("bucket(user_id)", "bucket(0, x)", "mod(3, x)"):
+        with pytest.raises(ValueError):
+            parse_partition_by(bad)
+
+
+def test_spark_bucket_udf_matches_reference(spark):
+    """The numpy-vectorized write-side hash must equal the pure-Python
+    spec hash for random int64s (incl. negatives / extremes) and UTF-8
+    strings — this is the writer/pruner agreement the design relies on."""
+    rng = random.Random(7)
+    longs = [rng.randint(-(2**63), 2**63 - 1) for _ in range(500)] + [
+        0, -1, 34, 2**63 - 1, -(2**63), None,
+    ]
+    df = spark.createDataFrame([(v,) for v in longs], "v bigint")
+    pf = resolve_part_field("bucket", "v", 32, "long")
+    got = [r.b for r in df.select(transform_column(pf).alias("b")).collect()]
+    assert got == [bucket_value(v, "long", 32) for v in longs]
+
+    strs = ["iceberg", "", "héllo wörld", "日本語", None, "x" * 1000]
+    dfs = spark.createDataFrame([(s,) for s in strs], "s string")
+    pfs_ = resolve_part_field("bucket", "s", 8, "string")
+    got_s = [
+        r.b for r in dfs.select(transform_column(pfs_).alias("b")).collect()
+    ]
+    assert got_s == [bucket_value(s, "string", 8) for s in strs]
+
+
+# ------------------------------------------------------------ lifecycle
+
+
+def _corrupt(paths):
+    for p in paths:
+        with open(p, "wb") as fh:
+            fh.write(b"garbage")
+
+
+def test_bucket_partitioned_write_and_prune(spark, tmp_path):
+    root = str(tmp_path / "btab")
+    rows = [(i, f"u{i % 7}", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, user string, val double")
+    write_iceberg_append(df, root, partition_by=("bucket(4, id)",))
+
+    # full read is complete (data files keep the source column)
+    assert {r.id for r in read_iceberg_snapshot(spark, root).collect()} == {
+        r[0] for r in rows
+    }
+    # manifest partition records carry the spec-exact bucket
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert {tuple(e.partition) for e in data_files} == {("id_bucket",)}
+    assert {e.partition["id_bucket"] for e in data_files} == {
+        bucket_value(i, "long", 4) for i, _u, _v in rows
+    }
+
+    # zero-I/O proof: corrupt every file OUTSIDE the probe's bucket
+    probe = 17
+    want_bucket = bucket_value(probe, "long", 4)
+    _corrupt(
+        e.path for e in data_files if e.partition["id_bucket"] != want_bucket
+    )
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("id", "=", probe)
+    ).collect()
+    assert [(r.id, r.user) for r in got] == [(probe, f"u{probe % 7}")]
+    # the unpruned read must now fail — proves the files were really read
+    with pytest.raises(Exception):
+        read_iceberg_snapshot(spark, root).collect()
+
+
+def test_bucket_append_inherits_spec(spark, tmp_path):
+    """A second append (no partition_by) must recompute the SAME buckets
+    from the stored spec, so pruning stays correct across appends."""
+    root = str(tmp_path / "btab2")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, str(i)) for i in range(lo, hi)], "id bigint, v string"
+    )
+    write_iceberg_append(mk(0, 20), root, partition_by=("bucket(8, id)",))
+    write_iceberg_append(mk(20, 40), root)
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    for e in data_files:
+        ids = {
+            r.id
+            for r in spark.read.parquet(e.path).collect()
+        }
+        for i in ids:
+            assert bucket_value(i, "long", 8) == e.partition["id_bucket"]
+    # equality pruning across both appends
+    for probe in (3, 25):
+        got = read_iceberg_snapshot(
+            spark, root, scan_filter=("id", "=", probe)
+        ).collect()
+        assert {r.id for r in got} == {probe}
+
+
+def test_truncate_int_range_prune(spark, tmp_path):
+    root = str(tmp_path / "ttab")
+    df = spark.createDataFrame(
+        [(i, str(i)) for i in range(-25, 25)], "k bigint, v string"
+    )
+    write_iceberg_append(df, root, partition_by=("truncate(10, k)",))
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert {e.partition["k_trunc"] for e in data_files} == {
+        -30, -20, -10, 0, 10, 20,
+    }
+    # range predicate k >= 12 can only touch the 10/20 partitions
+    _corrupt(e.path for e in data_files if e.partition["k_trunc"] < 10)
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("k", ">=", 12)
+    ).collect()
+    assert {r.k for r in got} == set(range(12, 25))
+    # strict op prunes conservatively (trunc is monotonic, not strict)
+    got2 = read_iceberg_snapshot(
+        spark, root, scan_filter=("k", ">", 19)
+    ).collect()
+    assert {r.k for r in got2} == set(range(20, 25))
+
+
+def test_truncate_string_prefix_prune(spark, tmp_path):
+    root = str(tmp_path / "stab")
+    words = ["alpha", "alter", "beta", "bear", "gamma", "go"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    write_iceberg_append(df, root, partition_by=("truncate(2, w)",))
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert {e.partition["w_trunc"] for e in data_files} == {
+        "al", "be", "ga", "go",
+    }
+    _corrupt(e.path for e in data_files if e.partition["w_trunc"] != "be")
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("w", "=", "bear")
+    ).collect()
+    assert [r.w for r in got] == ["bear"]
+
+
+def test_mixed_identity_and_bucket_spec(spark, tmp_path):
+    root = str(tmp_path / "mtab")
+    df = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3)], "day string, id bigint"
+    )
+    write_iceberg_append(
+        df, root, partition_by=("day", "bucket(2, id)")
+    )
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    for e in data_files:
+        assert set(e.partition) == {"day", "id_bucket"}
+    # identity partition_filter still works on the mixed spec
+    got = read_iceberg_snapshot(
+        spark, root, partition_filter={"day": "d2"}
+    ).collect()
+    assert {r.id for r in got} == {3}
+
+
+def test_rewrite_preserves_transform_partitions(spark, tmp_path):
+    """Compaction must regroup by the TRANSFORMED value (recomputing
+    bucket hashes), keeping partition records and pruning intact."""
+    root = str(tmp_path / "ctab")
+    for lo, hi in ((0, 15), (15, 30)):
+        write_iceberg_append(
+            spark.createDataFrame(
+                [(i, str(i)) for i in range(lo, hi)], "id bigint, v string"
+            ),
+            root,
+            partition_by=("bucket(4, id)",) if lo == 0 else (),
+        )
+    rewrite_iceberg_table(spark, root)
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    buckets = {}
+    for e in data_files:
+        buckets.setdefault(e.partition["id_bucket"], set()).update(
+            r.id for r in spark.read.parquet(e.path).collect()
+        )
+    for b, ids in buckets.items():
+        assert all(bucket_value(i, "long", 4) == b for i in ids)
+    probe = 7
+    _corrupt(
+        e.path
+        for e in data_files
+        if e.partition["id_bucket"] != bucket_value(probe, "long", 4)
+    )
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("id", "=", probe)
+    ).collect()
+    assert {r.id for r in got} == {probe}
+
+
+def test_null_bucket_value_partitions_and_survives(spark, tmp_path):
+    root = str(tmp_path / "ntab")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "id bigint, v string"
+    )
+    write_iceberg_append(df, root, partition_by=("bucket(4, id)",))
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert None in {e.partition["id_bucket"] for e in data_files}
+    rows = {(r.id, r.v) for r in read_iceberg_snapshot(spark, root).collect()}
+    assert rows == {(1, "a"), (None, "b"), (2, "c")}
+    # a null-partition file is never pruned away by an equality probe on
+    # the hashed column (conservative keep) — but equality can't match
+    # NULL rows anyway, so the result is just the probe row
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("id", "=", 2)
+    ).collect()
+    assert {r.id for r in got} == {2}
+
+
+def test_bucket_on_unsupported_type_refused(spark, tmp_path):
+    df = spark.createDataFrame([(1.5, "a")], "x double, v string")
+    with pytest.raises(NotImplementedError):
+        write_iceberg_append(
+            df, str(tmp_path / "xx"), partition_by=("bucket(4, x)",)
+        )
+
+
+def test_part_field_param():
+    pf = PartField("id_bucket", "bucket[16]", "id", "long", "int")
+    assert pf.param == 16
+    assert PartField("d", "identity", "d", "string", "string").param is None
