@@ -89,6 +89,31 @@ def bucket_value(value, iceberg_type: str, n: int):
     return (bucket_hash(value, iceberg_type) & 0x7FFFFFFF) % n
 
 
+_EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
+def time_transform_value(value, kind: str):
+    """Spec time transforms on DATE values: ``year``/``month``/``day``
+    partition values are the ordinal count of years/months/days SINCE THE
+    UNIX EPOCH (spec "Partition Transforms" table; e.g. month(2017-11-16)
+    = 574, day counts match datediff from 1970-01-01). All three are
+    monotonic in the source date, so range predicates prune. ``value`` is
+    a ``datetime.date`` (or ISO string) on the driver."""
+    import datetime
+
+    if value is None:
+        return None
+    if isinstance(value, str):
+        value = datetime.date.fromisoformat(value)
+    if kind == "year":
+        return value.year - 1970
+    if kind == "month":
+        return (value.year - 1970) * 12 + (value.month - 1)
+    if kind == "day":
+        return value.toordinal() - _EPOCH_ORD
+    raise ValueError(f"unknown time transform {kind!r}")
+
+
 def truncate_value(value, iceberg_type: str, w: int):
     """Spec truncate: ints floor toward -inf to a multiple of W
     (``v - (((v % W) + W) % W)``), strings keep the first W characters.
@@ -142,10 +167,19 @@ def parse_partition_by(item: str) -> tuple[str, str, int | None]:
             if n <= 0:
                 raise ValueError(f"{kind} width must be positive: {item!r}")
             return kind, parts[1], n
+    for kind in ("year", "month", "day"):
+        if low.startswith(kind + "(") and s.endswith(")"):
+            col = s[len(kind) + 1 : -1].strip()
+            if not col or "," in col:
+                raise ValueError(
+                    f"malformed partition transform {item!r}: expected "
+                    f"{kind}(column)"
+                )
+            return kind, col, None
     if "(" in s or ")" in s:
         raise ValueError(
             f"unknown partition transform {item!r} (identity column name, "
-            "bucket(N, col) or truncate(W, col))"
+            "bucket(N, col), truncate(W, col), or year/month/day(col))"
         )
     return "identity", s, None
 
@@ -175,6 +209,13 @@ def resolve_part_field(
             f"{col}_trunc", f"truncate[{param}]", col, source_type,
             source_type,
         )
+    if kind in ("year", "month", "day"):
+        if source_type != "date":
+            raise NotImplementedError(
+                f"{kind} transform on iceberg type {source_type!r} "
+                "unsupported (date columns only)"
+            )
+        return PartField(f"{col}_{kind}", kind, col, source_type, "int")
     raise ValueError(f"unknown transform kind {kind!r}")
 
 
@@ -211,9 +252,13 @@ def spec_field_to_part_field(
         return PartField(
             spec_field["name"], t, src["name"], src["type"], src["type"]
         )
+    if kind in ("year", "month", "day"):
+        return PartField(
+            spec_field["name"], kind, src["name"], src["type"], "int"
+        )
     raise NotImplementedError(
         f"partition transform {t!r} unsupported (identity, bucket, "
-        "truncate)"
+        "truncate, year/month/day)"
     )
 
 
@@ -227,6 +272,14 @@ def transform_column(pf: PartField):
     if pf.transform == "identity":
         return c
     kind, param = pf.transform.split("[", 1)[0], pf.param
+    if kind == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if kind == "month":
+        return (
+            (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+        ).cast("int")
+    if kind == "day":
+        return F.datediff(c, F.lit("1970-01-01")).cast("int")
     if kind == "truncate":
         if pf.source_type == "string":
             return F.substring(c, 1, param)

@@ -965,6 +965,8 @@ def _zone_map_prune(
         )
     fid = str(name_to_id[col_name])
 
+    import datetime
+
     def may_match(e: "_DataFile") -> bool:
         lo = (e.lower or {}).get(fid)
         hi = (e.upper or {}).get(fid)
@@ -974,15 +976,27 @@ def _zone_map_prune(
         # NaN) makes every comparison below False; never skip on it.
         if isinstance(lo, float) and (math.isnan(lo) or math.isnan(hi)):
             return True
-        if op == ">=":
-            return hi >= val
-        if op == ">":
-            return hi > val
-        if op == "<=":
-            return lo <= val
-        if op == "<":
-            return lo < val
-        return lo <= val <= hi  # "="
+        v = val
+        if isinstance(lo, str) and isinstance(
+            v, (datetime.date, datetime.datetime)
+        ):
+            # date/timestamp bounds round-trip as ISO strings, which sort
+            # identically to the values they encode
+            v = v.isoformat(sep=" ") if isinstance(
+                v, datetime.datetime
+            ) else v.isoformat()
+        try:
+            if op == ">=":
+                return hi >= v
+            if op == ">":
+                return hi > v
+            if op == "<=":
+                return lo <= v
+            if op == "<":
+                return lo < v
+            return lo <= v <= hi  # "="
+        except TypeError:
+            return True  # incomparable bound/literal → never skip on it
 
     return [e for e in data_files if may_match(e)]
 
@@ -1010,7 +1024,11 @@ def _transform_partition_prune(
     import json
     import os
 
-    from .iceberg_transforms import bucket_value, truncate_value
+    from .iceberg_transforms import (
+        bucket_value,
+        time_transform_value,
+        truncate_value,
+    )
 
     col_name, op, val = scan_filter
     meta_dir = os.path.join(path, "metadata")
@@ -1041,8 +1059,14 @@ def _transform_partition_prune(
                 pv = (e.partition or {}).get(name)
                 return pv is None or pv == want
 
-        elif t.startswith("truncate["):
-            want = truncate_value(val, src["type"], int(t[9:-1]))
+        elif t.startswith("truncate[") or t in ("year", "month", "day"):
+            # both families are MONOTONIC in the source value, so the
+            # same conservative range logic applies
+            want = (
+                time_transform_value(val, t)
+                if t in ("year", "month", "day")
+                else truncate_value(val, src["type"], int(t[9:-1]))
+            )
 
             def keep(e, name=f["name"], want=want, op=op):
                 pv = (e.partition or {}).get(name)

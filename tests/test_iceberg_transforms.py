@@ -286,3 +286,86 @@ def test_part_field_param():
     pf = PartField("id_bucket", "bucket[16]", "id", "long", "int")
     assert pf.param == 16
     assert PartField("d", "identity", "d", "string", "string").param is None
+
+
+# ---------------------------------------------------- time transforms
+
+
+def test_time_transform_spec_vectors():
+    import datetime
+
+    from mysoftware_nocnetintel_spark.sources.iceberg_transforms import (
+        time_transform_value,
+    )
+
+    d = datetime.date(2017, 11, 16)
+    # Iceberg spec "Partition Transforms" examples for 2017-11-16
+    assert time_transform_value(d, "year") == 47
+    assert time_transform_value(d, "month") == 574
+    assert time_transform_value(d, "day") == 17486
+    assert time_transform_value("1969-12-31", "day") == -1
+    assert time_transform_value("1969-12-31", "month") == -1
+    assert time_transform_value(None, "day") is None
+
+
+def test_day_partitioned_range_prune(spark, tmp_path):
+    import datetime
+
+    from mysoftware_nocnetintel_spark.sources.iceberg_transforms import (
+        time_transform_value,
+    )
+
+    root = str(tmp_path / "dtab")
+    base = datetime.date(2026, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=i // 4), i) for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "d date, id bigint")
+    write_iceberg_append(df, root, partition_by=("day(d)",))
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert {e.partition["d_day"] for e in data_files} == {
+        time_transform_value(base + datetime.timedelta(days=k), "day")
+        for k in range(4)
+    }
+    # range predicate d >= base+2 days must only touch the last 2 days
+    cut = base + datetime.timedelta(days=2)
+    _corrupt(
+        e.path
+        for e in data_files
+        if e.partition["d_day"] < time_transform_value(cut, "day")
+    )
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("d", ">=", cut)
+    ).collect()
+    assert {r.id for r in got} == set(range(8, 16))
+
+
+def test_month_append_inherits_and_prunes_equality(spark, tmp_path):
+    import datetime
+
+    root = str(tmp_path / "mtab2")
+    mk = lambda rows: spark.createDataFrame(rows, "d date, id bigint")
+    write_iceberg_append(
+        mk([(datetime.date(2026, 1, 10), 1), (datetime.date(2026, 2, 5), 2)]),
+        root,
+        partition_by=("month(d)",),
+    )
+    write_iceberg_append(
+        mk([(datetime.date(2026, 2, 20), 3), (datetime.date(2026, 3, 1), 4)]),
+        root,
+    )
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert {e.partition["d_month"] for e in data_files} == {672, 673, 674}
+    _corrupt(e.path for e in data_files if e.partition["d_month"] != 673)
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("d", "=", datetime.date(2026, 2, 20))
+    ).collect()
+    assert {r.id for r in got} == {3}
+
+
+def test_time_transform_on_non_date_refused(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "x bigint, v string")
+    with pytest.raises(NotImplementedError):
+        write_iceberg_append(
+            df, str(tmp_path / "bad"), partition_by=("day(x)",)
+        )
