@@ -48,6 +48,8 @@ _WINDOW = [
     "q136_temperature_mix",
     "q137_gopher_rules",
     "q138_regression_aggs",
+    "q139_exact_percentiles",
+    "q140_psi_drift",
     # --- changed this round (3) ---
     "q124_bm25",
     "q94_token_budget",
@@ -84,13 +86,11 @@ _WINDOW = [
     "q46_sliding_window",
     "q47_session_window",
     "q48_ann_ivf",
-    # --- next-oldest: start of the r03-era block (q54+ and the rest of
-    # the r03 era rotate in next round; six slots ceded to the new
-    # never-graded q127/q128 and q135-q138 per rule 1) ---
+    # --- next-oldest: start of the r03-era block (q52+ and the rest of
+    # the r03 era rotate in next round; eight slots ceded to the new
+    # never-graded q127/q128 and q135-q140 per rule 1) ---
     "q49_forecast_score",
     "q51_dispatch_plan",
-    "q52_model_metrics",
-    "q53_multimodal_features",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -381,3 +381,55 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+ORACLES_R7["q139_exact_percentiles"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES_R7["q140_psi_drift"] = """
+WITH stats AS (
+    SELECT min(value) AS mn, max(value) AS mx FROM events
+),
+binned AS (
+    SELECT event_type,
+           event_id % 2 AS split,
+           CASE WHEN mx = mn THEN 0
+                ELSE least(CAST(floor((value - mn) / ((mx - mn) / 10.0))
+                           AS BIGINT), 9)
+           END AS bin
+    FROM events CROSS JOIN stats
+),
+counts AS (
+    SELECT event_type, bin,
+           sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS c0,
+           sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS c1
+    FROM binned
+    GROUP BY event_type, bin
+),
+tot AS (
+    SELECT event_type, sum(c0) AS n0, sum(c1) AS n1
+    FROM counts GROUP BY event_type
+),
+terms AS (
+    SELECT c.event_type, t.n0, t.n1,
+           ((c.c0 + 1.0) / (t.n0 + 10.0) - (c.c1 + 1.0) / (t.n1 + 10.0))
+               * ln(((c.c0 + 1.0) / (t.n0 + 10.0))
+                    / ((c.c1 + 1.0) / (t.n1 + 10.0))) AS term
+    FROM counts c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(max(n0) AS BIGINT) AS n_baseline,
+       CAST(max(n1) AS BIGINT) AS n_current,
+       round(sum(term), 6) AS psi
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+"""

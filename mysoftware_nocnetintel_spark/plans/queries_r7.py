@@ -669,6 +669,91 @@ def q138_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q139_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 EXACT percentile_cont per group (the exact-tier complement of
+    q26's approx_percentile): p25/p50/p75/p90 of event value per event
+    type with SQL-standard linear interpolation — the spec that makes
+    exact percentiles engine-portable (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` implement the same PERCENTILE_CONT definition, so
+    the oracle pins interpolation arithmetic, not just ordering).
+
+    Scale shape: one partial-agg shuffle keyed by event_type. Exact
+    percentiles require the per-group value multiset on one reducer —
+    correct here because |event_type| is small and bounded; for
+    high-cardinality groups or global percentiles the q26 sketch tier is
+    the scale path (that trade-off is the point of having both)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = lambda p, a: F.round(
+        F.percentile("value", F.lit(p)), 6
+    ).alias(a)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pct(0.25, "p25"),
+            pct(0.5, "p50"),
+            pct(0.75, "p75"),
+            pct(0.9, "p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q140_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/W3-family DRIFT MONITOR: Population Stability Index between
+    two deterministic halves of the event stream (even/odd event_id
+    standing in for baseline vs current window), per event type.
+    PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over 10 equal-width value bins
+    with add-one smoothing (so empty bins stay finite) — the standard
+    scorecard-monitoring statistic (> 0.2 ≈ significant shift). This is
+    the batch twin of the streaming drift detector
+    (streaming/ops.py) with an exact SQL oracle.
+
+    Scale shape: one scalar min/max aggregate BROADCAST onto the
+    stream, one partial-agg shuffle to (type, split, bin) — ≤ |types|·20
+    rows — then driver-scale arithmetic. Bin edges are global, so both
+    halves bin identically by construction."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).selectExpr(
+        "event_type",
+        "pmod(event_id, 2) as split",
+        "case when mx = mn then 0L else"
+        " least(cast(floor((value - mn) / ((mx - mn) / 10.0)) as bigint),"
+        " 9L) end as bin",
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    # per-type totals via a WINDOW over the post-agg table (≤ |types|·10
+    # rows) — a self-join here would re-execute the whole scan subtree
+    w = Window.partitionBy("event_type")
+    withtot = counts.withColumn("n0", F.sum("c0").over(w)).withColumn(
+        "n1", F.sum("c1").over(w)
+    )
+    p = (F.col("c0") + F.lit(1.0)) / (F.col("n0") + F.lit(10.0))
+    q = (F.col("c1") + F.lit(1.0)) / (F.col("n1") + F.lit(10.0))
+    return (
+        withtot
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            ((p - q) * F.log(p / q)).alias("term"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n0").cast("bigint").alias("n_baseline"),
+            F.max("n1").cast("bigint").alias("n_current"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
 R7_QUERIES = {
     "q127_incremental_ingest": q127_incremental_ingest,
     "q128_balanced_sample": q128_balanced_sample,
@@ -682,4 +767,6 @@ R7_QUERIES = {
     "q136_temperature_mix": q136_temperature_mix,
     "q137_gopher_rules": q137_gopher_rules,
     "q138_regression_aggs": q138_regression_aggs,
+    "q139_exact_percentiles": q139_exact_percentiles,
+    "q140_psi_drift": q140_psi_drift,
 }

@@ -45,6 +45,7 @@ _BNLJ_OK = {
     "q124_bm25": (1, "single-row corpus-statistics side table"),
     "q133_rfm_segments": (1, "single-row quartile-boundary aggregate"),
     "q136_temperature_mix": (1, "single-row temperature-normalizer aggregate"),
+    "q140_psi_drift": (1, "single-row global min/max bin-edge aggregate"),
 }
 
 # query -> (max SinglePartition exchanges, bounded set justifying them)
@@ -77,6 +78,7 @@ _SINGLE_OK = {
         1,
         "normalizer agg over the per-source table (|sources| rows)",
     ),
+    "q140_psi_drift": (1, "scalar min/max bin-edge aggregate"),
 }
 
 

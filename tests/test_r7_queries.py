@@ -363,3 +363,90 @@ def test_q138_regression_vs_numpy(spark, sf_dir):
     c = np.corrcoef(g.l_quantity, g.l_extendedprice)[0, 1]
     assert abs(row.corr_price_qty - c) < 1e-6
     assert abs(row.r2 - c * c) < 1e-6
+
+
+# --- q139 / q140: crafted events with hand-computable statistics ---
+
+
+@pytest.fixture()
+def crafted_dir_events(tmp_path):
+    import shutil
+
+    from mysoftware_nocnetintel_spark.sources.registry import TABLES
+
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet",
+                str(tmp_path / f"{t}.parquet"),
+            )
+    # type "a": values 1..4 (interpolating percentiles are exact
+    # quarters); ids alternate parity so the two PSI halves see the SAME
+    # distribution → PSI == 0 by symmetry of the smoothed formula.
+    # type "b": even ids (baseline) at the bottom bin, odd ids (current)
+    # at the top bin → maximally drifted.
+    rows = []
+    for i, v in enumerate([1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0] * 2):
+        rows.append((i, "a", v))
+    for i in range(16, 32):
+        rows.append((i, "b", 1.0 if i % 2 == 0 else 4.0))
+    import datetime
+
+    ts = [datetime.datetime(2026, 1, 1, 0, 0, i % 60) for i in range(len(rows))]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([r[0] % 5 for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_q139_interpolation_known_values(spark, crafted_dir_events):
+    from mysoftware_nocnetintel_spark.plans.queries_r7 import (
+        q139_exact_percentiles,
+    )
+
+    df = q139_exact_percentiles(spark, crafted_dir_events)
+    assert_matches_oracle(
+        df, ORACLES_R7["q139_exact_percentiles"], crafted_dir_events
+    )
+    a = {r.event_type: r for r in df.collect()}["a"]
+    # 16 values of {1,2,3,4}×4: PERCENTILE_CONT interpolates between
+    # order statistics — p25 index = 0.25·15 = 3.75 → 1 + 0.75·(2−1)
+    assert a.n_events == 16
+    assert a.p25 == 1.75
+    assert a.p50 == 2.5
+    assert a.p75 == 3.25
+    assert a.p90 == 4.0  # 0.9·15 = 13.5 lands between two 4.0s
+
+
+def test_q140_psi_extremes(spark, crafted_dir_events):
+    import math
+
+    from mysoftware_nocnetintel_spark.plans.queries_r7 import (
+        q140_psi_drift,
+    )
+
+    df = q140_psi_drift(spark, crafted_dir_events)
+    assert_matches_oracle(
+        df, ORACLES_R7["q140_psi_drift"], crafted_dir_events
+    )
+    by = {r.event_type: r for r in df.collect()}
+    # identical halves → every bin count matches → PSI exactly 0
+    assert by["a"].psi == 0.0
+    assert by["a"].n_baseline == 8 and by["a"].n_current == 8
+    # fully separated halves: global bins over [1,4] put baseline (all
+    # 1.0) in bin 0 and current (all 4.0) in bin 9; smoothed
+    # p=(8+1)/18 vs q=1/18 in bin 0 (mirrored in bin 9), 8 empty bins
+    # contribute 0 → PSI = 2·(8/18)·ln(9)
+    want = round(2 * (8 / 18) * math.log(9.0), 6)
+    assert by["b"].psi == want
+    assert by["b"].psi > 0.2  # "significant shift" per the scorecard rule
