@@ -369,3 +369,106 @@ def test_time_transform_on_non_date_refused(spark, tmp_path):
         write_iceberg_append(
             df, str(tmp_path / "bad"), partition_by=("day(x)",)
         )
+
+
+# ------------------------------------------------ bucket-colocated join
+
+
+def _mk_bucketed(spark, root, rows, schema, key, n):
+    write_iceberg_append(
+        spark.createDataFrame(rows, schema),
+        root,
+        partition_by=(f"bucket({n}, {key})",),
+    )
+
+
+def test_bucket_join_matches_plain_join(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_iceberg_bucket_join,
+    )
+
+    l_root = str(tmp_path / "l")
+    r_root = str(tmp_path / "r")
+    _mk_bucketed(
+        spark, l_root,
+        [(i, f"L{i}") for i in range(40)], "k bigint, lv string", "k", 4,
+    )
+    # right side covers half the keys plus strangers + a null key
+    _mk_bucketed(
+        spark, r_root,
+        [(i, f"R{i}") for i in range(0, 80, 2)] + [(None, "Rnull")],
+        "k bigint, rv string", "k", 4,
+    )
+    got = {
+        (r.k, r.lv, r.rv)
+        for r in read_iceberg_bucket_join(spark, l_root, r_root, "k")
+        .collect()
+    }
+    want = {(i, f"L{i}", f"R{i}") for i in range(0, 40, 2)}
+    assert got == want
+
+
+def test_bucket_join_plans_only_matching_buckets(spark, tmp_path):
+    """Colocation proof: corrupt every right-side file whose bucket holds
+    no LEFT key — the join must still succeed because those buckets are
+    never planned."""
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_iceberg_bucket_join,
+    )
+
+    l_root = str(tmp_path / "l2")
+    r_root = str(tmp_path / "r2")
+    # pick left keys that all land in ONE bucket of 8
+    keys = [i for i in range(200) if bucket_value(i, "long", 8) == 3][:5]
+    assert keys
+    _mk_bucketed(
+        spark, l_root, [(k, "x") for k in keys],
+        "k bigint, lv string", "k", 8,
+    )
+    _mk_bucketed(
+        spark, r_root, [(i, f"R{i}") for i in range(60)],
+        "k bigint, rv string", "k", 8,
+    )
+    data_files, _p, _e, _s = _iceberg_snapshot_files(r_root)
+    _corrupt(e.path for e in data_files if e.partition["k_bucket"] != 3)
+    got = {
+        (r.k, r.rv)
+        for r in read_iceberg_bucket_join(spark, l_root, r_root, "k")
+        .collect()
+    }
+    assert got == {(k, f"R{k}") for k in keys if k < 60}
+
+
+def test_bucket_join_refusals_and_empty(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_iceberg_bucket_join,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    _mk_bucketed(
+        spark, a, [(1, "x")], "k bigint, lv string", "k", 4,
+    )
+    _mk_bucketed(
+        spark, b, [(1, "y")], "k bigint, rv string", "k", 8,
+    )
+    with pytest.raises(ValueError, match="widths differ"):
+        read_iceberg_bucket_join(spark, a, b, "k")
+    write_iceberg_append(
+        spark.createDataFrame([(1, "z")], "k bigint, rv string"), c
+    )
+    with pytest.raises(ValueError, match="bucket-partitioned"):
+        read_iceberg_bucket_join(spark, a, c, "k")
+    # disjoint buckets → legal empty result with the joined schema
+    d = str(tmp_path / "d")
+    k_other = next(
+        i for i in range(100)
+        if bucket_value(i, "long", 4) != bucket_value(1, "long", 4)
+    )
+    _mk_bucketed(
+        spark, d, [(k_other, "w")], "k bigint, rv string", "k", 4,
+    )
+    empty = read_iceberg_bucket_join(spark, a, d, "k")
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "lv", "rv"}
