@@ -472,3 +472,63 @@ def test_bucket_join_refusals_and_empty(spark, tmp_path):
     empty = read_iceberg_bucket_join(spark, a, d, "k")
     assert empty.count() == 0
     assert set(empty.columns) == {"k", "lv", "rv"}
+
+
+# -------------------------------------------- randomized differential
+
+
+def test_transform_prune_randomized_differential(spark, tmp_path):
+    """Property: for RANDOM tables partitioned with a random transform
+    and random scan_filter predicates, the pruned read returns exactly
+    the rows a brute-force in-memory filter does. Pruning must never be
+    a correctness decision — this is the transform analogue of the
+    zone-map fuzz suite."""
+    import datetime
+    import operator as op_mod
+
+    rng = random.Random(42)
+    OPS = {
+        "=": op_mod.eq, ">=": op_mod.ge, ">": op_mod.gt,
+        "<=": op_mod.le, "<": op_mod.lt,
+    }
+    for trial in range(6):
+        kind = rng.choice(["bucket", "truncate", "day", "month"])
+        root = str(tmp_path / f"fz{trial}")
+        if kind in ("bucket", "truncate"):
+            keys = [rng.randint(-100, 100) for _ in range(60)]
+            rows = [(k, i) for i, k in enumerate(keys)]
+            w = rng.choice([3, 7, 16])
+            write_iceberg_append(
+                spark.createDataFrame(rows, "k bigint, rid bigint"),
+                root,
+                partition_by=(f"{kind}({w}, k)",),
+            )
+            probes = [rng.randint(-110, 110) for _ in range(8)]
+        else:
+            base = datetime.date(2025, 11, 20)
+            keys = [
+                base + datetime.timedelta(days=rng.randint(0, 90))
+                for _ in range(60)
+            ]
+            rows = [(k, i) for i, k in enumerate(keys)]
+            write_iceberg_append(
+                spark.createDataFrame(rows, "k date, rid bigint"),
+                root,
+                partition_by=(f"{kind}(k)",),
+            )
+            probes = [
+                base + datetime.timedelta(days=rng.randint(-5, 95))
+                for _ in range(8)
+            ]
+        for val in probes:
+            o = rng.choice(list(OPS))
+            got = {
+                (r.k, r.rid)
+                for r in read_iceberg_snapshot(
+                    spark, root, scan_filter=("k", o, val)
+                ).collect()
+            }
+            want = {
+                (k, i) for k, i in rows if OPS[o](k, val)
+            }
+            assert got == want, (trial, kind, o, val)
