@@ -532,3 +532,43 @@ def test_transform_prune_randomized_differential(spark, tmp_path):
                 (k, i) for k, i in rows if OPS[o](k, val)
             }
             assert got == want, (trial, kind, o, val)
+
+
+def test_deletes_compose_with_bucket_partitions(spark, tmp_path):
+    """Merge-on-read deletes must apply inside transform-partitioned
+    scans (pruned or not), and a full rewrite must fold them in while
+    regrouping by bucket."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        write_iceberg_equality_deletes,
+        write_iceberg_position_deletes,
+    )
+
+    root = str(tmp_path / "deltab")
+    _mk_bucketed(
+        spark, root, [(i, f"v{i}") for i in range(30)],
+        "k bigint, v string", "k", 4,
+    )
+    write_iceberg_equality_deletes(
+        spark, root, spark.createDataFrame([(3,), (7,)], "k bigint")
+    )
+    write_iceberg_position_deletes(spark, root, F.col("k") == 11)
+    live = set(range(30)) - {3, 7, 11}
+    assert {
+        r.k for r in read_iceberg_snapshot(spark, root).collect()
+    } == live
+    # pruned scan on a deleted key's bucket returns nothing for it
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("k", "=", 7)
+    ).collect()
+    assert got == []
+    rewrite_iceberg_table(spark, root)
+    data_files, pos_d, eq_d, _s = _iceberg_snapshot_files(root)
+    assert not pos_d and not eq_d
+    for e in data_files:
+        ks = {r.k for r in spark.read.parquet(e.path).collect()}
+        assert all(
+            bucket_value(k, "long", 4) == e.partition["k_bucket"] for k in ks
+        )
+    assert {
+        r.k for r in read_iceberg_snapshot(spark, root).collect()
+    } == live
