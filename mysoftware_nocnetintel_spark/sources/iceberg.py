@@ -1546,3 +1546,63 @@ def iceberg_snapshots(spark, path: str) -> "DataFrame":
         "operation string, n_manifests long, n_data_files long, "
         "n_records long, n_delete_files long, is_current boolean",
     )
+
+
+def iceberg_files(spark, path: str, snapshot_id: int | None = None) -> "DataFrame":
+    """The connector's ``files`` metadata table: one row per LIVE data
+    file of the chosen snapshot — path, format, record count, size,
+    partition record (JSON string, stable across specs), and whether
+    column bounds are present. Driver-side KB-scale manifest walk via the
+    shared snapshot resolver; the data files are never opened. The
+    operational use is the compaction decision: small-file counts and
+    per-partition fragmentation come straight off this table."""
+    from .readers import _iceberg_snapshot_files
+
+    data_files, _pos, _eq, snap = _iceberg_snapshot_files(
+        path, snapshot_id=snapshot_id
+    )
+    rows = []
+    for e in data_files:
+        size = None
+        try:
+            size = os.path.getsize(e.path)
+        except OSError:
+            pass
+        rows.append(
+            (
+                e.path,
+                e.fmt,
+                json.dumps(e.partition, sort_keys=True)
+                if e.partition
+                else None,
+                e.seq,
+                size,
+                bool(e.lower),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file_path string, file_format string, partition string, "
+        "sequence_number long, file_size_bytes long, has_bounds boolean",
+    )
+
+
+def iceberg_partitions(spark, path: str, snapshot_id: int | None = None) -> "DataFrame":
+    """The connector's ``partitions`` metadata table: live file and byte
+    counts grouped by partition record — the fragmentation/skew view
+    that drives `rewrite_iceberg_table(min_files_per_partition=...)`
+    and bucket-width choices (a hot bucket shows up here before it
+    shows up as a straggler task)."""
+    files = iceberg_files(spark, path, snapshot_id=snapshot_id)
+    from pyspark.sql import functions as F
+
+    return (
+        files.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("file_size_bytes").alias("total_bytes"),
+            F.min("sequence_number").alias("min_sequence"),
+            F.max("sequence_number").alias("max_sequence"),
+        )
+        .orderBy("partition")
+    )

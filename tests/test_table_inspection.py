@@ -61,3 +61,49 @@ def test_iceberg_snapshots(spark, tmp_path):
     # sequence numbers strictly increase
     seqs = [s.sequence_number for s in snaps]
     assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_iceberg_files_and_partitions_tables(spark, tmp_path):
+    import json as _json
+
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        iceberg_files,
+        iceberg_partitions,
+        write_iceberg_append,
+    )
+
+    root = str(tmp_path / "ftab")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}") for i in range(20)], "id bigint, day string"
+        ),
+        root,
+        partition_by=("day",),
+    )
+    write_iceberg_append(
+        spark.createDataFrame([(99, "d0")], "id bigint, day string"), root
+    )
+    f = iceberg_files(spark, root).collect()
+    assert all(r.file_format == "PARQUET" for r in f)
+    assert all(r.file_size_bytes > 0 for r in f)
+    parts = {_json.loads(r.partition)["day"] for r in f}
+    assert parts == {"d0", "d1"}
+    p = {r.partition: r for r in iceberg_partitions(spark, root).collect()}
+    d0 = p[_json.dumps({"day": "d0"})]
+    assert d0.n_files >= 2  # two appends touched d0 → fragmentation visible
+    assert d0.total_bytes == sum(
+        r.file_size_bytes
+        for r in f
+        if _json.loads(r.partition)["day"] == "d0"
+    )
+    # time travel: the first snapshot has no d0 fragment from append 2
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        iceberg_snapshots,
+    )
+
+    first = min(
+        r.snapshot_id
+        for r in iceberg_snapshots(spark, root).collect()
+    )
+    f1 = iceberg_files(spark, root, snapshot_id=first).collect()
+    assert len(f1) < len(f)
