@@ -444,6 +444,7 @@ def write_iceberg_append(
     partition_by: tuple[str, ...] = (),
     file_format: str = "parquet",
     sort_by: tuple[str, ...] = (),
+    zorder: bool = False,
 ) -> int:
     """Append ``df`` to the Iceberg table at ``path`` (creating it on first
     write). Returns the new snapshot id. See module docstring for scope.
@@ -637,14 +638,23 @@ def write_iceberg_append(
         # near-disjoint from its siblings'. The partition count is passed
         # EXPLICITLY (from the session's shuffle-partition conf) so AQE
         # cannot coalesce the clustered write back into one wide file.
+        # With ``zorder`` the key is the Morton interleave of the
+        # sort_by columns instead of their lexicographic order, so zone
+        # maps prune on EVERY participating column (sources/zorder.py).
         from pyspark.sql import functions as F
 
         num = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
         )
-        df = df.repartitionByRange(
-            num, *[F.col(c) for c in sort_by]
-        ).sortWithinPartitions(*sort_by)
+        if zorder:
+            from .zorder import zvalue_column
+
+            zc = zvalue_column(df, tuple(sort_by))
+            df = df.repartitionByRange(num, zc).sortWithinPartitions(zc)
+        else:
+            df = df.repartitionByRange(
+                num, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
     # distributed data write: ONE write for both shapes. Partitioned
     # tables partitionBy DUPLICATE columns (``__part_<c>``) so Spark's
     # fan-out writer does the per-tuple file split in one distributed
@@ -1117,6 +1127,7 @@ def rewrite_iceberg_table(
     path: str,
     min_files_per_partition: int | None = None,
     sort_by: tuple[str, ...] = (),
+    zorder: bool = False,
 ) -> int:
     """MAJOR COMPACTION (the maintenance job behind a merge-on-read
     writer like :func:`~..streaming.ops.iceberg_cdc_upsert`): materialize
@@ -1282,9 +1293,15 @@ def rewrite_iceberg_table(
         from pyspark.sql import functions as F
 
         num = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
-        live = live.repartitionByRange(
-            num, *[F.col(c) for c in sort_by]
-        ).sortWithinPartitions(*sort_by)
+        if zorder:
+            from .zorder import zvalue_column
+
+            zc = zvalue_column(live, tuple(sort_by))
+            live = live.repartitionByRange(num, zc).sortWithinPartitions(zc)
+        else:
+            live = live.repartitionByRange(
+                num, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
     stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
     new_files: list[tuple[str, dict | None]] = []
     try:

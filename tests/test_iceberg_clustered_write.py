@@ -109,3 +109,128 @@ def test_sort_by_fail_fasts(spark, tmp_path):
             spark.createDataFrame([(1,)], "id bigint"), root,
             file_format="avro", sort_by=("id",),
         )
+
+
+# ------------------------------------------------------------- z-order
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """The reason z-order exists: lexicographic sort_by=(a,b) gives
+    disjoint bounds on `a` only — a predicate on `b` keeps every file.
+    The Morton interleave must (1) return identical rows, (2) prune
+    files on BOTH columns' predicates, (3) beat lexicographic pruning
+    on the second column."""
+    import random
+
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        write_iceberg_append,
+    )
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        _iceberg_snapshot_files,
+        _zone_map_prune,
+        read_iceberg_snapshot,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 4095), rng.randint(0, 4095), i)
+        for i in range(4096)
+    ]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, rid bigint")
+    lex_root = str(tmp_path / "lex")
+    z_root = str(tmp_path / "zed")
+    write_iceberg_append(df, lex_root, sort_by=("a", "b"))
+    write_iceberg_append(df, z_root, sort_by=("a", "b"), zorder=True)
+
+    # identical content
+    got = {
+        (r.a, r.b, r.rid)
+        for r in read_iceberg_snapshot(spark, z_root).collect()
+    }
+    assert got == set(rows)
+
+    def survivors(root, col, lo):
+        files, _p, _e, _s = _iceberg_snapshot_files(root)
+        return len(_zone_map_prune(root, files, (col, ">=", lo))), len(files)
+
+    # predicate on the SECOND column: lexicographic keeps ~everything,
+    # z-order must do strictly better (and meaningfully so)
+    z_keep, z_total = survivors(z_root, "b", 3600)
+    lex_keep, lex_total = survivors(lex_root, "b", 3600)
+    assert lex_keep == lex_total  # b is scattered across every lex file
+    assert z_keep < lex_keep
+    assert z_keep <= z_total // 2
+    # predicate on the FIRST column still prunes under z-order too
+    za_keep, _ = survivors(z_root, "a", 3600)
+    assert za_keep <= z_total // 2
+    # pruned scan stays correct on both columns
+    for col in ("a", "b"):
+        got = {
+            r.rid
+            for r in read_iceberg_snapshot(
+                spark, z_root, scan_filter=(col, ">=", 3600)
+            ).collect()
+        }
+        want = {
+            rid for a, b, rid in rows if (a if col == "a" else b) >= 3600
+        }
+        assert got == want
+
+
+def test_zorder_refusals(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        write_iceberg_append,
+    )
+    from mysoftware_nocnetintel_spark.sources.zorder import zvalue_column
+
+    df = spark.createDataFrame([(1, "x")], "a bigint, s string")
+    with pytest.raises(NotImplementedError, match="z-order on column"):
+        write_iceberg_append(
+            df, str(tmp_path / "zs"), sort_by=("a", "s"), zorder=True
+        )
+    with pytest.raises(ValueError, match="at least 2"):
+        zvalue_column(df, ("a",))
+    with pytest.raises(ValueError, match="exceeds a long"):
+        zvalue_column(
+            spark.createDataFrame(
+                [tuple(range(12))], ", ".join(f"c{i} bigint" for i in range(12))
+            ),
+            tuple(f"c{i}" for i in range(12)),
+        )
+
+
+def test_zorder_recluster_during_compaction(spark, tmp_path):
+    import random
+
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        rewrite_iceberg_table,
+        write_iceberg_append,
+    )
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        _iceberg_snapshot_files,
+        _zone_map_prune,
+        read_iceberg_snapshot,
+    )
+
+    rng = random.Random(5)
+    root = str(tmp_path / "zc")
+    rows = [
+        (rng.randint(0, 4095), rng.randint(0, 4095), i)
+        for i in range(4096)
+    ]
+    # two UNclustered appends, then a z-order rewrite
+    half = len(rows) // 2
+    for chunk in (rows[:half], rows[half:]):
+        write_iceberg_append(
+            spark.createDataFrame(chunk, "a bigint, b bigint, rid bigint"),
+            root,
+        )
+    rewrite_iceberg_table(spark, root, sort_by=("a", "b"), zorder=True)
+    files, _p, _e, _s = _iceberg_snapshot_files(root)
+    for col in ("a", "b"):
+        kept = len(_zone_map_prune(root, files, (col, ">=", 3600)))
+        assert kept <= len(files) // 2, (col, kept, len(files))
+    assert {
+        (r.a, r.b, r.rid)
+        for r in read_iceberg_snapshot(spark, root).collect()
+    } == set(rows)
