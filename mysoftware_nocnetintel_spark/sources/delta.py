@@ -204,6 +204,8 @@ def write_delta_append(
     path: str,
     partition_by: tuple[str, ...] = (),
     txn: tuple[str, int] | None = None,
+    sort_by: tuple[str, ...] = (),
+    zorder: bool = False,
 ) -> int:
     """Append ``df`` to the Delta table at ``path`` (creating it on first
     write). Returns the committed version. See module docstring for scope.
@@ -224,13 +226,22 @@ def write_delta_append(
     same version json as the adds, so a crash can never record the
     batch as done without its rows (or vice versa). The skip check runs
     BEFORE the distributed write: a replayed batch costs one driver-side
-    log scan, zero executor work."""
+    log scan, zero executor work.
+
+    ``sort_by`` clusters the write (range exchange + in-file sort) so
+    the per-file ``stats`` the add actions carry become near-disjoint
+    and the reader's ``scan_filter`` data skipping prunes files instead
+    of none; ``zorder=True`` Morton-interleaves the sort_by columns so
+    skipping works on EVERY clustered column (sources/zorder.py —
+    the OPTIMIZE ZORDER BY shape)."""
     if txn is not None:
         app_id, tv = txn
         done = latest_txn_version(path, app_id)
         if done is not None and done >= tv:
             return _replay_state(os.path.join(path, "_delta_log"))["version"]
-    version, actions = _stage_append(df, path, partition_by)
+    version, actions = _stage_append(
+        df, path, partition_by, sort_by=sort_by, zorder=zorder
+    )
     if txn is not None:
         actions = [
             {
@@ -245,8 +256,83 @@ def write_delta_append(
     return version
 
 
+# spark dtypes whose parquet statistics are safe to publish as add.stats
+# (strings are excluded — parquet writers may truncate string min/max, and
+# a truncated bound used for skipping would drop rows)
+_STATS_TYPES = {
+    "tinyint", "smallint", "int", "bigint",
+    "float", "double", "boolean", "date",
+}
+
+
+def _file_stats(abspath: str, cols: set[str]) -> str | None:
+    """Per-file ``add.stats`` JSON (delta.io PROTOCOL.md "Per-file
+    Statistics"): numRecords + minValues/maxValues/nullCount for the
+    stat-eligible columns, aggregated across row groups from the parquet
+    footer. A column missing statistics in ANY row group is dropped
+    (skipping on a partial range would drop rows); NaN-poisoned
+    float/double stats are treated as missing (same hardening as the
+    Iceberg zone maps). Dates publish in ISO form (orders identically)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(abspath).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    dead: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in cols or name in dead:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+                dead.add(name)
+                continue
+            nc = st.null_count if st.has_null_count else None
+            if name in mins:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+                nulls[name] = (
+                    None
+                    if nc is None or nulls[name] is None
+                    else nulls[name] + nc
+                )
+            else:
+                mins[name], maxs[name], nulls[name] = mn, mx, nc
+    for name in dead:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
+    return json.dumps(
+        {
+            "numRecords": meta.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": {k: v for k, v in nulls.items() if v is not None},
+        }
+    )
+
+
 def _stage_append(
-    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
+    zorder: bool = False,
 ) -> tuple[int, list[dict]]:
     """Gate + stage an append: runs every check ``write_delta_append``
     documents, performs the distributed data write, moves the files into
@@ -330,6 +416,24 @@ def _stage_append(
         raise ValueError(f"partition columns {missing} not in the schema")
     version = (state["version"] + 1) if exists else 0
 
+    if sort_by:
+        bad = [c for c in sort_by if c not in df.columns]
+        if bad:
+            raise ValueError(f"sort_by columns {bad} not in the schema")
+        from pyspark.sql import functions as F
+
+        num = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
+        )
+        if zorder:
+            from .zorder import zvalue_column
+
+            zc = zvalue_column(df, tuple(sort_by))
+            df = df.repartitionByRange(num, zc).sortWithinPartitions(zc)
+        else:
+            df = df.repartitionByRange(
+                num, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
     # distributed data write into a staging dir, then move into the root
     # (for partitioned tables the stage has Hive subdirs, moved as-is)
     stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
@@ -384,18 +488,22 @@ def _stage_append(
         actions.append(
             {"metaData": dict(state["meta"], schemaString=evolved_schema_json)}
         )
+    stat_cols = {
+        c for c, t in df.dtypes if t in _STATS_TYPES and c not in part_cols
+    }
     for rel, pvals in new_files:
-        actions.append(
-            {
-                "add": {
-                    "path": rel.replace(os.sep, "/"),
-                    "partitionValues": pvals,
-                    "size": os.path.getsize(os.path.join(path, rel)),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        add = {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": pvals,
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stat_cols:
+            st = _file_stats(os.path.join(path, rel), stat_cols)
+            if st is not None:
+                add["stats"] = st
+        actions.append({"add": add})
     return version, actions
 
 
@@ -570,25 +678,27 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
                 }
             }
         )
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": old.get("partitionValues") or {},
-                    "size": old.get("size")
-                    or os.path.getsize(os.path.join(path, rel)),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                    "deletionVector": {
-                        "storageType": "u",
-                        "pathOrInlineDv": z85_encode(dv_uuid.bytes),
-                        "offset": offset,
-                        "sizeInBytes": size,
-                        "cardinality": card,
-                    },
-                }
-            }
-        )
+        re_add = {
+            "path": rel,
+            "partitionValues": old.get("partitionValues") or {},
+            "size": old.get("size")
+            or os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "deletionVector": {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                "offset": offset,
+                "sizeInBytes": size,
+                "cardinality": card,
+            },
+        }
+        # carry the physical file's stats through the re-add: min/max
+        # still bound the surviving rows (possibly loosely), so data
+        # skipping keeps working on DV-masked tables
+        if old.get("stats"):
+            re_add["stats"] = old["stats"]
+        actions.append({"add": re_add})
     version = state["version"] + 1
     _commit_version(log_dir, version, actions)
     return version
@@ -732,6 +842,7 @@ def checkpoint_delta_table(path: str) -> int:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("deletionVector", dv_t),
+            ("stats", pa.string()),
         ]
     )
     remove_t = pa.struct(
@@ -794,6 +905,7 @@ def checkpoint_delta_table(path: str) -> int:
                     "modificationTime": add.get("modificationTime"),
                     "dataChange": False,
                     "deletionVector": add.get("deletionVector"),
+                    "stats": add.get("stats"),
                 }
             }
         )

@@ -120,7 +120,11 @@ def _dv_live_value(add: dict) -> dict:
     dv = add.get("deletionVector")
     if dv is not None and not dv.get("storageType"):
         dv = None
-    return {"pv": dict(pv) if pv else {}, "dv": dv}
+    return {
+        "pv": dict(pv) if pv else {},
+        "dv": dv,
+        "stats": add.get("stats"),
+    }
 
 
 def _delta_check_protocol(proto: dict) -> None:
@@ -415,6 +419,7 @@ def read_delta_snapshot(
     path: str,
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    scan_filter: tuple | None = None,
 ) -> DataFrame:
     """Minimal Delta Lake snapshot reader built on the PUBLIC Delta
     transaction-log protocol (delta.io PROTOCOL.md): replay the
@@ -539,6 +544,22 @@ def read_delta_snapshot(
             )
     if not live:
         raise ValueError(f"Delta snapshot at version {max_seen} has no files")
+    if scan_filter:
+        # DATA SKIPPING on add.stats (PROTOCOL.md "Per-file Statistics"):
+        # files whose min/max range provably excludes the predicate drop
+        # BEFORE any scan is planned. Conservative everywhere — missing
+        # stats, column-mapped tables (stats keys may be PHYSICAL names),
+        # NaN bounds, and incomparable literal types all KEEP the file;
+        # the row predicate below still runs on the survivors, so
+        # skipping is never a correctness decision.
+        pruned = (
+            live
+            if _cm_mode(table_meta) in ("name", "id")
+            else _delta_stats_prune(live, scan_filter)
+        )
+        # all skipped → keep one file for the schema; the row filter
+        # then yields a legal empty result
+        live = pruned or dict([next(iter(live.items()))])
     # partition columns re-attach TYPED when the table metaData carries a
     # schemaString (the log stores partition values as strings; delta-spark
     # casts them back to the declared type, and so do we — otherwise a
@@ -638,7 +659,74 @@ def read_delta_snapshot(
                 col = col.cast(part_types[k])
             df = df.withColumn(k, col)
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
-    return _apply_column_mapping(out, table_meta)
+    result = _apply_column_mapping(out, table_meta)
+    if scan_filter:
+        # the kept files are a SUPERSET (stats are file-level): the row
+        # predicate still applies, on LOGICAL names post-mapping
+        col_name, op, val = scan_filter
+        c = F.col(col_name)
+        result = result.filter(
+            {
+                ">=": c >= F.lit(val),
+                ">": c > F.lit(val),
+                "<=": c <= F.lit(val),
+                "<": c < F.lit(val),
+                "=": c == F.lit(val),
+            }[op]
+        )
+    return result
+
+
+_DELTA_SCAN_OPS = (">=", ">", "<=", "<", "=")
+
+
+def _delta_stats_prune(live: dict, scan_filter: tuple) -> dict:
+    """Delta data skipping: drop live entries whose ``add.stats``
+    min/max range proves no row can satisfy ``(column, op, value)``.
+    Entries without stats (or without bounds for the column) are always
+    kept."""
+    import datetime
+    import json as _json
+
+    col_name, op, val = scan_filter
+    if op not in _DELTA_SCAN_OPS:
+        raise ValueError(f"scan_filter op must be one of {_DELTA_SCAN_OPS}")
+
+    def may_match(e: dict) -> bool:
+        raw = e.get("stats")
+        if not raw:
+            return True
+        try:
+            st = _json.loads(raw) if isinstance(raw, str) else raw
+        except ValueError:
+            return True
+        lo = (st.get("minValues") or {}).get(col_name)
+        hi = (st.get("maxValues") or {}).get(col_name)
+        if lo is None or hi is None:
+            return True
+        if isinstance(lo, float) and (math.isnan(lo) or math.isnan(hi)):
+            return True
+        v = val
+        if isinstance(lo, str) and isinstance(
+            v, (datetime.date, datetime.datetime)
+        ):
+            v = v.isoformat(sep=" ") if isinstance(
+                v, datetime.datetime
+            ) else v.isoformat()
+        try:
+            if op == ">=":
+                return hi >= v
+            if op == ">":
+                return hi > v
+            if op == "<=":
+                return lo <= v
+            if op == "<":
+                return lo < v
+            return lo <= v <= hi  # "="
+        except TypeError:
+            return True
+
+    return {rel: e for rel, e in live.items() if may_match(e)}
 
 
 def read_iceberg_snapshot(
