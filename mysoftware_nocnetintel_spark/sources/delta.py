@@ -168,11 +168,25 @@ def _schema_sig(schema_json: str) -> list[tuple[str, object]]:
     return sorted((f["name"], json.dumps(f["type"])) for f in s["fields"])
 
 
+class DeltaCommitConflict(RuntimeError):
+    """Another writer committed this log version first. Appends retry
+    internally (new data files have unique names and adds commute, as
+    long as the schema/partition layout didn't change underneath);
+    overwrite / delete / checkpoint commits surface this — their remove
+    lists were computed against the old state, so re-run them."""
+
+
 def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
-    """Write one version json ATOMICALLY: serialize every action to a
-    temp file in the log dir, fsync, then ``os.replace`` into place. A
-    reader can never observe an empty or partial commit, and a crash
-    before the replace leaves the table at the previous version."""
+    """ATOMIC put-if-absent commit of ``<version>.json`` — the spec's
+    log-store contract ("the creation of <v>.json must be mutually
+    exclusive"): serialize to a temp file, fsync, then ``os.link`` into
+    place. Hard-linking is put-if-absent on POSIX, so a lost race raises
+    :class:`DeltaCommitConflict` instead of silently clobbering the
+    winner (the same filesystem-CAS recipe as the Iceberg writer).
+    Object stores without atomic link/rename need a real log store —
+    that remains the delta-spark production path. A reader can never
+    observe an empty or partial commit, and a crash before the link
+    leaves the table at the previous version."""
     final = os.path.join(log_dir, f"{version:020d}.json")
     tmp = os.path.join(log_dir, f".{version:020d}.json.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
@@ -180,7 +194,15 @@ def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
             fh.write(json.dumps(a) + "\n")
         fh.flush()
         os.fsync(fh.fileno())
-    os.replace(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise DeltaCommitConflict(
+            f"log version {version} was committed by another writer while "
+            "this commit was staged"
+        ) from None
+    finally:
+        os.remove(tmp)
 
 
 def latest_txn_version(path: str, app_id: str) -> int | None:
@@ -234,11 +256,21 @@ def write_delta_append(
     of none; ``zorder=True`` Morton-interleaves the sort_by columns so
     skipping works on EVERY clustered column (sources/zorder.py —
     the OPTIMIZE ZORDER BY shape)."""
+    log_dir = os.path.join(path, "_delta_log")
     if txn is not None:
         app_id, tv = txn
         done = latest_txn_version(path, app_id)
         if done is not None and done >= tv:
-            return _replay_state(os.path.join(path, "_delta_log"))["version"]
+            return _replay_state(log_dir)["version"]
+
+    def _sig(state: dict):
+        m = state.get("meta") or {}
+        return (
+            m.get("schemaString"),
+            tuple(m.get("partitionColumns") or ()),
+        )
+
+    staged_sig = _sig(_replay_state(log_dir)) if os.path.isdir(log_dir) else None
     version, actions = _stage_append(
         df, path, partition_by, sort_by=sort_by, zorder=zorder
     )
@@ -252,8 +284,33 @@ def write_delta_append(
                 }
             }
         ] + actions
-    _commit_version(os.path.join(path, "_delta_log"), version, actions)
-    return version
+    last_err: DeltaCommitConflict | None = None
+    for _attempt in range(3):
+        try:
+            _commit_version(log_dir, version, actions)
+            return version
+        except DeltaCommitConflict as e:
+            last_err = e
+            # CAS lost. Plain appends COMMUTE (the staged files carry
+            # unique names and are already in the table root), so retry
+            # on top of the winner — but only if this commit carries no
+            # metaData/protocol action (create / schema evolution don't
+            # commute) and the winner didn't change the schema or
+            # partition layout underneath us.
+            if any("metaData" in a or "protocol" in a for a in actions):
+                raise
+            new_state = _replay_state(log_dir)
+            meta = new_state.get("meta") or {}
+            if (meta.get("configuration") or {}).get(
+                "writer"
+            ) != _WRITER_TAG or _sig(new_state) != staged_sig:
+                raise
+            if txn is not None:
+                done = new_state["txns"].get(txn[0])
+                if done is not None and done >= int(txn[1]):
+                    return new_state["version"]  # winner was our batch
+            version = new_state["version"] + 1
+    raise last_err
 
 
 # spark dtypes whose parquet statistics are safe to publish as add.stats
