@@ -850,7 +850,11 @@ def heavy_hitters_stream_v2(
 
 
 def delta_stream_append(
-    events: DataFrame, path: str, checkpoint: str, app_id: str
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    sort_by: tuple[str, ...] = (),
 ):
     """EXACTLY-ONCE streaming append into a Delta table — the other half
     of the lakehouse sink story next to :func:`iceberg_cdc_upsert`
@@ -867,11 +871,18 @@ def delta_stream_append(
     exactly delta-spark's own streaming-sink design.
 
     ``app_id`` must be stable per (query, checkpoint) — reuse across
-    different queries writing the same table would cross-skip batches."""
+    different queries writing the same table would cross-skip batches.
+
+    ``sort_by`` clusters each micro-batch's files (range + in-file
+    sort) so the add.stats the commits carry stay prunable — streaming
+    ingest that writes unclustered files forfeits data skipping until
+    the next compaction."""
     from ..sources.delta import write_delta_append
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
-        write_delta_append(batch_df, path, txn=(app_id, int(batch_id)))
+        write_delta_append(
+            batch_df, path, txn=(app_id, int(batch_id)), sort_by=sort_by
+        )
 
     return (
         events.writeStream.foreachBatch(append)

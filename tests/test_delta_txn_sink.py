@@ -100,3 +100,51 @@ def test_streaming_sink_exactly_once_under_batch_replay(spark, tmp_path):
         _batch(spark, 1, 2, 3), root, txn=("sinkA", committed)
     )
     assert _ids(spark, root) == [1, 2, 3]
+
+
+def test_stream_append_clustered_stats(spark, tmp_path):
+    """sort_by on the streaming sink: every micro-batch commit's adds
+    carry prunable stats, so scan_filter works on streamed tables."""
+    import json as _json
+    import os
+    from glob import glob
+
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_delta_snapshot,
+    )
+    from mysoftware_nocnetintel_spark.streaming.ops import (
+        delta_stream_append,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "event_id bigint, value double"
+    ).coalesce(1).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema("event_id bigint, value double").parquet(
+        src
+    )
+    root = str(tmp_path / "sink")
+    q = delta_stream_append(
+        stream,
+        root,
+        str(tmp_path / "cp"),
+        "appZ",
+        sort_by=("event_id",),
+    )
+    q.awaitTermination(120)
+    adds = []
+    for c in sorted(glob(os.path.join(root, "_delta_log", "[0-9]*.json"))):
+        with open(c) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "add" in act:
+                    adds.append(act["add"])
+    assert adds and all(a.get("stats") for a in adds)
+    got = {
+        r.event_id
+        for r in read_delta_snapshot(
+            spark, root, scan_filter=("event_id", ">=", 150)
+        ).collect()
+    }
+    assert got == set(range(150, 200))
