@@ -18,6 +18,25 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _restore_shuffle_partitions():
+    """The session is shared across the whole suite; a test that tunes
+    ``spark.sql.shuffle.partitions`` must not leak it into later tests
+    (z-order/clustering tests key their file-count expectations off it).
+    Restores the pre-test value after every test; doesn't force session
+    creation for non-Spark tests."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    before = (
+        s.conf.get("spark.sql.shuffle.partitions") if s is not None else None
+    )
+    yield
+    s = SparkSession.getActiveSession()
+    if s is not None and before is not None:
+        s.conf.set("spark.sql.shuffle.partitions", before)
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR

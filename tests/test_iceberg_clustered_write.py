@@ -225,6 +225,8 @@ def test_zorder_recluster_during_compaction(spark, tmp_path):
             spark.createDataFrame(chunk, "a bigint, b bigint, rid bigint"),
             root,
         )
+    # pruning expectations below assume 8 curve cells (files)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     rewrite_iceberg_table(spark, root, sort_by=("a", "b"), zorder=True)
     files, _p, _e, _s = _iceberg_snapshot_files(root)
     for col in ("a", "b"):
