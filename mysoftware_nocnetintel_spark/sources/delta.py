@@ -3,17 +3,21 @@
 protocol (delta.io PROTOCOL.md). Honestly scoped and fail-fast, mirroring
 the Iceberg writer's posture:
 
-- APPEND (plus partitioned create), atomic OVERWRITE (copy-on-write), and
-  merge-on-read DELETE via deletion vectors (``delete_delta_rows``);
-  parquet data files; protocol (1, 2), upgraded to (3, 7) with the
+- APPEND (plus partitioned create), atomic OVERWRITE (copy-on-write),
+  merge-on-read DELETE via deletion vectors (``delete_delta_rows``),
+  copy-on-write MERGE/upsert (``merge_delta_rows``) and UPDATE
+  (``update_delta_rows``) that rewrite only the files containing matched
+  rows; parquet data files; protocol (1, 2), upgraded to (3, 7) with the
   ``deletionVectors`` feature on first DV commit;
 - classic single-file parquet CHECKPOINTS (``checkpoint_delta_table`` +
   ``cleanup_delta_log``): every writer replays checkpoint-seeded state,
   so log replay stays O(tail) as history grows; foreign checkpoint
   layouts (multi-part, v2) are refused;
-- single-writer: the commit is an atomic local ``os.replace`` of
-  ``<version>.json``, not the spec's put-if-absent against a log store —
-  concurrent writers would race (the production path is delta-spark);
+- commits are filesystem-CAS: put-if-absent creation of
+  ``<version>.json`` via ``os.link`` (the spec's log-store contract on a
+  POSIX filesystem); a lost race raises :class:`DeltaCommitConflict`
+  (appends retry internally). Object stores without atomic link still
+  need a real log store — that remains the delta-spark production path;
 - refuses to write to tables it didn't create (unknown protocol/features
   could be silently violated) and to tables whose schema doesn't match.
 
@@ -588,8 +592,8 @@ def write_delta_overwrite(df: DataFrame, path: str) -> int:
     # schema signature, partition layout) and stages the data + ADD
     # actions WITHOUT committing; the full action list — remove
     # tombstones first, then the adds — is then written as ONE version
-    # json via temp-file + os.replace, so no reader or crash can ever
-    # observe the append without its removes.
+    # json (put-if-absent), so no reader or crash can ever observe the
+    # append without its removes.
     version, add_actions = _stage_append(df, path)
     now_ms = int(time.time() * 1000)
     actions = [
@@ -759,6 +763,302 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
     version = state["version"] + 1
     _commit_version(log_dir, version, actions)
     return version
+
+
+def _masked_target(spark, path: str, state: dict) -> DataFrame:
+    """Every live LOGICAL row of the table with ``__fp`` (absolute data-file
+    path) and ``__pos`` (physical row index) attached — the copy-on-write
+    UPDATE/MERGE building block. Per-partition-tuple scans re-attach typed
+    partition literals (data files don't store partition columns), the scan
+    uses the DECLARED table schema (pre-evolution files null-fill), and
+    deletion-vector positions are anti-joined out (bounded driver decode,
+    same cap as DELETE) so rewrites can never resurrect deleted rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from .roaring import dv_positions_from_descriptor
+
+    meta = state["meta"]
+    live = state["live"]
+    schema = json.loads(meta["schemaString"])
+    part_cols = meta.get("partitionColumns") or []
+    part_types = {
+        f["name"]: f["type"]
+        for f in schema["fields"]
+        if isinstance(f.get("type"), str)
+    }
+    scan_schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                f for f in schema["fields"] if f["name"] not in part_cols
+            ],
+        }
+    )
+    groups: dict[tuple, list[str]] = {}
+    for rel, e in live.items():
+        pv = tuple(sorted((e.get("partitionValues") or {}).items()))
+        groups.setdefault(pv, []).append(rel)
+    # file_path is a URI (file:/abs or file:///abs) — normalize to a plain
+    # absolute path so it joins against os.path.abspath on the driver
+    fp_norm = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:(//)?", ""
+    )
+    target = None
+    for pv, rels in sorted(groups.items()):
+        df = (
+            spark.read.schema(scan_schema)
+            .parquet(*[os.path.join(path, r) for r in sorted(rels)])
+            .withColumn("__fp", fp_norm)
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        for k, v in pv:
+            df = df.withColumn(
+                k,
+                (F.lit(None) if v is None else F.lit(v)).cast(
+                    part_types.get(k, "string")
+                ),
+            )
+        target = df if target is None else target.unionByName(df)
+    dv_rows: list[tuple[str, int]] = []
+    for rel, e in sorted(live.items()):
+        dv = e.get("deletionVector")
+        if not dv:
+            continue
+        positions = dv_positions_from_descriptor(path, dv)
+        if len(dv_rows) + len(positions) > _MAX_DELETE_POSITIONS:
+            raise NotImplementedError(
+                f"live deletion vectors mask more than "
+                f"{_MAX_DELETE_POSITIONS} rows: compact the table first"
+            )
+        ab = os.path.abspath(os.path.join(path, rel))
+        dv_rows.extend((ab, int(p)) for p in positions)
+    if dv_rows:
+        dead = spark.createDataFrame(dv_rows, "__fp string, __pos bigint")
+        target = target.join(
+            F.broadcast(dead), ["__fp", "__pos"], "left_anti"
+        )
+    return target
+
+
+def _writer_state(path: str) -> dict:
+    """Replayed state gated to tables THIS writer created (shared by the
+    copy-on-write MERGE/UPDATE verbs)."""
+    log_dir = os.path.join(path, "_delta_log")
+    state = _replay_state(log_dir)
+    if state["version"] is None:
+        raise FileNotFoundError(f"no Delta table at {path}")
+    meta = state["meta"]
+    if not meta or (meta.get("configuration") or {}).get(
+        "writer"
+    ) != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to rewrite a Delta table created by another writer: "
+            "use the delta-spark connector"
+        )
+    if not state["live"]:
+        raise ValueError("empty table")
+    return state
+
+
+def _commit_cow_rewrite(
+    spark, path: str, state: dict, touched_rel: list[str], new_df, has_rows
+) -> int:
+    """Shared MERGE/UPDATE commit tail: stage ``new_df`` as ordinary add
+    actions (unless provably empty), prepend remove tombstones for the
+    rewritten files, and commit everything as ONE version json — a reader
+    or crash can never observe the adds without their removes or vice
+    versa. ``has_rows`` avoids staging a zero-row write (a delete-only
+    merge commits removes only)."""
+    log_dir = os.path.join(path, "_delta_log")
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for rel in touched_rel
+    ]
+    if has_rows:
+        version, add_actions = _stage_append(new_df, path)
+    else:
+        version, add_actions = state["version"] + 1, []
+    _commit_version(log_dir, version, removes + add_actions)
+    return version
+
+
+def merge_delta_rows(
+    spark,
+    path: str,
+    source: DataFrame,
+    on: list[str] | tuple[str, ...],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> int:
+    """Copy-on-write MERGE (upsert) into the Delta table at ``path`` —
+    the standard ``MERGE INTO target USING source ON keys`` subset:
+
+    - ``when_matched``: ``"update"`` replaces the whole target row with
+      the matching source row (UPDATE SET *) or ``"delete"`` drops it;
+    - ``when_not_matched``: ``"insert"`` appends unmatched source rows
+      (INSERT *) or ``"ignore"`` drops them;
+    - a target row matched by MORE THAN ONE source row raises (the same
+      ambiguity error delta-spark's MERGE throws — applying both updates
+      would be order-dependent).
+
+    Only the files that actually contain matched keys are rewritten: one
+    distributed key-semi-join finds them, survivors (non-matching rows of
+    those files, deletion-vector-masked so deleted rows can't resurrect)
+    are rewritten together with the merged source rows, and the commit is
+    ONE atomic version json (removes for the touched files + adds).
+    Untouched files keep their add entries verbatim — at 100 TB a merge
+    touching 0.1% of files rewrites 0.1% of the data, not the table.
+    Matching follows SQL equality: NULL keys never match, so
+    NULL-keyed source rows insert rather than update. The source schema
+    must equal the table schema (merge never evolves it). Returns the
+    committed version; raises :class:`DeltaCommitConflict` if another
+    writer commits first (re-run — the touched set was computed against
+    the old state)."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError("when_not_matched must be 'insert' or 'ignore'")
+    keys = list(on)
+    if not keys:
+        raise ValueError("merge needs at least one ON key column")
+    state = _writer_state(path)
+    meta = state["meta"]
+    if _schema_sig(meta["schemaString"]) != _schema_sig(
+        source.schema.json()
+    ):
+        raise ValueError(
+            "merge source schema does not match the table schema "
+            "(merge never evolves the schema; use write_delta_append)"
+        )
+    table_cols = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    bad = [k for k in keys if k not in table_cols]
+    if bad:
+        raise ValueError(f"ON columns {bad} not in the table schema")
+    src = source.select(*table_cols)
+    target = _masked_target(spark, path, state)
+
+    # ambiguity gate: duplicate source keys are only an error when they
+    # actually match a target row (duplicate not-matched rows both insert,
+    # as in SQL MERGE)
+    dup_keys = (
+        src.groupBy(*keys).count().filter(F.col("count") > 1).drop("count")
+    )
+    if (
+        dup_keys.join(target.select(*keys), keys, "left_semi")
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            "merge is ambiguous: more than one source row matches the same "
+            "target row (duplicate ON keys in source)"
+        )
+
+    src_keys = src.select(*keys).distinct()
+    touched_abs = sorted(
+        r["__fp"]
+        for r in target.join(src_keys, keys, "left_semi")
+        .select("__fp")
+        .distinct()
+        .collect()
+    )
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, rel)): rel
+        for rel in state["live"]
+    }
+    touched_rel = [abs_to_rel[a] for a in touched_abs]
+    if not touched_rel and when_not_matched == "ignore":
+        raise ValueError("merge matched no rows and inserts are ignored")
+
+    tgt_keys = target.select(*keys)
+    keep = (
+        target.filter(F.col("__fp").isin(touched_abs))
+        .join(src_keys, keys, "left_anti")
+        .select(*table_cols)
+    )
+    pieces = [keep] if touched_rel else []
+    if when_matched == "update" and when_not_matched == "insert":
+        pieces.append(src)  # semi ∪ anti of src on target keys == src
+    else:
+        if when_matched == "update":
+            pieces.append(src.join(tgt_keys, keys, "left_semi"))
+        if when_not_matched == "insert":
+            pieces.append(src.join(tgt_keys, keys, "left_anti"))
+    if not pieces:
+        return _commit_cow_rewrite(
+            spark, path, state, touched_rel, None, has_rows=False
+        )
+    new_df = pieces[0]
+    for p in pieces[1:]:
+        new_df = new_df.unionByName(p)
+    has_rows = bool(new_df.limit(1).count())
+    return _commit_cow_rewrite(
+        spark, path, state, touched_rel, new_df, has_rows
+    )
+
+
+def update_delta_rows(
+    spark, path: str, predicate: str, set_exprs: dict[str, str]
+) -> int:
+    """Copy-on-write UPDATE: rewrite only the files containing rows that
+    match ``predicate``, applying ``set_exprs`` (column → SQL expression,
+    evaluated against the old row, cast back to the column's declared
+    type) to the matching rows and carrying the rest verbatim; commits
+    removes + adds as one atomic version json. Deletion-vector-masked
+    (an UPDATE can't resurrect deleted rows); partition-column updates
+    are legal — rewritten rows land in their new partition directory.
+    Raises if the predicate matches nothing (a no-op commit would bump
+    the version for no reason)."""
+    from pyspark.sql import functions as F
+
+    state = _writer_state(path)
+    meta = state["meta"]
+    fields = json.loads(meta["schemaString"])["fields"]
+    table_cols = [f["name"] for f in fields]
+    bad = [c for c in set_exprs if c not in table_cols]
+    if bad:
+        raise ValueError(f"SET columns {bad} not in the table schema")
+    target = _masked_target(spark, path, state)
+    types = dict(target.dtypes)
+    touched_abs = sorted(
+        r["__fp"]
+        for r in target.filter(F.expr(predicate))
+        .select("__fp")
+        .distinct()
+        .collect()
+    )
+    if not touched_abs:
+        raise ValueError(f"UPDATE predicate {predicate!r} matched no rows")
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, rel)): rel
+        for rel in state["live"]
+    }
+    touched_rel = [abs_to_rel[a] for a in touched_abs]
+    pred = F.expr(predicate)
+    new_df = target.filter(F.col("__fp").isin(touched_abs)).select(
+        *[
+            F.when(pred, F.expr(set_exprs[c]).cast(types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in table_cols
+        ]
+    )
+    return _commit_cow_rewrite(
+        spark, path, state, touched_rel, new_df, has_rows=True
+    )
 
 
 def vacuum_delta(
