@@ -63,11 +63,15 @@ def _checkpoint_version(log_dir: str) -> int | None:
     return int(v)
 
 
-def _replay_state(log_dir: str) -> dict:
+def _replay_state(log_dir: str, as_of: int | None = None) -> dict:
     """Full writer-visible table state: the classic checkpoint (if one
     exists — this writer only ever maintains single-file classic
     checkpoints, see :func:`checkpoint_delta_table`) seeded first, then
-    every JSON commit ABOVE it replayed in order. Returns::
+    every JSON commit ABOVE it replayed in order. ``as_of`` stops the
+    replay at that version (time-travel state, for RESTORE); a
+    checkpoint ABOVE ``as_of`` is skipped, which requires the JSON tail
+    from version 0 to still exist (refused otherwise — the cleaned-up
+    history can't be reconstructed). Returns::
 
         {"version": latest committed version,
          "meta": latest metaData action or None,
@@ -132,6 +136,14 @@ def _replay_state(log_dir: str) -> dict:
             state["tombstones"][rm["path"]] = rm.get("deletionTimestamp") or 0
 
     cp_v = _checkpoint_version(log_dir)
+    if cp_v is not None and as_of is not None and cp_v > as_of:
+        # replay must start from scratch below the checkpoint
+        if 0 not in _log_versions(log_dir):
+            raise NotImplementedError(
+                f"cannot reconstruct version {as_of}: the log below "
+                f"checkpoint {cp_v} has been cleaned up"
+            )
+        cp_v = None
     if cp_v is not None:
         with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
             cp_parts = json.loads(fh.read() or "{}").get("parts")
@@ -153,6 +165,8 @@ def _replay_state(log_dir: str) -> dict:
         state["version"] = cp_v
     for v in _log_versions(log_dir):
         if cp_v is not None and v <= cp_v:
+            continue
+        if as_of is not None and v > as_of:
             continue
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
             for line in fh:
@@ -1061,6 +1075,96 @@ def update_delta_rows(
     )
 
 
+def _dv_rel_path(dv: dict | None) -> str | None:
+    """Root-relative file of a ``u``-storage deletion-vector descriptor
+    (PROTOCOL.md DV naming: optional path prefix + Z85 of the UUID), or
+    None — ``p`` (absolute) and ``i`` (inline) descriptors own no file
+    under the table root."""
+    if not dv or dv.get("storageType") != "u":
+        return None
+    import uuid as uuid_mod
+
+    from .roaring import z85_decode
+
+    payload = dv["pathOrInlineDv"]
+    prefix, z = payload[:-20], payload[-20:]
+    u = uuid_mod.UUID(bytes=z85_decode(z))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(prefix, name) if prefix else name
+
+
+def restore_delta_table(path: str, version: int) -> int:
+    """RESTORE the table to the state it had at ``version`` — as a NEW
+    commit (the delta-spark ``RESTORE TABLE ... TO VERSION AS OF``
+    verb): remove actions for files live now but not then, add actions
+    re-instating files live then but not now (their ORIGINAL add
+    entries, stats and deletion vectors included, so data skipping and
+    DV masking restore too), plus the old metaData when the schema
+    evolved in between. History is preserved — the restore itself can
+    be time-traveled past, and a second restore can undo it. Purely a
+    driver-side metadata commit: zero data files move. Fails fast when
+    a needed data file has been physically vacuumed (same error
+    delta-spark raises) or when the pre-checkpoint log tail needed to
+    reconstruct ``version`` was cleaned up."""
+    log_dir = os.path.join(path, "_delta_log")
+    state = _writer_state(path)
+    if version == state["version"]:
+        raise ValueError(f"table is already at version {version}")
+    target = _replay_state(log_dir, as_of=version)
+    if target["version"] != version:
+        raise ValueError(
+            f"version {version} does not exist (log has "
+            f"{target['version']})"
+        )
+    now_live, old_live = state["live"], target["live"]
+    needed = list(old_live)
+    needed += [
+        dv_rel
+        for e in old_live.values()
+        if (dv_rel := _dv_rel_path(e.get("deletionVector"))) is not None
+    ]
+    missing = [
+        rel for rel in needed if not os.path.exists(os.path.join(path, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: data files "
+            f"{sorted(missing)[:3]}... were vacuumed"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if (state["meta"] or {}).get("schemaString") != (
+        target["meta"] or {}
+    ).get("schemaString"):
+        actions.append({"metaData": target["meta"]})
+    for rel in sorted(set(now_live) - set(old_live)):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel, entry in sorted(old_live.items()):
+        if now_live.get(rel) == entry:
+            continue  # unchanged live entry — nothing to re-state
+        if rel in now_live:
+            # same file, different entry (e.g. its DV changed): the
+            # re-add below supersedes it, no remove needed (add wins)
+            pass
+        actions.append({"add": dict(entry, dataChange=True)})
+    if not actions:
+        raise ValueError(
+            f"restore to version {version} would be a no-op (state is "
+            "identical)"
+        )
+    new_version = state["version"] + 1
+    _commit_version(log_dir, new_version, actions)
+    return new_version
+
+
 def vacuum_delta(
     path: str,
     retention_ms: int = 7 * 24 * 3600 * 1000,
@@ -1108,19 +1212,9 @@ def vacuum_delta(
 
     live_dvs: set[str] = set()
     for add in live.values():
-        dv = add.get("deletionVector")
-        if not dv:
-            continue
-        if dv["storageType"] == "u":
-            import uuid as uuid_mod
-
-            payload = dv["pathOrInlineDv"]
-            prefix, z = payload[:-20], payload[-20:]
-            u = uuid_mod.UUID(bytes=z85_decode(z))
-            name = f"deletion_vector_{u}.bin"
-            live_dvs.add(os.path.join(prefix, name) if prefix else name)
-        # "p" (absolute, outside the root) and "i" (inline) own no
-        # root-relative file to protect
+        rel_dv = _dv_rel_path(add.get("deletionVector"))
+        if rel_dv is not None:
+            live_dvs.add(rel_dv)
 
     deleted: list[str] = []
     for f in sorted(

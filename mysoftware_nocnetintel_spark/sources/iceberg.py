@@ -1516,6 +1516,47 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
     return removed
 
 
+def rollback_iceberg_table(path: str, snapshot_id: int) -> int:
+    """ROLLBACK the table's current state to an existing snapshot (the
+    Iceberg ``rollback_to_snapshot`` maintenance procedure): a new
+    metadata version whose ``current-snapshot-id`` points at
+    ``snapshot_id``. The snapshot list is untouched — the rolled-back
+    snapshots stay reachable for time travel (and for expiration to
+    clean up later), matching the spec's semantics exactly: rollback
+    moves the pointer, it never rewrites history. Schema is NOT
+    reverted (same as Iceberg — the current schema keeps reading old
+    data files by field id). Zero data movement, one KB-scale CAS
+    commit; raises if the snapshot does not exist (e.g. already
+    expired) or is already current."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to roll back an Iceberg table created by another "
+            "writer: use the iceberg-spark-runtime connector"
+        )
+    if not any(
+        s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])
+    ):
+        raise ValueError(
+            f"snapshot {snapshot_id} does not exist (expired or never "
+            "committed)"
+        )
+    if meta.get("current-snapshot-id") == snapshot_id:
+        raise ValueError(f"snapshot {snapshot_id} is already current")
+    new_meta = dict(
+        meta,
+        **{
+            "current-snapshot-id": snapshot_id,
+            "last-updated-ms": int(time.time() * 1000),
+        },
+    )
+    _commit_metadata(meta_dir, ver, new_meta)
+    return snapshot_id
+
+
 def iceberg_snapshots(spark, path: str) -> "DataFrame":
     """Snapshot history as a DataFrame — the operational surface the
     iceberg-spark connector exposes as the ``snapshots``/``manifests``
