@@ -548,15 +548,26 @@ def read_delta_snapshot(
         # DATA SKIPPING on add.stats (PROTOCOL.md "Per-file Statistics"):
         # files whose min/max range provably excludes the predicate drop
         # BEFORE any scan is planned. Conservative everywhere — missing
-        # stats, column-mapped tables (stats keys may be PHYSICAL names),
-        # NaN bounds, and incomparable literal types all KEEP the file;
-        # the row predicate below still runs on the survivors, so
-        # skipping is never a correctness decision.
-        pruned = (
-            live
-            if _cm_mode(table_meta) in ("name", "id")
-            else _delta_stats_prune(live, scan_filter)
-        )
+        # stats, NaN bounds, and incomparable literal types all KEEP the
+        # file; the row predicate below still runs on the survivors, so
+        # skipping is never a correctness decision. Column-mapped tables
+        # key their stats by PHYSICAL column name (PROTOCOL.md column-
+        # mapping writer requirements), so the filter column translates
+        # through the schema's physicalName metadata first; a field
+        # without one simply prunes nothing.
+        sf = scan_filter
+        if _cm_mode(table_meta) in ("name", "id"):
+            for fld in json.loads(table_meta["schemaString"]).get(
+                "fields", []
+            ):
+                if fld.get("name") == sf[0]:
+                    phys = (fld.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName"
+                    )
+                    if phys:
+                        sf = (phys, sf[1], sf[2])
+                    break
+        pruned = _delta_stats_prune(live, sf)
         # all skipped → keep one file for the schema; the row filter
         # then yields a legal empty result
         live = pruned or dict([next(iter(live.items()))])

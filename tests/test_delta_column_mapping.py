@@ -307,3 +307,108 @@ def test_partitioned_mapped_table_casts_partition_types(spark, tmp_path):
     assert set(got.columns) == {"id", "part"}
     assert got.schema["part"].dataType == T.LongType()
     assert {(r.id, r.part) for r in got.collect()} == {(1, 7), (2, 7)}
+
+
+def test_stats_skipping_uses_physical_names(spark, tmp_path):
+    """Column-mapped tables key add.stats by PHYSICAL column name
+    (PROTOCOL.md column-mapping writer requirements). A scan_filter on
+    the LOGICAL name must translate through physicalName and prune —
+    proven zero-I/O by corrupting the pruned file."""
+    root = str(tmp_path / "cmstats")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2], "col-bbb": ["a", "b"]}),
+        os.path.join(root, "part-lo.parquet"),
+    )
+    pq.write_table(
+        pa.table({"col-aaa": [100, 200], "col-bbb": ["x", "y"]}),
+        os.path.join(root, "part-hi.parquet"),
+    )
+    meta = _meta_action(
+        [("id", "long", "col-aaa"), ("val", "string", "col-bbb")]
+    )
+    adds = [
+        {
+            "add": {
+                "path": "part-lo.parquet",
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": 2,
+                        "minValues": {"col-aaa": 1},
+                        "maxValues": {"col-aaa": 2},
+                    }
+                ),
+            }
+        },
+        {
+            "add": {
+                "path": "part-hi.parquet",
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": 2,
+                        "minValues": {"col-aaa": 100},
+                        "maxValues": {"col-aaa": 200},
+                    }
+                ),
+            }
+        },
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+        fh.write(json.dumps(meta) + "\n")
+        for a in adds:
+            fh.write(json.dumps(a) + "\n")
+    # the low file is provably outside id >= 50: corrupt it — the pruned
+    # scan must still answer
+    with open(os.path.join(root, "part-lo.parquet"), "wb") as fh:
+        fh.write(b"GARBAGE")
+    got = read_delta_snapshot(spark, root, scan_filter=("id", ">=", 50))
+    assert {(r.id, r.val) for r in got.collect()} == {(100, "x"), (200, "y")}
+
+
+def test_stats_skipping_logical_keyed_stats_prune_nothing(spark, tmp_path):
+    """A non-conformant writer that keyed stats by LOGICAL names under
+    column mapping must not cause wrong pruning — the physical-name
+    lookup misses, every file is kept, and the row filter answers."""
+    root = str(tmp_path / "cmstats2")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2], "col-bbb": ["a", "b"]}),
+        os.path.join(root, "part-lo.parquet"),
+    )
+    meta = _meta_action(
+        [("id", "long", "col-aaa"), ("val", "string", "col-bbb")]
+    )
+    add = {
+        "add": {
+            "path": "part-lo.parquet",
+            "dataChange": True,
+            # WRONG key ("id" instead of "col-aaa") claiming a range that
+            # would prune the file if it were trusted under the wrong name
+            "stats": json.dumps(
+                {
+                    "numRecords": 2,
+                    "minValues": {"id": 1000},
+                    "maxValues": {"id": 2000},
+                }
+            ),
+        }
+    }
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+        fh.write(json.dumps(meta) + "\n")
+        fh.write(json.dumps(add) + "\n")
+    got = read_delta_snapshot(spark, root, scan_filter=("id", "<=", 1))
+    assert {(r.id, r.val) for r in got.collect()} == {(1, "a")}
