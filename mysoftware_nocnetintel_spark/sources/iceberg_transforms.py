@@ -93,18 +93,37 @@ _EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
 
 
 def time_transform_value(value, kind: str):
-    """Spec time transforms on DATE values: ``year``/``month``/``day``
-    partition values are the ordinal count of years/months/days SINCE THE
-    UNIX EPOCH (spec "Partition Transforms" table; e.g. month(2017-11-16)
-    = 574, day counts match datediff from 1970-01-01). All three are
-    monotonic in the source date, so range predicates prune. ``value`` is
-    a ``datetime.date`` (or ISO string) on the driver."""
+    """Spec time transforms on DATE/TIMESTAMP values: ``year``/``month``/
+    ``day``/``hour`` partition values are the ordinal count of
+    years/months/days/hours SINCE THE UNIX EPOCH (spec "Partition
+    Transforms" table; e.g. month(2017-11-16) = 574, day counts match
+    datediff from 1970-01-01). All four are monotonic in the source
+    value, so range predicates prune. ``value`` is a ``datetime.date``,
+    ``datetime.datetime`` or ISO string on the driver; a TZ-AWARE
+    datetime is normalized to UTC first (the spec computes timestamptz
+    transforms on the UTC instant), a naive one is taken as-is (the
+    wall clock IS the value for ntz timestamps)."""
     import datetime
 
     if value is None:
         return None
     if isinstance(value, str):
-        value = datetime.date.fromisoformat(value)
+        value = (
+            datetime.datetime.fromisoformat(value)
+            if any(ch in value for ch in "T :")
+            else datetime.date.fromisoformat(value)
+        )
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        if kind == "hour":
+            delta = value - datetime.datetime(1970, 1, 1)
+            return delta.days * 24 + delta.seconds // 3600
+        value = value.date()
+    elif kind == "hour":
+        raise ValueError("hour transform needs a timestamp literal")
     if kind == "year":
         return value.year - 1970
     if kind == "month":
@@ -167,7 +186,7 @@ def parse_partition_by(item: str) -> tuple[str, str, int | None]:
             if n <= 0:
                 raise ValueError(f"{kind} width must be positive: {item!r}")
             return kind, parts[1], n
-    for kind in ("year", "month", "day"):
+    for kind in ("year", "month", "day", "hour"):
         if low.startswith(kind + "(") and s.endswith(")"):
             col = s[len(kind) + 1 : -1].strip()
             if not col or "," in col:
@@ -179,7 +198,7 @@ def parse_partition_by(item: str) -> tuple[str, str, int | None]:
     if "(" in s or ")" in s:
         raise ValueError(
             f"unknown partition transform {item!r} (identity column name, "
-            "bucket(N, col), truncate(W, col), or year/month/day(col))"
+            "bucket(N, col), truncate(W, col), or year/month/day/hour(col))"
         )
     return "identity", s, None
 
@@ -210,12 +229,20 @@ def resolve_part_field(
             source_type,
         )
     if kind in ("year", "month", "day"):
-        if source_type != "date":
+        if source_type not in ("date", "timestamp", "timestamptz"):
             raise NotImplementedError(
                 f"{kind} transform on iceberg type {source_type!r} "
-                "unsupported (date columns only)"
+                "unsupported (date/timestamp columns only)"
             )
         return PartField(f"{col}_{kind}", kind, col, source_type, "int")
+    if kind == "hour":
+        if source_type not in ("timestamp", "timestamptz"):
+            raise NotImplementedError(
+                f"hour transform on iceberg type {source_type!r} "
+                "unsupported (timestamp columns only — the spec defines "
+                "hour on timestamps, not dates)"
+            )
+        return PartField(f"{col}_hour", "hour", col, source_type, "int")
     raise ValueError(f"unknown transform kind {kind!r}")
 
 
@@ -252,13 +279,13 @@ def spec_field_to_part_field(
         return PartField(
             spec_field["name"], t, src["name"], src["type"], src["type"]
         )
-    if kind in ("year", "month", "day"):
+    if kind in ("year", "month", "day", "hour"):
         return PartField(
             spec_field["name"], kind, src["name"], src["type"], "int"
         )
     raise NotImplementedError(
         f"partition transform {t!r} unsupported (identity, bucket, "
-        "truncate, year/month/day)"
+        "truncate, year/month/day/hour)"
     )
 
 
@@ -272,14 +299,8 @@ def transform_column(pf: PartField):
     if pf.transform == "identity":
         return c
     kind, param = pf.transform.split("[", 1)[0], pf.param
-    if kind == "year":
-        return (F.year(c) - F.lit(1970)).cast("int")
-    if kind == "month":
-        return (
-            (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
-        ).cast("int")
-    if kind == "day":
-        return F.datediff(c, F.lit("1970-01-01")).cast("int")
+    if kind in ("year", "month", "day", "hour"):
+        return _time_transform_column(pf, kind)
     if kind == "truncate":
         if pf.source_type == "string":
             return F.substring(c, 1, param)
@@ -300,6 +321,54 @@ def transform_column(pf: PartField):
             bucketed = _bucket_udf(pf.source_type, param)(c)
         return F.when(c.isNull(), F.lit(None)).otherwise(bucketed)
     raise NotImplementedError(pf.transform)
+
+
+def _time_transform_column(pf: PartField, kind: str):
+    """Spec time-transform partition value as a Spark Column, computed
+    WITHOUT any session-timezone dependence:
+
+    - ``date`` / ntz ``timestamp`` sources: calendar functions
+      (``year``/``month``/``hour``, date-cast) read the WALL CLOCK,
+      which for these types is TZ-free and is exactly what the spec
+      transforms (the value has no instant);
+    - ``timestamptz`` sources store an INSTANT, and every Spark
+      calendar function on them shifts through the session timezone —
+      so everything derives from ``unix_micros`` (TZ-free) with exact
+      integer floor-division, matching the spec's UTC semantics
+      regardless of ``spark.sql.session.timeZone``."""
+    from pyspark.sql import functions as F
+
+    c = F.col(pf.source_col)
+    if pf.source_type == "timestamptz":
+        us = f"unix_micros(`{pf.source_col}`)"
+
+        def _floordiv(d: int):
+            # (us - pmod(us, d)) is an exact multiple of d, so integer
+            # `div` is exact floor division (no floating point)
+            return F.expr(f"(({us}) - pmod({us}, {d})) div {d}")
+
+        if kind == "hour":
+            return _floordiv(3_600_000_000).cast("int")
+        days = _floordiv(86_400_000_000).cast("int")
+        if kind == "day":
+            return days
+        d = F.date_add(F.to_date(F.lit("1970-01-01")), days)
+        if kind == "year":
+            return (F.year(d) - F.lit(1970)).cast("int")
+        return (
+            (F.year(d) - F.lit(1970)) * F.lit(12) + F.month(d) - F.lit(1)
+        ).cast("int")
+    if kind == "hour":
+        return (
+            F.datediff(c, F.lit("1970-01-01")) * F.lit(24) + F.hour(c)
+        ).cast("int")
+    if kind == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if kind == "month":
+        return (
+            (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+        ).cast("int")
+    return F.datediff(c, F.lit("1970-01-01")).cast("int")
 
 
 def _bucket_udf(source_type: str, n: int):

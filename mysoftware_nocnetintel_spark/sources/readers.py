@@ -1158,12 +1158,12 @@ def _transform_partition_prune(
                 pv = (e.partition or {}).get(name)
                 return pv is None or pv == want
 
-        elif t.startswith("truncate[") or t in ("year", "month", "day"):
+        elif t.startswith("truncate[") or t in ("year", "month", "day", "hour"):
             # both families are MONOTONIC in the source value, so the
             # same conservative range logic applies
             want = (
                 time_transform_value(val, t)
-                if t in ("year", "month", "day")
+                if t in ("year", "month", "day", "hour")
                 else truncate_value(val, src["type"], int(t[9:-1]))
             )
 

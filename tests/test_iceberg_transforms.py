@@ -572,3 +572,145 @@ def test_deletes_compose_with_bucket_partitions(spark, tmp_path):
     assert {
         r.k for r in read_iceberg_snapshot(spark, root).collect()
     } == live
+
+
+# --------------------------------------------------- hour / timestamps
+
+
+def test_hour_transform_value_vectors():
+    import datetime
+
+    from mysoftware_nocnetintel_spark.sources.iceberg_transforms import (
+        time_transform_value,
+    )
+
+    # consistent with the spec's day example: 17486 days * 24 + 22h
+    t = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    assert time_transform_value(t, "hour") == 17486 * 24 + 22
+    # tz-aware literals normalize to UTC first (spec: timestamptz
+    # transforms are computed on the UTC instant)
+    aware = datetime.datetime(
+        2017, 11, 16, 17, 31, 8,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=-5)),
+    )
+    assert time_transform_value(aware, "hour") == 17486 * 24 + 22
+    assert (
+        time_transform_value("2017-11-16 22:31:08", "hour")
+        == 17486 * 24 + 22
+    )
+    # timestamps feed the date transforms too
+    assert time_transform_value(t, "day") == 17486
+    assert time_transform_value(t, "month") == 574
+    # pre-epoch hours floor (23:30 the day before -> hour -1)
+    assert (
+        time_transform_value(
+            datetime.datetime(1969, 12, 31, 23, 30), "hour"
+        )
+        == -1
+    )
+    with pytest.raises(ValueError, match="timestamp literal"):
+        time_transform_value(datetime.date(2017, 11, 16), "hour")
+
+
+def test_hour_partitioned_ntz_write_and_prune(spark, tmp_path):
+    """hour(ts) on a TIMESTAMP_NTZ column: wall-clock hours since epoch,
+    independent of spark.sql.session.timeZone (proven by writing under a
+    non-UTC session TZ)."""
+    import datetime
+
+    from mysoftware_nocnetintel_spark.sources.iceberg_transforms import (
+        time_transform_value,
+    )
+
+    root = str(tmp_path / "htab")
+    base = datetime.datetime(2026, 3, 1, 0, 15)
+    rows = [
+        (base + datetime.timedelta(hours=i // 4, minutes=i % 4), i)
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, id bigint")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        write_iceberg_append(df, root, partition_by=("hour(ts)",))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    want_hours = {
+        time_transform_value(base, "hour") + k for k in range(4)
+    }
+    assert {e.partition["ts_hour"] for e in data_files} == want_hours
+    # range predicate must only touch the last 2 hours — corrupt the rest
+    cut = base + datetime.timedelta(hours=2)
+    cut_h = time_transform_value(cut, "hour")
+    _corrupt(e.path for e in data_files if e.partition["ts_hour"] < cut_h)
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("ts", ">=", cut.replace(minute=0))
+    ).collect()
+    assert {r.id for r in got} == set(range(8, 16))
+
+
+def test_hour_transform_ltz_is_session_tz_independent(spark, tmp_path):
+    """On a TIMESTAMPTZ (ltz) column the partition value must be the UTC
+    instant's hour ordinal no matter what session TZ the writer ran
+    under — two writes of the SAME instants under different session TZs
+    must produce identical partition records."""
+    from pyspark.sql import functions as F
+
+    epochs = [3_600 * 100 + 10, 3_600 * 100 + 20, 3_600 * 101 + 5]
+    df = (
+        spark.range(len(epochs))
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.element_at(
+                    F.array(*[F.lit(e) for e in epochs]),
+                    (F.col("id") + 1).cast("int"),
+                )
+            ),
+        )
+        .select("id", "ts")
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    parts = {}
+    for tz, name in (("America/New_York", "a"), ("Asia/Tokyo", "b")):
+        root = str(tmp_path / name)
+        try:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            write_iceberg_append(df, root, partition_by=("hour(ts)",))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+        parts[name] = sorted(e.partition["ts_hour"] for e in data_files)
+    assert parts["a"] == parts["b"] == [100, 100, 101] or (
+        parts["a"] == parts["b"] == [100, 101]
+    )
+
+
+def test_yearmonth_on_ntz_timestamp(spark, tmp_path):
+    import datetime
+
+    root = str(tmp_path / "ymtab")
+    rows = [
+        (datetime.datetime(2026, 1, 10, 5), 1),
+        (datetime.datetime(2026, 2, 5, 23), 2),
+    ]
+    write_iceberg_append(
+        spark.createDataFrame(rows, "ts timestamp_ntz, id bigint"),
+        root,
+        partition_by=("month(ts)",),
+    )
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert {e.partition["ts_month"] for e in data_files} == {672, 673}
+
+
+def test_hour_on_date_refused(spark, tmp_path):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.date(2026, 1, 1), 1)], "d date, id bigint"
+    )
+    with pytest.raises(NotImplementedError, match="hour transform"):
+        write_iceberg_append(
+            df, str(tmp_path / "bad"), partition_by=("hour(d)",)
+        )
