@@ -8,15 +8,20 @@ from .queries_r4 import R4_QUERIES as _R4
 from .queries_r5 import R5_QUERIES as _R5
 from .queries_r6 import R6_QUERIES as _R6
 from .queries_r7 import R7_QUERIES as _R7
+from .queries_r8 import R8_QUERIES as _R8
 from .oracles import ORACLES as _O_CORE
 from .oracles_r6 import ORACLES_R6 as _O_R6
 from .oracles_r7 import ORACLES_R7 as _O_R7
+from .oracles_r8 import ORACLES_R8 as _O_R8
 from .oracles_ext import ORACLES_EXT as _O_EXT
 from .oracles_extra import ORACLES_EXTRA as _O_EXTRA
 from .oracles_r4 import ORACLES_R4 as _O_R4
 from .oracles_r5 import ORACLES_R5 as _O_R5
 
-_ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6, **_R7}
+_ALL = {
+    **_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5,
+    **_R6, **_R7, **_R8,
+}
 
 # The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
 # order, so ordering here is load-bearing. ROTATION RULE (apply every round):
@@ -24,8 +29,8 @@ _ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6, **
 # every query whose implementation or oracle changed this round; (3) fill the
 # remainder with the queries whose last green signal is oldest. After r01-r04
 # every registry query has a driver signal and all latest signals are green,
-# so this round applies rules (1)-(3): the five NEW
-# round-5 queries (q127-q131, never graded), the three changed this round
+# so this round applies rules (1)-(3): the NEW round-5 queries
+# (q127-q143, never graded), the three changed this round
 # (q124 tokenize-once + single-SQL rewrite, q94 docstring-only but
 # re-pinned with it, q126 band-boundary recall fix in query AND oracle),
 # then the entire r02-era block (31 queries, the oldest signals in the
@@ -36,6 +41,9 @@ _ALL = {**_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5, **_R6, **
 # q95-q123, q125.
 _WINDOW = [
     # --- NEW this round, never driver-graded (rule 1) ---
+    "q141_doc_lm_score",
+    "q142_embedding_cohesion",
+    "q143_snapshot_diff",
     "q127_incremental_ingest",
     "q128_balanced_sample",
     "q129_bpe_pairs",
@@ -85,12 +93,9 @@ _WINDOW = [
     "q44_map_ops",
     "q46_sliding_window",
     "q47_session_window",
-    "q48_ann_ivf",
-    # --- next-oldest: start of the r03-era block (q52+ and the rest of
-    # the r03 era rotate in next round; eight slots ceded to the new
-    # never-graded q127/q128 and q135-q140 per rule 1) ---
-    "q49_forecast_score",
-    "q51_dispatch_plan",
+    # (q48_ann_ivf, q49_forecast_score, q51_dispatch_plan ceded their
+    # slots to the new never-graded q141-q143 per rule 1 and rotate back
+    # next round with the r03-era block q52+)
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -99,7 +104,10 @@ assert not _missing, _missing
 
 QUERIES = {k: _ALL[k] for k in _WINDOW}
 QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
-ORACLES = {**_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5, **_O_R6, **_O_R7}
+ORACLES = {
+    **_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5,
+    **_O_R6, **_O_R7, **_O_R8,
+}
 
 
 # Opt-in SERVING-MODE plan cache (the DataFrame analogue of a prepared
