@@ -1557,6 +1557,89 @@ def rollback_iceberg_table(path: str, snapshot_id: int) -> int:
     return snapshot_id
 
 
+def read_iceberg_incremental(
+    spark, path: str, from_snapshot_id: int, to_snapshot_id: int | None = None
+) -> "DataFrame":
+    """INCREMENTAL APPEND SCAN: the rows added strictly AFTER
+    ``from_snapshot_id`` up to ``to_snapshot_id`` (default: current) —
+    Iceberg's incremental-consumption primitive (the spark connector's
+    ``start-snapshot-id``/``end-snapshot-id`` read). The new rows are
+    exactly the data files present in TO but not FROM, so I/O is
+    proportional to the appended data only — this is what lets a
+    downstream pipeline (e.g. the q127 ingest gate) consume a 100 TB
+    table's daily delta without rescanning the table.
+
+    Append-only contract, enforced: if ANY snapshot in the range is not
+    an ``append`` (delete/replace — compaction included), the row-level
+    delta is not expressible as "new files" and this fails fast toward a
+    full snapshot diff; the same applies if the range's new files carry
+    delete files in TO (deleted rows would need masking that FROM can't
+    see)."""
+    from .readers import _iceberg_snapshot_files
+
+    meta_dir = os.path.join(path, "metadata")
+    meta, _ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if from_snapshot_id not in snaps:
+        raise ValueError(f"snapshot {from_snapshot_id} does not exist")
+    if to_snapshot_id is None:
+        to_snapshot_id = meta["current-snapshot-id"]
+    if to_snapshot_id not in snaps:
+        raise ValueError(f"snapshot {to_snapshot_id} does not exist")
+    seq_from = snaps[from_snapshot_id]["sequence-number"]
+    seq_to = snaps[to_snapshot_id]["sequence-number"]
+    if seq_from >= seq_to:
+        raise ValueError(
+            f"from_snapshot {from_snapshot_id} must precede "
+            f"to_snapshot {to_snapshot_id}"
+        )
+    non_append = sorted(
+        s["snapshot-id"]
+        for s in snaps.values()
+        if seq_from < s["sequence-number"] <= seq_to
+        and (s.get("summary") or {}).get("operation") != "append"
+    )
+    if non_append:
+        raise NotImplementedError(
+            f"snapshots {non_append} in the range are not appends "
+            "(delete/replace): an incremental append scan cannot express "
+            "their row-level changes — diff full snapshots instead"
+        )
+    files_from, _pd, _eq, _s = _iceberg_snapshot_files(
+        path, snapshot_id=from_snapshot_id
+    )
+    files_to, _pd2, _eq2, _s2 = _iceberg_snapshot_files(
+        path, snapshot_id=to_snapshot_id
+    )
+    old_paths = {e.path for e in files_from}
+    new_entries = [e for e in files_to if e.path not in old_paths]
+    if not new_entries:
+        raise ValueError(
+            f"no rows appended between snapshots {from_snapshot_id} and "
+            f"{to_snapshot_id}"
+        )
+    # delete files can only enter via non-append snapshots, which the gate
+    # above refused inside the range; deletes committed BEFORE the range
+    # can't target the range's new files (the spec's sequence-number rule:
+    # deletes apply to files with a STRICTLY LOWER data sequence number),
+    # so applying the TO snapshot's deletes below is a no-op on new files.
+    # reuse the ordinary reader's scan machinery (declared-schema scan,
+    # avro/parquet union, delete application) pinned to the TO snapshot,
+    # then keep only the new files' rows via the normalized __fp
+    # coordinate the live scan already carries
+    from pyspark.sql import functions as F
+
+    from .readers import _iceberg_live_scan
+
+    full = _iceberg_live_scan(
+        spark, path, snapshot_id=to_snapshot_id, keep_coords=True
+    )
+    new_abs = sorted({os.path.abspath(e.path) for e in new_entries})
+    return full.filter(F.col("__fp").isin(new_abs)).drop("__fp", "__pos")
+
+
 def iceberg_snapshots(spark, path: str) -> "DataFrame":
     """Snapshot history as a DataFrame — the operational surface the
     iceberg-spark connector exposes as the ``snapshots``/``manifests``

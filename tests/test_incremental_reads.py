@@ -1,0 +1,203 @@
+"""Incremental consumption: the Delta net change feed
+(delta_table_changes) and the Iceberg incremental append scan
+(read_iceberg_incremental). Core invariant under test for Delta:
+FROM snapshot + feed == TO snapshot, for every op mix the writers can
+produce (append / overwrite / DV delete / COW merge / restore)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from mysoftware_nocnetintel_spark.sources.delta import (
+    delete_delta_rows,
+    delta_table_changes,
+    merge_delta_rows,
+    restore_delta_table,
+    write_delta_append,
+    write_delta_overwrite,
+)
+from mysoftware_nocnetintel_spark.sources.iceberg import (
+    read_iceberg_incremental,
+    rewrite_iceberg_table,
+    write_iceberg_append,
+    write_iceberg_position_deletes,
+)
+from mysoftware_nocnetintel_spark.sources.readers import read_delta_snapshot
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, val string")
+
+
+def _rows(df):
+    return {(r.id, r.val) for r in df.select("id", "val").collect()}
+
+
+def _replay(from_rows: set, feed) -> set:
+    out = set(from_rows)
+    for r in feed.collect():
+        t = (r.id, r.val)
+        if r._change_type == "insert":
+            out.add(t)
+        else:
+            out.discard(t)
+    return out
+
+
+def test_changes_append_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_append(_mk(spark, [(1, "a")]), path)  # v0
+    write_delta_append(_mk(spark, [(2, "b"), (3, "c")]), path)  # v1
+    feed = delta_table_changes(spark, path, 0)
+    assert {(r.id, r.val, r._change_type) for r in feed.collect()} == {
+        (2, "b", "insert"),
+        (3, "c", "insert"),
+    }
+
+
+def test_changes_replay_reproduces_to_state_across_ops(spark, tmp_path):
+    """append → DV delete → COW merge → restore; every (from, to) pair of
+    versions must satisfy FROM + feed == TO."""
+    path = str(tmp_path / "t")
+    write_delta_append(
+        _mk(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), path
+    )  # v0
+    write_delta_append(_mk(spark, [(4, "d")]), path)  # v1
+    delete_delta_rows(spark, path, "id = 2")  # v2 (DV)
+    merge_delta_rows(
+        spark, path, _mk(spark, [(3, "C"), (9, "z")]), on=["id"]
+    )  # v3
+    restore_delta_table(path, 1)  # v4 — un-deletes id=2, undoes the merge
+    latest = 4
+    states = {
+        v: _rows(read_delta_snapshot(spark, path, version=v))
+        for v in range(latest + 1)
+    }
+    for f in range(latest):
+        for t in range(f + 1, latest + 1):
+            if states[f] == states[t]:
+                continue
+            feed = delta_table_changes(spark, path, f, t)
+            assert _replay(states[f], feed) == states[t], (f, t)
+
+
+def test_changes_dv_diff_emits_only_the_deleted_row(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_append(
+        _mk(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), path
+    )
+    delete_delta_rows(spark, path, "id = 2")
+    feed = delta_table_changes(spark, path, 0).collect()
+    assert {(r.id, r.val, r._change_type) for r in feed} == {
+        (2, "b", "delete")
+    }
+
+
+def test_changes_refusals(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_append(_mk(spark, [(1, "a")]), path)
+    with pytest.raises(ValueError, match="must precede"):
+        delta_table_changes(spark, path, 0)
+    write_delta_append(_mk(spark, [(2, "b")]), path)
+    with pytest.raises(ValueError, match="does not exist"):
+        delta_table_changes(spark, path, 0, 9)
+    with pytest.raises(ValueError, match="does not exist"):
+        delta_table_changes(spark, path, 7)
+
+
+def test_changes_randomized_replay(spark, tmp_path):
+    rng = random.Random(0xFEED)
+    path = str(tmp_path / "t")
+    write_delta_append(_mk(spark, [(i, f"v{i}") for i in range(6)]), path)
+    for step in range(6):
+        op = rng.choice(["append", "delete", "merge", "overwrite"])
+        try:
+            if op == "append":
+                write_delta_append(
+                    _mk(spark, [(100 + step * 3 + j, f"a{step}") for j in range(2)]),
+                    path,
+                )
+            elif op == "delete":
+                delete_delta_rows(
+                    spark, path, f"id % 5 = {rng.randint(0, 4)}"
+                )
+            elif op == "merge":
+                merge_delta_rows(
+                    spark,
+                    path,
+                    _mk(
+                        spark,
+                        [
+                            (k, f"m{step}")
+                            for k in rng.sample(range(0, 120), 3)
+                        ],
+                    ),
+                    on=["id"],
+                )
+            else:
+                keep = read_delta_snapshot(spark, path).filter("id % 2 = 0")
+                write_delta_overwrite(keep, path)
+        except (ValueError, NotImplementedError):
+            continue
+    import os
+
+    from mysoftware_nocnetintel_spark.sources.delta import _replay_state
+
+    latest = _replay_state(os.path.join(path, "_delta_log"))["version"]
+    start = _rows(read_delta_snapshot(spark, path, version=0))
+    end = _rows(read_delta_snapshot(spark, path))
+    feed = delta_table_changes(spark, path, 0, latest)
+    assert _replay(start, feed) == end
+
+
+def test_iceberg_incremental_appends(spark, tmp_path):
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    s2 = write_iceberg_append(_mk(spark, [(2, "b"), (3, "c")]), path)
+    s3 = write_iceberg_append(_mk(spark, [(4, "d")]), path)
+    assert _rows(read_iceberg_incremental(spark, path, s1, s2)) == {
+        (2, "b"),
+        (3, "c"),
+    }
+    assert _rows(read_iceberg_incremental(spark, path, s1)) == {
+        (2, "b"),
+        (3, "c"),
+        (4, "d"),
+    }
+    assert _rows(read_iceberg_incremental(spark, path, s2, s3)) == {(4, "d")}
+
+
+def test_iceberg_incremental_refuses_non_append_ranges(spark, tmp_path):
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_append(_mk(spark, [(1, "a"), (2, "b")]), path)
+    write_iceberg_position_deletes(spark, path, "id = 1")
+    s3 = write_iceberg_append(_mk(spark, [(3, "c")]), path)
+    with pytest.raises(NotImplementedError, match="not appends"):
+        read_iceberg_incremental(spark, path, s1, s3)
+    # a compaction in range is refused too
+    path2 = str(tmp_path / "t2")
+    s1 = write_iceberg_append(_mk(spark, [(1, "a")]), path2)
+    write_iceberg_append(_mk(spark, [(2, "b")]), path2)
+    rewrite_iceberg_table(spark, path2)
+    with pytest.raises(NotImplementedError, match="not appends"):
+        read_iceberg_incremental(spark, path2, s1)
+
+
+def test_iceberg_incremental_refusals(spark, tmp_path):
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    with pytest.raises(ValueError, match="must precede"):
+        read_iceberg_incremental(spark, path, s1, s1)
+    with pytest.raises(ValueError, match="does not exist"):
+        read_iceberg_incremental(spark, path, 999)
+
+
+def test_changes_pure_rewrite_is_empty_feed(spark, tmp_path):
+    """Overwriting the table with its own rows (what a compaction does)
+    is zero logical change: the netted feed is EMPTY, not full churn."""
+    path = str(tmp_path / "t")
+    write_delta_append(_mk(spark, [(1, "a"), (2, "b")]), path)
+    write_delta_overwrite(read_delta_snapshot(spark, path), path)
+    assert delta_table_changes(spark, path, 0).count() == 0
