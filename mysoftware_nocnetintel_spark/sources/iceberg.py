@@ -1640,6 +1640,43 @@ def read_iceberg_incremental(
     return full.filter(F.col("__fp").isin(new_abs)).drop("__fp", "__pos")
 
 
+def iceberg_snapshot_diff(
+    spark, path: str, from_snapshot_id: int, to_snapshot_id: int | None = None
+) -> "DataFrame":
+    """ROW-LEVEL DIFF between two snapshots, valid for ANY operation mix
+    (the fallback :func:`read_iceberg_incremental` points at when the
+    range contains deletes/compactions): rows only in TO tag
+    ``_change_type='insert'``, rows only in FROM tag ``'delete'``,
+    multiplicity-aware (``exceptAll`` both ways, so a pure compaction
+    diffs empty). Unlike the incremental append scan this shuffles BOTH
+    snapshots' live rows — it is the honest full-diff cost, used when
+    the log's file-level delta can't express the change."""
+    from pyspark.sql import functions as F
+
+    from .readers import read_iceberg_snapshot
+
+    meta_dir = os.path.join(path, "metadata")
+    meta, _ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if to_snapshot_id is None:
+        to_snapshot_id = meta["current-snapshot-id"]
+    for sid in (from_snapshot_id, to_snapshot_id):
+        if sid not in snaps:
+            raise ValueError(f"snapshot {sid} does not exist")
+    old = read_iceberg_snapshot(spark, path, snapshot_id=from_snapshot_id)
+    new = read_iceberg_snapshot(spark, path, snapshot_id=to_snapshot_id)
+    cols = new.columns
+    ins = new.exceptAll(old.select(*cols)).select(
+        *cols, F.lit("insert").alias("_change_type")
+    )
+    dels = old.select(*cols).exceptAll(new).select(
+        *cols, F.lit("delete").alias("_change_type")
+    )
+    return ins.unionByName(dels)
+
+
 def iceberg_snapshots(spark, path: str) -> "DataFrame":
     """Snapshot history as a DataFrame — the operational surface the
     iceberg-spark connector exposes as the ``snapshots``/``manifests``

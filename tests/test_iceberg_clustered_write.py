@@ -159,10 +159,13 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     lex_keep, lex_total = survivors(lex_root, "b", 3600)
     assert lex_keep == lex_total  # b is scattered across every lex file
     assert z_keep < lex_keep
-    assert z_keep <= z_total // 2
+    # cell edges are EQUAL-DEPTH quantile boundaries (approxQuantile
+    # sketch, merge-order-dependent), so one cell can straddle a curve
+    # bit boundary: allow +1 file over the ideal half
+    assert z_keep <= z_total // 2 + 1
     # predicate on the FIRST column still prunes under z-order too
     za_keep, _ = survivors(z_root, "a", 3600)
-    assert za_keep <= z_total // 2
+    assert za_keep <= z_total // 2 + 1
     # pruned scan stays correct on both columns
     for col in ("a", "b"):
         got = {
@@ -231,7 +234,9 @@ def test_zorder_recluster_during_compaction(spark, tmp_path):
     files, _p, _e, _s = _iceberg_snapshot_files(root)
     for col in ("a", "b"):
         kept = len(_zone_map_prune(root, files, (col, ">=", 3600)))
-        assert kept <= len(files) // 2, (col, kept, len(files))
+        # +1: equal-depth cell edges (sketch-derived) may straddle a
+        # curve bit boundary — see test_zorder_prunes_on_both_dimensions
+        assert kept <= len(files) // 2 + 1, (col, kept, len(files))
     assert {
         (r.a, r.b, r.rid)
         for r in read_iceberg_snapshot(spark, root).collect()

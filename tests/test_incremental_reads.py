@@ -201,3 +201,45 @@ def test_changes_pure_rewrite_is_empty_feed(spark, tmp_path):
     write_delta_append(_mk(spark, [(1, "a"), (2, "b")]), path)
     write_delta_overwrite(read_delta_snapshot(spark, path), path)
     assert delta_table_changes(spark, path, 0).count() == 0
+
+
+def test_iceberg_snapshot_diff_handles_deletes_and_compaction(
+    spark, tmp_path
+):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        iceberg_snapshot_diff,
+    )
+
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_append(
+        _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), path
+    )
+    write_iceberg_position_deletes(spark, path, "id = 2")
+    rewrite_iceberg_table(spark, path)  # compaction folds the delete in
+    s4 = write_iceberg_append(_mk(spark, [(4, "d")]), path)
+    got = {
+        (r.id, r.val, r._change_type)
+        for r in iceberg_snapshot_diff(spark, path, s1, s4).collect()
+    }
+    assert got == {(2, "b", "delete"), (4, "d", "insert")}
+    with pytest.raises(ValueError, match="does not exist"):
+        iceberg_snapshot_diff(spark, path, 424242)
+
+
+def test_iceberg_snapshot_diff_compaction_only_is_empty(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        iceberg_snapshot_diff,
+    )
+
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    write_iceberg_append(_mk(spark, [(2, "b")]), path)
+    s2 = write_iceberg_append(_mk(spark, [(3, "c")]), path)
+    s3 = rewrite_iceberg_table(spark, path)
+    assert iceberg_snapshot_diff(spark, path, s2, s3).count() == 0
+    # and the full range still nets to just the appends
+    got = {
+        (r.id, r._change_type)
+        for r in iceberg_snapshot_diff(spark, path, s1).collect()
+    }
+    assert got == {(2, "insert"), (3, "insert")}
