@@ -891,3 +891,115 @@ def delta_stream_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class DeltaTailer:
+    """Streaming SOURCE over a Delta table — the consumption half of the
+    lakehouse streaming story next to :func:`delta_stream_append`
+    (reference continuous ingestion, README.md:24,26), shaped like the
+    delta-spark source's availableNow semantics:
+
+    - first ``poll()`` returns the whole table as the initial batch
+      (pinned at the version it read);
+    - each later ``poll()`` returns the rows APPENDED since the committed
+      offset (``sources.delta.delta_table_changes`` insert rows), or
+      ``None`` when caught up — I/O proportional to the new files only;
+    - ``commit()`` durably advances the offset (atomic json replace)
+      AFTER the consumer has processed the batch. poll-without-commit
+      re-delivers on restart: the source is AT-LEAST-ONCE end-to-end,
+      and pairs with an idempotent/txn sink (``delta_stream_append``)
+      for exactly-once — the same split delta-spark makes.
+
+    Non-append changes in the range (file removals, deletion-vector
+    growth: DELETE/UPDATE/MERGE/RESTORE/overwrite) fail fast unless
+    ``ignore_deletes`` — delta-spark's ``ignoreDeletes``/
+    ``ignoreChanges`` posture: with it set, delete rows are dropped and
+    insert rows still flow (an update therefore re-emits its new image,
+    exactly like ignoreChanges)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_dir: str,
+        ignore_deletes: bool = False,
+    ) -> None:
+        import os
+
+        self._spark = spark
+        self._path = path
+        self._ignore_deletes = ignore_deletes
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._offset_file = os.path.join(checkpoint_dir, "offset.json")
+        self._pending: int | None = None
+
+    def _offset(self) -> int | None:
+        import json
+        import os
+
+        if not os.path.exists(self._offset_file):
+            return None
+        with open(self._offset_file) as fh:
+            return int(json.load(fh)["version"])
+
+    def poll(self) -> DataFrame | None:
+        import os
+
+        from ..sources.delta import _replay_state, delta_table_changes
+        from ..sources.readers import read_delta_snapshot
+
+        state = _replay_state(os.path.join(self._path, "_delta_log"))
+        if state["version"] is None:
+            raise FileNotFoundError(f"no Delta table at {self._path}")
+        latest = state["version"]
+        start = self._offset()
+        if start is None:
+            self._pending = latest
+            return read_delta_snapshot(
+                self._spark, self._path, version=latest
+            )
+        if latest <= start:
+            self._pending = None
+            return None
+        feed = delta_table_changes(self._spark, self._path, start, latest)
+        if not self._ignore_deletes:
+            # file-level non-append detection, driver-side and cheap:
+            # a removed live file or a changed entry (DV growth) means
+            # rows disappeared in the range
+            from_state = _replay_state(
+                os.path.join(self._path, "_delta_log"), as_of=start
+            )
+            f_live, t_live = from_state["live"], state["live"]
+            if any(
+                rel not in t_live or t_live[rel] != e
+                for rel, e in f_live.items()
+            ):
+                raise ValueError(
+                    f"versions {start}..{latest} contain non-append "
+                    "changes (delete/update/merge/restore): pass "
+                    "ignore_deletes=True to skip the removed rows "
+                    "(updated rows re-emit their new image)"
+                )
+        self._pending = latest
+        return (
+            feed.filter(F.col("_change_type") == "insert")
+            .drop("_change_type")
+        )
+
+    def commit(self, version: int | None = None) -> int:
+        """Durably record the offset of the last ``poll()`` (or an
+        explicit version). Atomic tmp+replace, same recipe as every
+        other commit in the repo."""
+        import json
+        import os
+        import uuid as _uuid
+
+        v = self._pending if version is None else version
+        if v is None:
+            raise ValueError("nothing polled: no offset to commit")
+        tmp = self._offset_file + f".{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": int(v)}, fh)
+        os.replace(tmp, self._offset_file)
+        self._pending = None
+        return int(v)

@@ -243,3 +243,67 @@ def test_iceberg_snapshot_diff_compaction_only_is_empty(spark, tmp_path):
         for r in iceberg_snapshot_diff(spark, path, s1).collect()
     }
     assert got == {(2, "insert"), (3, "insert")}
+
+
+# ------------------------------------------------------- DeltaTailer
+
+
+def test_delta_tailer_initial_then_incremental(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.streaming.ops import DeltaTailer
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta_append(_mk(spark, [(1, "a"), (2, "b")]), path)
+    tailer = DeltaTailer(spark, path, ckpt)
+    first = tailer.poll()
+    assert _rows(first) == {(1, "a"), (2, "b")}  # initial snapshot batch
+    tailer.commit()
+    assert tailer.poll() is None  # caught up
+    write_delta_append(_mk(spark, [(3, "c")]), path)
+    nxt = tailer.poll()
+    assert _rows(nxt) == {(3, "c")}
+    tailer.commit()
+    assert tailer.poll() is None
+
+
+def test_delta_tailer_at_least_once_redelivery(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.streaming.ops import DeltaTailer
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta_append(_mk(spark, [(1, "a")]), path)
+    t1 = DeltaTailer(spark, path, ckpt)
+    t1.poll()
+    t1.commit()
+    write_delta_append(_mk(spark, [(2, "b")]), path)
+    t1.poll()  # NOT committed — simulated crash before processing ack
+    t2 = DeltaTailer(spark, path, ckpt)  # restart from the checkpoint
+    again = t2.poll()
+    assert _rows(again) == {(2, "b")}  # re-delivered
+    t2.commit()
+    assert t2.poll() is None
+
+
+def test_delta_tailer_delete_semantics(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.streaming.ops import DeltaTailer
+
+    path = str(tmp_path / "t")
+    write_delta_append(
+        _mk(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), path
+    )
+    strict = DeltaTailer(spark, path, str(tmp_path / "c1"))
+    strict.poll()
+    strict.commit()
+    lax = DeltaTailer(
+        spark, path, str(tmp_path / "c2"), ignore_deletes=True
+    )
+    lax.poll()
+    lax.commit()
+    delete_delta_rows(spark, path, "id = 2")
+    merge_delta_rows(spark, path, _mk(spark, [(3, "C"), (4, "d")]), on=["id"])
+    with pytest.raises(ValueError, match="ignore_deletes"):
+        strict.poll()
+    got = lax.poll()  # updated row re-emits its new image + the insert
+    assert _rows(got) == {(3, "C"), (4, "d")}
+    lax.commit()
+    assert lax.poll() is None
