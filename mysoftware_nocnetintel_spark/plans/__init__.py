@@ -9,10 +9,12 @@ from .queries_r5 import R5_QUERIES as _R5
 from .queries_r6 import R6_QUERIES as _R6
 from .queries_r7 import R7_QUERIES as _R7
 from .queries_r8 import R8_QUERIES as _R8
+from .queries_r9 import R9_QUERIES as _R9
 from .oracles import ORACLES as _O_CORE
 from .oracles_r6 import ORACLES_R6 as _O_R6
 from .oracles_r7 import ORACLES_R7 as _O_R7
 from .oracles_r8 import ORACLES_R8 as _O_R8
+from .oracles_r9 import ORACLES_R9 as _O_R9
 from .oracles_ext import ORACLES_EXT as _O_EXT
 from .oracles_extra import ORACLES_EXTRA as _O_EXTRA
 from .oracles_r4 import ORACLES_R4 as _O_R4
@@ -20,7 +22,7 @@ from .oracles_r5 import ORACLES_R5 as _O_R5
 
 _ALL = {
     **_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5,
-    **_R6, **_R7, **_R8,
+    **_R6, **_R7, **_R8, **_R9,
 }
 
 # The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
@@ -41,6 +43,7 @@ _ALL = {
 # q95-q123, q125.
 _WINDOW = [
     # --- NEW this round, never driver-graded (rule 1) ---
+    "q144_span_scrub",
     "q141_doc_lm_score",
     "q142_embedding_cohesion",
     "q143_snapshot_diff",
@@ -92,10 +95,10 @@ _WINDOW = [
     "q43_grouping_sets",
     "q44_map_ops",
     "q46_sliding_window",
-    "q47_session_window",
     # (q48_ann_ivf, q49_forecast_score, q51_dispatch_plan ceded their
-    # slots to the new never-graded q141-q143 per rule 1 and rotate back
-    # next round with the r03-era block q52+)
+    # slots to the new never-graded q141-q143 per rule 1, and
+    # q47_session_window ceded its slot to never-graded q144 — all four
+    # rotate back next round with the r03-era block q52+)
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -106,7 +109,7 @@ QUERIES = {k: _ALL[k] for k in _WINDOW}
 QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
 ORACLES = {
     **_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5,
-    **_O_R6, **_O_R7, **_O_R8,
+    **_O_R6, **_O_R7, **_O_R8, **_O_R9,
 }
 
 

@@ -1,0 +1,112 @@
+"""Round-9 coverage: the span-REMOVAL rewrite that completes the
+exact-substring dedup tier (reference README.md:101-103 corpus tables).
+
+q135 (queries_r7.py) reports HOW MUCH of the corpus is cross-document
+duplicated text; q144 actually rewrites the affected documents — the Lee
+et al. 2021 (arXiv:2107.06499) "remove the repeated substring, keep the
+rest of the document" policy, the operator a training-data pipeline runs
+once the q135 statistic says span removal beats whole-doc dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q144_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 exact-substring dedup, REWRITE step: delete every token that
+    falls inside an 8-word shingle occurring in more than one document,
+    and emit the scrubbed text of each affected document (untouched
+    documents pass through the pipeline unchanged and are not re-emitted
+    here). Output per affected doc: tokens removed, scrubbed length, and
+    the md5 fingerprint of the scrubbed text — the fingerprint pins the
+    exact reconstruction (token order and spacing) against the oracle
+    without shipping megabytes of rewritten text through the compare.
+
+    Scale shape: the gram→distinct-doc-count shuffle and the gram hit
+    join are q135's (bounded-key hash shuffles, map-side partials); the
+    REWRITE side then touches ONLY documents with at least one hit
+    (semi-join prune — at production dup rates that is a few percent of
+    the corpus), so the posexplode/anti-join/re-assembly cost scales
+    with the duplicated fraction, not the corpus. Re-assembly is a
+    per-document groupBy (never a global window): sort the surviving
+    (pos, token) pairs per doc and concat — all JVM built-ins, no UDF.
+    At 100 TB the gram join key could be xxhash64(gram) to cut shuffle
+    bytes ~5×; kept as the raw string here so the oracle (which has no
+    xxhash64) compares the identical plan."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "filter(split(text, ' '), x -> x != '') as __t",
+    ).selectExpr("doc_id", "lang", "size(__t) as n_tok", "__t")
+    grams = (
+        base.filter("n_tok >= 8")
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, n_tok - 7),"
+            " i -> struct(i as s,"
+            " concat_ws(' ', slice(__t, i, 8)) as g))) as e",
+        )
+        .select("doc_id", F.col("e.s").alias("s"), F.col("e.g").alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd > 1")
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select(
+        "doc_id", "s", (F.col("s") + F.lit(7)).alias("e")
+    )
+    affected = hits.select("doc_id").distinct()
+    removed = hits.selectExpr(
+        "doc_id", "explode(sequence(s, e)) as pos"
+    ).distinct()
+    toks = (
+        base.join(affected, "doc_id", "left_semi")
+        .selectExpr("doc_id", "posexplode(__t) as (p0, tok)")
+        .selectExpr("doc_id", "p0 + 1 as pos", "tok")
+    )
+    rebuilt = (
+        toks.join(removed, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, tok))),"
+                    " x -> x.tok)"
+                ),
+            ).alias("clean"),
+        )
+    )
+    return (
+        base.join(affected, "doc_id", "left_semi")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("n_tok") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.length(F.coalesce("clean", F.lit("")))
+            .cast("bigint")
+            .alias("clean_len"),
+            F.md5(F.coalesce("clean", F.lit(""))).alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+R9_QUERIES = {
+    "q144_span_scrub": q144_span_scrub,
+}
