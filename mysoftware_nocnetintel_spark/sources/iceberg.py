@@ -1468,7 +1468,21 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
     snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
     if len(snaps) <= keep_last:
         return 0
-    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # ref-pinned snapshots are NEVER expirable (the spec's retention
+    # contract for snapshot references): a tag is exactly the "this
+    # dataset version must stay reproducible" pin, so it overrides
+    # keep_last until the ref is dropped
+    pinned = {
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    }
+    kept = [
+        s
+        for i, s in enumerate(snaps)
+        if i >= len(snaps) - keep_last or s["snapshot-id"] in pinned
+    ]
+    expired = [s for s in snaps if s not in kept]
+    if not expired:
+        return 0
     if not any(
         s["snapshot-id"] == meta["current-snapshot-id"] for s in kept
     ):
@@ -1516,6 +1530,75 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
     return removed
 
 
+def remove_iceberg_orphan_files(
+    path: str, older_than_ms: int = 3 * 24 * 3600 * 1000, dry_run: bool = False
+) -> list[str]:
+    """ORPHAN-FILE cleanup (the spark connector's ``remove_orphan_files``
+    procedure — the third table-maintenance verb next to
+    :func:`rewrite_iceberg_table` and :func:`expire_iceberg_snapshots`):
+    delete every file under ``data/`` and ``metadata/`` that NO retained
+    snapshot references — the debris a crashed or failed commit strands
+    (staged data files whose metadata CAS lost, manifests of an append
+    that raised after staging).
+
+    ``older_than_ms`` is the same safety valve as Iceberg's
+    ``older_than`` (default 3 days): a file younger than the cutoff is
+    NEVER removed, because it may belong to a commit currently in
+    flight — a concurrent writer stages data files BEFORE its metadata
+    commit makes them referenced, and deleting those mid-commit corrupts
+    the winner. Set 0 only when no other writer can be active.
+
+    ``dry_run=True`` reports without deleting. Returns the orphan paths
+    (removed, or would-remove under dry_run). Driver-side KB-scale
+    manifest walk; version metadata jsons are the log itself and are
+    never candidates."""
+    from .avro_lite import read_avro_file
+    from .readers import _iceberg_local_path as _local
+
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    meta, _ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to clean an Iceberg table created by another "
+            "writer: use the iceberg-spark-runtime connector"
+        )
+    referenced: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        ml = _local(s["manifest-list"])
+        referenced.add(os.path.realpath(ml))
+        _, manifests = read_avro_file(ml)
+        for m in manifests:
+            mp = _local(m["manifest_path"])
+            referenced.add(os.path.realpath(mp))
+            _, entries = read_avro_file(mp)
+            for e in entries:
+                referenced.add(
+                    os.path.realpath(_local(e["data_file"]["file_path"]))
+                )
+    cutoff = time.time() - older_than_ms / 1000.0
+    orphans: list[str] = []
+    for root in (data_dir, meta_dir):
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".metadata.json") or fn == "version-hint.text":
+                    continue  # the version log / pointer — never orphans
+                full = os.path.join(dirpath, fn)
+                if os.path.realpath(full) in referenced:
+                    continue
+                if os.path.getmtime(full) >= cutoff:
+                    continue  # possibly a commit in flight
+                orphans.append(full)
+    if not dry_run:
+        for f in orphans:
+            os.remove(f)
+    return sorted(orphans)
+
+
 def rollback_iceberg_table(path: str, snapshot_id: int) -> int:
     """ROLLBACK the table's current state to an existing snapshot (the
     Iceberg ``rollback_to_snapshot`` maintenance procedure): a new
@@ -1555,6 +1638,120 @@ def rollback_iceberg_table(path: str, snapshot_id: int) -> int:
     )
     _commit_metadata(meta_dir, ver, new_meta)
     return snapshot_id
+
+
+def tag_iceberg_snapshot(
+    path: str, name: str, snapshot_id: int | None = None
+) -> int:
+    """Create a named TAG ref on a snapshot (default: current) — the
+    spec's table-metadata ``refs`` map (iceberg.apache.org/spec/
+    "Snapshot References"), the reproducibility primitive a training
+    pipeline uses to pin "the exact corpus snapshot model X trained on".
+    A tagged snapshot SURVIVES :func:`expire_iceberg_snapshots` until
+    the tag is dropped (the spec's retention contract for refs), so the
+    pin is durable against routine maintenance. One KB-scale CAS commit;
+    re-tagging an existing name fails fast (drop first — silent moves
+    would un-pin someone else's dataset), as does tagging a snapshot
+    that does not exist. Returns the pinned snapshot id."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to tag an Iceberg table created by another writer: "
+            "use the iceberg-spark-runtime connector"
+        )
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if not any(
+        s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])
+    ):
+        raise ValueError(
+            f"snapshot {snapshot_id} does not exist (expired or never "
+            "committed)"
+        )
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise ValueError(
+            f"ref {name!r} already exists (on snapshot "
+            f"{refs[name]['snapshot-id']}); drop it first"
+        )
+    refs[name] = {"snapshot-id": snapshot_id, "type": "tag"}
+    _commit_metadata(
+        meta_dir,
+        ver,
+        dict(
+            meta,
+            refs=refs,
+            **{"last-updated-ms": int(time.time() * 1000)},
+        ),
+    )
+    return snapshot_id
+
+
+def drop_iceberg_ref(path: str, name: str) -> int:
+    """Remove a named ref; the snapshot it pinned becomes expirable
+    again. Returns the snapshot id the ref pointed at."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} does not exist")
+    pinned = refs.pop(name)["snapshot-id"]
+    _commit_metadata(
+        meta_dir,
+        ver,
+        dict(
+            meta,
+            refs=refs,
+            **{"last-updated-ms": int(time.time() * 1000)},
+        ),
+    )
+    return pinned
+
+
+def resolve_iceberg_ref(path: str, name: str) -> int:
+    """Ref name → snapshot id (the read-side half of the refs map).
+    ``"main"`` always resolves — to its ref entry if one exists, else to
+    ``current-snapshot-id`` (the spec makes main implicit when absent)."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, _ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    refs = meta.get("refs") or {}
+    if name in refs:
+        return refs[name]["snapshot-id"]
+    if name == "main":
+        cur = meta.get("current-snapshot-id")
+        if cur is None:
+            raise ValueError("table has no snapshots yet")
+        return cur
+    raise ValueError(f"ref {name!r} does not exist")
+
+
+def iceberg_refs(spark, path: str) -> "DataFrame":
+    """The connector's ``refs`` metadata table: one row per named ref
+    (name, type, pinned snapshot id) plus the implicit ``main`` head when
+    no explicit main ref exists. KB-scale driver-side metadata read."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, _ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    refs = dict(meta.get("refs") or {})
+    if "main" not in refs and meta.get("current-snapshot-id") is not None:
+        refs["main"] = {
+            "snapshot-id": meta["current-snapshot-id"],
+            "type": "branch",
+        }
+    rows = [
+        (n, r["type"], r["snapshot-id"]) for n, r in sorted(refs.items())
+    ]
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id long"
+    )
 
 
 def read_iceberg_incremental(

@@ -747,13 +747,16 @@ def read_iceberg_snapshot(
     as_of_ms: int | None = None,
     partition_filter: dict | None = None,
     scan_filter: tuple | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Minimal Apache Iceberg snapshot reader built on the PUBLIC Iceberg
     table spec (iceberg.apache.org/spec/): pick a snapshot from the current
     ``metadata/v*.metadata.json``, decode its Avro manifest list and
     manifests with :mod:`.avro_lite`, and scan the surviving data files.
     ``snapshot_id`` pins an exact snapshot (time travel); ``as_of_ms``
-    picks the latest snapshot at or before a timestamp.
+    picks the latest snapshot at or before a timestamp; ``ref`` reads a
+    named snapshot reference (``iceberg.tag_iceberg_snapshot``; ``"main"``
+    is the implicit current head).
 
     Like the Delta fallback this is driver-side METADATA work only — a
     manifest is KB-scale Avro — and the data scan stays a distributed
@@ -775,6 +778,14 @@ def read_iceberg_snapshot(
     files, equality ids without a field-id schema); ``status=2`` handling
     follows the spec (deleted entries are skipped).
     """
+    if ref is not None:
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError(
+                "ref is mutually exclusive with snapshot_id / as_of_ms"
+            )
+        from .iceberg import resolve_iceberg_ref
+
+        snapshot_id = resolve_iceberg_ref(path, ref)
     return _iceberg_live_scan(
         spark,
         path,

@@ -986,6 +986,14 @@ class DeltaTailer:
             .drop("_change_type")
         )
 
+    @property
+    def pending_version(self) -> int | None:
+        """The bronze version the last ``poll()`` batch reads up to —
+        the natural idempotence key for a downstream transactional
+        write (see :func:`relay_delta_increment`). None when caught up
+        or nothing polled."""
+        return self._pending
+
     def commit(self, version: int | None = None) -> int:
         """Durably record the offset of the last ``poll()`` (or an
         explicit version). Atomic tmp+replace, same recipe as every
@@ -1003,3 +1011,35 @@ class DeltaTailer:
         os.replace(tmp, self._offset_file)
         self._pending = None
         return int(v)
+
+
+def relay_delta_increment(
+    tailer: "DeltaTailer",
+    transform,
+    silver_path: str,
+    app_id: str,
+) -> int | None:
+    """One EXACTLY-ONCE bronze→silver hop (the medallion increment):
+    poll the bronze :class:`DeltaTailer`, apply ``transform`` (DataFrame
+    → DataFrame), append the result to the silver Delta table, commit
+    the tailer offset. Returns the bronze version consumed, or None when
+    caught up.
+
+    End-to-end exactly-once from two at-least-once halves: the silver
+    append carries ``txn(app_id, bronze_version)``
+    (``sources.delta.write_delta_append``), so a crash AFTER the silver
+    write but BEFORE the offset commit — the at-least-once window of
+    the source — redelivers a batch whose txn the silver log already
+    holds, and the append skips with zero executor work. The bronze
+    version is the idempotence key because a redelivered poll() always
+    re-reads up to the same version it failed at (the offset file did
+    not advance). ``app_id`` must be stable per (pipeline, silver
+    table), same contract as :func:`delta_stream_append`."""
+    from ..sources.delta import write_delta_append
+
+    batch = tailer.poll()
+    if batch is None:
+        return None
+    v = tailer.pending_version
+    write_delta_append(transform(batch), silver_path, txn=(app_id, int(v)))
+    return tailer.commit()

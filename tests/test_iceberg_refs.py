@@ -1,0 +1,86 @@
+"""Iceberg snapshot references (spec "Snapshot References"): tags pin a
+snapshot by name, survive expiration until dropped, and resolve on the
+read path — the dataset-reproducibility primitive ("the corpus snapshot
+model X trained on")."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysoftware_nocnetintel_spark.sources.iceberg import (
+    drop_iceberg_ref,
+    expire_iceberg_snapshots,
+    iceberg_refs,
+    resolve_iceberg_ref,
+    tag_iceberg_snapshot,
+    write_iceberg_append,
+)
+from mysoftware_nocnetintel_spark.sources.readers import read_iceberg_snapshot
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, val string")
+
+
+def _rows(df):
+    return {(r.id, r.val) for r in df.collect()}
+
+
+def test_tag_resolve_read_and_drop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    s2 = write_iceberg_append(_mk(spark, [(2, "b")]), path)
+    tag_iceberg_snapshot(path, "train-v1", s1)
+    assert resolve_iceberg_ref(path, "train-v1") == s1
+    assert resolve_iceberg_ref(path, "main") == s2
+    assert _rows(read_iceberg_snapshot(spark, path, ref="train-v1")) == {
+        (1, "a")
+    }
+    assert _rows(read_iceberg_snapshot(spark, path, ref="main")) == {
+        (1, "a"),
+        (2, "b"),
+    }
+    refs = {
+        r.name: (r.type, r.snapshot_id)
+        for r in iceberg_refs(spark, path).collect()
+    }
+    assert refs == {
+        "train-v1": ("tag", s1),
+        "main": ("branch", s2),
+    }
+    assert drop_iceberg_ref(path, "train-v1") == s1
+    with pytest.raises(ValueError, match="does not exist"):
+        resolve_iceberg_ref(path, "train-v1")
+
+
+def test_tag_defaults_to_current_and_refuses_dup_or_missing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    s2 = write_iceberg_append(_mk(spark, [(2, "b")]), path)
+    assert tag_iceberg_snapshot(path, "head") == s2
+    with pytest.raises(ValueError, match="already exists"):
+        tag_iceberg_snapshot(path, "head")
+    with pytest.raises(ValueError, match="does not exist"):
+        tag_iceberg_snapshot(path, "ghost", 12345)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_iceberg_snapshot(spark, path, snapshot_id=s2, ref="head")
+
+
+def test_tagged_snapshot_survives_expiration_until_dropped(spark, tmp_path):
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    s2 = write_iceberg_append(_mk(spark, [(2, "x")]), path)
+    for i in range(3, 6):
+        write_iceberg_append(_mk(spark, [(i, "x")]), path)
+    tag_iceberg_snapshot(path, "pin", s1)
+    expire_iceberg_snapshots(path, keep_last=2)
+    # the pinned snapshot is still fully readable (files kept on disk)
+    assert _rows(read_iceberg_snapshot(spark, path, ref="pin")) == {(1, "a")}
+    # an unpinned old snapshot in the same range was expired
+    with pytest.raises(Exception, match="not found|does not exist"):
+        read_iceberg_snapshot(spark, path, snapshot_id=s2).collect()
+    drop_iceberg_ref(path, "pin")
+    removed = expire_iceberg_snapshots(path, keep_last=2)
+    assert removed > 0  # the un-pinned snapshot's files now clean up
+    with pytest.raises(Exception):
+        read_iceberg_snapshot(spark, path, ref="pin")

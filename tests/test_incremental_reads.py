@@ -307,3 +307,42 @@ def test_delta_tailer_delete_semantics(spark, tmp_path):
     assert _rows(got) == {(3, "C"), (4, "d")}
     lax.commit()
     assert lax.poll() is None
+
+
+def test_medallion_relay_exactly_once_across_crash(spark, tmp_path):
+    """Bronze→silver relay: each hop is exactly-once even when the
+    offset commit is lost after the silver write (the at-least-once
+    crash window of the source) — the redelivered batch's txn skips."""
+    from mysoftware_nocnetintel_spark.streaming.ops import (
+        DeltaTailer,
+        relay_delta_increment,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    def xf(df):  # the silver transform: uppercase + drop id 0 rows
+        from pyspark.sql import functions as F
+
+        return df.filter("id > 0").withColumn("val", F.upper("val"))
+
+    write_delta_append(_mk(spark, [(0, "drop"), (1, "a")]), bronze)
+    t = DeltaTailer(spark, bronze, ckpt)
+    assert relay_delta_increment(t, xf, silver, "medallion") == 0
+    assert _rows(read_delta_snapshot(spark, silver)) == {(1, "A")}
+    assert relay_delta_increment(t, xf, silver, "medallion") is None
+
+    write_delta_append(_mk(spark, [(2, "b")]), bronze)
+    # simulated crash: poll + silver write land, offset commit is LOST
+    batch = t.poll()
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        write_delta_append as _append,
+    )
+
+    _append(xf(batch), silver, txn=("medallion", t.pending_version))
+    t2 = DeltaTailer(spark, bronze, ckpt)  # restart from old offset
+    assert relay_delta_increment(t2, xf, silver, "medallion") == 1
+    # no duplicate despite the redelivered batch
+    assert _rows(read_delta_snapshot(spark, silver)) == {(1, "A"), (2, "B")}
+    assert relay_delta_increment(t2, xf, silver, "medallion") is None
