@@ -44,6 +44,7 @@ _ALL = {
 _WINDOW = [
     # --- NEW this round, never driver-graded (rule 1) ---
     "q144_span_scrub",
+    "q145_embedding_decontam",
     "q141_doc_lm_score",
     "q142_embedding_cohesion",
     "q143_snapshot_diff",
@@ -94,11 +95,11 @@ _WINDOW = [
     "q42_ann_lsh",
     "q43_grouping_sets",
     "q44_map_ops",
-    "q46_sliding_window",
     # (q48_ann_ivf, q49_forecast_score, q51_dispatch_plan ceded their
     # slots to the new never-graded q141-q143 per rule 1, and
-    # q47_session_window ceded its slot to never-graded q144 — all four
-    # rotate back next round with the r03-era block q52+)
+    # q46_sliding_window / q47_session_window ceded theirs to the
+    # never-graded q144/q145 — all five rotate back next round with the
+    # r03-era block q52+)
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -48,3 +48,31 @@ JOIN affected a USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY t.doc_id
 """
+
+ORACLES_R9["q145_embedding_decontam"] = """
+WITH tr AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> 'a'
+),
+ev AS (
+    SELECT vec_id AS qid, embedding AS qv FROM embeddings
+    WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = 'a'
+),
+sc AS (
+    SELECT t.vec_id,
+           list_sum(list_transform(list_zip(t.embedding, e.qv),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(t.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.qv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+    FROM tr t, ev e
+)
+SELECT vec_id,
+       count(*) AS n_eval_hits,
+       round(max(cos), 6) AS max_cos
+FROM sc
+WHERE cos >= 0.35
+GROUP BY vec_id
+ORDER BY vec_id
+"""

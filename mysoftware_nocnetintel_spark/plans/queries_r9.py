@@ -1,11 +1,14 @@
-"""Round-9 coverage: the span-REMOVAL rewrite that completes the
-exact-substring dedup tier (reference README.md:101-103 corpus tables).
+"""Round-9 coverage: two more training-data-pipeline tiers over the
+documents/embeddings surface (reference README.md:101-103 corpus tables).
 
-q135 (queries_r7.py) reports HOW MUCH of the corpus is cross-document
-duplicated text; q144 actually rewrites the affected documents — the Lee
-et al. 2021 (arXiv:2107.06499) "remove the repeated substring, keep the
-rest of the document" policy, the operator a training-data pipeline runs
-once the q135 statistic says span removal beats whole-doc dedup.
+- q144: the span-REMOVAL rewrite that completes the exact-substring
+  dedup tier — q135 (queries_r7.py) reports HOW MUCH of the corpus is
+  cross-document duplicated text; q144 actually rewrites the affected
+  documents (the Lee et al. 2021, arXiv:2107.06499, "remove the repeated
+  substring, keep the rest" policy).
+- q145: embedding-space decontamination — the semantic tier next to
+  q107's 8-gram decontamination (paraphrase leakage the n-gram tier
+  cannot see), broadcast-eval × one-pass-train.
 """
 
 from __future__ import annotations
@@ -107,6 +110,68 @@ def q144_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q145_TAU = 0.35  # calibrated to the synthetic embedding geometry: random
+# 64-dim pairs top out near 0.45 cosine, so 0.35 plays the role a ~0.95
+# plays on real sentence embeddings (see tests for a planted-pair gate)
+
+
+def q145_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus EMBEDDING decontamination (the semantic-leakage
+    remove-list next to q107's 8-gram tier): flag every TRAIN vector
+    whose cosine to ANY held-out EVAL vector reaches the threshold —
+    n-gram decontamination misses paraphrases; this tier catches them in
+    embedding space. The eval/train split is the deterministic md5
+    bucket trick (q97 convention, ~1/16 eval). Output: one row per
+    contaminated train vector (id, #eval hits, rounded max cosine).
+
+    Scale shape: the EVAL side of a decontamination pass is bounded by
+    construction (benchmarks are thousands of rows, not billions), so it
+    BROADCASTS and the train corpus streams through in ONE pass — no
+    shuffle at all until the per-vector aggregation, which is keyed on
+    the train id (co-partitioned with nothing, map-side combinable).
+    Exact brute-force per pair, like q9/q36: at 100 TB you'd pre-filter
+    candidates with the IVF/LSH operators (operators/similarity.py) and
+    rescore exactly — the rescore is THIS plan. One spark.sql statement
+    (the q124 serving lesson); double-cast folds in list order make the
+    floats bit-identical to the DuckDB twin, so round(6) hashes match."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("__q145_emb")
+    dot = (
+        "aggregate(zip_with(transform(t.embedding, x -> cast(x as double)),"
+        " transform(e.qv, x -> cast(x as double)), (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    n1 = (
+        "sqrt(aggregate(transform(t.embedding, x -> cast(x as double)),"
+        " 0.0D, (acc, x) -> acc + x * x))"
+    )
+    n2 = (
+        "sqrt(aggregate(transform(e.qv, x -> cast(x as double)),"
+        " 0.0D, (acc, x) -> acc + x * x))"
+    )
+    return spark.sql(f"""
+        SELECT vec_id,
+               count(*) AS n_eval_hits,
+               round(max(cos), 6) AS max_cos
+        FROM (
+          SELECT /*+ BROADCAST(e) */ t.vec_id,
+                 try_divide({dot}, {n1} * {n2}) AS cos
+          FROM (
+            SELECT vec_id, embedding FROM __q145_emb
+            WHERE substring(md5(cast(cast(vec_id as string) as binary)), 1, 1) != 'a'
+          ) t
+          CROSS JOIN (
+            SELECT vec_id AS qid, embedding AS qv FROM __q145_emb
+            WHERE substring(md5(cast(cast(vec_id as string) as binary)), 1, 1) = 'a'
+          ) e
+        )
+        WHERE cos >= {_Q145_TAU}D
+        GROUP BY vec_id
+        ORDER BY vec_id
+    """)
+
+
 R9_QUERIES = {
     "q144_span_scrub": q144_span_scrub,
+    "q145_embedding_decontam": q145_embedding_decontam,
 }

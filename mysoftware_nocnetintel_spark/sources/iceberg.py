@@ -445,6 +445,7 @@ def write_iceberg_append(
     file_format: str = "parquet",
     sort_by: tuple[str, ...] = (),
     zorder: bool = False,
+    branch: str | None = None,
 ) -> int:
     """Append ``df`` to the Iceberg table at ``path`` (creating it on first
     write). Returns the new snapshot id. See module docstring for scope.
@@ -504,6 +505,20 @@ def write_iceberg_append(
             "writer (unknown features could be dropped): use the "
             "iceberg-spark-runtime connector"
         )
+    if branch is not None:
+        if meta is None:
+            raise ValueError(
+                "branch appends need an existing table (create it with a "
+                "main-line append first)"
+            )
+        if branch == "main":
+            raise ValueError("'main' is the table head — append without branch")
+        ex = (meta.get("refs") or {}).get(branch)
+        if ex is not None and ex.get("type") != "branch":
+            raise ValueError(
+                f"ref {branch!r} is a tag, not a branch: tags are "
+                "immutable pins"
+            )
     if meta is not None and partition_by:
         raise ValueError(
             "partition_by is declared at table CREATE time; later appends "
@@ -806,13 +821,21 @@ def write_iceberg_append(
         )
         write_avro_file(manifest, entry_schema, entries)
 
-        # append semantics: manifest-list = all prior manifests + this one
+        # append semantics: manifest-list = all prior manifests + this one.
+        # The BASE is the branch head for branch appends (write-audit-
+        # publish staging), else the table head.
         prior = []
+        base_id = None
         if meta is not None:
+            base_id = meta["current-snapshot-id"]
+            if branch is not None:
+                ex = (meta.get("refs") or {}).get(branch)
+                if ex is not None:
+                    base_id = ex["snapshot-id"]
             cur = next(
                 s
                 for s in meta["snapshots"]
-                if s["snapshot-id"] == meta["current-snapshot-id"]
+                if s["snapshot-id"] == base_id
             )
             from .avro_lite import read_avro_file
 
@@ -844,6 +867,9 @@ def write_iceberg_append(
             "manifest-list": mlist,
             "summary": {"operation": "append"},
         }
+        if base_id is not None:
+            # spec field; the ancestry walk behind fast-forward publish
+            snapshot["parent-snapshot-id"] = base_id
         if meta is None:
             schema = _iceberg_schema(df.schema)
             schemas = [schema] if schema else []
@@ -864,6 +890,19 @@ def write_iceberg_append(
             "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
             "current-snapshot-id": snap_id,
         }
+        # named refs pin snapshots across appends — carry them verbatim
+        # (every other commit site rebuilds via dict(meta, ...) and keeps
+        # them implicitly)
+        if meta is not None and meta.get("refs"):
+            new_meta["refs"] = dict(meta["refs"])
+        if branch is not None:
+            # branch append: the TABLE HEAD does not move — only the
+            # branch ref advances (readers of main never see staged data
+            # until publish_iceberg_branch fast-forwards)
+            new_meta["current-snapshot-id"] = meta["current-snapshot-id"]
+            refs = dict(new_meta.get("refs") or {})
+            refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+            new_meta["refs"] = refs
         if meta is not None:
             if meta.get("partition-specs"):
                 new_meta["partition-specs"] = meta["partition-specs"]
@@ -1711,6 +1750,57 @@ def drop_iceberg_ref(path: str, name: str) -> int:
         ),
     )
     return pinned
+
+
+def publish_iceberg_branch(path: str, name: str, drop: bool = True) -> int:
+    """WRITE-AUDIT-PUBLISH, the publish step (Iceberg's
+    ``fast_forward`` procedure): move the table head to the branch head
+    after the staged data passed its audit. FAST-FORWARD ONLY — the walk
+    from the branch head down ``parent-snapshot-id`` must reach the
+    current table head; if the main line advanced independently the
+    histories have diverged and this fails fast (a real engine's
+    cherry-pick is the escalation path). ``drop`` removes the branch ref
+    after publishing (its snapshots are now on the main line). One
+    KB-scale CAS commit; returns the published snapshot id.
+
+    The WAP loop this completes: ``write_iceberg_append(...,
+    branch="audit")`` stages commits invisible to main readers →
+    audit queries read ``ref="audit"`` → publish or drop."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    refs = dict(meta.get("refs") or {})
+    ref = refs.get(name)
+    if ref is None or ref.get("type") != "branch":
+        raise ValueError(f"branch {name!r} does not exist")
+    head = ref["snapshot-id"]
+    cur = meta.get("current-snapshot-id")
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    walk = head
+    while walk is not None and walk != cur:
+        walk = by_id.get(walk, {}).get("parent-snapshot-id")
+    if walk != cur:
+        raise ValueError(
+            f"branch {name!r} does not descend from the current table "
+            f"head {cur} (main advanced since the branch forked): "
+            "re-stage on a fresh branch or cherry-pick with a real engine"
+        )
+    if drop:
+        refs.pop(name)
+    _commit_metadata(
+        meta_dir,
+        ver,
+        dict(
+            meta,
+            refs=refs,
+            **{
+                "current-snapshot-id": head,
+                "last-updated-ms": int(time.time() * 1000),
+            },
+        ),
+    )
+    return head
 
 
 def resolve_iceberg_ref(path: str, name: str) -> int:

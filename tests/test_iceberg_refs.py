@@ -84,3 +84,74 @@ def test_tagged_snapshot_survives_expiration_until_dropped(spark, tmp_path):
     assert removed > 0  # the un-pinned snapshot's files now clean up
     with pytest.raises(Exception):
         read_iceberg_snapshot(spark, path, ref="pin")
+
+
+def test_refs_survive_later_appends_and_maintenance(spark, tmp_path):
+    """The append path rebuilds table metadata — refs must be carried
+    verbatim (a dropped refs map would silently un-pin datasets)."""
+    path = str(tmp_path / "t")
+    s1 = write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    tag_iceberg_snapshot(path, "pin", s1)
+    write_iceberg_append(_mk(spark, [(2, "b")]), path)
+    assert resolve_iceberg_ref(path, "pin") == s1
+    assert _rows(read_iceberg_snapshot(spark, path, ref="pin")) == {(1, "a")}
+
+
+# ------------------------------------------------- write-audit-publish
+
+
+def test_wap_branch_stage_audit_publish(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        publish_iceberg_branch,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    write_iceberg_append(_mk(spark, [(2, "b")]), path, branch="audit")
+    write_iceberg_append(_mk(spark, [(3, "c")]), path, branch="audit")
+    # staged commits are INVISIBLE to main readers...
+    assert _rows(read_iceberg_snapshot(spark, path)) == {(1, "a")}
+    # ...but the audit query sees the full staged state
+    assert _rows(read_iceberg_snapshot(spark, path, ref="audit")) == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    publish_iceberg_branch(path, "audit")
+    assert _rows(read_iceberg_snapshot(spark, path)) == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    with pytest.raises(ValueError, match="does not exist"):
+        publish_iceberg_branch(path, "audit")  # dropped at publish
+
+
+def test_wap_diverged_main_refuses_fast_forward(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        publish_iceberg_branch,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    write_iceberg_append(_mk(spark, [(2, "b")]), path, branch="audit")
+    write_iceberg_append(_mk(spark, [(9, "z")]), path)  # main advances
+    with pytest.raises(ValueError, match="does not descend"):
+        publish_iceberg_branch(path, "audit")
+    # the staged branch is still readable for inspection
+    assert _rows(read_iceberg_snapshot(spark, path, ref="audit")) == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_wap_guards(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="existing table"):
+        write_iceberg_append(_mk(spark, [(1, "a")]), path, branch="audit")
+    s1 = write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    tag_iceberg_snapshot(path, "pin", s1)
+    with pytest.raises(ValueError, match="tag, not a branch"):
+        write_iceberg_append(_mk(spark, [(2, "b")]), path, branch="pin")
+    with pytest.raises(ValueError, match="append without branch"):
+        write_iceberg_append(_mk(spark, [(2, "b")]), path, branch="main")

@@ -109,3 +109,78 @@ def test_q144_crafted_matches_oracle(spark, tmp_path):
     assert_matches_oracle(
         q144_span_scrub(spark, sf), ORACLES_R9["q144_span_scrub"], sf
     )
+
+
+# ------------------------------------------------ q145 embedding decontam
+
+
+def _write_embeddings(tmp_path, vecs):
+    """vecs: list of (vec_id, [floats]). Copies other sf0.001 tables so
+    the oracle harness can register every view."""
+    from mysoftware_nocnetintel_spark.sources.registry import TABLES
+
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet",
+                str(tmp_path / f"{t}.parquet"),
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v for v, _e in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [e for _v, e in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0 for _ in vecs], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_q145_planted_leak_flagged_orthogonal_clean(spark, tmp_path):
+    """A train vector nearly identical to an eval vector (md5 bucket of
+    vec_id 4 is the eval split) is flagged with max_cos ≈ 1; orthogonal
+    train vectors stay off the remove list."""
+    from mysoftware_nocnetintel_spark.plans.queries_r9 import (
+        q145_embedding_decontam,
+    )
+
+    d = 8
+    leak_ev = [1.0] * d  # vec_id 4 → eval bucket 'a'
+    leak_tr = [1.0] * (d - 1) + [0.9]  # vec_id 0 → train, cos ≈ 0.9998
+    ortho = [1.0 if i == 0 else -1.0 if i == 1 else 0.0 for i in range(d)]
+    sf = _write_embeddings(
+        tmp_path,
+        [(0, leak_tr), (1, ortho), (4, leak_ev)],
+    )
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in q145_embedding_decontam(spark, sf).collect()
+    }
+    assert set(got) == {0}
+    assert got[0]["n_eval_hits"] == 1
+    assert got[0]["max_cos"] > 0.999
+
+
+def test_q145_crafted_matches_oracle(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.plans.queries_r9 import (
+        q145_embedding_decontam,
+    )
+
+    d = 8
+    vecs = [
+        (0, [1.0] * (d - 1) + [0.9]),
+        (1, [1.0 if i == 0 else -1.0 if i == 1 else 0.0 for i in range(d)]),
+        (2, [0.5] * d),
+        (4, [1.0] * d),
+        (14, [0.0] * (d - 1) + [2.0]),
+    ]
+    sf = _write_embeddings(tmp_path, vecs)
+    assert_matches_oracle(
+        q145_embedding_decontam(spark, sf),
+        ORACLES_R9["q145_embedding_decontam"],
+        sf,
+    )
