@@ -1510,10 +1510,25 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
     # ref-pinned snapshots are NEVER expirable (the spec's retention
     # contract for snapshot references): a tag is exactly the "this
     # dataset version must stay reproducible" pin, so it overrides
-    # keep_last until the ref is dropped
+    # keep_last until the ref is dropped. The CURRENT head is the
+    # implicit main ref and pins itself (staged branch snapshots can be
+    # newer by sequence — keep_last alone could otherwise drop main).
+    # BRANCH refs additionally pin their ancestor chain down to the
+    # current head: publish_iceberg_branch's fast-forward walk needs
+    # those parent links, so expiring a staged branch's intermediate
+    # snapshots would strand an open write-audit-publish cycle.
     pinned = {
         r["snapshot-id"] for r in (meta.get("refs") or {}).values()
     }
+    pinned.add(meta["current-snapshot-id"])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    for r in (meta.get("refs") or {}).values():
+        if r.get("type") != "branch":
+            continue
+        walk = r["snapshot-id"]
+        while walk is not None and walk != meta["current-snapshot-id"]:
+            pinned.add(walk)
+            walk = by_id.get(walk, {}).get("parent-snapshot-id")
     kept = [
         s
         for i, s in enumerate(snaps)

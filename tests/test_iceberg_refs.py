@@ -155,3 +155,89 @@ def test_wap_guards(spark, tmp_path):
         write_iceberg_append(_mk(spark, [(2, "b")]), path, branch="pin")
     with pytest.raises(ValueError, match="append without branch"):
         write_iceberg_append(_mk(spark, [(2, "b")]), path, branch="main")
+
+
+# -------------------------------------------- randomized lifecycle fuzz
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_random_refs_wap_lifecycle(spark, tmp_path, seed):
+    """Random interleavings of main appends, branch appends, tag/drop,
+    publish, and expiration against a plain-Python model. Invariants
+    after every op: main state == model main; every live branch reads
+    its staged state; every tag still resolves and reads its pinned
+    state (expiration must never break a pin)."""
+    import random
+
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        publish_iceberg_branch,
+    )
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"t{seed}")
+    next_id = 0
+
+    def _append(rows, **kw):
+        return write_iceberg_append(
+            spark.createDataFrame(rows, "id bigint, val string"), root, **kw
+        )
+
+    def _batch(n):
+        nonlocal next_id
+        rows = [
+            (next_id + i, chr(97 + (next_id + i) % 26)) for i in range(n)
+        ]
+        next_id += n
+        return rows
+
+    main: set = set(_batch(2))
+    _append(sorted(main))
+    branch: set | None = None  # staged rows beyond main (single branch)
+    branch_base: set = set()
+    tags: dict[str, set] = {}
+    n_tag = 0
+
+    for _step in range(10):
+        op = rng.choice(
+            ["append", "branch_append", "tag", "publish", "expire"]
+        )
+        if op == "append":
+            rows = _batch(rng.randint(1, 3))
+            _append(rows)
+            main |= set(rows)
+        elif op == "branch_append":
+            if branch is None:
+                branch, branch_base = set(), set(main)
+            rows = _batch(rng.randint(1, 3))
+            _append(rows, branch="wap")
+            branch |= set(rows)
+        elif op == "tag":
+            name = f"tag{n_tag}"
+            n_tag += 1
+            tag_iceberg_snapshot(root, name)
+            tags[name] = set(main)
+        elif op == "publish":
+            if branch is None:
+                continue
+            if branch_base == main:
+                publish_iceberg_branch(root, "wap")
+                main |= branch
+            else:  # main advanced since the fork — must refuse
+                with pytest.raises(ValueError, match="does not descend"):
+                    publish_iceberg_branch(root, "wap")
+                drop_iceberg_ref(root, "wap")
+            branch = None
+        else:
+            expire_iceberg_snapshots(root, keep_last=2)
+
+        assert _rows(read_iceberg_snapshot(spark, root)) == main
+        if branch is not None:
+            assert (
+                _rows(read_iceberg_snapshot(spark, root, ref="wap"))
+                == branch_base | branch
+            )
+        for name, pinned in tags.items():
+            assert _rows(
+                read_iceberg_snapshot(spark, root, ref=name)
+            ) == pinned
