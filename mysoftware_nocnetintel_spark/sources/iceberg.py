@@ -86,6 +86,21 @@ MANIFEST_ENTRY_SCHEMA = {
                 ],
             },
         },
+        # spec v2 "Sequence Number Inheritance": an entry with a null
+        # sequence number inherits the manifest-list row's; an EXPLICIT
+        # value pins the file's data sequence number independently of
+        # which manifest carries it — what lets rewrite_iceberg_manifests
+        # consolidate manifests of different ages without breaking the
+        # strictly-lower equality-delete scoping rule. Kept LAST so the
+        # positional data_file access in _partition_manifest_schema
+        # stays valid; absent in manifests written before this field
+        # existed (the avro reader yields no key, the writer encodes the
+        # null default).
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+        },
     ],
 }
 
@@ -354,6 +369,72 @@ def _partition_manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
         }
     )
     return schema
+
+
+def _hive_decode_partition_value(t: str, raw: str):
+    """Decode a Hive directory-name partition value back to the spec's
+    typed form (shared by every partitioned stage-write site)."""
+    from urllib.parse import unquote
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    raw = unquote(raw)
+    if t in ("int", "long"):
+        return int(raw)
+    if t in ("double", "float"):
+        return float(raw)
+    if t == "boolean":
+        return raw == "true"
+    return raw  # string / date (ISO form)
+
+
+def _stage_partitioned_parquet(
+    df: DataFrame, path: str, data_dir: str, pfs, pack: bool = False
+) -> list[tuple[str, dict]]:
+    """Fan-out-write ``df`` per partition tuple (Spark partitionBy over
+    DUPLICATE ``__part_<name>`` transform columns, so the original
+    columns stay in the data files as Iceberg requires), move the staged
+    files into ``data_dir`` under fresh names, and return
+    ``(dest, partition_values)`` pairs with the values decoded from the
+    Hive directory names to the spec's types. ``pack`` collapses each
+    partition tuple to one task → one output file first (the bin-packing
+    write shape). Shared by append, merge, and rewrite."""
+    from pyspark.sql import functions as F
+
+    from .iceberg_transforms import transform_column
+
+    stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
+    try:
+        staged = df
+        for pf in pfs:
+            staged = staged.withColumn(
+                f"__part_{pf.name}", transform_column(pf)
+            )
+        if pack:
+            staged = staged.repartition(
+                *[F.col(f"__part_{pf.name}") for pf in pfs]
+            )
+        staged.write.partitionBy(
+            *[f"__part_{pf.name}" for pf in pfs]
+        ).parquet(stage)
+        types = {pf.name: pf.value_type for pf in pfs}
+        out: list[tuple[str, dict]] = []
+        for f in sorted(
+            glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
+        ):
+            pvals: dict = {}
+            for piece in os.path.relpath(
+                os.path.dirname(f), stage
+            ).split(os.sep):
+                k, _, v = piece.partition("=")
+                name = k[len("__part_"):]
+                pvals[name] = _hive_decode_partition_value(types[name], v)
+            dest = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.parquet")
+            shutil.move(f, dest)
+            out.append((dest, pvals))
+        return out
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # spark/iceberg primitive -> avro type for row-oriented data files
@@ -688,48 +769,9 @@ def write_iceberg_append(
                 shutil.move(f, dest)
                 new_files.append((dest, None, "AVRO", n))
         elif part_fields:
-            from urllib.parse import unquote
-
-            from pyspark.sql import functions as F
-
-            from .iceberg_transforms import transform_column
-
-            staged = df
-            for pf in pfs:
-                staged = staged.withColumn(
-                    f"__part_{pf.name}", transform_column(pf)
-                )
-            staged.write.partitionBy(
-                *[f"__part_{pf.name}" for pf in pfs]
-            ).parquet(stage)
-
-            def _decode(t: str, raw: str):
-                if raw == "__HIVE_DEFAULT_PARTITION__":
-                    return None
-                raw = unquote(raw)
-                if t in ("int", "long"):
-                    return int(raw)
-                if t in ("double", "float"):
-                    return float(raw)
-                if t == "boolean":
-                    return raw == "true"
-                return raw  # string / date (ISO form)
-
-            types = dict(part_fields)
-            for f in sorted(
-                glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
+            for dest, pvals in _stage_partitioned_parquet(
+                df, path, data_dir, pfs
             ):
-                pvals: dict = {}
-                for piece in os.path.relpath(
-                    os.path.dirname(f), stage
-                ).split(os.sep):
-                    k, _, v = piece.partition("=")
-                    name = k[len("__part_"):]
-                    pvals[name] = _decode(types[name], v)
-                dest = os.path.join(
-                    data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
-                )
-                shutil.move(f, dest)
                 new_files.append((dest, pvals, "PARQUET", None))
         else:
             df.write.parquet(stage)
@@ -1161,6 +1203,369 @@ def write_iceberg_equality_deletes(spark, path: str, keys: DataFrame) -> int:
     )
 
 
+def merge_iceberg_rows(
+    spark,
+    path: str,
+    source: DataFrame,
+    on: "list[str] | tuple[str, ...]",
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    file_format: str = "parquet",
+) -> int:
+    """Merge-on-read MERGE (upsert) into the Iceberg v2 table at ``path``
+    as ONE ATOMIC ROW-DELTA SNAPSHOT: the equality-delete file naming the
+    touched keys and the data files carrying the surviving source rows
+    commit together under a single sequence number. The
+    delete-snapshot-then-append-snapshot pair (what
+    :func:`write_iceberg_equality_deletes` + :func:`write_iceberg_append`
+    compose to, and what the CDC sink previously issued per batch) exposes
+    a between-state — keys deleted, replacements not yet visible — to any
+    concurrent reader and to time travel; the row delta never does. The
+    reader's strictly-lower-sequence rule is what makes the single
+    sequence number sufficient: old generations of a key (lower data
+    sequence) die, this snapshot's own data files (equal sequence) are
+    immune to its delete file.
+
+    ``MERGE INTO target USING source ON keys`` subset, mirroring
+    :func:`.delta.merge_delta_rows`:
+
+    - ``when_matched``: ``"update"`` replaces the whole target row with
+      the source row (UPDATE SET *) or ``"delete"`` drops it;
+    - ``when_not_matched``: ``"insert"`` appends unmatched source rows
+      (INSERT *) or ``"ignore"`` drops them;
+    - a source row with a NULL key never matches (SQL equality), so it
+      inserts rather than updates. Spec equality deletes match
+      null-SAFELY, which would violate that — NULL-keyed tuples are
+      therefore excluded from the delete file (their target twins, if
+      any, survive, exactly as SQL MERGE leaves them);
+    - duplicate source keys raise only when they match a target row
+      (both updates would be order-dependent); duplicate unmatched rows
+      all insert, as in SQL MERGE.
+
+    The default ``update`` + ``insert`` upsert is ZERO-READ: deleting an
+    absent key is a spec no-op, so the writer never scans the table —
+    the reason CDC engines write equality deletes at all. The ambiguity
+    probe only reads the table when the source actually contains
+    duplicate keys, and the other mode combinations need one key
+    semi/anti-join by construction. Merges do NOT commute (the write set
+    may be computed against key membership), so a lost metadata CAS is
+    NOT retried: staged files are removed and
+    :class:`IcebergCommitConflict` propagates — re-run the merge against
+    the winner's state. Scope: source schema == table schema (merge
+    never evolves it), parquet or avro (``file_format``) data files
+    (avro unpartitioned only, like appends), delete file capped at
+    ``_MAX_DELETE_ROWS`` distinct keys. Partitioned targets fan the
+    inserted rows out with partition records (same duplicate-column
+    write as appends) — the equality-delete side needs no partition
+    awareness because the reader applies it globally by key.
+    Returns the committed snapshot id."""
+    import functools
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError("when_not_matched must be 'insert' or 'ignore'")
+    if file_format not in ("parquet", "avro"):
+        raise ValueError(
+            f"file_format must be parquet or avro: {file_format!r}"
+        )
+    keys = list(on)
+    if not keys:
+        raise ValueError("merge needs at least one ON key column")
+
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no Iceberg table at {path} (merge needs an existing table; "
+            "create it with write_iceberg_append)"
+        )
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to merge into an Iceberg table created by another "
+            "writer: use the iceberg-spark-runtime connector"
+        )
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        raise NotImplementedError(
+            "merge needs a field-id schema and this table was created "
+            "without one (complex-typed columns)"
+        )
+    table_fields = schemas[0]["fields"]
+    name_to_id = {f["name"]: f["id"] for f in table_fields}
+    bad = [k for k in keys if k not in name_to_id]
+    if bad:
+        raise ValueError(
+            f"ON columns {bad} not in the table schema {sorted(name_to_id)}"
+        )
+    incoming = _iceberg_schema(source.schema)
+    tb = {f["name"]: f["type"] for f in table_fields}
+    inc = {
+        f["name"]: f["type"] for f in (incoming or {}).get("fields", [])
+    }
+    if inc != tb:
+        raise ValueError(
+            f"merge source schema {sorted(inc.items()) or None} does not "
+            f"equal the table schema {sorted(tb.items())} (merge never "
+            "evolves the schema; use write_iceberg_append)"
+        )
+    if file_format == "avro":
+        _AVRO_OK = {"int", "long", "float", "double", "string", "boolean"}
+        if any(t not in _AVRO_OK for t in tb.values()):
+            raise NotImplementedError(
+                "avro merge data files support primitive "
+                "int/long/float/double/string/boolean columns only"
+            )
+    # partitioned targets: resolve the spec so the inserted rows fan out
+    # with partition records (the equality-delete side is partition-
+    # independent — the reader applies it globally by key)
+    from .iceberg_transforms import spec_field_to_part_field
+
+    pfs = []
+    spec_fields = (meta.get("partition-specs") or [{}])[
+        meta.get("default-spec-id", 0)
+    ].get("fields", [])
+    if spec_fields:
+        pfs = [
+            spec_field_to_part_field(f, table_fields) for f in spec_fields
+        ]
+        if file_format == "avro":
+            raise NotImplementedError(
+                "avro fast-appends are unpartitioned only (partitioned "
+                "merges write parquet)"
+            )
+    part_fields = [(pf.name, pf.value_type) for pf in pfs]
+    table_cols = [f["name"] for f in table_fields]
+    src = source.select(*table_cols)
+
+    from .readers import read_iceberg_snapshot
+
+    # ambiguity gate — reads the table only when duplicates exist at all
+    dup_keys = (
+        src.groupBy(*keys).count().filter(F.col("count") > 1).drop("count")
+    )
+    if not dup_keys.isEmpty():
+        tgt = read_iceberg_snapshot(spark, path).select(*keys)
+        if dup_keys.join(tgt, keys, "left_semi").limit(1).count():
+            raise ValueError(
+                "merge is ambiguous: more than one source row matches the "
+                "same target row (duplicate ON keys in source)"
+            )
+
+    # write set + delete-key set per mode (upsert = the zero-read path)
+    if when_matched == "update" and when_not_matched == "insert":
+        rows, del_src = src, src
+    elif when_matched == "update":  # matched-only update
+        matched = src.join(
+            read_iceberg_snapshot(spark, path).select(*keys).distinct(),
+            keys,
+            "left_semi",
+        )
+        rows, del_src = matched, matched
+    elif when_not_matched == "insert":  # delete matched, insert the rest
+        rows = src.join(
+            read_iceberg_snapshot(spark, path).select(*keys).distinct(),
+            keys,
+            "left_anti",
+        )
+        del_src = src
+    else:  # delete matched only (absent keys no-op by spec)
+        rows, del_src = None, src
+
+    nonnull = functools.reduce(
+        lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+    )
+    del_tbl = (
+        del_src.filter(nonnull)
+        .select(*keys)
+        .distinct()
+        .limit(_MAX_DELETE_ROWS + 1)
+        .toArrow()
+    )
+    if del_tbl.num_rows > _MAX_DELETE_ROWS:
+        raise NotImplementedError(
+            f"merge touches more than {_MAX_DELETE_ROWS} distinct keys: "
+            "use the iceberg-spark-runtime connector (distributed delete "
+            "writes)"
+        )
+    del_tbl = del_tbl.sort_by([(c, "ascending") for c in keys])
+
+    # stage the data files (distributed write; zero-row shards dropped)
+    new_files: list[tuple[str, dict | None, str, int | None]] = []
+    del_file: str | None = None
+    staged_ok = False
+    stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
+    try:
+        if rows is not None:
+            if file_format == "avro":
+                counts = _write_avro_data_files(rows, stage)
+                for f in sorted(counts):
+                    if not counts[f]:
+                        continue
+                    dest = os.path.join(
+                        data_dir, f"{uuid.uuid4().hex[:16]}.avro"
+                    )
+                    shutil.move(f, dest)
+                    new_files.append((dest, None, "AVRO", counts[f]))
+            elif pfs:
+                for dest, pvals in _stage_partitioned_parquet(
+                    rows, path, data_dir, pfs
+                ):
+                    if not pq.read_metadata(dest).num_rows:
+                        os.remove(dest)
+                        continue
+                    new_files.append((dest, pvals, "PARQUET", None))
+            else:
+                rows.write.parquet(stage)
+                for f in sorted(glob(os.path.join(stage, "*.parquet"))):
+                    if not pq.read_metadata(f).num_rows:
+                        continue
+                    dest = os.path.join(
+                        data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
+                    )
+                    shutil.move(f, dest)
+                    new_files.append((dest, None, "PARQUET", None))
+        if del_tbl.num_rows:
+            del_file = os.path.join(
+                data_dir, f"eq-delete-{uuid.uuid4().hex[:16]}.parquet"
+            )
+            pq.write_table(del_tbl, del_file)
+        if not new_files and del_file is None:
+            raise ValueError(
+                "merge changed nothing (empty source, or no matching "
+                "keys with inserts ignored)"
+            )
+
+        now_ms = int(time.time() * 1000)
+        snap_id = now_ms * 1000 + (ver + 1)
+        seq = meta.get("last-sequence-number", 0) + 1
+        new_manifests = []
+        if new_files:
+            entries = []
+            for f, pvals, fmt, nrows in new_files:
+                if fmt == "PARQUET":
+                    pmeta = pq.read_metadata(f)
+                    lo, hi = _file_bounds(pmeta, schemas[0])
+                    nrows = pmeta.num_rows
+                else:
+                    lo = hi = None
+                rec = {
+                    "content": 0,
+                    "file_path": f,
+                    "file_format": fmt,
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(f),
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                }
+                if part_fields:
+                    rec["partition"] = pvals
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "data_file": rec,
+                    }
+                )
+            manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
+            write_avro_file(
+                manifest,
+                _partition_manifest_schema(part_fields)
+                if part_fields
+                else MANIFEST_ENTRY_SCHEMA,
+                entries,
+            )
+            new_manifests.append((manifest, 0))
+        if del_file is not None:
+            dmanifest = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
+            write_avro_file(
+                dmanifest,
+                MANIFEST_ENTRY_SCHEMA,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "data_file": {
+                            "content": 2,
+                            "file_path": del_file,
+                            "file_format": "PARQUET",
+                            "record_count": del_tbl.num_rows,
+                            "file_size_in_bytes": os.path.getsize(del_file),
+                            "equality_ids": [name_to_id[c] for c in keys],
+                        },
+                    }
+                ],
+            )
+            new_manifests.append((dmanifest, 1))
+
+        from .avro_lite import read_avro_file
+
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, prior = read_avro_file(cur["manifest-list"])
+        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        write_avro_file(
+            mlist,
+            MANIFEST_FILE_SCHEMA,
+            [
+                dict(m, sequence_number=m.get("sequence_number", 0))
+                for m in prior
+            ]
+            + [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "content": mcontent,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+                for mpath, mcontent in new_manifests
+            ],
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "summary": {"operation": "overwrite"},
+        }
+        new_meta = dict(
+            meta,
+            **{
+                "last-sequence-number": seq,
+                "last-updated-ms": now_ms,
+                "snapshots": meta.get("snapshots", []) + [snapshot],
+                "current-snapshot-id": snap_id,
+            },
+        )
+        _commit_metadata(meta_dir, ver, new_meta)
+        staged_ok = True
+        return snap_id
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not staged_ok:
+            # lost CAS or staging failure: remove everything this merge
+            # moved into the table directory (none of it is referenced;
+            # manifest/manifest-list debris in metadata/ is what
+            # remove_iceberg_orphan_files sweeps)
+            for f in [p for p, _pv, _fmt, _n in new_files] + (
+                [del_file] if del_file else []
+            ):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+
 def rewrite_iceberg_table(
     spark,
     path: str,
@@ -1181,13 +1586,15 @@ def rewrite_iceberg_table(
     the small-file maintenance job: only partitions holding at least
     that many live files are rewritten; everything else is carried into
     the new snapshot untouched (kept entries keep their partition
-    records and column bounds, so pruning and zone maps survive). A
-    no-op (nothing fragmented) returns the current snapshot id without
-    committing. The incremental path REFUSES tables with live delete
-    files: kept files' merge-on-read state would need per-entry
-    sequence-number scoping the collapsed kept-manifest can't express —
-    run the full rewrite first (it applies all deletes). At 100 TB this
-    is the difference between rewriting a handful of hot partitions and
+    records, column bounds, AND — via an explicit entry-level sequence
+    number — their original data sequence, so pruning, zone maps, and
+    merge-on-read delete scoping all survive). A no-op (nothing
+    fragmented) returns the current snapshot id without committing.
+    Tables with live delete files bin-pack incrementally too: the
+    fragmented files are read through the live scan (deletes applied)
+    and land at the new sequence, kept files stay masked by the delete
+    manifests carried verbatim into the new list. At 100 TB this is the
+    difference between rewriting a handful of hot partitions and
     rewriting the table.
 
     ``sort_by`` RE-CLUSTERS during the rewrite (unpartitioned tables):
@@ -1220,15 +1627,30 @@ def rewrite_iceberg_table(
         )
     bounds_schema = (meta.get("schemas") or [None])[0]
     kept_entries: list = []
+    carried_delete_manifests: list[dict] = []
     if min_files_per_partition is None:
         live = _iceberg_live_scan(spark, path)
     else:
         data_files, pos_del, eq_del, snap = _iceberg_snapshot_files(path)
         if pos_del or eq_del:
-            raise NotImplementedError(
-                "incremental bin-packing over live delete files: run the "
-                "full rewrite first (it applies all deletes)"
-            )
+            # live delete files compose with incremental bin-packing via
+            # per-entry sequence numbers: kept entries PIN their original
+            # data sequence (so every delete keeps applying to them),
+            # rewritten partitions are read through the live scan (all
+            # deletes applied) and land at the NEW sequence (so no old
+            # delete touches them), and the delete manifests are carried
+            # into the new manifest list verbatim. Delete rows aimed at
+            # rewritten files go dangling — the reader's anti-joins
+            # simply never match them; a later full rewrite (or the
+            # natural churn of merges) retires them.
+            from .avro_lite import read_avro_file as _read_avro
+
+            _, _all_m = _read_avro(snap["manifest-list"])
+            carried_delete_manifests = [
+                dict(m, sequence_number=m.get("sequence_number", 0))
+                for m in _all_m
+                if m.get("content", 0) == 1
+            ]
         by_part: dict = {}
         for e in data_files:
             key = tuple(sorted((e.partition or {}).items()))
@@ -1264,11 +1686,15 @@ def rewrite_iceberg_table(
 
         for e in kept:
             # kept entries are parquet by construction: every avro entry
-            # was routed into frag above
+            # was routed into frag above. Their EXPLICIT sequence number
+            # pins the original data sequence — mandatory when delete
+            # files are live (the strictly-lower rule must keep masking
+            # them), harmless otherwise.
             kept_entries.append(
                 {
                     "status": 1,
                     "snapshot_id": None,  # filled with the new snap id
+                    "sequence_number": e.seq,
                     "data_file": {
                         "content": 0,
                         "file_path": e.path,
@@ -1281,30 +1707,17 @@ def rewrite_iceberg_table(
                     },
                 }
             )
-        frag_pq = [e.path for e in frag if e.fmt == "PARQUET"]
-        frag_av = [e for e in frag if e.fmt == "AVRO"]
-        live_parts = []
-        if frag_pq:
-            live_parts.append(spark.read.parquet(*frag_pq))
-        if frag_av:
-            from .readers import _scan_iceberg_avro
-
-            live_parts.append(
-                _scan_iceberg_avro(spark, path, frag_av).drop(
-                    "__fp", "__pos"
-                )
-            )
-        live = live_parts[0]
-        for p in live_parts[1:]:
-            live = live.unionByName(p)
+        # the fragmented files' LIVE rows (position + equality deletes
+        # applied, parquet + avro unioned) — the compacted replacement
+        # must not resurrect deleted rows
+        live = _iceberg_live_scan(
+            spark, path, only_files={e.path for e in frag}
+        )
     # partitioned tables regroup per partition tuple (the same
     # duplicate-column partitionBy fan-out as the append path), so the
     # compacted entries keep their partition records and pruning stays
     # correct after compaction
-    from .iceberg_transforms import (
-        spec_field_to_part_field,
-        transform_column,
-    )
+    from .iceberg_transforms import spec_field_to_part_field
 
     part_fields: list[tuple[str, str]] = []
     pfs = []
@@ -1345,46 +1758,23 @@ def rewrite_iceberg_table(
     new_files: list[tuple[str, dict | None]] = []
     try:
         if part_fields:
-            from urllib.parse import unquote
-
-            from pyspark.sql import functions as F
-
-            staged = live
-            for pf in pfs:
-                staged = staged.withColumn(
-                    f"__part_{pf.name}", transform_column(pf)
+            # bin-packing must actually PACK (``pack=True``): collapse
+            # each rewritten partition tuple to one task → one output
+            # file (the live scan's joins scatter rows across tasks, and
+            # the fan-out writer emits one file per task×dir). One
+            # shuffle of only the fragmented rows — that shuffle IS the
+            # packing. A partition whose live bytes exceed a single-file
+            # target is not a small-file problem; rewrite it with the
+            # full path (clustered write) instead.
+            new_files.extend(
+                _stage_partitioned_parquet(
+                    live,
+                    path,
+                    data_dir,
+                    pfs,
+                    pack=min_files_per_partition is not None,
                 )
-            staged.write.partitionBy(
-                *[f"__part_{pf.name}" for pf in pfs]
-            ).parquet(stage)
-
-            def _decode(t: str, raw: str):
-                if raw == "__HIVE_DEFAULT_PARTITION__":
-                    return None
-                raw = unquote(raw)
-                if t in ("int", "long"):
-                    return int(raw)
-                if t in ("double", "float"):
-                    return float(raw)
-                if t == "boolean":
-                    return raw == "true"
-                return raw
-            types = dict(part_fields)
-            for f in sorted(
-                glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
-            ):
-                pvals: dict = {}
-                for piece in os.path.relpath(
-                    os.path.dirname(f), stage
-                ).split(os.sep):
-                    k, _, v = piece.partition("=")
-                    name = k[len("__part_"):]
-                    pvals[name] = _decode(types[name], v)
-                dest = os.path.join(
-                    data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
-                )
-                shutil.move(f, dest)
-                new_files.append((dest, pvals))
+            )
         else:
             live.write.parquet(stage)
             for f in sorted(glob(os.path.join(stage, "*.parquet"))):
@@ -1430,9 +1820,10 @@ def rewrite_iceberg_table(
     write_avro_file(manifest, entry_schema, entries)
     # REPLACE semantics: the new manifest list holds ONLY this snapshot's
     # manifests — the compacted files plus (incremental bin-pack only) one
-    # manifest carrying the untouched partitions' entries verbatim; no
-    # prior manifests, no delete manifests (the incremental path refuses
-    # tables with live deletes precisely so this stays correct)
+    # manifest carrying the untouched partitions' entries verbatim (their
+    # explicit sequence numbers pinned) and, when the table had live
+    # delete files, the delete manifests carried unchanged so kept files
+    # stay masked; the full rewrite applies-and-drops all deletes instead
     mlist_rows = [
         {
             "manifest_path": manifest,
@@ -1458,6 +1849,7 @@ def rewrite_iceberg_table(
                 "added_snapshot_id": snap_id,
             }
         )
+    mlist_rows.extend(carried_delete_manifests)
     mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
     write_avro_file(mlist, MANIFEST_FILE_SCHEMA, mlist_rows)
     snapshot = {
@@ -1478,6 +1870,160 @@ def rewrite_iceberg_table(
     )
     _commit_metadata(meta_dir, ver, new_meta)
     return snap_id
+
+
+def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
+    """METADATA-ONLY manifest consolidation (the connector's
+    ``rewrite_manifests`` action): collapse the current snapshot's
+    manifest list — which grows by one data manifest per append and up
+    to two per merge, so a CDC table accumulates THOUSANDS — into at
+    most one data manifest + one delete manifest, and commit a
+    ``replace`` snapshot referencing only those. No data file is read,
+    moved, or rewritten; the whole job is KB/MB-scale driver Avro. At
+    100 TB this is what keeps scan PLANNING O(live files) instead of
+    O(commit history): the reader opens every manifest in the list
+    before it can prune a single file, so a ten-thousand-commit CDC
+    table pays ten thousand driver-side Avro opens per query until its
+    manifests are consolidated.
+
+    Correctness hinges on the spec's sequence-number inheritance:
+    entries moved into the consolidated manifest get their EFFECTIVE
+    data sequence number written EXPLICITLY (entry-level
+    ``sequence_number``), so the strictly-lower equality-delete scoping
+    rule keeps producing identical results — a pre-delete data file
+    stays masked, the delete's own generation stays live — even though
+    every entry now travels in a manifest whose list row carries the new
+    snapshot's sequence number. Position-delete and equality-delete
+    entries consolidate into the delete manifest the same way.
+
+    ``min_manifests`` is the no-op valve: a list already at or under
+    the target shape (and under this count) returns the current snapshot
+    id without committing. Older snapshots keep their original manifest
+    lists — time travel and incremental reads see unconsolidated
+    history. Same single-writer / fail-fast / CAS scope as the other
+    writers; consolidation must see a settled manifest list, so a lost
+    CAS reloads and rebuilds from the winner's head."""
+    from .avro_lite import read_avro_file
+
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to rewrite manifests of an Iceberg table created "
+            "by another writer: use the iceberg-spark-runtime connector"
+        )
+
+    last_err: IcebergCommitConflict | None = None
+    for _attempt in range(3):
+        if _attempt:
+            meta, ver = _load_meta(meta_dir)
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifests = read_avro_file(cur["manifest-list"])
+        n_data = sum(1 for m in manifests if m.get("content", 0) == 0)
+        n_del = len(manifests) - n_data
+        if (n_data <= 1 and n_del <= 1) or len(manifests) < min_manifests:
+            return cur["snapshot-id"]  # already consolidated / under valve
+
+        data_entries: list[dict] = []
+        del_entries: list[dict] = []
+        for m in manifests:
+            m_seq = m.get("sequence_number", 0)
+            _, entries = read_avro_file(m["manifest_path"])
+            for e in entries:
+                if e.get("status") == 2:  # not live — drop from the copy
+                    continue
+                eff = e.get("sequence_number")
+                eff = m_seq if eff is None else eff
+                rec = {
+                    "status": 1,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": eff,  # EXPLICIT: survives the move
+                    "data_file": e["data_file"],
+                }
+                if e["data_file"].get("content", 0) == 0:
+                    data_entries.append(rec)
+                else:
+                    del_entries.append(rec)
+
+        # the data manifest needs the partition record schema when the
+        # table is partitioned (delete manifests never carry partitions
+        # in this writer)
+        entry_schema = MANIFEST_ENTRY_SCHEMA
+        if meta.get("partition-specs"):
+            from .iceberg_transforms import spec_field_to_part_field
+
+            spec_fields = meta["partition-specs"][
+                meta.get("default-spec-id", 0)
+            ].get("fields", [])
+            if spec_fields:
+                schema_fields = (meta.get("schemas") or [{}])[0].get(
+                    "fields", []
+                )
+                pfs = [
+                    spec_field_to_part_field(f, schema_fields)
+                    for f in spec_fields
+                ]
+                entry_schema = _partition_manifest_schema(
+                    [(pf.name, pf.value_type) for pf in pfs]
+                )
+
+        now_ms = int(time.time() * 1000)
+        snap_id = now_ms * 1000 + (ver + 1)
+        seq = meta.get("last-sequence-number", 0) + 1
+        new_rows = []
+        if data_entries:
+            mpath = os.path.join(meta_dir, f"m-{snap_id}.avro")
+            write_avro_file(mpath, entry_schema, data_entries)
+            new_rows.append((mpath, 0))
+        if del_entries:
+            dpath = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
+            write_avro_file(dpath, MANIFEST_ENTRY_SCHEMA, del_entries)
+            new_rows.append((dpath, 1))
+        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        write_avro_file(
+            mlist,
+            MANIFEST_FILE_SCHEMA,
+            [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "content": mcontent,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+                for mpath, mcontent in new_rows
+            ],
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "summary": {"operation": "replace"},
+        }
+        new_meta = dict(
+            meta,
+            **{
+                "last-sequence-number": seq,
+                "last-updated-ms": now_ms,
+                "snapshots": meta.get("snapshots", []) + [snapshot],
+                "current-snapshot-id": snap_id,
+            },
+        )
+        try:
+            _commit_metadata(meta_dir, ver, new_meta)
+            return snap_id
+        except IcebergCommitConflict as e:
+            last_err = e
+    raise last_err
 
 
 def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:

@@ -805,14 +805,20 @@ def _iceberg_live_scan(
     keep_coords: bool = False,
     partition_filter: dict | None = None,
     scan_filter: tuple | None = None,
+    only_files: "set[str] | None" = None,
 ) -> DataFrame:
     """Shared live-row scan of the reader and the delete writers: data scan
     with all existing position AND equality deletes applied. With
     ``keep_coords`` the (``__fp``, ``__pos``) coordinate columns survive so
-    the position-delete writer can capture them."""
+    the position-delete writer can capture them. ``only_files`` restricts
+    the scan to the given data-file paths (delete files still apply —
+    the incremental bin-packer reads just the fragmented files' LIVE
+    rows through this)."""
     data_files, delete_files, eq_deletes, snap = _iceberg_snapshot_files(
         path, snapshot_id, as_of_ms
     )
+    if only_files is not None:
+        data_files = [e for e in data_files if e.path in only_files]
     if partition_filter:
         # manifest-level PARTITION PRUNING: entries whose identity
         # partition record (a dict from avro_lite's record decode) doesn't
@@ -1404,6 +1410,12 @@ def _iceberg_snapshot_files(
         for e in entries:
             if e.get("status") == 2:  # DELETED entry — not live in snapshot
                 continue
+            # spec sequence-number inheritance: an explicit entry-level
+            # value pins the file's data sequence number (manifest
+            # consolidation moves old entries into new manifests); null
+            # inherits the manifest-list row's
+            e_seq = e.get("sequence_number")
+            e_seq = m_seq if e_seq is None else e_seq
             df_rec = e["data_file"]
             fc = df_rec.get("content", 0)
             fmt = df_rec["file_format"].upper()
@@ -1422,7 +1434,7 @@ def _iceberg_snapshot_files(
                 data_files.append(
                     _DataFile(
                         fpath,
-                        m_seq,
+                        e_seq,
                         df_rec.get("partition"),
                         _decode_bounds(df_rec.get("lower_bounds")),
                         _decode_bounds(df_rec.get("upper_bounds")),
@@ -1446,7 +1458,7 @@ def _iceberg_snapshot_files(
                         "iceberg-spark-runtime connector"
                     )
                 eq_deletes.append(
-                    (fpath, m_seq, [id_to_name[i] for i in ids])
+                    (fpath, e_seq, [id_to_name[i] for i in ids])
                 )
     return data_files, delete_files, eq_deletes, snap
 

@@ -115,20 +115,31 @@ def test_binpack_noop_when_nothing_fragmented(spark, tmp_path):
     )
 
 
-def test_binpack_refuses_live_deletes(spark, tmp_path):
+def test_binpack_composes_with_live_deletes(spark, tmp_path):
+    """Per-entry sequence numbers let bin-packing run over a merge-on-read
+    table: the deleted row must stay dead in BOTH worlds — applied into
+    the compacted replacement of the fragmented partition, and still
+    masked (carried delete manifest × pinned kept sequence) on the kept
+    partitions."""
     root = _make_fragmented(spark, tmp_path, "bp4")
     write_iceberg_equality_deletes(
-        spark, root, spark.createDataFrame([(2,)], "id bigint")
+        spark, root, spark.createDataFrame([(2,), (100,)], "id bigint")
     )
-    with pytest.raises(NotImplementedError, match="full rewrite first"):
-        rewrite_iceberg_table(spark, root, min_files_per_partition=2)
-    # the prescribed remedy works: full rewrite applies the deletes,
-    # then incremental bin-packing is legal again
-    rewrite_iceberg_table(spark, root)
+    expect = {("d1", 1), ("d1", 3), ("d3", 200)}
+    assert _rows(read_iceberg_snapshot(spark, root)) == expect
     sid = rewrite_iceberg_table(spark, root, min_files_per_partition=2)
     assert sid
-    assert _rows(read_iceberg_snapshot(spark, root)) == {
-        ("d1", 1), ("d1", 3), ("d2", 100), ("d3", 200),
+    # d1 (fragmented) compacted to 1 file WITH the delete applied; d2/d3
+    # kept untouched, id=100 still masked by the carried delete manifest
+    assert _rows(read_iceberg_snapshot(spark, root)) == expect
+    assert len(_by_part(root)["d1"]) == 1
+    # a key re-inserted AFTER the bin-pack must survive the old delete
+    # (its sequence is above the carried delete's)
+    write_iceberg_append(
+        spark.createDataFrame([("d2", 100)], "day string, id bigint"), root
+    )
+    assert _rows(read_iceberg_snapshot(spark, root)) == expect | {
+        ("d2", 100)
     }
 
 
