@@ -599,19 +599,21 @@ def iceberg_cdc_upsert(
 
     Each micro-batch: reduce the batch to its LAST row per key
     (row_number over (ts desc, event_id desc) — deterministic under
-    ties), commit ONE equality delete naming just the touched keys
-    (no-op on the creating batch), then append the fresh rows. The
-    reader's strictly-lower-sequence rule makes the pair atomic in
-    effect: old generations of a key die, this batch's generation
-    lives. The delete commit never scans the table — the writer knows
-    WHICH keys changed, which is exactly why CDC engines write equality
-    deletes instead of position deletes (those would need a read to
-    find coordinates).
+    ties), then commit ONE ATOMIC ROW-DELTA SNAPSHOT
+    (:func:`~..sources.iceberg.merge_iceberg_rows`): the equality-delete
+    file naming just the touched keys and the batch's data files land
+    under a single sequence number, so old generations of a key die and
+    this batch's generation lives with NO observable between-state (the
+    creating batch is a plain append). The merge never scans the table —
+    the writer knows WHICH keys changed, which is exactly why CDC
+    engines write equality deletes instead of position deletes (those
+    would need a read to find coordinates).
 
-    Failure/retry posture: a foreachBatch retry re-runs delete+append;
-    the retry's delete (higher sequence) also kills the interrupted
-    attempt's partial append, so the net state converges to one live
-    row per key — idempotent under at-least-once replay.
+    Failure/retry posture: a crash leaves either the old snapshot or the
+    new one — never a half-landed pair — and a foreachBatch retry
+    re-runs one merge whose delete kills the earlier attempt's rows, so
+    the net state converges to one live row per key under
+    at-least-once replay.
 
     Scale: per-batch cost is bounded by the batch's key count (the
     delete parquet is keys-only, KB-scale); the append is a normal
@@ -648,16 +650,20 @@ def cdc_upsert_batch(
     """One CDC upsert micro-batch (the foreachBatch body of
     :func:`iceberg_cdc_upsert`, exposed so the randomized differential in
     tests/test_streaming_cdc.py can fuzz batch splits without streaming
-    machinery): latest row per key → equality-delete the touched keys →
-    append."""
+    machinery): latest row per key → ONE atomic row-delta snapshot
+    (:func:`~..sources.iceberg.merge_iceberg_rows`: the equality-delete
+    file for the touched keys and the batch's data files commit under a
+    single sequence number). Earlier rounds composed two snapshots
+    (equality-delete, then append), which exposed a keys-vanished
+    between-state to concurrent readers and to time travel; the merge
+    commit has no between-state, and a foreachBatch retry re-runs ONE
+    idempotent-in-effect commit instead of needing the next delete to
+    mop up a half-landed pair."""
     import os
 
     from pyspark.sql import Window
 
-    from ..sources.iceberg import (
-        write_iceberg_append,
-        write_iceberg_equality_deletes,
-    )
+    from ..sources.iceberg import merge_iceberg_rows, write_iceberg_append
 
     from glob import glob as _glob
 
@@ -678,10 +684,14 @@ def cdc_upsert_batch(
         # dir (write_iceberg_append mkdirs before committing, so a failed
         # first batch must leave retries on the create path)
         if _glob(os.path.join(path, "metadata", "v*.metadata.json")):
-            write_iceberg_equality_deletes(
-                spark, path, latest.select(*key_cols)
+            # keys are unique within `latest` by construction, so the
+            # merge's upsert path never reads the table (zero-read CDC)
+            merge_iceberg_rows(
+                spark, path, latest, on=list(key_cols),
+                file_format=file_format,
             )
-        write_iceberg_append(latest, path, file_format=file_format)
+        else:
+            write_iceberg_append(latest, path, file_format=file_format)
     finally:
         latest.unpersist()
 
@@ -1011,6 +1021,199 @@ class DeltaTailer:
         os.replace(tmp, self._offset_file)
         self._pending = None
         return int(v)
+
+
+class IcebergTailer:
+    """Streaming SOURCE over an Iceberg table — committed-offset
+    availableNow consumption, the Iceberg twin of :class:`DeltaTailer`:
+
+    - first ``poll()`` returns the whole table pinned at the current
+      snapshot;
+    - each later ``poll()`` returns the rows ADDED since the committed
+      snapshot, or ``None`` when caught up;
+    - ``commit()`` durably advances the offset (atomic json replace)
+      AFTER the consumer processed the batch — poll-without-commit
+      re-delivers, so the source is AT-LEAST-ONCE and pairs with a
+      transactional sink for exactly-once
+      (:func:`relay_iceberg_increment`).
+
+    Range classification is FILE-LEVEL, not operation-label-level: a
+    range is a pure append iff every FROM data file survives into TO and
+    no delete file appeared or vanished — so metadata-only maintenance
+    (manifest consolidation, tag/branch commits) passes a strict tailer
+    untouched, and the batch is the new files' rows only
+    (I/O proportional to the appended data). Ranges that DID remove or
+    mask rows (merge/delete/compaction/expiration) fail fast unless
+    ``net_changes``: then the batch falls back to the multiplicity-aware
+    snapshot diff's insert rows (``iceberg_snapshot_diff`` exceptAll) —
+    compaction churn nets to ZERO rows, a merge emits exactly its new
+    row images, deletions emit nothing. Honest cost: the fallback
+    shuffles both snapshots; the pure-append fast path never does.
+
+    ``pin_ref`` names a TAG the tailer moves to every committed offset
+    (drop+retag inside ``commit``): snapshot expiration never expires a
+    ref-pinned snapshot, so routine retention can't strand the consumer
+    — the failure mode every log-tailing system has, solved with the
+    refs machinery instead of config discipline. Without it, an expired
+    offset fails fast with the remedy in the message."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_dir: str,
+        net_changes: bool = False,
+        pin_ref: str | None = None,
+    ) -> None:
+        import os
+
+        self._spark = spark
+        self._path = path
+        self._net_changes = net_changes
+        self._pin_ref = pin_ref
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._offset_file = os.path.join(checkpoint_dir, "offset.json")
+        self._pending: int | None = None
+
+    def _offset(self) -> int | None:
+        import json
+        import os
+
+        if not os.path.exists(self._offset_file):
+            return None
+        with open(self._offset_file) as fh:
+            return int(json.load(fh)["snapshot_id"])
+
+    def poll(self) -> DataFrame | None:
+        import os
+
+        from ..sources.iceberg import _load_meta, iceberg_snapshot_diff
+        from ..sources.readers import (
+            _iceberg_live_scan,
+            _iceberg_snapshot_files,
+            read_iceberg_snapshot,
+        )
+
+        meta, _ver = _load_meta(os.path.join(self._path, "metadata"))
+        if meta is None:
+            raise FileNotFoundError(f"no Iceberg table at {self._path}")
+        latest = meta.get("current-snapshot-id")
+        if latest is None:
+            raise ValueError("table has no snapshots yet")
+        start = self._offset()
+        if start is None:
+            self._pending = latest
+            return read_iceberg_snapshot(
+                self._spark, self._path, snapshot_id=latest
+            )
+        if latest == start:
+            self._pending = None
+            return None
+        snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+        if start not in snaps:
+            raise ValueError(
+                f"committed offset snapshot {start} no longer exists "
+                "(expired by retention): re-seed the consumer, and pass "
+                "pin_ref= so expire_iceberg_snapshots pins the offset "
+                "next time"
+            )
+        d_from, p_from, e_from, _s = _iceberg_snapshot_files(
+            self._path, snapshot_id=start
+        )
+        d_to, p_to, e_to, _s2 = _iceberg_snapshot_files(
+            self._path, snapshot_id=latest
+        )
+        paths_from = {e.path for e in d_from}
+        paths_to = {e.path for e in d_to}
+        eq_key = lambda es: {(f, s, tuple(c)) for f, s, c in es}  # noqa: E731
+        pure_append = (
+            paths_from <= paths_to
+            and set(p_from) == set(p_to)
+            and eq_key(e_from) == eq_key(e_to)
+        )
+        new_paths = paths_to - paths_from
+        if pure_append:
+            if not new_paths:  # metadata-only range (consolidation, refs)
+                self._pending = None
+                return None
+            self._pending = latest
+            return _iceberg_live_scan(
+                self._spark,
+                self._path,
+                snapshot_id=latest,
+                only_files=new_paths,
+            )
+        if not self._net_changes:
+            raise ValueError(
+                f"snapshots {start}..{latest} removed or masked rows "
+                "(merge/delete/compaction): pass net_changes=True to "
+                "consume the multiplicity-aware diff's insert rows "
+                "(compaction nets to zero, merges emit new images)"
+            )
+        self._pending = latest
+        return (
+            iceberg_snapshot_diff(self._spark, self._path, start, latest)
+            .filter(F.col("_change_type") == "insert")
+            .drop("_change_type")
+        )
+
+    @property
+    def pending_snapshot(self) -> int | None:
+        """The snapshot the last ``poll()`` batch reads up to — the
+        idempotence key for a downstream transactional write."""
+        return self._pending
+
+    def commit(self, snapshot_id: int | None = None) -> int:
+        import json
+        import os
+        import uuid as _uuid
+
+        v = self._pending if snapshot_id is None else snapshot_id
+        if v is None:
+            raise ValueError("nothing polled: no offset to commit")
+        if self._pin_ref is not None:
+            from ..sources.iceberg import (
+                drop_iceberg_ref,
+                tag_iceberg_snapshot,
+            )
+
+            try:
+                drop_iceberg_ref(self._path, self._pin_ref)
+            except ValueError:
+                pass  # first commit: no prior pin
+            tag_iceberg_snapshot(self._path, self._pin_ref, int(v))
+        tmp = self._offset_file + f".{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": int(v)}, fh)
+        os.replace(tmp, self._offset_file)
+        self._pending = None
+        return int(v)
+
+
+def relay_iceberg_increment(
+    tailer: "IcebergTailer",
+    transform,
+    silver_path: str,
+    app_id: str,
+) -> int | None:
+    """One EXACTLY-ONCE Iceberg-bronze → Delta-silver hop, the
+    cross-format twin of :func:`relay_delta_increment`: poll the bronze
+    :class:`IcebergTailer`, apply ``transform``, append to the silver
+    Delta table with ``txn(app_id, bronze_snapshot_id)``, commit the
+    tailer offset. A crash between the silver write and the offset
+    commit redelivers a batch whose txn the silver log already holds —
+    the append skips with zero executor work. Snapshot ids are
+    monotonically increasing per table (commit-time-based), so they
+    satisfy the txn version contract. Returns the bronze snapshot
+    consumed, or None when caught up."""
+    from ..sources.delta import write_delta_append
+
+    batch = tailer.poll()
+    if batch is None:
+        return None
+    v = tailer.pending_snapshot
+    write_delta_append(transform(batch), silver_path, txn=(app_id, int(v)))
+    return tailer.commit()
 
 
 def relay_delta_increment(

@@ -1,0 +1,154 @@
+"""IcebergTailer (committed-offset streaming source over Iceberg) and the
+exactly-once Iceberg-bronze → Delta-silver relay. Range classification is
+file-level: metadata-only maintenance passes a strict tailer, row-removing
+ranges fail fast or fall back to the multiplicity-aware diff
+(net_changes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysoftware_nocnetintel_spark.sources.iceberg import (
+    expire_iceberg_snapshots,
+    merge_iceberg_rows,
+    rewrite_iceberg_manifests,
+    rewrite_iceberg_table,
+    write_iceberg_append,
+)
+from mysoftware_nocnetintel_spark.streaming.ops import (
+    IcebergTailer,
+    relay_iceberg_increment,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, val string")
+
+
+def _rows(df):
+    return {(r.id, r.val) for r in df.collect()}
+
+
+def test_initial_then_incremental_then_caught_up(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg_append(_mk(spark, [(1, "a"), (2, "b")]), path)
+    t = IcebergTailer(spark, path, str(tmp_path / "ckpt"))
+    assert _rows(t.poll()) == {(1, "a"), (2, "b")}
+    t.commit()
+    assert t.poll() is None  # caught up
+    write_iceberg_append(_mk(spark, [(3, "c")]), path)
+    batch = t.poll()
+    assert _rows(batch) == {(3, "c")}  # new files only
+    t.commit()
+    assert t.poll() is None
+
+
+def test_poll_without_commit_redelivers(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    t = IcebergTailer(spark, path, str(tmp_path / "ckpt"))
+    t.poll()
+    t.commit()
+    write_iceberg_append(_mk(spark, [(2, "b")]), path)
+    assert _rows(t.poll()) == {(2, "b")}
+    # crash before commit: a fresh tailer on the same checkpoint
+    # re-delivers the same batch
+    t2 = IcebergTailer(spark, path, str(tmp_path / "ckpt"))
+    assert _rows(t2.poll()) == {(2, "b")}
+
+
+def test_metadata_only_range_passes_strict(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    write_iceberg_append(_mk(spark, [(2, "b")]), path)
+    t = IcebergTailer(spark, path, str(tmp_path / "ckpt"))
+    t.poll()
+    t.commit()
+    rewrite_iceberg_manifests(path, min_manifests=2)  # replace snapshot
+    assert t.poll() is None  # pure metadata — nothing to emit, no error
+    write_iceberg_append(_mk(spark, [(3, "c")]), path)
+    assert _rows(t.poll()) == {(3, "c")}
+
+
+def test_row_removing_range_strict_vs_net_changes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg_append(_mk(spark, [(1, "a"), (2, "b")]), path)
+    strict = IcebergTailer(spark, path, str(tmp_path / "s"))
+    netted = IcebergTailer(
+        spark, path, str(tmp_path / "n"), net_changes=True
+    )
+    strict.poll(), strict.commit()
+    netted.poll(), netted.commit()
+    merge_iceberg_rows(spark, path, _mk(spark, [(2, "B"), (3, "c")]), ["id"])
+    with pytest.raises(ValueError, match="net_changes"):
+        strict.poll()
+    got = _rows(netted.poll())
+    assert got == {(2, "B"), (3, "c")}  # new images only, (2,'b') gone
+    netted.commit()
+    # compaction nets to ZERO emitted rows
+    rewrite_iceberg_table(spark, path)
+    batch = netted.poll()
+    assert batch is None or batch.count() == 0
+
+
+def test_pin_ref_survives_expiration(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    t = IcebergTailer(
+        spark, path, str(tmp_path / "ckpt"), pin_ref="consumer-x"
+    )
+    t.poll()
+    t.commit()
+    for i in range(2, 7):
+        write_iceberg_append(_mk(spark, [(i, "v")]), path)
+    expire_iceberg_snapshots(path, keep_last=1)
+    # the committed offset snapshot was tagged → never expired → the
+    # incremental read still works after aggressive retention
+    assert _rows(t.poll()) == {(i, "v") for i in range(2, 7)}
+    t.commit()
+
+
+def test_expired_offset_fails_fast_without_pin(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg_append(_mk(spark, [(1, "a")]), path)
+    t = IcebergTailer(spark, path, str(tmp_path / "ckpt"))
+    t.poll()
+    t.commit()
+    for i in range(2, 7):
+        write_iceberg_append(_mk(spark, [(i, "v")]), path)
+    expire_iceberg_snapshots(path, keep_last=1)
+    with pytest.raises(ValueError, match="pin_ref"):
+        t.poll()
+
+
+def test_relay_exactly_once_crash_window(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_delta_snapshot,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    write_iceberg_append(_mk(spark, [(1, "a"), (2, "b")]), bronze)
+    t = IcebergTailer(spark, bronze, str(tmp_path / "ckpt"))
+
+    ident = lambda df: df  # noqa: E731
+    assert relay_iceberg_increment(t, ident, silver, "relay-x") is not None
+    write_iceberg_append(_mk(spark, [(3, "c")]), bronze)
+
+    # simulate the crash window: the silver write lands, the offset
+    # commit does not
+    from mysoftware_nocnetintel_spark.sources.delta import write_delta_append
+
+    batch = t.poll()
+    write_delta_append(
+        batch, silver, txn=("relay-x", int(t.pending_snapshot))
+    )
+    # restart: the relay re-polls the SAME range; the txn makes the
+    # silver append skip, the offset finally commits
+    t2 = IcebergTailer(spark, bronze, str(tmp_path / "ckpt"))
+    assert relay_iceberg_increment(t2, ident, silver, "relay-x") is not None
+    got = [
+        (r.id, r.val) for r in read_delta_snapshot(spark, silver).collect()
+    ]
+    assert sorted(got) == [(1, "a"), (2, "b"), (3, "c")]  # no duplicates
+    assert relay_iceberg_increment(t2, ident, silver, "relay-x") is None

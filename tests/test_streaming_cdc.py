@@ -2,8 +2,8 @@
 after replaying the events table as 3 time-ordered micro-batches, the
 Iceberg table must hold exactly ONE live row per key — the globally
 latest event per user — i.e. stream-upsert ≡ batch argmax. Also checks
-that the history really is merge-on-read (append + equality-delete
-commits, all snapshots time-travelable)."""
+that the history really is merge-on-read (one atomic row-delta snapshot
+per batch, all snapshots time-travelable)."""
 
 from __future__ import annotations
 
@@ -85,8 +85,11 @@ def test_cdc_upsert_equals_batch_argmax(spark, sf_dir, tmp_path):
     }
     assert got == ref and len(got) > 0
 
-    # merge-on-read history: 3 append + 2 equality-delete commits (the
-    # creating batch has nothing to delete), every snapshot readable
+    # merge-on-read history: ONE atomic snapshot per micro-batch — the
+    # creating batch is a plain append, each later batch a single
+    # row-delta "overwrite" (equality-delete file + data files under one
+    # sequence number; no keys-vanished between-state exists anywhere in
+    # the history). Every snapshot stays time-travelable.
     meta_dir = os.path.join(table, "metadata")
     versions = sorted(
         f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
@@ -94,15 +97,14 @@ def test_cdc_upsert_equals_batch_argmax(spark, sf_dir, tmp_path):
     with open(os.path.join(meta_dir, versions[-1])) as fh:
         meta = json.load(fh)
     ops = [s["summary"]["operation"] for s in meta["snapshots"]]
-    assert ops.count("append") == 3 and ops.count("delete") == 2, ops
+    assert ops == ["append", "overwrite", "overwrite"], ops
     for s in meta["snapshots"]:
-        if s["summary"]["operation"] == "append":
-            assert (
-                read_iceberg_snapshot(
-                    spark, table, snapshot_id=s["snapshot-id"]
-                ).count()
-                > 0
-            )
+        assert (
+            read_iceberg_snapshot(
+                spark, table, snapshot_id=s["snapshot-id"]
+            ).count()
+            > 0
+        )
 
 
 import random
