@@ -919,8 +919,9 @@ def merge_delta_rows(
     on: list[str] | tuple[str, ...],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    strategy: str = "cow",
 ) -> int:
-    """Copy-on-write MERGE (upsert) into the Delta table at ``path`` —
+    """MERGE (upsert) into the Delta table at ``path`` —
     the standard ``MERGE INTO target USING source ON keys`` subset:
 
     - ``when_matched``: ``"update"`` replaces the whole target row with
@@ -931,13 +932,29 @@ def merge_delta_rows(
       ambiguity error delta-spark's MERGE throws — applying both updates
       would be order-dependent).
 
-    Only the files that actually contain matched keys are rewritten: one
-    distributed key-semi-join finds them, survivors (non-matching rows of
-    those files, deletion-vector-masked so deleted rows can't resurrect)
-    are rewritten together with the merged source rows, and the commit is
-    ONE atomic version json (removes for the touched files + adds).
-    Untouched files keep their add entries verbatim — at 100 TB a merge
-    touching 0.1% of files rewrites 0.1% of the data, not the table.
+    ``strategy`` picks the physical plan, same logical result:
+
+    - ``"cow"`` (copy-on-write, default): only the files that actually
+      contain matched keys are rewritten — one distributed key-semi-join
+      finds them, survivors (non-matching rows of those files,
+      deletion-vector-masked so deleted rows can't resurrect) are
+      rewritten together with the merged source rows, and the commit is
+      ONE atomic version json (removes for the touched files + adds).
+      Untouched files keep their add entries verbatim — at 100 TB a
+      merge touching 0.1% of files rewrites 0.1% of the data, not the
+      table.
+    - ``"mor"`` (merge-on-read via deletion vectors): matched target
+      rows are MASKED instead of rewritten — each touched file gets a
+      remove + re-add carrying a deletion vector (merged with any
+      existing DV, stats carried so data skipping survives), and only
+      the merged source rows are written as new files. Still ONE atomic
+      commit (protocol upgrade to (3,7) included when needed). This is
+      what a merge touching 10 rows of a 1 GB file should do: a KB-scale
+      DV write instead of a 1 GB rewrite. Read amplification moves to
+      scan time (DV anti-join) until compaction folds the DVs away;
+      the matched-coordinate collect is driver-bounded
+      (``_MAX_DELETE_POSITIONS`` — beyond that, use ``"cow"``, whose
+      rewrite cost is the honest one at that selectivity anyway).
     Matching follows SQL equality: NULL keys never match, so
     NULL-keyed source rows insert rather than update. The source schema
     must equal the table schema (merge never evolves it). Returns the
@@ -950,6 +967,8 @@ def merge_delta_rows(
         raise ValueError("when_matched must be 'update' or 'delete'")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError("when_not_matched must be 'insert' or 'ignore'")
+    if strategy not in ("cow", "mor"):
+        raise ValueError("strategy must be 'cow' or 'mor'")
     keys = list(on)
     if not keys:
         raise ValueError("merge needs at least one ON key column")
@@ -1003,6 +1022,20 @@ def merge_delta_rows(
     if not touched_rel and when_not_matched == "ignore":
         raise ValueError("merge matched no rows and inserts are ignored")
 
+    if strategy == "mor":
+        return _commit_mor_merge(
+            spark,
+            path,
+            state,
+            src,
+            keys,
+            target,
+            src_keys,
+            abs_to_rel,
+            when_matched,
+            when_not_matched,
+        )
+
     tgt_keys = target.select(*keys)
     keep = (
         target.filter(F.col("__fp").isin(touched_abs))
@@ -1030,20 +1063,188 @@ def merge_delta_rows(
     )
 
 
-def update_delta_rows(
-    spark, path: str, predicate: str, set_exprs: dict[str, str]
+def _commit_mor_merge(
+    spark,
+    path: str,
+    state: dict,
+    src: DataFrame,
+    keys: list[str],
+    target: DataFrame,
+    src_keys: DataFrame,
+    abs_to_rel: dict,
+    when_matched: str,
+    when_not_matched: str,
 ) -> int:
-    """Copy-on-write UPDATE: rewrite only the files containing rows that
-    match ``predicate``, applying ``set_exprs`` (column → SQL expression,
-    evaluated against the old row, cast back to the column's declared
-    type) to the matching rows and carrying the rest verbatim; commits
-    removes + adds as one atomic version json. Deletion-vector-masked
-    (an UPDATE can't resurrect deleted rows); partition-column updates
-    are legal — rewritten rows land in their new partition directory.
-    Raises if the predicate matches nothing (a no-op commit would bump
-    the version for no reason)."""
+    """Merge-on-read MERGE commit tail (``strategy="mor"``): mask the
+    matched target rows with deletion vectors (one merged bitmap per
+    touched file, existing DVs unioned in, stats carried through the
+    re-add) and stage only the merged source rows as new files — removes,
+    DV re-adds, protocol upgrade, and adds all land in ONE version json.
+    ``target`` is already DV-masked, so previously deleted rows can never
+    re-collect into a bitmap."""
+    matched = target.join(src_keys, keys, "left_semi").select(
+        "__fp", "__pos"
+    )
+
+    # merged source rows — same mode table as the CoW path minus the
+    # survivors (the DV masks replace the survivor rewrite)
+    tgt_keys = target.select(*keys)
+    if when_matched == "update" and when_not_matched == "insert":
+        new_df = src  # semi ∪ anti of src on target keys == src
+    elif when_matched == "update":
+        new_df = src.join(tgt_keys, keys, "left_semi")
+    elif when_not_matched == "insert":
+        new_df = src.join(tgt_keys, keys, "left_anti")
+    else:  # delete matched only
+        new_df = None
+    return _commit_mor_mask_and_add(
+        spark, path, state, matched, new_df, abs_to_rel, "merge"
+    )
+
+
+def _commit_mor_mask_and_add(
+    spark,
+    path: str,
+    state: dict,
+    coords: DataFrame,
+    new_df,
+    abs_to_rel: dict,
+    op: str,
+) -> int:
+    """Shared merge-on-read commit tail (MoR MERGE and UPDATE): collect
+    the (file, physical position) coordinates to mask (driver-bounded),
+    build one merged deletion vector per touched file (existing DVs
+    unioned in, stats carried through the re-add), stage ``new_df`` as
+    ordinary adds, and commit protocol upgrade + removes + DV re-adds +
+    adds as ONE version json."""
+    import uuid as uuid_mod
+
+    from .roaring import (
+        dv_positions_from_descriptor,
+        encode_rbm_array,
+        write_dv_file,
+        z85_encode,
+    )
+
+    log_dir = os.path.join(path, "_delta_log")
+    live = state["live"]
+    matched = coords.limit(_MAX_DELETE_POSITIONS + 1).collect()
+    if len(matched) > _MAX_DELETE_POSITIONS:
+        raise NotImplementedError(
+            f"{op} matches more than {_MAX_DELETE_POSITIONS} rows: use "
+            "strategy='cow' (at that selectivity the rewrite is the "
+            "honest cost, and the deletion-vector bitmaps would balloon "
+            "the driver)"
+        )
+    by_file: dict[str, set] = {}
+    for r in matched:
+        by_file.setdefault(
+            abs_to_rel[os.path.abspath(r["__fp"])], set()
+        ).add(r["__pos"])
+    has_rows = new_df is not None and bool(new_df.limit(1).count())
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if by_file and not state["dv_protocol"]:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": [
+                        "appendOnly",
+                        "invariants",
+                        "deletionVectors",
+                    ],
+                }
+            }
+        )
+    if by_file:
+        rels = sorted(by_file)
+        bitmaps: list[bytes] = []
+        cards: list[int] = []
+        for rel in rels:
+            positions = set(by_file[rel])
+            old_dv = live[rel].get("deletionVector")
+            if old_dv:
+                positions |= set(
+                    dv_positions_from_descriptor(path, old_dv)
+                )
+            ordered = sorted(positions)
+            bitmaps.append(encode_rbm_array(ordered))
+            cards.append(len(ordered))
+        dv_uuid = uuid_mod.uuid4()
+        spans = write_dv_file(
+            os.path.join(path, f"deletion_vector_{dv_uuid}.bin"), bitmaps
+        )
+        for rel, (offset, size), card in zip(rels, spans, cards):
+            old = live[rel]
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            re_add = {
+                "path": rel,
+                "partitionValues": old.get("partitionValues") or {},
+                "size": old.get("size")
+                or os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                    "offset": offset,
+                    "sizeInBytes": size,
+                    "cardinality": card,
+                },
+            }
+            # carried stats still bound the surviving rows (loosely), so
+            # data skipping keeps working on the masked file
+            if old.get("stats"):
+                re_add["stats"] = old["stats"]
+            actions.append({"add": re_add})
+
+    if has_rows:
+        version, add_actions = _stage_append(new_df, path)
+        actions.extend(add_actions)
+    else:
+        version = state["version"] + 1
+    if not actions:
+        raise ValueError(f"{op} changed nothing")
+    _commit_version(log_dir, version, actions)
+    return version
+
+
+def update_delta_rows(
+    spark,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    strategy: str = "cow",
+) -> int:
+    """UPDATE rows matching ``predicate``, applying ``set_exprs``
+    (column → SQL expression, evaluated against the old row, cast back to
+    the column's declared type). ``strategy="cow"`` (default) rewrites
+    only the files containing matches — matching rows updated, the rest
+    carried verbatim — as one atomic removes+adds version json;
+    ``strategy="mor"`` masks the matched rows with deletion vectors and
+    writes ONLY the updated rows as new files (same tradeoff as the MoR
+    merge: KB-scale DV instead of a file rewrite, scan-time anti-join
+    until compaction, driver-bounded match count). Deletion-vector-masked
+    input either way (an UPDATE can't resurrect deleted rows);
+    partition-column updates are legal — rewritten/new rows land in their
+    new partition directory. Raises if the predicate matches nothing (a
+    no-op commit would bump the version for no reason)."""
     from pyspark.sql import functions as F
 
+    if strategy not in ("cow", "mor"):
+        raise ValueError("strategy must be 'cow' or 'mor'")
     state = _writer_state(path)
     meta = state["meta"]
     fields = json.loads(meta["schemaString"])["fields"]
@@ -1068,6 +1269,27 @@ def update_delta_rows(
     }
     touched_rel = [abs_to_rel[a] for a in touched_abs]
     pred = F.expr(predicate)
+    if strategy == "mor":
+        # mask exactly the matching rows; write ONLY their updated twins
+        updated = target.filter(pred).select(
+            "__fp",
+            "__pos",
+            *[
+                F.expr(set_exprs[c]).cast(types[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in table_cols
+            ],
+        )
+        return _commit_mor_mask_and_add(
+            spark,
+            path,
+            state,
+            updated.select("__fp", "__pos"),
+            updated.select(*table_cols),
+            abs_to_rel,
+            "update",
+        )
     new_df = target.filter(F.col("__fp").isin(touched_abs)).select(
         *[
             F.when(pred, F.expr(set_exprs[c]).cast(types[c]))
