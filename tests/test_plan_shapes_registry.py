@@ -46,6 +46,12 @@ _BNLJ_OK = {
     "q133_rfm_segments": (1, "single-row quartile-boundary aggregate"),
     "q136_temperature_mix": (1, "single-row temperature-normalizer aggregate"),
     "q140_psi_drift": (1, "single-row global min/max bin-edge aggregate"),
+    "q145_embedding_decontam": (
+        1,
+        "broadcast held-out eval split (~1/16 md5 bucket — the bounded "
+        "benchmark side of a decontamination pass; the train corpus "
+        "streams through map-side)",
+    ),
 }
 
 # query -> (max SinglePartition exchanges, bounded set justifying them)
