@@ -519,6 +519,30 @@ def _write_avro_data_files(df: DataFrame, stage: str) -> dict[str, int]:
     return {r["path"]: int(r["n"]) for r in rows}
 
 
+def _txn_already_committed(
+    meta: dict | None, txn: "tuple[str, int] | None"
+) -> bool:
+    """True iff a snapshot summary already records ``txn``'s app at this
+    version or higher — the Iceberg-native idempotence marker (the spec's
+    string-keyed snapshot ``summary``; the connector stores its WAP/app
+    ids the same way). Checked BEFORE any distributed write, so a
+    redelivered batch costs one driver-side metadata scan and zero
+    executor work. Caveat vs Delta's ``txn`` action (which checkpoints
+    carry forever): summaries die with their snapshots, so retention must
+    exceed the redelivery window — pin the consumer's offset snapshot
+    (``IcebergTailer(pin_ref=...)``) or keep enough history."""
+    if txn is None or meta is None:
+        return False
+    app, ver = txn
+    for s in meta.get("snapshots", []):
+        summ = s.get("summary") or {}
+        if summ.get("txn-app") == app and int(
+            summ.get("txn-version", -1)
+        ) >= int(ver):
+            return True
+    return False
+
+
 def write_iceberg_append(
     df: DataFrame,
     path: str,
@@ -527,6 +551,7 @@ def write_iceberg_append(
     sort_by: tuple[str, ...] = (),
     zorder: bool = False,
     branch: str | None = None,
+    txn: "tuple[str, int] | None" = None,
 ) -> int:
     """Append ``df`` to the Iceberg table at ``path`` (creating it on first
     write). Returns the new snapshot id. See module docstring for scope.
@@ -568,7 +593,14 @@ def write_iceberg_append(
     nothing). One extra shuffle at write time (range exchange), zero
     read-side cost; composes with ``partition_by`` (clusters within
     each partition's file set) but not with avro (no bounds to
-    tighten — refused)."""
+    tighten — refused).
+
+    ``txn=(app_id, version)`` makes the append IDEMPOTENT, the
+    Delta-``txn``-action twin expressed Iceberg-natively: the snapshot
+    summary records the marker atomically with the commit, a later
+    append whose (app, version) the history already holds skips with
+    zero executor work, and :func:`_txn_already_committed` documents
+    the retention caveat (summaries die with expired snapshots)."""
     import pyarrow.parquet as pq
 
     if file_format not in ("parquet", "avro"):
@@ -586,6 +618,12 @@ def write_iceberg_append(
             "writer (unknown features could be dropped): use the "
             "iceberg-spark-runtime connector"
         )
+    if txn is not None and branch is not None:
+        raise ValueError("txn idempotence is main-line only (no branch)")
+    if _txn_already_committed(meta, txn):
+        # redelivered batch: the summary marker proves this (app, version)
+        # already landed — skip with zero executor work
+        return meta["current-snapshot-id"]
     if branch is not None:
         if meta is None:
             raise ValueError(
@@ -819,6 +857,15 @@ def write_iceberg_append(
                     "partition spec while this append was staged: re-run "
                     "the append"
                 )
+            if _txn_already_committed(meta, txn):
+                # the CAS winner carried this very txn: drop the staged
+                # duplicate and report the committed snapshot
+                for f, _pv, _fmt, _n in new_files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+                return meta["current-snapshot-id"]
         now_ms = int(time.time() * 1000)
         snap_id = now_ms * 1000 + (ver + 1)  # unique, monotone per table
         seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
@@ -909,6 +956,10 @@ def write_iceberg_append(
             "manifest-list": mlist,
             "summary": {"operation": "append"},
         }
+        if txn is not None:
+            # idempotence marker, atomic with the snapshot itself
+            snapshot["summary"]["txn-app"] = txn[0]
+            snapshot["summary"]["txn-version"] = str(int(txn[1]))
         if base_id is not None:
             # spec field; the ancestry walk behind fast-forward publish
             snapshot["parent-snapshot-id"] = base_id
@@ -1211,6 +1262,7 @@ def merge_iceberg_rows(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     file_format: str = "parquet",
+    txn: "tuple[str, int] | None" = None,
 ) -> int:
     """Merge-on-read MERGE (upsert) into the Iceberg v2 table at ``path``
     as ONE ATOMIC ROW-DELTA SNAPSHOT: the equality-delete file naming the
@@ -1289,6 +1341,10 @@ def merge_iceberg_rows(
             "refusing to merge into an Iceberg table created by another "
             "writer: use the iceberg-spark-runtime connector"
         )
+    if _txn_already_committed(meta, txn):
+        # redelivered batch (same semantics as write_iceberg_append's
+        # txn): the summary marker proves this (app, version) landed
+        return meta["current-snapshot-id"]
     schemas = meta.get("schemas") or []
     if not schemas:
         raise NotImplementedError(
@@ -1538,6 +1594,9 @@ def merge_iceberg_rows(
             "parent-snapshot-id": meta["current-snapshot-id"],
             "summary": {"operation": "overwrite"},
         }
+        if txn is not None:
+            snapshot["summary"]["txn-app"] = txn[0]
+            snapshot["summary"]["txn-version"] = str(int(txn[1]))
         new_meta = dict(
             meta,
             **{

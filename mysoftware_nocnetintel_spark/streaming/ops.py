@@ -592,6 +592,7 @@ def iceberg_cdc_upsert(
     checkpoint: str,
     key_cols: tuple[str, ...] = ("user_id",),
     file_format: str = "parquet",
+    app_id: str | None = None,
 ):
     """Streaming CDC UPSERT into an Iceberg v2 table — the operation
     equality deletes exist for (reference continuous ingestion,
@@ -622,6 +623,14 @@ def iceberg_cdc_upsert(
     compaction: it folds the accumulated delete files back into plain
     data files while keeping history time-travelable).
 
+    ``app_id`` upgrades the sink from convergent-under-replay to
+    EXACTLY-ONCE: each micro-batch commits with
+    ``txn=(app_id, batch_id)`` (an Iceberg snapshot-summary marker —
+    see ``write_iceberg_append``), so a foreachBatch retry skips with
+    zero executor work instead of re-merging. Without it the upsert
+    still converges (the redelivered merge's delete kills the earlier
+    attempt's rows), which is why it stays optional.
+
     ``file_format="avro"`` appends micro-batches as ROW-ORIENTED avro
     fast-append files (no columnar footer per tiny commit — the write
     amplification small CDC batches suffer); the compactor converts
@@ -630,7 +639,13 @@ def iceberg_cdc_upsert(
     payloads only — timestamp-carrying payloads keep parquet."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        cdc_upsert_batch(batch_df, path, key_cols, file_format)
+        cdc_upsert_batch(
+            batch_df,
+            path,
+            key_cols,
+            file_format,
+            txn=(app_id, batch_id) if app_id else None,
+        )
 
     return (
         events.writeStream.foreachBatch(upsert)
@@ -646,6 +661,7 @@ def cdc_upsert_batch(
     path: str,
     key_cols: tuple[str, ...],
     file_format: str = "parquet",
+    txn: "tuple[str, int] | None" = None,
 ) -> None:
     """One CDC upsert micro-batch (the foreachBatch body of
     :func:`iceberg_cdc_upsert`, exposed so the randomized differential in
@@ -688,10 +704,12 @@ def cdc_upsert_batch(
             # merge's upsert path never reads the table (zero-read CDC)
             merge_iceberg_rows(
                 spark, path, latest, on=list(key_cols),
-                file_format=file_format,
+                file_format=file_format, txn=txn,
             )
         else:
-            write_iceberg_append(latest, path, file_format=file_format)
+            write_iceberg_append(
+                latest, path, file_format=file_format, txn=txn
+            )
     finally:
         latest.unpersist()
 
@@ -1213,6 +1231,35 @@ def relay_iceberg_increment(
         return None
     v = tailer.pending_snapshot
     write_delta_append(transform(batch), silver_path, txn=(app_id, int(v)))
+    return tailer.commit()
+
+
+def relay_to_iceberg_increment(
+    tailer,
+    transform,
+    silver_path: str,
+    app_id: str,
+) -> int | None:
+    """One EXACTLY-ONCE hop into an ICEBERG silver table, from either
+    tailer (DeltaTailer or IcebergTailer bronze): poll, transform, append
+    with ``txn=(app_id, bronze_offset)`` — the snapshot-summary
+    idempotence marker — commit the offset. The crash window between the
+    silver append and the offset commit redelivers a batch whose marker
+    the silver metadata already holds, and the append skips driver-side.
+    Returns the bronze offset consumed, or None when caught up."""
+    from ..sources.iceberg import write_iceberg_append
+
+    batch = tailer.poll()
+    if batch is None:
+        return None
+    v = (
+        tailer.pending_snapshot
+        if hasattr(tailer, "pending_snapshot")
+        else tailer.pending_version
+    )
+    write_iceberg_append(
+        transform(batch), silver_path, txn=(app_id, int(v))
+    )
     return tailer.commit()
 
 
