@@ -1625,6 +1625,251 @@ def merge_iceberg_rows(
                     pass
 
 
+def update_iceberg_rows(
+    spark,
+    path: str,
+    predicate,
+    set_exprs: dict[str, str],
+) -> int:
+    """Merge-on-read UPDATE by predicate — the verb-matrix completion
+    next to :func:`merge_iceberg_rows` (keyed upsert) and
+    :func:`write_iceberg_position_deletes` (delete): ONE row-delta
+    snapshot carrying a POSITION-delete file for the matched rows'
+    (file, pos) coordinates and data files holding their updated images
+    (``set_exprs``: column → SQL expression over the old row, cast back
+    to the declared type). Position deletes are the right delete kind
+    here because an UPDATE must kill exact physical rows, not keys — a
+    predicate needn't determine a key — and the writer just scanned the
+    coordinates anyway. No reader can observe rows-gone-images-missing:
+    both files commit under one sequence number (position deletes apply
+    by coordinates, so the fresh-pathed new files are untouchable by
+    construction). Same bounded-collect posture as the delete writer
+    (``_MAX_DELETE_ROWS``); unpartitioned + partitioned parquet tables
+    (updated rows fan out to their — possibly new — partitions).
+    Raises if nothing matches. Returns the new snapshot id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from .readers import _iceberg_live_scan
+
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to update an Iceberg table created by another "
+            "writer: use the iceberg-spark-runtime connector"
+        )
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        raise NotImplementedError(
+            "update needs a field-id schema (complex-typed columns)"
+        )
+    table_fields = schemas[0]["fields"]
+    table_cols = [f["name"] for f in table_fields]
+    bad = [c for c in set_exprs if c not in table_cols]
+    if bad:
+        raise ValueError(f"SET columns {bad} not in the table schema")
+    from .iceberg_transforms import spec_field_to_part_field
+
+    pfs = []
+    spec_fields = (meta.get("partition-specs") or [{}])[
+        meta.get("default-spec-id", 0)
+    ].get("fields", [])
+    if spec_fields:
+        pfs = [
+            spec_field_to_part_field(f, table_fields) for f in spec_fields
+        ]
+    part_fields = [(pf.name, pf.value_type) for pf in pfs]
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    live = _iceberg_live_scan(spark, path, keep_coords=True)
+    types = dict(live.drop("__fp", "__pos").dtypes)
+    matched = live.filter(pred).select(
+        "__fp",
+        "__pos",
+        *[
+            F.expr(set_exprs[c]).cast(types[c]).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in table_cols
+        ],
+    )
+    coords = (
+        matched.select(
+            F.col("__fp").alias("file_path"),
+            F.col("__pos").alias("pos"),
+        )
+        .limit(_MAX_DELETE_ROWS + 1)
+        .collect()
+    )
+    if not coords:
+        raise ValueError(f"UPDATE predicate {predicate!r} matched no rows")
+    if len(coords) > _MAX_DELETE_ROWS:
+        raise NotImplementedError(
+            f"update touches more than {_MAX_DELETE_ROWS} rows: rewrite "
+            "the table (rewrite_iceberg_table) or use the connector"
+        )
+    rows = sorted((r.file_path, r.pos) for r in coords)
+
+    staged_ok = False
+    new_files: list[tuple[str, dict | None]] = []
+    del_file: str | None = None
+    stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
+    try:
+        updated = matched.select(*table_cols)
+        if pfs:
+            for f, pv in _stage_partitioned_parquet(
+                updated, path, data_dir, pfs
+            ):
+                if pq.read_metadata(f).num_rows:
+                    new_files.append((f, pv))
+                else:
+                    os.remove(f)
+        else:
+            updated.write.parquet(stage)
+            for f in sorted(glob(os.path.join(stage, "*.parquet"))):
+                if not pq.read_metadata(f).num_rows:
+                    continue
+                dest = os.path.join(
+                    data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
+                )
+                shutil.move(f, dest)
+                new_files.append((dest, None))
+
+        del_file = os.path.join(
+            data_dir, f"delete-{uuid.uuid4().hex[:16]}.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(
+                        [r[0] for r in rows], pa.string()
+                    ),
+                    "pos": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            del_file,
+        )
+
+        now_ms = int(time.time() * 1000)
+        snap_id = now_ms * 1000 + (ver + 1)
+        seq = meta.get("last-sequence-number", 0) + 1
+        new_manifests: list[tuple[str, int]] = []
+        if new_files:
+            entries = []
+            for f, pvals in new_files:
+                pmeta = pq.read_metadata(f)
+                lo, hi = _file_bounds(pmeta, schemas[0])
+                rec = {
+                    "content": 0,
+                    "file_path": f,
+                    "file_format": "PARQUET",
+                    "record_count": pmeta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(f),
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
+                }
+                if part_fields:
+                    rec["partition"] = pvals
+                entries.append(
+                    {"status": 1, "snapshot_id": snap_id, "data_file": rec}
+                )
+            manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
+            write_avro_file(
+                manifest,
+                _partition_manifest_schema(part_fields)
+                if part_fields
+                else MANIFEST_ENTRY_SCHEMA,
+                entries,
+            )
+            new_manifests.append((manifest, 0))
+        dmanifest = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
+        write_avro_file(
+            dmanifest,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": del_file,
+                        "file_format": "PARQUET",
+                        "record_count": len(rows),
+                        "file_size_in_bytes": os.path.getsize(del_file),
+                    },
+                }
+            ],
+        )
+        new_manifests.append((dmanifest, 1))
+
+        from .avro_lite import read_avro_file
+
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, prior = read_avro_file(cur["manifest-list"])
+        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        write_avro_file(
+            mlist,
+            MANIFEST_FILE_SCHEMA,
+            [
+                dict(m, sequence_number=m.get("sequence_number", 0))
+                for m in prior
+            ]
+            + [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "content": mcontent,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+                for mpath, mcontent in new_manifests
+            ],
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "summary": {"operation": "overwrite"},
+        }
+        _commit_metadata(
+            meta_dir,
+            ver,
+            dict(
+                meta,
+                **{
+                    "last-sequence-number": seq,
+                    "last-updated-ms": now_ms,
+                    "snapshots": meta.get("snapshots", []) + [snapshot],
+                    "current-snapshot-id": snap_id,
+                },
+            ),
+        )
+        staged_ok = True
+        return snap_id
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not staged_ok:
+            for f in [p for p, _pv in new_files] + (
+                [del_file] if del_file else []
+            ):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+
 def rewrite_iceberg_table(
     spark,
     path: str,
