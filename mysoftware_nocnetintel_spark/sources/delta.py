@@ -1612,6 +1612,81 @@ def vacuum_delta(
     return deleted
 
 
+def optimize_delta_table(
+    spark,
+    path: str,
+    min_files: int = 2,
+    zorder_by: tuple[str, ...] = (),
+) -> int | None:
+    """OPTIMIZE — bin-packing compaction, the Delta twin of
+    ``iceberg.rewrite_iceberg_table``: rewrite the table's LIVE rows
+    (deletion vectors folded away — masked rows leave the physical
+    files) into fresh files and commit removes + adds as one version
+    json with ``dataChange: false`` throughout — the spec's marker for
+    data-preserving rearrangement. Streaming consumers use that marker:
+    :class:`~..streaming.ops.DeltaTailer` skips a pure-optimize range
+    instead of erroring or re-emitting compacted rows, exactly like
+    delta-spark's source skips OPTIMIZE commits. ``zorder_by``
+    Morton-clusters the rewrite (``sources/zorder.py``) so per-file
+    stats prune on every listed column afterwards. No-op (returns None)
+    when the table holds fewer than ``min_files`` live files and no
+    live deletion vector. One distributed scan + write; vacuum later
+    deletes the superseded files past retention. Returns the committed
+    version."""
+    state = _writer_state(path)
+    live = state["live"]
+    has_dv = any(e.get("deletionVector") for e in live.values())
+    if len(live) < min_files and not has_dv:
+        return None
+    table_cols = [
+        f["name"]
+        for f in json.loads(state["meta"]["schemaString"])["fields"]
+    ]
+    new_df = _masked_target(spark, path, state).select(*table_cols)
+    part_cols = state["meta"].get("partitionColumns") or []
+    if not zorder_by:
+        # actually PACK: the masked scan's task layout mirrors the small
+        # input files, so an unshaped write reproduces the fragmentation.
+        # Partitioned tables collapse to one task per partition tuple
+        # (one file per Hive dir); unpartitioned tables coalesce to a
+        # byte-budget file count (~128 MiB target — the narrow no-shuffle
+        # path). zorder_by shapes the write itself (range exchange).
+        if part_cols:
+            from pyspark.sql import functions as F
+
+            new_df = new_df.repartition(*[F.col(c) for c in part_cols])
+        else:
+            total = sum(e.get("size") or 0 for e in live.values())
+            n = max(1, -(-total // (128 * 1024 * 1024)))
+            new_df = new_df.coalesce(int(n))
+    version, add_actions = _stage_append(
+        new_df,
+        path,
+        sort_by=zorder_by,
+        # a single cluster column is plain range clustering; Morton
+        # interleave needs >= 2 (zorder.py enforces it)
+        zorder=len(zorder_by) >= 2,
+    )
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for rel in sorted(live)
+    ]
+    for a in add_actions:
+        if "add" in a:
+            a["add"]["dataChange"] = False
+    _commit_version(
+        os.path.join(path, "_delta_log"), version, removes + add_actions
+    )
+    return version
+
+
 def checkpoint_delta_table(path: str) -> int:
     """Write a CLASSIC single-file parquet checkpoint of the table's
     CURRENT version (PROTOCOL.md "Checkpoints"): one row per action —

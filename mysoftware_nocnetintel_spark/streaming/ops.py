@@ -989,25 +989,60 @@ class DeltaTailer:
         if latest <= start:
             self._pending = None
             return None
-        feed = delta_table_changes(self._spark, self._path, start, latest)
         if not self._ignore_deletes:
-            # file-level non-append detection, driver-side and cheap:
-            # a removed live file or a changed entry (DV growth) means
-            # rows disappeared in the range
-            from_state = _replay_state(
-                os.path.join(self._path, "_delta_log"), as_of=start
-            )
-            f_live, t_live = from_state["live"], state["live"]
-            if any(
-                rel not in t_live or t_live[rel] != e
-                for rel, e in f_live.items()
-            ):
+            # version-at-a-time classification, the way delta-spark's
+            # source walks the log: a version is SKIPPABLE when every
+            # add/remove carries dataChange:false (OPTIMIZE — bytes
+            # moved, rows unchanged), STREAMABLE when it only adds
+            # changed rows, and a row-REMOVING version stops the batch.
+            # The poll consumes the longest clean prefix; the feed's
+            # exceptAll netting makes interleaved optimize churn cancel,
+            # so only truly appended rows emit.
+            import json as _json
+
+            log_dir = os.path.join(self._path, "_delta_log")
+            end, saw_rows = start, False
+            for v in range(start + 1, latest + 1):
+                fpath = os.path.join(log_dir, f"{v:020d}.json")
+                if not os.path.exists(fpath):
+                    raise ValueError(
+                        f"version {v} json is gone (cleaned log): the "
+                        "committed offset predates log retention — "
+                        "re-seed the consumer"
+                    )
+                removing = adding = False
+                with open(fpath) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        a = _json.loads(line)
+                        if "remove" in a and a["remove"].get(
+                            "dataChange", True
+                        ):
+                            removing = True
+                        if "add" in a and a["add"].get(
+                            "dataChange", True
+                        ):
+                            adding = True
+                if removing:
+                    break
+                end = v
+                saw_rows = saw_rows or adding
+            if end == start:
                 raise ValueError(
-                    f"versions {start}..{latest} contain non-append "
-                    "changes (delete/update/merge/restore): pass "
+                    f"version {start + 1} removed or changed rows "
+                    "(delete/update/merge/restore): pass "
                     "ignore_deletes=True to skip the removed rows "
                     "(updated rows re-emit their new image)"
                 )
+            if not saw_rows:
+                # provably data-preserving prefix (pure OPTIMIZE):
+                # advance the durable offset past it — no row was
+                # skipped — and report caught-up
+                self.commit(end)
+                return None
+            latest = end  # bound the batch at the clean prefix
+        feed = delta_table_changes(self._spark, self._path, start, latest)
         self._pending = latest
         return (
             feed.filter(F.col("_change_type") == "insert")

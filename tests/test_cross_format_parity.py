@@ -15,6 +15,7 @@ import pytest
 from mysoftware_nocnetintel_spark.sources.delta import (
     checkpoint_delta_table,
     merge_delta_rows,
+    optimize_delta_table,
     update_delta_rows,
     vacuum_delta,
     write_delta_append,
@@ -122,6 +123,7 @@ def test_same_verbs_same_state(spark, tmp_path, seed):
             which = rng.choice(["compact", "meta", "retain"])
             if which == "compact":
                 rewrite_iceberg_table(spark, ipath)
+                optimize_delta_table(spark, dpath, min_files=1)
                 checkpoint_delta_table(dpath)
             elif which == "meta":
                 rewrite_iceberg_manifests(ipath, min_manifests=2)
