@@ -1,1 +1,1 @@
-from . import dedup, graph, multimodal, similarity, skew, timeseries  # noqa: F401
+from . import bpe, dedup, graph, multimodal, similarity, skew, timeseries  # noqa: F401
