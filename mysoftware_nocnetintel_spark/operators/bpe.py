@@ -188,8 +188,13 @@ def apply_bpe(
         "*",
         F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__w"),
     ).filter(F.col("__w") != "")
+    # inner join always hits: the word table is built from the corpus
+    # being ENCODED (not the training corpus), so cross-corpus encoding
+    # — fit on train, encode eval — works by construction: train-time
+    # merges simply don't fire on pairs the new words lack, which is the
+    # serial encoder's exact behavior
     joined = exploded.join(
-        words.withColumnRenamed("w", "__w"), "__w", "left"
+        words.withColumnRenamed("w", "__w"), "__w", "inner"
     )
     other_cols = [c for c in docs.columns]
     return (

@@ -102,6 +102,36 @@ def test_batched_rounds_are_valid_nonoverlapping_merges(spark):
         seen |= {a, b, a + b}
 
 
+def test_cross_corpus_encode_matches_serial(spark):
+    """Fit on train, encode EVAL (words the trainer never saw): merges
+    fire only where pairs match — exactly the serial encoder."""
+    train = ["low low low lower lowest", "low lower"]
+    eval_ = ["slow lowest glow unseen"]
+    wc = Counter(w for t in train for w in t.split())
+    merges = train_bpe(_mk_docs(spark, train), n_merges=5)
+    expect_merges, _ = _serial_train(dict(wc), n_merges=5)
+    assert merges == expect_merges
+
+    enc = apply_bpe(_mk_docs(spark, eval_), merges)
+    by_id = {r.doc_id: list(r.bpe_tokens) for r in enc.collect()}
+    # serial encode of the eval words with the train merges
+    ref = []
+    for w in eval_[0].split():
+        syms = [
+            c + (END if i == len(w) - 1 else "") for i, c in enumerate(w)
+        ]
+        for a, b, _n in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        ref.extend(syms)
+    assert by_id[0] == ref
+
+
 def test_min_pair_count_stops_early(spark):
     docs = _mk_docs(spark, ["ab cd ef"])  # every pair is a hapax
     assert train_bpe(docs, n_merges=5, min_pair_count=2) == []
