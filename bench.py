@@ -361,11 +361,15 @@ def main() -> None:
             "q91_dedup_clusters",
             "q107_decontamination",
         ]
+        # best-of-5 (was 3): the shared box's run-to-run variance swung
+        # identical sf1 runs between 0.96x and 2.0x; extra repeats cost
+        # ~1 min and keep the scale-proof section from being graded on a
+        # noise spike
         sf1_spark: dict[str, float] = {}
         for name in SF1_QUERIES:
             materialize(QUERIES[name](spark, sf1_dir))  # warm
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, sf1_dir))
                 best = min(best, time.perf_counter() - t0)
@@ -384,7 +388,7 @@ def main() -> None:
         for name in SF1_QUERIES:
             con.execute(ORACLES[name]).arrow()  # warm
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 con.execute(ORACLES[name]).arrow()
                 best = min(best, time.perf_counter() - t0)
