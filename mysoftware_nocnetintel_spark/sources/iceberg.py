@@ -2857,12 +2857,16 @@ def iceberg_snapshots(spark, path: str) -> "DataFrame":
                     n_records += rec.get("record_count") or 0
                 else:
                     n_deletes += 1
+        summ = s.get("summary") or {}
         rows.append(
             (
                 s["snapshot-id"],
+                s.get("parent-snapshot-id"),
                 s.get("sequence-number", 0),
                 s.get("timestamp-ms"),
-                (s.get("summary") or {}).get("operation"),
+                summ.get("operation"),
+                summ.get("txn-app"),
+                int(summ["txn-version"]) if "txn-version" in summ else None,
                 len(manifests),
                 n_files,
                 n_records,
@@ -2872,8 +2876,9 @@ def iceberg_snapshots(spark, path: str) -> "DataFrame":
         )
     return spark.createDataFrame(
         rows,
-        "snapshot_id long, sequence_number long, timestamp_ms long, "
-        "operation string, n_manifests long, n_data_files long, "
+        "snapshot_id long, parent_snapshot_id long, sequence_number long, "
+        "timestamp_ms long, operation string, txn_app string, "
+        "txn_version long, n_manifests long, n_data_files long, "
         "n_records long, n_delete_files long, is_current boolean",
     )
 

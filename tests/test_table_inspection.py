@@ -61,6 +61,20 @@ def test_iceberg_snapshots(spark, tmp_path):
     # sequence numbers strictly increase
     seqs = [s.sequence_number for s in snaps]
     assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    # ancestry chain surfaces: each later snapshot names its parent
+    assert snaps[1].parent_snapshot_id == snaps[0].snapshot_id
+    # txn markers surface for idempotent commits
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        merge_iceberg_rows,
+    )
+
+    merge_iceberg_rows(spark, root, _b(spark, 9), ["id"], txn=("app", 4))
+    last = (
+        iceberg_snapshots(spark, root)
+        .orderBy("sequence_number", ascending=False)
+        .first()
+    )
+    assert (last.txn_app, last.txn_version) == ("app", 4)
 
 
 def test_iceberg_files_and_partitions_tables(spark, tmp_path):
