@@ -184,7 +184,12 @@ def apply_bpe(
         )
         if (i + 1) % checkpoint_every == 0:
             words = words.localCheckpoint()
-    exploded = docs.select(
+    # Unique per-row id BEFORE the explode: grouping back by the document
+    # columns alone would collapse fully identical rows into one output
+    # row with every word's tokens doubled (round-5 advisor). The id is
+    # partition-local arithmetic (no shuffle) and is dropped on return.
+    tagged = docs.withColumn("__rid", F.monotonically_increasing_id())
+    exploded = tagged.select(
         "*",
         F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__w"),
     ).filter(F.col("__w") != "")
@@ -198,7 +203,7 @@ def apply_bpe(
     )
     other_cols = [c for c in docs.columns]
     return (
-        joined.groupBy(*other_cols)
+        joined.groupBy("__rid", *other_cols)
         .agg(
             F.flatten(
                 F.transform(
@@ -209,4 +214,5 @@ def apply_bpe(
                 )
             ).alias(out_col)
         )
+        .drop("__rid")
     )

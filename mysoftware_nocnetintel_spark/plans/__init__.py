@@ -28,78 +28,73 @@ _ALL = {
 # The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
 # order, so ordering here is load-bearing. ROTATION RULE (apply every round):
 # (1) every registry query with no driver signal yet goes in first; (2) then
-# every query whose implementation or oracle changed this round; (3) fill the
-# remainder with the queries whose last green signal is oldest. After r01-r04
-# every registry query has a driver signal and all latest signals are green,
-# so this round applies rules (1)-(3): the NEW round-5 queries
-# (q127-q143, never graded), the three changed this round
-# (q124 tokenize-once + single-SQL rewrite, q94 docstring-only but
-# re-pinned with it, q126 band-boundary recall fix in query AND oracle),
-# then the entire r02-era block (31 queries, the oldest signals in the
-# registry), then the oldest r03-era queries through q57 (q58-q63 ceded
-# their slots to q129-q134 and rotate in next round). Outside the window
-# this round (all previously driver-green, r03/r04 signals): q0-q10, q25,
-# q28, q34, q37-q39, q41, q45, q50, q58-q63, q66-q93 remainder,
-# q95-q123, q125.
+# every query whose implementation or oracle changed this round (space
+# permitting); (3) fill the remainder with the queries whose last green
+# signal is oldest. ROUND 6 (per VERDICT r5 task 2 — "pay the rotation
+# debt, add nothing new"): exactly 1 never-graded entry (q146, the BPE
+# end-to-end driver signal VERDICT task 4 asked for) + ALL 49 queries
+# whose latest signal is pre-r4 (q46-q48 are r2-era, the rest r3-era) =
+# 50 exactly. After r6 grading no registry query has a pre-r4 signal.
+# Rule-(2) exception this round: q10's INTERSECT plan rewrite (VERDICT
+# task 6) does NOT enter — the window has zero slack and VERDICT task 2
+# takes precedence; q10's oracle parity is gated locally by
+# tests/test_oracle_parity.py and its plan shape by test_plans.py, and it
+# rotates in next round (r4 signal, will then be oldest). Outside the
+# window: everything graded green in r4/r5 (q0-q45 remainder, q94-q145).
 _WINDOW = [
     # --- NEW this round, never driver-graded (rule 1) ---
-    "q144_span_scrub",
-    "q145_embedding_decontam",
-    "q141_doc_lm_score",
-    "q142_embedding_cohesion",
-    "q143_snapshot_diff",
-    "q127_incremental_ingest",
-    "q128_balanced_sample",
-    "q129_bpe_pairs",
-    "q130_repetition",
-    "q131_chunk_overlap",
-    "q132_session_funnel",
-    "q133_rfm_segments",
-    "q134_profile",
-    "q135_repeated_spans",
-    "q136_temperature_mix",
-    "q137_gopher_rules",
-    "q138_regression_aggs",
-    "q139_exact_percentiles",
-    "q140_psi_drift",
-    # --- changed this round (3) ---
-    "q124_bm25",
-    "q94_token_budget",
-    "q126_edit_distance_pairs",
-    # --- oldest signals: the full r02-era block (31) ---
-    "q7_approx_distinct",
-    "q11_left_join_agg",
-    "q12_semi_join",
-    "q13_anti_join",
-    "q14_rollup",
-    "q15_cube",
-    "q16_full_outer",
-    "q17_union_all",
-    "q18_except",
-    "q19_exists_subquery",
-    "q20_topk_global",
-    "q21_daily_counts",
-    "q22_hourly_profile",
-    "q23_dow_profile",
-    "q24_string_funcs",
-    "q26_quantiles",
-    "q27_zscore_outliers",
-    "q29_range_join",
-    "q30_interpolate",
-    "q31_token_stats",
-    "q32_term_df",
-    "q33_quality_scores",
-    "q35_embedding_neardup",
-    "q36_knn_batch",
-    "q40_lang_id",
-    "q42_ann_lsh",
-    "q43_grouping_sets",
-    "q44_map_ops",
-    # (q48_ann_ivf, q49_forecast_score, q51_dispatch_plan ceded their
-    # slots to the new never-graded q141-q143 per rule 1, and
-    # q46_sliding_window / q47_session_window ceded theirs to the
-    # never-graded q144/q145 — all five rotate back next round with the
-    # r03-era block q52+)
+    "q146_bpe_pipeline",
+    # --- every pre-r4 signal, oldest era first (rule 3): r2-era ---
+    "q46_sliding_window",
+    "q47_session_window",
+    "q48_ann_ivf",
+    # --- r3-era (numeric order within the equal-age block) ---
+    "q49_forecast_score",
+    "q51_dispatch_plan",
+    "q52_model_metrics",
+    "q53_multimodal_features",
+    "q54_scalar_subquery",
+    "q55_in_subquery",
+    "q56_lead_window",
+    "q57_first_last_value",
+    "q58_ntile_percent_rank",
+    "q59_time_range_frame",
+    "q60_union_distinct",
+    "q61_except_all",
+    "q62_like_filter",
+    "q63_date_arithmetic",
+    "q64_resample_asof",
+    "q65_conditional_agg",
+    "q66_salted_agg",
+    "q67_tfidf",
+    "q68_variance_corr",
+    "q69_array_ops",
+    "q70_null_handling",
+    "q71_pandas_udf_score",
+    "q72_variant_json",
+    "q73_rmse",
+    "q74_auc",
+    "q75_sequence_assembly",
+    "q76_ann_pq",
+    "q77_funnel",
+    "q78_hll_rollup",
+    "q79_repetition_signals",
+    "q80_scrub_sample",
+    "q81_root_cause_lift",
+    "q82_burst_detection",
+    "q83_chunking",
+    "q84_maintenance_suppression",
+    "q85_flap_suppression",
+    "q86_correlated_subquery",
+    "q87_window_distinct",
+    "q88_entropy",
+    "q89_mad_outliers",
+    "q90_ann_ivfpq",
+    "q93_dedup_keep_one",
+    "q100_gapfill",
+    "q101_cusum",
+    "q102_snapshot_diff",
+    "q106_transition_matrix",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -171,7 +171,64 @@ def q145_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q146_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/F7 BPE tokenizer, END-TO-END driver signal (round-5 verdict
+    task 4): train the distributed Sennrich merge loop
+    (operators/bpe.py: the full trainer, not q129's single pair-count
+    round) on the train split of ``documents`` (doc_id % 5 != 0), then
+    encode the held-out eval split with the learned merges — the
+    fit-on-train / encode-eval cross-corpus shape
+    tests/test_bpe.py::test_cross_corpus_encode_matches_serial pins
+    against the serial reference.
+
+    Output: one row per learned merge (rank, lhs, rhs, pair_count —
+    the merge-list fingerprint), each row also carrying the eval-split
+    encode checksum (eval doc count, total subword tokens, and a
+    bit_xor over xxhash64(doc_id, position, token) — order-sensitive
+    by construction since the position is hashed in). Any drift in the
+    trainer's ranking, the greedy fold, or the encode join flips the
+    checksum. Rows-only by design: a 30-round iterative argmax loop is
+    not expressible as one SQL statement; the serial-reference
+    differential in tests/test_bpe.py is the value oracle.
+
+    Scale shape (docstring of operators/bpe.py has the full argument):
+    training collapses the corpus ONCE to the distinct-word table and
+    iterates on that (Heaps-sublinear); encoding folds merges over the
+    eval word table and joins back — one shuffle on the word key plus
+    the per-document regroup. The 1-row argmax collect per round is the
+    only driver-side data movement."""
+    from ..operators.bpe import apply_bpe, train_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    eval_ = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    merges = train_bpe(train, n_merges=30, min_pair_count=2)
+    encoded = apply_bpe(eval_, merges)
+    summary = (
+        encoded.select(
+            "doc_id",
+            F.posexplode("bpe_tokens").alias("__pos", "__tok"),
+        )
+        .agg(
+            F.countDistinct("doc_id").alias("eval_docs"),
+            F.count(F.lit(1)).alias("eval_tokens"),
+            F.bit_xor(
+                F.xxhash64("doc_id", F.col("__pos"), F.col("__tok"))
+            ).alias("eval_checksum"),
+        )
+    )
+    merge_rows = spark.createDataFrame(
+        [
+            (i + 1, a, b, int(n))
+            for i, (a, b, n) in enumerate(merges)
+        ],
+        "rank INT, lhs STRING, rhs STRING, pair_count BIGINT",
+    )
+    return merge_rows.crossJoin(F.broadcast(summary)).orderBy("rank")
+
+
 R9_QUERIES = {
     "q144_span_scrub": q144_span_scrub,
     "q145_embedding_decontam": q145_embedding_decontam,
+    "q146_bpe_pipeline": q146_bpe_pipeline,
 }

@@ -135,3 +135,36 @@ def test_cross_corpus_encode_matches_serial(spark):
 def test_min_pair_count_stops_early(spark):
     docs = _mk_docs(spark, ["ab cd ef"])  # every pair is a hapax
     assert train_bpe(docs, n_merges=5, min_pair_count=2) == []
+
+
+def test_duplicate_rows_encode_independently(spark):
+    """Two fully identical document rows must each keep their OWN token
+    stream (round-5 advisor: grouping back by the document columns alone
+    collapsed them into one row with every word's tokens doubled)."""
+    texts = ["low low lower", "low low lower", "lowest low"]
+    docs = spark.createDataFrame(
+        [(t,) for t in texts], "text string"
+    )  # no id column at all — the worst case the advisor flagged
+    merges = train_bpe(docs, n_merges=3)
+    enc = apply_bpe(docs, merges).collect()
+    assert len(enc) == 3  # cardinality preserved
+    ref = {}
+    for t in set(texts):
+        syms_all = []
+        for w in t.split():
+            syms = [
+                c + (END if i == len(w) - 1 else "") for i, c in enumerate(w)
+            ]
+            for a, b, _n in merges:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            syms_all.extend(syms)
+        ref[t] = syms_all
+    got = sorted((r.text, tuple(r.bpe_tokens)) for r in enc)
+    expect = sorted((t, tuple(ref[t])) for t in texts)
+    assert got == expect

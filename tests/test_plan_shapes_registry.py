@@ -52,6 +52,11 @@ _BNLJ_OK = {
         "benchmark side of a decontamination pass; the train corpus "
         "streams through map-side)",
     ),
+    "q146_bpe_pipeline": (
+        2,
+        "single-row eval-encode checksum aggregate joined onto the "
+        "30-row local merge list",
+    ),
 }
 
 # query -> (max SinglePartition exchanges, bounded set justifying them)
@@ -85,6 +90,11 @@ _SINGLE_OK = {
         "normalizer agg over the per-source table (|sources| rows)",
     ),
     "q140_psi_drift": (1, "scalar min/max bin-edge aggregate"),
+    "q146_bpe_pipeline": (
+        2,
+        "scalar eval-encode checksum aggregate (count/countDistinct/"
+        "bit_xor over the eval split — one row by construction)",
+    ),
 }
 
 
