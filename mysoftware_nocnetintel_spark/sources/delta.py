@@ -696,13 +696,19 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
     abs_to_rel = {
         os.path.abspath(os.path.join(path, rel)): rel for rel in live
     }
+    from urllib.parse import unquote
+
     for r in matches:
         fp = r["__fp"]
-        # _metadata.file_path is a URI: file:/abs or file:///abs
+        # _metadata.file_path is a PERCENT-ENCODED URI (file:/abs or
+        # file:///abs): strip the scheme AND decode, or a table dir with
+        # a space/non-ASCII char KeyErrors here (round-5 advisor).
+        # unquote leaves '+' alone, matching URI percent-encoding.
         if fp.startswith("file://"):
             fp = fp[7:]
         elif fp.startswith("file:"):
             fp = fp[5:]
+        fp = unquote(fp)
         by_file.setdefault(abs_to_rel[os.path.abspath(fp)], set()).add(
             r["__pos"]
         )
@@ -821,11 +827,13 @@ def _masked_target(
     for rel, e in live.items():
         pv = tuple(sorted((e.get("partitionValues") or {}).items()))
         groups.setdefault(pv, []).append(rel)
-    # file_path is a URI (file:/abs or file:///abs) — normalize to a plain
-    # absolute path so it joins against os.path.abspath on the driver
-    fp_norm = F.regexp_replace(
-        F.col("_metadata.file_path"), "^file:(//)?", ""
-    )
+    # file_path is a PERCENT-ENCODED URI (file:/abs or file:///abs) —
+    # normalize to a plain absolute path so it joins against
+    # os.path.abspath on the driver (round-5 advisor: scheme-strip alone
+    # silently un-matched every DV coordinate under a path with a space)
+    from .readers import _uri_to_path
+
+    fp_norm = _uri_to_path(F.col("_metadata.file_path"))
     target = None
     for pv, rels in sorted(groups.items()):
         df = (

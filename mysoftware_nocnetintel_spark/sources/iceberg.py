@@ -2594,6 +2594,51 @@ def tag_iceberg_snapshot(
     return snapshot_id
 
 
+def move_iceberg_ref(path: str, name: str, snapshot_id: int) -> int:
+    """Create-or-move a TAG ref to ``snapshot_id`` in ONE metadata
+    commit — the refs-map entry is replaced atomically, so there is no
+    instant where the name exists unpinned or not at all. This is the
+    primitive a consumer-offset pin needs (round-5 advisor: a
+    drop-then-tag pair leaves a crash window where
+    ``expire_iceberg_snapshots`` can expire the offset snapshot — the
+    exact stranding the pin exists to prevent). Refuses to move a
+    BRANCH ref (that is :func:`publish_iceberg_branch`'s job, with its
+    fast-forward ancestry check). Returns ``snapshot_id``."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to move a ref on an Iceberg table created by "
+            "another writer: use the iceberg-spark-runtime connector"
+        )
+    if not any(
+        s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])
+    ):
+        raise ValueError(
+            f"snapshot {snapshot_id} does not exist (expired or never "
+            "committed)"
+        )
+    refs = dict(meta.get("refs") or {})
+    if name in refs and refs[name].get("type") != "tag":
+        raise ValueError(
+            f"ref {name!r} is a {refs[name].get('type')}, not a tag: "
+            "use publish_iceberg_branch to advance branches"
+        )
+    refs[name] = {"snapshot-id": int(snapshot_id), "type": "tag"}
+    _commit_metadata(
+        meta_dir,
+        ver,
+        dict(
+            meta,
+            refs=refs,
+            **{"last-updated-ms": int(time.time() * 1000)},
+        ),
+    )
+    return int(snapshot_id)
+
+
 def drop_iceberg_ref(path: str, name: str) -> int:
     """Remove a named ref; the snapshot it pinned becomes expirable
     again. Returns the snapshot id the ref pointed at."""

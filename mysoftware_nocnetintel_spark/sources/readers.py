@@ -654,9 +654,7 @@ def read_delta_snapshot(
             df = (
                 df.withColumn(
                     "__fp",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:(//)?", ""
-                    ),
+                    _uri_to_path(F.col("_metadata.file_path")),
                 )
                 .withColumn("__pos", F.col("_metadata.row_index"))
                 .join(
@@ -878,7 +876,7 @@ def _iceberg_live_scan(
         parts.append(
             scan.select(
                 "*",
-                _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+                _uri_to_path(F.col("_metadata.file_path")).alias("__fp"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
         )
@@ -1169,7 +1167,10 @@ def _transform_partition_prune(
         if t.startswith("bucket["):
             if op != "=":
                 continue
-            want = bucket_value(val, src["type"], int(t[7:-1]))
+            try:
+                want = bucket_value(val, src["type"], int(t[7:-1]))
+            except (ValueError, TypeError):
+                continue  # undigestible literal → prune nothing
 
             def keep(e, name=f["name"], want=want):
                 pv = (e.partition or {}).get(name)
@@ -1177,12 +1178,19 @@ def _transform_partition_prune(
 
         elif t.startswith("truncate[") or t in ("year", "month", "day", "hour"):
             # both families are MONOTONIC in the source value, so the
-            # same conservative range logic applies
-            want = (
-                time_transform_value(val, t)
-                if t in ("year", "month", "day", "hour")
-                else truncate_value(val, src["type"], int(t[9:-1]))
-            )
+            # same conservative range logic applies. Pruning must stay
+            # CONSERVATIVE under literals the transform can't digest
+            # (e.g. a date-only string against an hour transform —
+            # round-5 advisor: it raised and failed the whole read):
+            # keep every file and let the row filter do the work.
+            try:
+                want = (
+                    time_transform_value(val, t)
+                    if t in ("year", "month", "day", "hour")
+                    else truncate_value(val, src["type"], int(t[9:-1]))
+                )
+            except (ValueError, TypeError):
+                continue
 
             def keep(e, name=f["name"], want=want, op=op):
                 pv = (e.partition or {}).get(name)
@@ -1299,7 +1307,17 @@ def read_iceberg_bucket_join(
 
 
 def _iceberg_local_path(p: str) -> str:
-    return p[7:] if p.startswith("file://") else p
+    """Manifest/metadata location → plain local path. Our own writer
+    records plain paths (identity); a foreign writer's ``file:`` URI is
+    percent-encoded per java.net.URI, so decode after the scheme strip
+    (urllib.parse.unquote leaves ``+`` alone, matching URI semantics)."""
+    from urllib.parse import unquote
+
+    if p.startswith("file://"):
+        return unquote(p[7:])
+    if p.startswith("file:"):
+        return unquote(p[5:])
+    return p
 
 
 class _DataFile(NamedTuple):
@@ -1502,7 +1520,26 @@ def _apply_equality_deletes(
 
 
 def _norm_file_path(c):
+    """Identity-ish normalization for file paths WE wrote (delete-file
+    ``file_path`` columns, manifest entries): they are plain local paths,
+    so only a legacy ``file:`` scheme is stripped. NOT for
+    ``_metadata.file_path`` — that is a percent-encoded URI; use
+    :func:`_uri_to_path`."""
     return F.regexp_replace(c, "^file:/*", "/")
+
+
+def _uri_to_path(c):
+    """``_metadata.file_path`` → plain filesystem path. Spark emits the
+    column as a PERCENT-ENCODED URI (``file:///a%20b/f.parquet`` for a
+    table dir containing a space), so stripping the scheme alone makes
+    every join against driver-side ``os.path`` keys silently empty
+    (round-5 advisor: DV-masked rows resurfaced; the Iceberg seq join
+    emptied the whole scan). ``url_decode`` follows
+    application/x-www-form-urlencoded and would also turn a literal
+    ``+`` into a space — URI percent-encoding never produces a ``+`` for
+    a space, so ``+`` is pre-escaped to ``%2B`` to survive the decode."""
+    stripped = F.regexp_replace(c, "^file:/*", "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
 def _position_delete_rows(spark: SparkSession, delete_files: list[str]):

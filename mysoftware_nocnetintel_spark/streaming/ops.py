@@ -921,7 +921,46 @@ def delta_stream_append(
     )
 
 
-class DeltaTailer:
+class _PinnedOffsetMixin:
+    """Two-phase offset (round-5 advisor): the batch ENDPOINT is
+    persisted to the checkpoint dir BEFORE the batch is handed to the
+    sink, so a redelivery after a crash re-reads exactly the pinned
+    range even when bronze advanced in between. Deriving the endpoint
+    from the LIVE head on redelivery would widen the retried batch past
+    the already-written txn version — the sink's idempotence skip would
+    not fire and the overlap would append twice."""
+
+    _pending_file: str
+
+    def _read_pinned(self, key: str) -> int | None:
+        import json
+        import os
+
+        if not os.path.exists(self._pending_file):
+            return None
+        with open(self._pending_file) as fh:
+            return int(json.load(fh)[key])
+
+    def _write_pinned(self, key: str, v: int) -> None:
+        import json
+        import os
+        import uuid as _uuid
+
+        tmp = self._pending_file + f".{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({key: int(v)}, fh)
+        os.replace(tmp, self._pending_file)
+
+    def _clear_pinned(self) -> None:
+        import os
+
+        try:
+            os.remove(self._pending_file)
+        except FileNotFoundError:
+            pass
+
+
+class DeltaTailer(_PinnedOffsetMixin):
     """Streaming SOURCE over a Delta table — the consumption half of the
     lakehouse streaming story next to :func:`delta_stream_append`
     (reference continuous ingestion, README.md:24,26), shaped like the
@@ -959,6 +998,7 @@ class DeltaTailer:
         self._ignore_deletes = ignore_deletes
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._offset_file = os.path.join(checkpoint_dir, "offset.json")
+        self._pending_file = os.path.join(checkpoint_dir, "pending.json")
         self._pending: int | None = None
 
     def _offset(self) -> int | None:
@@ -969,6 +1009,7 @@ class DeltaTailer:
             return None
         with open(self._offset_file) as fh:
             return int(json.load(fh)["version"])
+
 
     def poll(self) -> DataFrame | None:
         import os
@@ -981,8 +1022,19 @@ class DeltaTailer:
             raise FileNotFoundError(f"no Delta table at {self._path}")
         latest = state["version"]
         start = self._offset()
+        # crash recovery: an uncommitted pinned endpoint re-delivers
+        # EXACTLY the range the failed batch covered, even if bronze
+        # advanced since — the sink's txn(app_id, endpoint) idempotence
+        # only holds for identical ranges
+        pinned = self._read_pinned("version")
+        if pinned is not None:
+            if start is not None and pinned <= start:
+                self._clear_pinned()  # committed by a prior run
+            else:
+                latest = pinned
         if start is None:
             self._pending = latest
+            self._write_pinned("version", latest)
             return read_delta_snapshot(
                 self._spark, self._path, version=latest
             )
@@ -1044,6 +1096,7 @@ class DeltaTailer:
             latest = end  # bound the batch at the clean prefix
         feed = delta_table_changes(self._spark, self._path, start, latest)
         self._pending = latest
+        self._write_pinned("version", latest)
         return (
             feed.filter(F.col("_change_type") == "insert")
             .drop("_change_type")
@@ -1072,11 +1125,12 @@ class DeltaTailer:
         with open(tmp, "w") as fh:
             json.dump({"version": int(v)}, fh)
         os.replace(tmp, self._offset_file)
+        self._clear_pinned()
         self._pending = None
         return int(v)
 
 
-class IcebergTailer:
+class IcebergTailer(_PinnedOffsetMixin):
     """Streaming SOURCE over an Iceberg table — committed-offset
     availableNow consumption, the Iceberg twin of :class:`DeltaTailer`:
 
@@ -1104,7 +1158,8 @@ class IcebergTailer:
     shuffles both snapshots; the pure-append fast path never does.
 
     ``pin_ref`` names a TAG the tailer moves to every committed offset
-    (drop+retag inside ``commit``): snapshot expiration never expires a
+    (one atomic refs-map replace inside ``commit`` —
+    ``move_iceberg_ref``): snapshot expiration never expires a
     ref-pinned snapshot, so routine retention can't strand the consumer
     — the failure mode every log-tailing system has, solved with the
     refs machinery instead of config discipline. Without it, an expired
@@ -1126,6 +1181,7 @@ class IcebergTailer:
         self._pin_ref = pin_ref
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._offset_file = os.path.join(checkpoint_dir, "offset.json")
+        self._pending_file = os.path.join(checkpoint_dir, "pending.json")
         self._pending: int | None = None
 
     def _offset(self) -> int | None:
@@ -1154,8 +1210,19 @@ class IcebergTailer:
         if latest is None:
             raise ValueError("table has no snapshots yet")
         start = self._offset()
+        # crash recovery: an uncommitted pinned endpoint re-delivers
+        # EXACTLY the range the failed batch covered, even if bronze
+        # advanced since — the sink's txn(app_id, endpoint) idempotence
+        # only holds for identical ranges (round-5 advisor)
+        pinned = self._read_pinned("snapshot_id")
+        if pinned is not None:
+            if pinned == start:
+                self._clear_pinned()  # committed by a prior run
+            else:
+                latest = pinned
         if start is None:
             self._pending = latest
+            self._write_pinned("snapshot_id", latest)
             return read_iceberg_snapshot(
                 self._spark, self._path, snapshot_id=latest
             )
@@ -1190,6 +1257,7 @@ class IcebergTailer:
                 self._pending = None
                 return None
             self._pending = latest
+            self._write_pinned("snapshot_id", latest)
             return _iceberg_live_scan(
                 self._spark,
                 self._path,
@@ -1204,6 +1272,7 @@ class IcebergTailer:
                 "(compaction nets to zero, merges emit new images)"
             )
         self._pending = latest
+        self._write_pinned("snapshot_id", latest)
         return (
             iceberg_snapshot_diff(self._spark, self._path, start, latest)
             .filter(F.col("_change_type") == "insert")
@@ -1225,20 +1294,18 @@ class IcebergTailer:
         if v is None:
             raise ValueError("nothing polled: no offset to commit")
         if self._pin_ref is not None:
-            from ..sources.iceberg import (
-                drop_iceberg_ref,
-                tag_iceberg_snapshot,
-            )
+            # ONE metadata commit replaces the refs-map entry: a
+            # drop-then-tag pair had a crash window where the offset
+            # snapshot sat unpinned and expiration could strand the
+            # consumer (round-5 advisor)
+            from ..sources.iceberg import move_iceberg_ref
 
-            try:
-                drop_iceberg_ref(self._path, self._pin_ref)
-            except ValueError:
-                pass  # first commit: no prior pin
-            tag_iceberg_snapshot(self._path, self._pin_ref, int(v))
+            move_iceberg_ref(self._path, self._pin_ref, int(v))
         tmp = self._offset_file + f".{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump({"snapshot_id": int(v)}, fh)
         os.replace(tmp, self._offset_file)
+        self._clear_pinned()
         self._pending = None
         return int(v)
 

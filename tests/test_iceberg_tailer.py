@@ -152,3 +152,78 @@ def test_relay_exactly_once_crash_window(spark, tmp_path):
     ]
     assert sorted(got) == [(1, "a"), (2, "b"), (3, "c")]  # no duplicates
     assert relay_iceberg_increment(t2, ident, silver, "relay-x") is None
+
+
+def test_relay_crash_window_with_bronze_advance(spark, tmp_path):
+    """Round-5 advisor scenario: crash lands between the silver
+    txn-append and tailer.commit(), and bronze ADVANCES before
+    redelivery. The pinned pending endpoint must make the retried poll
+    re-deliver exactly the failed batch's range (start..v1) — deriving
+    the endpoint from the live head would retry start..v2 under txn v2
+    and double-append the v1 rows."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        write_delta_append,
+    )
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_delta_snapshot,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    write_iceberg_append(_mk(spark, [(1, "a")]), bronze)
+    t = IcebergTailer(spark, bronze, str(tmp_path / "ckpt"))
+    ident = lambda df: df  # noqa: E731
+    assert relay_iceberg_increment(t, ident, silver, "adv") is not None
+
+    write_iceberg_append(_mk(spark, [(2, "b")]), bronze)
+    # the failed delivery: batch written to silver, offset NOT committed
+    batch = t.poll()
+    v1 = int(t.pending_snapshot)
+    write_delta_append(batch, silver, txn=("adv", v1))
+    # bronze advances BEFORE the redelivery
+    write_iceberg_append(_mk(spark, [(3, "c")]), bronze)
+
+    # restart: first relay must redeliver EXACTLY start..v1 (skipped by
+    # txn), the second one ships v1..v2
+    t2 = IcebergTailer(spark, bronze, str(tmp_path / "ckpt"))
+    assert relay_iceberg_increment(t2, ident, silver, "adv") == v1
+    assert relay_iceberg_increment(t2, ident, silver, "adv") is not None
+    got = sorted(
+        (r.id, r.val) for r in read_delta_snapshot(spark, silver).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]  # (2,"b") exactly once
+    assert relay_iceberg_increment(t2, ident, silver, "adv") is None
+
+
+def test_pin_ref_moves_atomically(spark, tmp_path):
+    """commit(pin_ref=...) must replace the refs-map entry in ONE
+    metadata commit — at no metadata version may the pin be absent once
+    it has existed (the drop+tag pair left such a window)."""
+    import json
+    import os
+
+    bronze = str(tmp_path / "bronze")
+    write_iceberg_append(_mk(spark, [(1, "a")]), bronze)
+    t = IcebergTailer(
+        spark, bronze, str(tmp_path / "ckpt"), pin_ref="consumer-pin"
+    )
+    t.poll()
+    t.commit()
+    write_iceberg_append(_mk(spark, [(2, "b")]), bronze)
+    t.poll()
+    t.commit()
+    meta_dir = os.path.join(bronze, "metadata")
+    versions = sorted(
+        f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+    )
+    saw_pin = False
+    for f in versions:
+        with open(os.path.join(meta_dir, f)) as fh:
+            refs = json.load(fh).get("refs") or {}
+        if "consumer-pin" in refs:
+            saw_pin = True
+        elif saw_pin:
+            raise AssertionError(
+                f"{f}: pin vanished after existing — non-atomic ref move"
+            )
+    assert saw_pin

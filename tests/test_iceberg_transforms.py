@@ -714,3 +714,23 @@ def test_hour_on_date_refused(spark, tmp_path):
         write_iceberg_append(
             df, str(tmp_path / "bad"), partition_by=("hour(d)",)
         )
+
+
+def test_undigestible_literal_prunes_nothing(spark, tmp_path):
+    """A scan_filter literal the partition transform can't digest (a
+    date-only string against hour(ts)) must fall back to NO pruning —
+    keep every file, let the row filter decide (round-5 advisor: it
+    raised ValueError and failed the whole read)."""
+    import datetime
+
+    root = str(tmp_path / "htab_bad_lit")
+    base = datetime.datetime(2026, 3, 1, 0, 15)
+    rows = [(base + datetime.timedelta(hours=i), i) for i in range(4)]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, id bigint")
+    write_iceberg_append(df, root, partition_by=("hour(ts)",))
+    got = read_iceberg_snapshot(
+        spark, root, scan_filter=("ts", ">=", "2026-03-01")
+    ).collect()
+    # conservative: the read succeeds and the ROW filter still applies
+    # (ANSI string>=timestamp comparison casts the literal to midnight)
+    assert {r.id for r in got} == {0, 1, 2, 3}

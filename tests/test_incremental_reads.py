@@ -346,3 +346,41 @@ def test_medallion_relay_exactly_once_across_crash(spark, tmp_path):
     # no duplicate despite the redelivered batch
     assert _rows(read_delta_snapshot(spark, silver)) == {(1, "A"), (2, "B")}
     assert relay_delta_increment(t2, xf, silver, "medallion") is None
+
+
+def test_medallion_relay_crash_window_with_bronze_advance(spark, tmp_path):
+    """Round-5 advisor scenario, Delta twin: the offset commit is lost
+    AND bronze advances before redelivery. The pinned pending endpoint
+    re-delivers exactly the failed v1 range (txn skips); the next hop
+    ships v1..v2 — without the pin the retry spanned start..v2 under
+    txn v2 and double-appended the v1 rows."""
+    from mysoftware_nocnetintel_spark.streaming.ops import (
+        DeltaTailer,
+        relay_delta_increment,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    ident = lambda df: df  # noqa: E731
+
+    write_delta_append(_mk(spark, [(1, "a")]), bronze)
+    t = DeltaTailer(spark, bronze, ckpt)
+    assert relay_delta_increment(t, ident, silver, "adv") == 0
+
+    write_delta_append(_mk(spark, [(2, "b")]), bronze)
+    batch = t.poll()
+    v1 = int(t.pending_version)
+    write_delta_append(batch, silver, txn=("adv", v1))
+    # bronze advances BEFORE the redelivery
+    write_delta_append(_mk(spark, [(3, "c")]), bronze)
+
+    t2 = DeltaTailer(spark, bronze, ckpt)  # restart from old offset
+    assert relay_delta_increment(t2, ident, silver, "adv") == v1
+    assert relay_delta_increment(t2, ident, silver, "adv") == v1 + 1
+    assert _rows(read_delta_snapshot(spark, silver)) == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }  # (2,"b") exactly once
+    assert relay_delta_increment(t2, ident, silver, "adv") is None
