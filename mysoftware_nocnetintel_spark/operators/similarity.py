@@ -209,7 +209,8 @@ def ivf_centroids(
     seed: int = 42,
     method: str = "sample",
     train_sample: int | None = None,
-) -> DataFrame:
+    as_list: bool = False,
+) -> DataFrame | list:
     """KMeans cell centroids → DataFrame(cell, centroid).
 
     ``method="sample"`` (default) trains seeded Lloyd's k-means on a bounded
@@ -240,6 +241,14 @@ def ivf_centroids(
         centers = [c.tolist() for c in model.clusterCenters()]
     else:
         raise ValueError(f"unknown ivf_centroids method: {method!r}")
+    if as_list:
+        # centroids are driver-scale index METADATA: returning the plain
+        # [(cell, centroid), ...] list lets ivf_assign/ivf_topk/
+        # ivfpq_topk inline them (UDF closure / literal expressions)
+        # instead of round-tripping a createDataFrame + collect per
+        # invocation (~0.3 s of pure py4j overhead on a serving
+        # statement, measured round 6)
+        return [(i, list(c)) for i, c in enumerate(centers)]
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], ["cell", "centroid"]
     ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
@@ -480,7 +489,7 @@ def pq_topk(
 
 def ivfpq_topk(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     codebooks: list[list[list[float]]],
     queries: DataFrame,
     corpus_id: str = "vec_id",
@@ -497,15 +506,7 @@ def ivfpq_topk(
     (nprobe/cells) × corpus × m lookups + shortlist full vectors — the
     composition each tier was designed for."""
     assigned = ivf_assign(pq_encode(corpus, codebooks, corpus_vec), centroids, corpus_vec)
-    qcells = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", V.l2_distance(query_vec, "centroid")
-    )
-    wq = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col("cell"))
-    probe = (
-        qcells.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select(query_id, query_vec, "cell")
-    )
+    probe = _probe_cells(queries, centroids, query_id, query_vec, nprobe)
     m = len(codebooks)
     sub = len(codebooks[0][0])
     luts = []
@@ -542,9 +543,64 @@ def ivfpq_topk(
     )
 
 
+def _probe_cells_literal(
+    queries: DataFrame,
+    cents: list,
+    query_id: str,
+    query_vec: str,
+    nprobe: int,
+) -> DataFrame:
+    """``nprobe`` nearest cells per query with the centroids inlined as
+    LITERALS: one narrow projection (explode of a sorted literal-distance
+    struct array) — no crossJoin, no broadcast exchange, no per-query
+    window shuffle. The centroid count is index metadata (dozens), so the
+    literal expression stays KB-scale; ties break toward the lower cell
+    id (array_sort on (dist, cell) structs), matching the window form."""
+    structs = []
+    for cell, c in sorted((int(c0), v) for c0, v in cents):
+        arr = _sql_arr(c)
+        d = (
+            f"aggregate(zip_with(transform({query_vec},"
+            f" x -> cast(x as double)), {arr},"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x)"
+        )
+        structs.append(f"struct({d} as d, {cell} as cell)")
+    expr = (
+        "explode(slice(transform(array_sort(array("
+        + ",".join(structs)
+        + f")), s -> s.cell), 1, {int(nprobe)}))"
+    )
+    return queries.select(query_id, query_vec, F.expr(expr).alias("cell"))
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame | list,
+    query_id: str,
+    query_vec: str,
+    nprobe: int,
+) -> DataFrame:
+    """Per-query probe-cell table from either centroid form."""
+    if not isinstance(centroids, DataFrame):
+        return _probe_cells_literal(
+            queries, centroids, query_id, query_vec, nprobe
+        )
+    qcells = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", V.l2_distance(query_vec, "centroid")
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("dist").asc(), F.col("cell")
+    )
+    return (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, query_vec, "cell")
+    )
+
+
 def ivf_topk(
     assigned_corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     queries: DataFrame,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
@@ -553,16 +609,10 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 4,
 ) -> DataFrame:
-    """Search only the ``nprobe`` nearest cells per query (ANN; rows-only)."""
-    qcells = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", V.l2_distance(query_vec, "centroid")
-    )
-    wq = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col("cell"))
-    probe = (
-        qcells.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select(query_id, query_vec, "cell")
-    )
+    """Search only the ``nprobe`` nearest cells per query (ANN; rows-only).
+    ``centroids`` as a driver-side list (``ivf_centroids(as_list=True)``)
+    takes the literal-probe fast path — see :func:`_probe_cells_literal`."""
+    probe = _probe_cells(queries, centroids, query_id, query_vec, nprobe)
     # batch cosine (Arrow + numpy), not the HOF fold: the probe join fans
     # each corpus row out to ~nprobe matches and the per-element fold is
     # interpreted — the batch form is the hot-path fix for ANN scoring.
@@ -703,7 +753,7 @@ def semdedup(
     import pandas as pd
 
     centroids = ivf_centroids(
-        corpus, vec_col=vec_col, n_cells=n_cells, seed=seed
+        corpus, vec_col=vec_col, n_cells=n_cells, seed=seed, as_list=True
     )
     assigned = ivf_assign(corpus, centroids, corpus_vec=vec_col)
 

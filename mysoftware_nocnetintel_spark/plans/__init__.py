@@ -140,6 +140,7 @@ _NO_PLAN_CACHE = {
     "q110_pagerank",
     "q123_semdedup",
     "q125_mllib_pipeline",
+    "q146_bpe_pipeline",  # trains the BPE merge loop at build time
 }
 
 

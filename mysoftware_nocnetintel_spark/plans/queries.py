@@ -453,10 +453,33 @@ def q9_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # README.md:11). SURVEY.md U2.
 # --------------------------------------------------------------------------
 def q10_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 INTERSECT, rewritten as distinct + broadcast left-semi
+    (round-5 verdict task 6): ``intersect`` planned as TWO
+    shuffle-distincts feeding a sort-merge join — three exchanges and
+    two sorts for a result bounded by |distinct users|. The semi form
+    keeps INTERSECT semantics (null-safe equality matches the NULL row
+    like INTERSECT does; the right side needs no distinct for a semi
+    join, but taking it first makes the broadcast bound |distinct
+    erroring users| ≤ |customer| — dimension-sized, the same bound every
+    broadcast dim join here relies on) and drops the merge-join
+    exchange+sorts entirely. Plan gate: tests/test_plans.py pins
+    BroadcastHashJoin LeftSemi, no SortMergeJoin."""
     ev = _t(spark, sf_dir, "events")
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
-    return buyers.intersect(erroring)
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    erroring = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("__eu"))
+        .distinct()
+    )
+    return buyers.join(
+        F.broadcast(erroring),
+        F.col("user_id").eqNullSafe(F.col("__eu")),
+        "left_semi",
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -215,7 +215,11 @@ def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 5)
-    centroids = SIM.ivf_centroids(corpus, n_cells=8)
+    # centroids stay a driver-side list: the fit is index METADATA, and
+    # the list form skips a createDataFrame+collect roundtrip per
+    # invocation and turns the probe step into a narrow literal
+    # projection (round-6; see operators/similarity.py)
+    centroids = SIM.ivf_centroids(corpus, n_cells=8, as_list=True)
     assigned = SIM.ivf_assign(corpus, centroids)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
@@ -260,7 +264,7 @@ def q90_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    centroids = SIM.ivf_centroids(corpus, n_cells=8)
+    centroids = SIM.ivf_centroids(corpus, n_cells=8, as_list=True)
     books = SIM.pq_codebooks(corpus, m=16, k=16)
     return SIM.ivfpq_topk(
         corpus, centroids, books, q, k=5, nprobe=4, shortlist=50

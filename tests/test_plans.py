@@ -192,3 +192,14 @@ def test_q81_q82_windows_entity_partitioned(spark, sf_dir):
             if "AS n_all#" in spec:
                 continue
             assert "user_id" in spec, spec
+
+
+def test_q10_intersect_as_broadcast_semi(spark, sf_dir):
+    """q10 INTERSECT must plan as distinct + broadcast LEFT-SEMI (round-5
+    verdict task 6): no sort-merge join, no third exchange for the join
+    itself — the broadcast side is bounded by |distinct users|."""
+    p = _plan(QUERIES["q10_setops"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p, p
+    # exactly the two distinct shuffles survive (plus the broadcast)
+    assert p.count("Exchange hashpartitioning") <= 2, p
