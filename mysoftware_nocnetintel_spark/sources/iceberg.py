@@ -724,6 +724,22 @@ def write_iceberg_append(
             )
         extra = [f for f in incoming["fields"] if f["name"] not in tb]
         if extra:
+            # a NEW column may not reuse a name some files were written
+            # under (name mapping): without file-level field ids the old
+            # files would surface the old field's values under the new
+            # column
+            taken = {
+                n
+                for m in _load_name_mapping(meta)
+                for n in m.get("names", [])
+            }
+            clashes = [f["name"] for f in extra if f["name"] in taken]
+            if clashes:
+                raise ValueError(
+                    f"new column(s) {clashes} reuse historical names of "
+                    "renamed columns (schema.name-mapping.default): pick "
+                    "different names"
+                )
             next_id = max(f["id"] for f in table_fields) + 1
             evolved_schema = {
                 "type": "struct",
@@ -979,7 +995,12 @@ def write_iceberg_append(
             "location": path,
             "last-sequence-number": seq,
             "last-updated-ms": now_ms,
-            "properties": {"writer": _WRITER_TAG},
+            # carry table properties forward (the name mapping lives
+            # there); the writer tag is always (re)asserted
+            "properties": {
+                **((meta or {}).get("properties") or {}),
+                "writer": _WRITER_TAG,
+            },
             "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
             "current-snapshot-id": snap_id,
         }
@@ -2592,6 +2613,106 @@ def tag_iceberg_snapshot(
         ),
     )
     return snapshot_id
+
+
+_NAME_MAPPING_PROP = "schema.name-mapping.default"
+
+
+def _load_name_mapping(meta: dict | None) -> list[dict]:
+    """The table's name mapping (spec: ``schema.name-mapping.default``
+    property, a JSON list of ``{"field-id": N, "names": [...]}``): maps
+    the column NAMES data files were written under to field ids. Our
+    writer stamps no parquet field ids (plain ``df.write.parquet``), so
+    this mapping is what makes column RENAME readable across files
+    written before the rename."""
+    raw = ((meta or {}).get("properties") or {}).get(_NAME_MAPPING_PROP)
+    return json.loads(raw) if raw else []
+
+
+def rename_iceberg_column(path: str, old: str, new: str) -> int:
+    """RENAME a column — metadata-only, one KB-scale CAS commit (spec
+    "Schema Evolution": ids are forever, names are labels). The current
+    schema's field keeps its id under the new name, and the old name is
+    recorded in the ``schema.name-mapping.default`` property so the scan
+    resolves files written under EITHER name (readers.py
+    ``_iceberg_scan_schema``: union read schema + per-field coalesce —
+    a file carries exactly one of the names, so the coalesce picks the
+    populated one; zone-map bounds and equality-ids are keyed by field
+    id and never notice).
+
+    Refused: renaming a partition-spec SOURCE column (partition records
+    and transform pruning are keyed by the spec field, but scan_filter
+    routing matches the source by name — out of scope), and a ``new``
+    name that collides with any current column or any HISTORICAL name
+    in the mapping (without file-level field ids a reused name would
+    make old files ambiguous). Returns the new schema-id."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to rename a column on an Iceberg table created by "
+            "another writer: use the iceberg-spark-runtime connector"
+        )
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        raise ValueError("table has no field-id schema")
+    fields = [dict(f) for f in schemas[0]["fields"]]
+    by_name = {f["name"]: f for f in fields}
+    if old not in by_name:
+        raise ValueError(
+            f"column {old!r} does not exist; schema has "
+            f"{sorted(by_name)}"
+        )
+    fid = by_name[old]["id"]
+    mapping = _load_name_mapping(meta)
+    hist: dict[str, int] = {}
+    for m in mapping:
+        for n in m.get("names", []):
+            hist[n] = m["field-id"]
+    if new in by_name or hist.get(new, fid) != fid:
+        raise ValueError(
+            f"name {new!r} is already used by another column (current "
+            "or historical): reusing names over files without field ids "
+            "would make old data ambiguous"
+        )
+    for spec in meta.get("partition-specs") or []:
+        if any(pf.get("source-id") == fid for pf in spec.get("fields", [])):
+            raise NotImplementedError(
+                f"column {old!r} is a partition-spec source: rename of "
+                "partition sources is not supported (scan_filter routes "
+                "transform pruning by source NAME)"
+            )
+    by_name[old]["name"] = new
+    entry = next((m for m in mapping if m["field-id"] == fid), None)
+    if entry is None:
+        entry = {"field-id": fid, "names": []}
+        mapping.append(entry)
+    for n in (old, new):
+        if n not in entry["names"]:
+            entry["names"].append(n)  # oldest → newest; current is last
+    new_schema = dict(
+        schemas[0],
+        fields=fields,
+        **{"schema-id": int(schemas[0].get("schema-id", 0)) + 1},
+    )
+    props = dict(meta.get("properties") or {})
+    props[_NAME_MAPPING_PROP] = json.dumps(mapping)
+    _commit_metadata(
+        meta_dir,
+        ver,
+        dict(
+            meta,
+            schemas=[new_schema],
+            **{
+                "current-schema-id": new_schema["schema-id"],
+                "properties": props,
+                "last-updated-ms": int(time.time() * 1000),
+            },
+        ),
+    )
+    return new_schema["schema-id"]
 
 
 def move_iceberg_ref(path: str, name: str, snapshot_id: int) -> int:

@@ -863,19 +863,48 @@ def _iceberg_live_scan(
     # the same (__fp, __pos) coordinates, so deletes compose identically.
     pq_entries = [e for e in data_files if e.fmt == "PARQUET"]
     av_entries = [e for e in data_files if e.fmt == "AVRO"]
+    legacy = _iceberg_legacy_names(path)
     parts = []
     if pq_entries:
         reader = spark.read
         expected = _iceberg_expected_schema(path)
         if expected is not None:
+            scan_schema = expected
+            if legacy:
+                # RENAMED columns (name mapping): widen the read schema
+                # with one nullable twin per historical name — a file
+                # carries exactly one of the names (names may not be
+                # reused across fields, enforced at rename/evolve time),
+                # so the per-field coalesce below picks the populated
+                # column and pre-rename files keep resolving
+                from pyspark.sql.types import StructField, StructType
+
+                cur = {f.name: f for f in expected.fields}
+                extra = [
+                    StructField(h, cur[c].dataType, True)
+                    for c, hs in legacy.items()
+                    for h in hs
+                ]
+                scan_schema = StructType(list(expected.fields) + extra)
             # schema-evolution correctness: files predating an added
             # column null-fill it, and the scan's column order follows
             # the TABLE schema instead of whichever file got sampled
-            reader = reader.schema(expected)
+            reader = reader.schema(scan_schema)
         scan = reader.parquet(*[e.path for e in pq_entries])
+        if expected is not None and legacy:
+            cols = [
+                F.coalesce(
+                    F.col(f.name), *[F.col(h) for h in legacy[f.name]]
+                ).alias(f.name)
+                if f.name in legacy
+                else F.col(f.name)
+                for f in expected.fields
+            ]
+        else:
+            cols = [F.col(c) for c in scan.columns]
         parts.append(
             scan.select(
-                "*",
+                *cols,
                 _uri_to_path(F.col("_metadata.file_path")).alias("__fp"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
@@ -892,7 +921,9 @@ def _iceberg_live_scan(
             "left_anti",
         )
     if eq_deletes:
-        data = _apply_equality_deletes(spark, data, data_files, eq_deletes)
+        data = _apply_equality_deletes(
+            spark, data, data_files, eq_deletes, legacy
+        )
     if scan_filter:
         # the kept files are a SUPERSET (bounds are file-level): the row
         # predicate still applies, pushed to the parquet scan by Catalyst
@@ -970,6 +1001,41 @@ def _iceberg_expected_schema(path: str):
     return StructType.fromDDL(", ".join(parts))
 
 
+def _iceberg_legacy_names(path: str) -> dict[str, list[str]]:
+    """current column name → HISTORICAL names (newest first), from the
+    table's ``schema.name-mapping.default`` property (written by
+    ``rename_iceberg_column``). Empty when no column was ever renamed —
+    the scan then skips the coalesce resolution entirely. Our data files
+    carry no parquet field ids, so this mapping is how files written
+    under a pre-rename name keep resolving (spec "Column Projection":
+    name mapping as the field-id fallback)."""
+    import json
+    import os
+
+    meta_dir = os.path.join(path, "metadata")
+    try:
+        versions = sorted(
+            (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+            key=lambda p: int(p[1:].split(".")[0]),
+        )
+        with open(os.path.join(meta_dir, versions[-1])) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    mapping = {m["field-id"]: m.get("names", []) for m in json.loads(raw)}
+    out: dict[str, list[str]] = {}
+    for f in (meta.get("schemas") or [{}])[0].get("fields", []):
+        names = mapping.get(f["id"])
+        if names:
+            hist = [n for n in names if n != f["name"]]
+            if hist:
+                out[f["name"]] = list(reversed(hist))  # newest first
+    return out
+
+
 def _scan_iceberg_avro(
     spark: SparkSession, path: str, entries: "list[_DataFile]"
 ) -> DataFrame:
@@ -1022,6 +1088,11 @@ def _scan_iceberg_avro(
     files_df = spark.createDataFrame(
         [(p,) for p in paths], "__path string"
     ).repartition(len(paths), "__path")
+    # RENAME support (name mapping): an avro record decoded from a file
+    # written pre-rename keys its values by the historical name — try
+    # the current name first, then the historical ones (newest first)
+    legacy = _iceberg_legacy_names(path)
+    cands = {n: [n] + legacy.get(n, []) for n in names}
 
     def _decode(batches):
         import pandas as pd
@@ -1034,7 +1105,16 @@ def _scan_iceberg_avro(
             for p in pdf["__path"]:
                 _, recs = read_avro_file(p)
                 out = pd.DataFrame(
-                    [[r.get(n) for n in names] for r in recs], columns=names
+                    [
+                        [
+                            next(
+                                (r[c] for c in cands[n] if c in r), None
+                            )
+                            for n in names
+                        ]
+                        for r in recs
+                    ],
+                    columns=names,
                 )
                 out["__fp"] = p
                 out["__pos"] = range(len(recs))
@@ -1486,6 +1566,7 @@ def _apply_equality_deletes(
     data: DataFrame,
     data_files: "list[_DataFile]",
     eq_deletes: list[tuple[str, int, list[str]]],
+    legacy: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Merge-on-read equality deletes, spec semantics: a delete row kills a
     data row iff the equality columns match NULL-SAFELY and the data file's
@@ -1508,9 +1589,31 @@ def _apply_equality_deletes(
     for cols, files in groups.items():
         dels = None
         for fpath, seq in files:
-            d = spark.read.parquet(fpath).select(
-                *cols, F.lit(seq).alias("__dseq")
-            )
+            raw = spark.read.parquet(fpath)
+            sel = []
+            for c in cols:
+                if c in raw.columns:
+                    sel.append(F.col(c))
+                    continue
+                # delete file written before a column RENAME: its
+                # equality column carries the historical name — the
+                # equality_ids in the manifest are field ids, so the
+                # name mapping resolves it to the current name
+                h = next(
+                    (
+                        h
+                        for h in (legacy or {}).get(c, [])
+                        if h in raw.columns
+                    ),
+                    None,
+                )
+                if h is None:
+                    raise ValueError(
+                        f"equality-delete file {fpath} lacks column "
+                        f"{c!r} (and no historical name matches)"
+                    )
+                sel.append(F.col(h).alias(c))
+            d = raw.select(*sel, F.lit(seq).alias("__dseq"))
             dels = d if dels is None else dels.unionByName(d)
         cond = functools.reduce(
             lambda a, b: a & b, [data[c].eqNullSafe(dels[c]) for c in cols]
