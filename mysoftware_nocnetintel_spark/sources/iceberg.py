@@ -7,8 +7,11 @@
   (``_commit_metadata``: hard-link put-if-absent of
   ``v<N>.metadata.json``, the HadoopTableOperations recipe) — a lost
   race raises :class:`IcebergCommitConflict` instead of clobbering the
-  winner, and appends retry on top of it (they commute; delete/rewrite/
-  expire surface the conflict for a re-run). Object stores without
+  winner. Appends retry on top of it (they commute), and RECOMPUTABLE
+  commits — compaction, manifest rewrite, expiration, ref/schema moves
+  — auto-retry too (``_retry_on_conflict``); data-SEMANTIC writers
+  (delete/update/merge) surface the conflict for the caller to
+  re-decide against the new head. Object stores without
   atomic link/rename still need a real catalog (REST/Hive/Glue) — that
   remains the production path;
 - refuses to append to tables it didn't create (unknown features could
@@ -274,11 +277,40 @@ def _iceberg_schema(spark_schema) -> dict | None:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def _retry_on_conflict(fn):
+    """Auto-retry (3 attempts) for RECOMPUTABLE commits — maintenance
+    verbs (compaction, manifest rewrite, expiration) and metadata-only
+    ref/schema moves. Each of these reloads the table head on entry and
+    re-validates its preconditions, so re-running against the winning
+    writer's snapshot is semantically a fresh invocation, never a lost
+    update (round-5 verdict task 8: only appends retried before). A
+    compaction attempt that lost its CAS leaves already-staged data
+    files as unreferenced orphans — ``remove_orphan_files`` reclaims
+    them. Data-SEMANTIC writers (delete/update/merge) deliberately do
+    NOT retry: their scan basis changed under them, and re-deciding the
+    predicate against the new head belongs to the caller."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        last: IcebergCommitConflict | None = None
+        for _ in range(3):
+            try:
+                return fn(*args, **kwargs)
+            except IcebergCommitConflict as e:
+                last = e
+        raise last
+
+    return wrapper
+
+
 class IcebergCommitConflict(RuntimeError):
     """Another writer committed the metadata version this commit was
-    staged against. Appends retry internally (they commute); delete /
-    rewrite / expire commits surface this — re-run them against the new
-    table state (their inputs may have changed)."""
+    staged against. Appends retry internally (they commute) and
+    recomputable maintenance/ref commits auto-retry
+    (``_retry_on_conflict``); delete/update/merge commits surface this
+    — re-run them against the new table state (their scan basis may
+    have changed)."""
 
 
 def _commit_metadata(meta_dir: str, prev_ver: int, new_meta: dict) -> None:
@@ -1891,6 +1923,7 @@ def update_iceberg_rows(
                     pass
 
 
+@_retry_on_conflict
 def rewrite_iceberg_table(
     spark,
     path: str,
@@ -2351,6 +2384,7 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
     raise last_err
 
 
+@_retry_on_conflict
 def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
     """Snapshot EXPIRATION (the other half of table maintenance next to
     :func:`rewrite_iceberg_table`): keep only the newest ``keep_last``
@@ -2565,6 +2599,7 @@ def rollback_iceberg_table(path: str, snapshot_id: int) -> int:
     return snapshot_id
 
 
+@_retry_on_conflict
 def tag_iceberg_snapshot(
     path: str, name: str, snapshot_id: int | None = None
 ) -> int:
@@ -2629,6 +2664,7 @@ def _load_name_mapping(meta: dict | None) -> list[dict]:
     return json.loads(raw) if raw else []
 
 
+@_retry_on_conflict
 def rename_iceberg_column(path: str, old: str, new: str) -> int:
     """RENAME a column — metadata-only, one KB-scale CAS commit (spec
     "Schema Evolution": ids are forever, names are labels). The current
@@ -2715,6 +2751,7 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
     return new_schema["schema-id"]
 
 
+@_retry_on_conflict
 def move_iceberg_ref(path: str, name: str, snapshot_id: int) -> int:
     """Create-or-move a TAG ref to ``snapshot_id`` in ONE metadata
     commit — the refs-map entry is replaced atomically, so there is no
@@ -2760,6 +2797,7 @@ def move_iceberg_ref(path: str, name: str, snapshot_id: int) -> int:
     return int(snapshot_id)
 
 
+@_retry_on_conflict
 def drop_iceberg_ref(path: str, name: str) -> int:
     """Remove a named ref; the snapshot it pinned becomes expirable
     again. Returns the snapshot id the ref pointed at."""
@@ -2783,6 +2821,7 @@ def drop_iceberg_ref(path: str, name: str) -> int:
     return pinned
 
 
+@_retry_on_conflict
 def publish_iceberg_branch(path: str, name: str, drop: bool = True) -> int:
     """WRITE-AUDIT-PUBLISH, the publish step (Iceberg's
     ``fast_forward`` procedure): move the table head to the branch head

@@ -2,7 +2,8 @@
 (HadoopTableOperations recipe: hard-link put-if-absent of
 ``v<N>.metadata.json``). A lost race must never clobber the winning
 commit: appends re-stage their metadata on top of the winner (appends
-commute), every other commit kind surfaces ``IcebergCommitConflict``."""
+commute), recomputable maintenance/ref commits auto-retry (round-6),
+and data-semantic writers surface ``IcebergCommitConflict``."""
 
 import json
 import os
@@ -87,11 +88,13 @@ def test_delete_surfaces_conflict(spark, tmp_path, monkeypatch):
     assert _ids(spark, root) == list(range(10)) + [100, 101]
 
 
-def test_expire_surfaces_conflict_without_deleting(
+def test_expire_retries_on_conflict_without_losing_files(
     spark, tmp_path, monkeypatch
 ):
-    """Expiration must commit BEFORE deleting files: when the CAS loses,
-    every file the winner references must still exist."""
+    """Expiration is RECOMPUTABLE maintenance (round-6): a lost CAS
+    re-runs against the winner's head instead of surfacing. The retried
+    expiration must never delete a file the winner's snapshots
+    reference, and the live read must include the winner's rows."""
     root = str(tmp_path / "cas3")
     write_iceberg_append(_df(spark, 0, 3), root)
     write_iceberg_append(_df(spark, 3, 6), root)
@@ -108,17 +111,21 @@ def test_expire_surfaces_conflict_without_deleting(
         return real(meta_dir, prev_ver, new_meta)
 
     monkeypatch.setattr(ice, "_commit_metadata", racing)
-    with pytest.raises(IcebergCommitConflict):
-        expire_iceberg_snapshots(root, keep_last=1)
+    removed = expire_iceberg_snapshots(root, keep_last=1)
     monkeypatch.setattr(ice, "_commit_metadata", real)
-    # nothing was deleted: the full table (winner's append included)
-    # still reads, and so does time travel to the oldest snapshot
+    # the retried expiration ran against the WINNER's head: the live
+    # read carries both row sets and the kept snapshot is the winner's
     assert _ids(spark, root) == list(range(12)) + [100, 101]
-    meta = json.load(
-        open(os.path.join(root, "metadata", "v5.metadata.json"))
+    assert removed >= 0  # old manifest lists/manifests reclaimed
+    versions = sorted(
+        f
+        for f in os.listdir(os.path.join(root, "metadata"))
+        if f.endswith(".metadata.json")
     )
-    oldest = min(s["sequence-number"] for s in meta["snapshots"])
-    assert oldest == 1  # no snapshot was expired
+    meta = json.load(
+        open(os.path.join(root, "metadata", versions[-1]))
+    )
+    assert len(meta["snapshots"]) == 1  # keep_last=1 applied post-race
 
 
 def test_schema_change_under_staged_append_conflicts(
@@ -160,3 +167,111 @@ def test_version_hint_written(spark, tmp_path):
     assert open(hint).read() == "2"
     meta = json.load(open(os.path.join(root, "metadata", "v2.metadata.json")))
     assert meta["current-snapshot-id"] == meta["snapshots"][-1]["snapshot-id"]
+
+
+def test_compaction_retries_on_lost_race(spark, tmp_path, monkeypatch):
+    """OPTIMIZE (rewrite_iceberg_table) is recomputable: a lost CAS
+    re-runs the rewrite against the winner's head — the compacted
+    snapshot must include the competing append's rows (round-5 verdict
+    task 8: only appends retried before)."""
+    root = str(tmp_path / "cas_opt")
+    write_iceberg_append(_df(spark, 0, 4), root)
+    write_iceberg_append(_df(spark, 4, 8), root)
+    write_iceberg_position_deletes(
+        spark, root, __import__("pyspark.sql.functions", fromlist=["col"]).col("id") == 0
+    )
+
+    real = ice._commit_metadata
+    fired = {"n": 0}
+
+    def racing(meta_dir, prev_ver, new_meta):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            write_iceberg_append(_df(spark, 100, 102), root)
+        return real(meta_dir, prev_ver, new_meta)
+
+    monkeypatch.setattr(ice, "_commit_metadata", racing)
+    sid = ice.rewrite_iceberg_table(spark, root)
+    monkeypatch.setattr(ice, "_commit_metadata", real)
+    assert _ids(spark, root) == list(range(1, 8)) + [100, 101]
+    # the committed snapshot is a compaction of the WINNER's head: no
+    # delete files survive into it
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        _iceberg_snapshot_files,
+    )
+
+    _d, pos_del, eq_del, snap = _iceberg_snapshot_files(root)
+    assert snap["snapshot-id"] == sid
+    assert not pos_del and not eq_del
+
+
+def test_ref_moves_retry_on_lost_race(spark, tmp_path, monkeypatch):
+    """Tag/move commits are metadata-only and recomputable — a lost CAS
+    retries and the ref lands on the requested snapshot."""
+    root = str(tmp_path / "cas_ref")
+    s1 = write_iceberg_append(_df(spark, 0, 3), root)
+
+    real = ice._commit_metadata
+    fired = {"n": 0}
+
+    def racing(meta_dir, prev_ver, new_meta):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            write_iceberg_append(_df(spark, 100, 102), root)
+        return real(meta_dir, prev_ver, new_meta)
+
+    monkeypatch.setattr(ice, "_commit_metadata", racing)
+    assert ice.move_iceberg_ref(root, "pin", s1) == s1
+    monkeypatch.setattr(ice, "_commit_metadata", real)
+    pinned = read_iceberg_snapshot(spark, root, ref="pin")
+    assert sorted(r.id for r in pinned.collect()) == [0, 1, 2]
+    assert _ids(spark, root) == [0, 1, 2, 100, 101]
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_two_writer_interleaving_no_lost_updates(spark, tmp_path, seed):
+    """Randomized two-writer interleaving: one thread appends, the other
+    runs maintenance verbs (compaction / manifest rewrite / expiration)
+    against the same table through the real filesystem CAS. Every
+    appended row must survive to the end — maintenance may reshape
+    files and metadata but never loses an update."""
+    import random
+    import threading
+    import time as _time
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"fuzz{seed}")
+    write_iceberg_append(_df(spark, 0, 3), root)
+    errs: list = []
+
+    def appender():
+        try:
+            for k in range(5):
+                lo = 10 * (k + 1)
+                write_iceberg_append(_df(spark, lo, lo + 3), root)
+                _time.sleep(rng.random() * 0.05)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def maintainer():
+        try:
+            for _ in range(4):
+                op = rng.choice(["compact", "manifests", "expire"])
+                if op == "compact":
+                    ice.rewrite_iceberg_table(spark, root)
+                elif op == "manifests":
+                    ice.rewrite_iceberg_manifests(root, min_manifests=2)
+                else:
+                    expire_iceberg_snapshots(root, keep_last=2)
+                _time.sleep(rng.random() * 0.05)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender)
+    t2 = threading.Thread(target=maintainer)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    want = list(range(3)) + [
+        10 * (k + 1) + j for k in range(5) for j in range(3)
+    ]
+    assert _ids(spark, root) == sorted(want)
