@@ -148,34 +148,53 @@ def lsh_bucketed_topk(
     equi-join on (table, bucket))."""
     tables = list(range(max(1, n_tables)))
 
+    # The plane tensor travels as the CLOSURE of ONE Arrow-batched UDF
+    # instead of inlined literals: at 12 tables × 6 planes × 64 dims the
+    # literal form put ~9k constants into the plan tree and every
+    # downstream withColumn/select/join RE-ANALYZED that tree JVM-side
+    # (measured: ~1.4 s of pure plan build per q42 statement, py4j
+    # profile: 15 withColumn calls = 2.7 s/3 runs). The UDF keeps the
+    # tree KB-scale and the sign-bit math is one einsum per Arrow batch.
+    # Rows-only semantics: numpy's summation-order ULP differences vs
+    # the sequential HOF fold could flip a bucket only when a dot
+    # product is within one ulp of 0; both sides use the SAME UDF, so
+    # bucketing stays self-consistent (recall gates, not value hashes).
+    planes = np.stack(
+        [
+            np.asarray(
+                _hyperplanes(dim, n_planes, seed + 1000 * t),
+                dtype=np.float64,
+            )
+            for t in tables
+        ]
+    )  # (T, P, D)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)  # (P,)
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets_batch(v):
+        import pandas as pd
+
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy()).astype(np.float64)  # (N, D)
+        dots = np.einsum("nd,tpd->ntp", M, planes)  # (N, T, P)
+        packed = ((dots > 0).astype(np.int64) * weights).sum(axis=2)
+        return pd.Series(list(packed))
+
     def buckets(vec_col: str) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    random_hyperplane_lsh(
-                        vec_col, dim, n_planes, seed + 1000 * t
-                    ).alias("bucket"),
-                )
-                for t in tables
-            ]
-        )
+        return _buckets_batch(F.col(vec_col))
 
     # widen the corpus-side bucket computation: a single-file scan is one
     # partition, which would run every per-row plane-projection on one core
     from .dedup import spread_narrow
 
-    c = spread_narrow(corpus).withColumn(
-        "__tb", F.explode(buckets(corpus_vec))
-    ).select(
-        F.col("__tb.tbl").alias("tbl"),
-        F.col("__tb.bucket").alias("bucket"),
+    c = spread_narrow(corpus).select(
         *[F.col(x) for x in corpus.columns],
+        F.posexplode(buckets(corpus_vec)).alias("tbl", "bucket"),
     )
-    q = queries.withColumn("__tb", F.explode(buckets(query_vec))).select(
-        F.col("__tb.tbl").alias("tbl"),
-        F.col("__tb.bucket").alias("bucket"),
+    q = queries.select(
         *[F.col(x) for x in queries.columns],
+        F.posexplode(buckets(query_vec)).alias("tbl", "bucket"),
     )
     if multiprobe >= 1:
         flips = F.array(
