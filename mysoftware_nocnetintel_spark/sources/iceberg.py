@@ -480,15 +480,26 @@ _AVRO_DATA_TYPES = {
 }
 
 
-def _write_avro_data_files(df: DataFrame, stage: str) -> dict[str, int]:
+def _write_avro_data_files(
+    df: DataFrame, stage: str, pfs=()
+) -> "dict[str, tuple[int, dict | None]]":
     """Distributed row-format write for avro fast-appends: each non-empty
-    executor partition encodes its rows into ONE avro object-container
-    file under ``stage`` via :mod:`.avro_lite` (pure-Python, importable on
+    executor partition encodes its rows into avro object-container
+    files under ``stage`` via :mod:`.avro_lite` (pure-Python, importable on
     workers — Spark ships no avro writer without the external spark-avro
-    jar). Returns {staged path: record count} — one bounded row per
-    partition comes back to the driver, never data. The per-partition
-    record list is held in worker memory while encoding; fast-appends are
-    small hot batches by design (the compactor owns the big rewrites)."""
+    jar). Returns {staged path: (record count, partition values|None)} —
+    one bounded row per file comes back to the driver, never data. The
+    per-partition record list is held in worker memory while encoding;
+    fast-appends are small hot batches by design (the compactor owns the
+    big rewrites).
+
+    ``pfs`` (PartField list) makes the write PARTITIONED: transform
+    columns are computed, rows repartition on them (co-locating each
+    tuple), and every worker encodes one avro file PER partition tuple it
+    holds, reporting the tuple's typed values for the manifest's
+    partition record — so partition pruning works identically to the
+    parquet path while the data files stay row-oriented (the fast-append
+    shape a streaming CDC writer wants on a partitioned table)."""
     import os as _os
 
     sch = _iceberg_schema(df.schema)
@@ -521,8 +532,19 @@ def _write_avro_data_files(df: DataFrame, stage: str) -> dict[str, int]:
         ],
     }
     _os.makedirs(stage, exist_ok=True)
+    part_names = [f"__part_{pf.name}" for pf in pfs]
+    if pfs:
+        from pyspark.sql import functions as F
+
+        from .iceberg_transforms import transform_column
+
+        for pf in pfs:
+            df = df.withColumn(f"__part_{pf.name}", transform_column(pf))
+        df = df.repartition(*[F.col(n) for n in part_names])
+    pf_meta = [(pf.name, f"__part_{pf.name}") for pf in pfs]
 
     def _write_part(batches):
+        import json as _json
         import uuid as _uuid
 
         import pandas as pd
@@ -531,24 +553,90 @@ def _write_avro_data_files(df: DataFrame, stage: str) -> dict[str, int]:
             write_avro_file,
         )
 
-        recs = []
-        for pdf in batches:
-            for rowd in pdf[names].to_dict("records"):
+        def _encode(frame, pvals_json):
+            recs = []
+            for rowd in frame[names].to_dict("records"):
                 recs.append(
                     {
                         n: None if pd.isna(rowd[n]) else py(rowd[n])
                         for n, py in convs
                     }
                 )
-        if recs:
+            if not recs:
+                return None
             p = _os.path.join(
                 stage, f"part-{_uuid.uuid4().hex[:16]}.avro"
             )
             write_avro_file(p, avro_schema, recs)
-            yield pd.DataFrame({"path": [p], "n": [len(recs)]})
+            return pd.DataFrame(
+                {"path": [p], "n": [len(recs)], "pjson": [pvals_json]}
+            )
 
-    rows = df.mapInPandas(_write_part, "path string, n long").collect()
-    return {r["path"]: int(r["n"]) for r in rows}
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        full = pd.concat(frames, ignore_index=True)
+        if not pf_meta:
+            out = _encode(full, None)
+            if out is not None:
+                yield out
+            return
+        # one avro file per partition TUPLE held by this worker (a hash
+        # repartition may co-locate several tuples on one partition —
+        # multiple small files per tuple commit is spec-legal, and the
+        # bin-packing compactor owns consolidation)
+        keys = [k for _n, k in pf_meta]
+        for _kv, grp in full.groupby(keys, dropna=False, sort=True):
+            vals = {}
+            for name, key in pf_meta:
+                v = grp[key].iloc[0]
+                if pd.isna(v):
+                    vals[name] = None
+                elif hasattr(v, "item"):
+                    vals[name] = v.item()
+                elif hasattr(v, "isoformat"):
+                    vals[name] = v.isoformat()
+                else:
+                    vals[name] = v
+            out = _encode(grp, _json.dumps(vals, sort_keys=True))
+            if out is not None:
+                yield out
+
+    rows = df.mapInPandas(
+        _write_part, "path string, n long, pjson string"
+    ).collect()
+    # decode the partition record to the spec's types (the parquet twin's
+    # _hive_decode_partition_value convention: ints int, floats float,
+    # booleans bool, string/date string ISO)
+    vt = {pf.name: pf.value_type for pf in pfs}
+
+    def _typed(pvals: dict | None) -> dict | None:
+        if pvals is None:
+            return None
+        out = {}
+        for k, v in pvals.items():
+            t = vt.get(k, "string")
+            if v is None:
+                out[k] = None
+            elif t in ("int", "long"):
+                out[k] = int(v)
+            elif t in ("double", "float"):
+                out[k] = float(v)
+            elif t == "boolean":
+                out[k] = bool(v)
+            else:
+                out[k] = str(v)
+        return out
+
+    import json as _json
+
+    return {
+        r["path"]: (
+            int(r["n"]),
+            _typed(_json.loads(r["pjson"])) if r["pjson"] else None,
+        )
+        for r in rows
+    }
 
 
 def _txn_already_committed(
@@ -612,7 +700,10 @@ def write_iceberg_append(
     bounds (no row-group statistics to harvest) so zone maps never prune
     them, and :func:`rewrite_iceberg_table` ALWAYS bin-packs them into
     parquet — write-fast then compact-to-columnar is the intended
-    lifecycle. Scope: unpartitioned tables, primitive
+    lifecycle. PARTITIONED avro appends (round 6) co-locate each
+    partition tuple and write one avro file per tuple per worker, with
+    the typed partition record in the manifest — partition pruning works
+    exactly like the parquet path. Scope: primitive
     int/long/float/double/string/boolean columns; everything else fails
     fast.
 
@@ -801,11 +892,6 @@ def write_iceberg_append(
             *[f["name"] for f in extra],
         )
 
-    if file_format == "avro" and part_fields:
-        raise NotImplementedError(
-            "avro fast-appends are unpartitioned only (partitioned "
-            "tables append parquet)"
-        )
     if sort_by:
         if file_format == "avro":
             raise NotImplementedError(
@@ -848,12 +934,14 @@ def write_iceberg_append(
     stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
     try:
         if file_format == "avro":
-            counts = _write_avro_data_files(df, stage)
+            counts = _write_avro_data_files(
+                df, stage, pfs if part_fields else ()
+            )
             for f in sorted(counts):
                 dest = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.avro")
-                n = counts[f]
+                n, pvals = counts[f]
                 shutil.move(f, dest)
-                new_files.append((dest, None, "AVRO", n))
+                new_files.append((dest, pvals, "AVRO", n))
         elif part_fields:
             for dest, pvals in _stage_partitioned_parquet(
                 df, path, data_dir, pfs
@@ -1513,13 +1601,14 @@ def merge_iceberg_rows(
             if file_format == "avro":
                 counts = _write_avro_data_files(rows, stage)
                 for f in sorted(counts):
-                    if not counts[f]:
+                    n, _pv = counts[f]
+                    if not n:
                         continue
                     dest = os.path.join(
                         data_dir, f"{uuid.uuid4().hex[:16]}.avro"
                     )
                     shutil.move(f, dest)
-                    new_files.append((dest, None, "AVRO", counts[f]))
+                    new_files.append((dest, None, "AVRO", n))
             elif pfs:
                 for dest, pvals in _stage_partitioned_parquet(
                     rows, path, data_dir, pfs

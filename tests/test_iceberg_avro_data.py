@@ -148,14 +148,6 @@ def test_avro_append_fail_fasts(spark, tmp_path):
             root,
             file_format="avro",
         )
-    # partitioned + avro
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
-        write_iceberg_append(
-            spark.createDataFrame([("d1", 1)], "day string, id bigint"),
-            root,
-            partition_by=("day",),
-            file_format="avro",
-        )
     with pytest.raises(ValueError, match="file_format"):
         write_iceberg_append(
             spark.createDataFrame([(1,)], "id bigint"), root,
@@ -171,3 +163,114 @@ def test_time_travel_across_formats(spark, tmp_path):
         spark, root, snapshot_id=snap["snapshot-id"]
     )
     assert len(_rows(old)) == 4
+
+
+def test_partitioned_avro_append_prunes_and_reads(spark, tmp_path):
+    """Partitioned AVRO fast-appends (round 6, was a documented refusal):
+    one avro file per partition tuple, typed partition record in the
+    manifest — partition_filter pruning identical to the parquet path."""
+    root = str(tmp_path / "avpart")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, f"d{i % 3}", float(i)) for i in range(12)],
+            "id bigint, day string, v double",
+        ),
+        root,
+        partition_by=("day",),
+        file_format="avro",
+    )
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert all(e.fmt == "AVRO" for e in data_files)
+    assert {e.partition["day"] for e in data_files} == {"d0", "d1", "d2"}
+    got = read_iceberg_snapshot(
+        spark, root, partition_filter={"day": "d1"}
+    )
+    assert sorted(r.id for r in got.collect()) == [1, 4, 7, 10]
+    # manifest-side pruning is real: corrupt every non-d1 file
+    for e in data_files:
+        if e.partition["day"] != "d1":
+            with open(e.path, "wb") as fh:
+                fh.write(b"garbage")
+    got = read_iceberg_snapshot(
+        spark, root, partition_filter={"day": "d1"}
+    )
+    assert sorted(r.id for r in got.collect()) == [1, 4, 7, 10]
+
+
+def test_partitioned_avro_inherits_spec_and_transforms(spark, tmp_path):
+    """Later avro appends inherit the spec; bucket/truncate transform
+    partition values are recorded typed (int), like the parquet path."""
+    root = str(tmp_path / "avpart2")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(8)], "id bigint, val string"
+        ),
+        root,
+        partition_by=("bucket(4, id)",),
+        file_format="avro",
+    )
+    write_iceberg_append(
+        spark.createDataFrame([(100, "x")], "id bigint, val string"),
+        root,
+        file_format="avro",
+    )
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert all(isinstance(e.partition["id_bucket"], int) for e in data_files)
+    got = read_iceberg_snapshot(spark, root)
+    assert sorted(r.id for r in got.collect()) == list(range(8)) + [100]
+    # bucket pruning routes through the transform on the SOURCE column
+    got = read_iceberg_snapshot(spark, root, scan_filter=("id", "=", 100))
+    assert sorted(r.id for r in got.collect()) == [100]
+
+
+def test_partitioned_avro_mixed_with_parquet_and_deletes(spark, tmp_path):
+    """Avro fast-appends and parquet appends interleave on one
+    partitioned table; position deletes mask across both formats."""
+    root = str(tmp_path / "avpart3")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}") for i in range(6)], "id bigint, day string"
+        ),
+        root,
+        partition_by=("day",),
+    )
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}") for i in range(6, 12)], "id bigint, day string"
+        ),
+        root,
+        file_format="avro",
+    )
+    write_iceberg_position_deletes(spark, root, F.col("id").isin(2, 7))
+    got = read_iceberg_snapshot(spark, root)
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(12) if i not in (2, 7)
+    ]
+    got = read_iceberg_snapshot(spark, root, partition_filter={"day": "d1"})
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(12) if i % 2 == 1 and i != 7
+    ]
+
+
+def test_partitioned_avro_compaction_to_parquet(spark, tmp_path):
+    """rewrite_iceberg_table converts partitioned avro fast-appends to
+    parquet, preserving partition records (pruning still works)."""
+    root = str(tmp_path / "avpart4")
+    for lo in (0, 6):
+        write_iceberg_append(
+            spark.createDataFrame(
+                [(i, f"d{i % 2}") for i in range(lo, lo + 6)],
+                "id bigint, day string",
+            ),
+            root,
+            partition_by=("day",) if lo == 0 else (),
+            file_format="avro",
+        )
+    rewrite_iceberg_table(spark, root)
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    assert all(e.fmt == "PARQUET" for e in data_files)
+    assert {e.partition["day"] for e in data_files} == {"d0", "d1"}
+    got = read_iceberg_snapshot(spark, root, partition_filter={"day": "d0"})
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(12) if i % 2 == 0
+    ]
