@@ -96,7 +96,7 @@ def pagerank(
     3. billion-node: per iteration one equi-join of the rank table against
        the edge table on ``src`` and one aggregation on ``dst`` — both
        shuffle on graph keys, never materializing anything driver-side
-       except two scalar counts. Ranks are localCheckpoint'ed every
+       except one two-scalar stats row (|V|, |E| in a single job). Ranks are localCheckpoint'ed every
        ``checkpoint_every`` rounds to truncate lineage, same policy as
        connected components (dedup.connected_components_star).
     """
@@ -115,16 +115,23 @@ def pagerank(
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
-        .cache()
     )
-    n = nodes.count()  # scalar only; the rank/edge tables stay distributed
+    # |V| and |E| in ONE job (each edge explodes to its two endpoints, so
+    # edges = rows/2): two separate counts cost two full scheduling waves
+    # on a serving statement, and this also materializes the cache
+    stats = (
+        e.select(F.explode(F.array("__s", "__d")).alias("node"))
+        .agg(
+            F.countDistinct("node").alias("n"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+        )
+        .first()
+    )
+    n, m = int(stats["n"]), int(stats["m"])
     base = (1.0 - damping) / n
-
-    m = e.count()  # e is cached by the count above's sibling job
     if m <= _LOCAL_EDGES:
         ranks = _pagerank_single_task(e, n, num_iters, damping)
         e.unpersist()
-        nodes.unpersist()
         return ranks
 
     # Iteration shape (round-4 rewrite; measured 2.17 s → see bench): the
@@ -176,10 +183,9 @@ def pagerank(
     # result at BUILD time, which silently turns any caller that reuses
     # built plans (the serving-mode plan cache, bench repeats) into a
     # result-cache read instead of an honest recompute. The cost of the
-    # unpersist is one uncached recompute of e/nodes inside the caller's
+    # unpersist is one uncached recompute of e inside the caller's
     # first action (their shuffle outputs are still reused across the
     # iteration stages within that job).
     ranks = ranks.localCheckpoint(eager=False)
     e.unpersist()
-    nodes.unpersist()
     return ranks
