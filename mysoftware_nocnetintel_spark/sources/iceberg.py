@@ -1446,7 +1446,7 @@ def merge_iceberg_rows(
     :class:`IcebergCommitConflict` propagates — re-run the merge against
     the winner's state. Scope: source schema == table schema (merge
     never evolves it), parquet or avro (``file_format``) data files
-    (avro unpartitioned only, like appends), delete file capped at
+    (avro partitioned or not, like appends since round 6), delete file capped at
     ``_MAX_DELETE_ROWS`` distinct keys. Partitioned targets fan the
     inserted rows out with partition records (same duplicate-column
     write as appends) — the equality-delete side needs no partition
@@ -1530,11 +1530,6 @@ def merge_iceberg_rows(
         pfs = [
             spec_field_to_part_field(f, table_fields) for f in spec_fields
         ]
-        if file_format == "avro":
-            raise NotImplementedError(
-                "avro fast-appends are unpartitioned only (partitioned "
-                "merges write parquet)"
-            )
     part_fields = [(pf.name, pf.value_type) for pf in pfs]
     table_cols = [f["name"] for f in table_fields]
     src = source.select(*table_cols)
@@ -1599,16 +1594,16 @@ def merge_iceberg_rows(
     try:
         if rows is not None:
             if file_format == "avro":
-                counts = _write_avro_data_files(rows, stage)
+                counts = _write_avro_data_files(rows, stage, pfs)
                 for f in sorted(counts):
-                    n, _pv = counts[f]
+                    n, pv = counts[f]
                     if not n:
                         continue
                     dest = os.path.join(
                         data_dir, f"{uuid.uuid4().hex[:16]}.avro"
                     )
                     shutil.move(f, dest)
-                    new_files.append((dest, None, "AVRO", n))
+                    new_files.append((dest, pv, "AVRO", n))
             elif pfs:
                 for dest, pvals in _stage_partitioned_parquet(
                     rows, path, data_dir, pfs

@@ -274,3 +274,43 @@ def test_partitioned_avro_compaction_to_parquet(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [
         i for i in range(12) if i % 2 == 0
     ]
+
+
+def test_partitioned_avro_merge(spark, tmp_path):
+    """merge_iceberg_rows(file_format='avro') on a PARTITIONED table:
+    inserted/updated row images land as partitioned avro fast-appends
+    with partition records; the equality-delete side stays global."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        merge_iceberg_rows,
+    )
+
+    root = str(tmp_path / "avmerge")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}", "old") for i in range(6)],
+            "id bigint, day string, val string",
+        ),
+        root,
+        partition_by=("day",),
+    )
+    merge_iceberg_rows(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(2, "d0", "new"), (100, "d0", "ins")],
+            "id bigint, day string, val string",
+        ),
+        on=["id"],
+        file_format="avro",
+    )
+    got = read_iceberg_snapshot(spark, root)
+    assert _rows(got) == sorted(
+        [(i, f"d{i % 2}", "old") for i in range(6) if i != 2]
+        + [(2, "d0", "new"), (100, "d0", "ins")]
+    )
+    data_files, _p, _e, _s = _iceberg_snapshot_files(root)
+    av = [e for e in data_files if e.fmt == "AVRO"]
+    assert av and all(e.partition["day"] == "d0" for e in av)
+    # partition pruning still correct across the mixed formats
+    got = read_iceberg_snapshot(spark, root, partition_filter={"day": "d1"})
+    assert sorted(r.id for r in got.collect()) == [1, 3, 5]

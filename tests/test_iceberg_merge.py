@@ -198,12 +198,16 @@ def test_partitioned_merge_fans_out_with_pruning(spark, tmp_path):
     ) == {(1, "z")}
     d, _p, _e, _s = _iceberg_snapshot_files(path)
     assert all(e.partition is not None for e in d)
-    # avro data files stay unpartitioned-only (same as appends)
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
-        merge_iceberg_rows(
-            spark, path, _mk(spark, [(4, "w")]), on=["id"],
-            file_format="avro",
-        )
+    # avro merges fan out with partition records too (round 6 — was a
+    # documented refusal; full coverage in
+    # test_iceberg_avro_data::test_partitioned_avro_merge)
+    merge_iceberg_rows(
+        spark, path, _mk(spark, [(4, "w")]), on=["id"],
+        file_format="avro",
+    )
+    assert _rows(
+        read_iceberg_snapshot(spark, path, partition_filter={"val": "w"})
+    ) == {(4, "w")}
 
 
 def test_lost_cas_cleans_staged_files_and_raises(
