@@ -1216,7 +1216,24 @@ class IcebergTailer(_PinnedOffsetMixin):
         # only holds for identical ranges (round-5 advisor)
         pinned = self._read_pinned("snapshot_id")
         if pinned is not None:
-            if pinned == start:
+            # a pin is STALE when the committed offset already reached or
+            # passed it (prior run committed; or an explicit commit()
+            # advanced beyond) — snapshot ids aren't ordinals, so compare
+            # by position in the append-ordered snapshots list
+            order = {
+                s["snapshot-id"]: i
+                for i, s in enumerate(meta.get("snapshots", []))
+            }
+            if pinned not in order:
+                raise ValueError(
+                    f"pinned pending snapshot {pinned} no longer exists "
+                    "(expired before the failed batch was redelivered): "
+                    "re-seed the consumer, and pass pin_ref= so "
+                    "expiration pins the consumer's snapshots"
+                )
+            if start is not None and (
+                start in order and order[pinned] <= order[start]
+            ):
                 self._clear_pinned()  # committed by a prior run
             else:
                 latest = pinned

@@ -227,3 +227,17 @@ def test_pin_ref_moves_atomically(spark, tmp_path):
                 f"{f}: pin vanished after existing — non-atomic ref move"
             )
     assert saw_pin
+
+
+def test_stale_pin_cleared_by_explicit_commit(spark, tmp_path):
+    """An explicit commit PAST the pinned pending endpoint makes the pin
+    stale: the next poll must proceed from the committed offset (here:
+    caught up → None), never redeliver the older pinned range backwards."""
+    bronze = str(tmp_path / "bronze")
+    write_iceberg_append(_mk(spark, [(1, "a")]), bronze)
+    t = IcebergTailer(spark, bronze, str(tmp_path / "ckpt"))
+    assert t.poll() is not None  # pins snapshot 1, uncommitted
+    s2 = write_iceberg_append(_mk(spark, [(2, "b")]), bronze)
+    t.commit(s2)  # operator explicitly skips ahead
+    t2 = IcebergTailer(spark, bronze, str(tmp_path / "ckpt"))
+    assert t2.poll() is None  # caught up; stale pin cleared, no rewind
