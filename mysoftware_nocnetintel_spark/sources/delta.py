@@ -194,6 +194,27 @@ class DeltaCommitConflict(RuntimeError):
     lists were computed against the old state, so re-run them."""
 
 
+def _physical_names(meta: dict | None) -> dict[str, str]:
+    """logical → physicalName map for a NAME-mapped table (``{}`` when
+    unmapped — callers then skip translation entirely). Our own writer
+    creates name-mode tables only via :func:`rename_delta_column`, which
+    pins physicalName = the name at upgrade time; files therefore always
+    carry physical names and the map is the one seam every scan/write
+    crosses."""
+    if not meta:
+        return {}
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode") != "name":
+        return {}
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        out[f["name"]] = md.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+    return out
+
+
 def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
     """ATOMIC put-if-absent commit of ``<version>.json`` — the spec's
     log-store contract ("the creation of <v>.json must be mutually
@@ -455,6 +476,21 @@ def _stage_append(
                     f"append schema {sorted(inc.items())} does not match "
                     f"the mapped table schema {sorted(tb.items())}"
                 )
+            # write the data files under PHYSICAL names (the reader
+            # projects physical→logical): a logical-named file under a
+            # renamed column would silently null-fill on read
+            phys = _physical_names(meta)
+            if phys:
+                from pyspark.sql import functions as F
+
+                order = [
+                    f["name"]
+                    for f in json.loads(meta["schemaString"])["fields"]
+                ]
+                df = df.select(
+                    *[F.col(c).alias(phys.get(c, c)) for c in order]
+                )
+                part_cols = [phys.get(c, c) for c in part_cols]
         elif any(n not in inc or inc[n] != t for n, t in tb.items()):
             raise ValueError(
                 f"append schema {sorted(inc.items())} does not cover the "
@@ -676,12 +712,21 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
     if not live:
         raise ValueError("empty table")
 
-    # ONE distributed scan finds (file, physical position) per match
-    matches = (
+    # ONE distributed scan finds (file, physical position) per match;
+    # NAME-mapped files scan under physical names and rename to logical
+    # before the (logical-name) predicate applies
+    scan = (
         spark.read.parquet(*[os.path.join(path, rel) for rel in live])
         .withColumn("__fp", F.col("_metadata.file_path"))
         .withColumn("__pos", F.col("_metadata.row_index"))
-        .filter(F.expr(predicate))
+    )
+    inv = {v: k for k, v in _physical_names(state["meta"]).items()}
+    if inv:
+        scan = scan.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in scan.columns]
+        )
+    matches = (
+        scan.filter(F.expr(predicate))
         .select("__fp", "__pos")
         .limit(_MAX_DELETE_POSITIONS + 1)
         .collect()
@@ -815,14 +860,25 @@ def _masked_target(
         for f in schema["fields"]
         if isinstance(f.get("type"), str)
     }
+    # NAME-mapped tables: files carry PHYSICAL column names — scan by
+    # those and project back to logical in the same select that grabs
+    # the _metadata coordinates (identity map when unmapped)
+    phys = _physical_names(meta)
     scan_schema = StructType.fromJson(
         {
             "type": "struct",
             "fields": [
-                f for f in schema["fields"] if f["name"] not in part_cols
+                dict(f, name=phys.get(f["name"], f["name"]))
+                for f in schema["fields"]
+                if f["name"] not in part_cols
             ],
         }
     )
+    data_cols = [
+        F.col(phys.get(f["name"], f["name"])).alias(f["name"])
+        for f in schema["fields"]
+        if f["name"] not in part_cols
+    ]
     groups: dict[tuple, list[str]] = {}
     for rel, e in live.items():
         pv = tuple(sorted((e.get("partitionValues") or {}).items()))
@@ -839,8 +895,11 @@ def _masked_target(
         df = (
             spark.read.schema(scan_schema)
             .parquet(*[os.path.join(path, r) for r in sorted(rels)])
-            .withColumn("__fp", fp_norm)
-            .withColumn("__pos", F.col("_metadata.row_index"))
+            .select(
+                *data_cols,
+                fp_norm.alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
         )
         for k, v in pv:
             df = df.withColumn(
@@ -1329,6 +1388,85 @@ def _dv_rel_path(dv: dict | None) -> str | None:
     u = uuid_mod.UUID(bytes=z85_decode(z))
     name = f"deletion_vector_{u}.bin"
     return os.path.join(prefix, name) if prefix else name
+
+
+def rename_delta_column(path: str, old: str, new: str) -> int:
+    """RENAME a column — metadata-only, one commit (delta.io PROTOCOL.md
+    "Column Mapping", the Iceberg twin of ``rename_iceberg_column``). An
+    unmapped table is upgraded to ``columnMapping.mode=name`` in the same
+    commit: every field pins ``physicalName`` = its name at upgrade time
+    and a fresh ``columnMapping.id``, so every existing data file (which
+    carries those physical names) keeps resolving, and the protocol
+    rises to (2, 5) — within this reader's gate and delta-spark's. The
+    rename then changes only the LOGICAL name; reads project
+    physical→logical (readers.py ``_apply_column_mapping``), appends
+    translate logical→physical before writing (``_stage_append``), and
+    the copy-on-write verbs scan physical and rewrite through the same
+    translated append, so the full verb matrix survives a rename.
+
+    Refused: renaming a partition column (add.partitionValues and the
+    Hive directory layout are keyed by the physical partition name —
+    same posture as the Iceberg twin), a ``new`` name already in the
+    schema, and foreign tables. Returns the committed version."""
+    log_dir = os.path.join(path, "_delta_log")
+    state = _replay_state(log_dir)
+    if state["version"] is None:
+        raise FileNotFoundError(f"no Delta table at {path}")
+    meta = state["meta"]
+    if not meta or (meta.get("configuration") or {}).get(
+        "writer"
+    ) != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to rename a column on a Delta table created by "
+            "another writer: use the delta-spark connector"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"column {old!r} does not exist; schema has {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in (meta.get("partitionColumns") or []):
+        raise NotImplementedError(
+            f"column {old!r} is a partition column: partition renames "
+            "are not supported (partitionValues and the directory "
+            "layout key by the physical partition name)"
+        )
+    conf = dict(meta.get("configuration") or {})
+    mode = conf.get("delta.columnMapping.mode", "none")
+    actions: list[dict] = []
+    if mode in ("none", "", None):
+        # upgrade in the SAME commit: physicalName := current names, so
+        # every existing file keeps resolving byte-for-byte
+        for i, f in enumerate(schema["fields"]):
+            md = dict(f.get("metadata") or {})
+            md["delta.columnMapping.id"] = i + 1
+            md["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = md
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = len(schema["fields"])
+        actions.append(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        )
+    elif mode != "name":
+        raise NotImplementedError(
+            f"rename under columnMapping.mode={mode!r}: name mode only"
+        )
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    actions.append(
+        {
+            "metaData": dict(
+                meta,
+                schemaString=json.dumps(schema),
+                configuration=conf,
+            )
+        }
+    )
+    version = state["version"] + 1
+    _commit_version(log_dir, version, actions)
+    return version
 
 
 def restore_delta_table(path: str, version: int) -> int:

@@ -1,0 +1,193 @@
+"""Delta column RENAME via rename_delta_column (writer-side name-mode
+column mapping — the Delta twin of rename_iceberg_column).
+
+The upgrade pins physicalName = the name at upgrade time, so existing
+files keep resolving; appends translate logical→physical on write, the
+CoW verbs scan physical and project logical, and reads go through the
+reader's existing name-mode projection. Every verb is exercised across
+a rename."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysoftware_nocnetintel_spark.sources.delta import (
+    delete_delta_rows,
+    merge_delta_rows,
+    optimize_delta_table,
+    rename_delta_column,
+    update_delta_rows,
+    write_delta_append,
+    write_delta_overwrite,
+)
+from mysoftware_nocnetintel_spark.sources.readers import read_delta_snapshot
+
+
+def _mk(spark, rows, schema="id bigint, val string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_rename_read_append_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_delta_append(_mk(spark, [(1, "a"), (2, "b")]), root)
+    v = rename_delta_column(root, "val", "label")
+    got = read_delta_snapshot(spark, root)
+    assert got.columns == ["id", "label"]
+    assert _rows(got) == [(1, "a"), (2, "b")]
+    # time travel BEFORE the rename shows the old logical name
+    old = read_delta_snapshot(spark, root, version=v - 1)
+    assert old.columns == ["id", "val"]
+    # appends use the new name; both file generations read together
+    write_delta_append(
+        _mk(spark, [(3, "c")], "id bigint, label string"), root
+    )
+    assert _rows(read_delta_snapshot(spark, root)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    # the OLD name no longer appends
+    with pytest.raises(ValueError, match="does not match"):
+        write_delta_append(_mk(spark, [(4, "d")]), root)
+
+
+def test_rename_then_cow_and_mor_verbs(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    write_delta_append(_mk(spark, [(i, "old") for i in range(6)]), root)
+    rename_delta_column(root, "val", "label")
+    # merge-on-read DELETE (deletion vector) under the renamed schema
+    delete_delta_rows(spark, root, "id = 5")
+    # copy-on-write UPDATE with a predicate + set expr on the NEW name
+    update_delta_rows(spark, root, "label = 'old' and id < 2", {
+        "label": "'new'"
+    })
+    got = read_delta_snapshot(spark, root)
+    assert _rows(got) == [
+        (0, "new"),
+        (1, "new"),
+        (2, "old"),
+        (3, "old"),
+        (4, "old"),
+    ]
+    # MERGE upsert on the renamed table
+    merge_delta_rows(
+        spark,
+        root,
+        _mk(spark, [(4, "up"), (100, "ins")], "id bigint, label string"),
+        on=["id"],
+    )
+    got = read_delta_snapshot(spark, root)
+    assert _rows(got) == [
+        (0, "new"),
+        (1, "new"),
+        (2, "old"),
+        (3, "old"),
+        (4, "up"),
+        (100, "ins"),
+    ]
+
+
+def test_rename_then_overwrite_and_optimize(spark, tmp_path):
+    root = str(tmp_path / "t3")
+    write_delta_append(_mk(spark, [(1, "a")]).coalesce(1), root)
+    write_delta_append(_mk(spark, [(2, "b")]).coalesce(1), root)
+    rename_delta_column(root, "val", "label")
+    optimize_delta_table(spark, root)  # compaction under the rename
+    assert _rows(read_delta_snapshot(spark, root)) == [(1, "a"), (2, "b")]
+    write_delta_overwrite(
+        _mk(spark, [(9, "z")], "id bigint, label string"), root
+    )
+    assert _rows(read_delta_snapshot(spark, root)) == [(9, "z")]
+
+
+def test_rename_scan_filter_stats_skipping(spark, tmp_path):
+    root = str(tmp_path / "t4")
+    write_delta_append(
+        _mk(spark, [(i, f"u{i}") for i in range(10)]).coalesce(1), root
+    )
+    write_delta_append(
+        _mk(spark, [(i, f"u{i}") for i in range(10, 20)]).coalesce(1), root
+    )
+    rename_delta_column(root, "id", "key")
+    # stats are keyed by PHYSICAL name; pruning must route the renamed
+    # logical column through the mapping — corrupt the low file to prove
+    # the filtered read skipped it
+    import os
+
+    from mysoftware_nocnetintel_spark.sources.delta import _replay_state
+
+    state = _replay_state(os.path.join(root, "_delta_log"))
+    for rel in state["live"]:
+        import json as _json
+
+        st = _json.loads(state["live"][rel].get("stats") or "{}")
+        if st.get("maxValues", {}).get("id", 99) < 10:
+            with open(os.path.join(root, rel), "wb") as fh:
+                fh.write(b"garbage")
+    got = read_delta_snapshot(spark, root, scan_filter=("key", ">=", 15))
+    assert sorted(r.key for r in got.collect()) == list(range(15, 20))
+
+
+def test_rename_refusals_and_rename_back(spark, tmp_path):
+    root = str(tmp_path / "t5")
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a", "d0")], "id bigint, val string, day string"
+        ),
+        root,
+        partition_by=("day",),
+    )
+    with pytest.raises(NotImplementedError, match="partition column"):
+        rename_delta_column(root, "day", "dt")
+    rename_delta_column(root, "val", "label")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_delta_column(root, "id", "label")
+    with pytest.raises(ValueError, match="does not exist"):
+        rename_delta_column(root, "nope", "x")
+    # rename back; partitioned read still correct
+    rename_delta_column(root, "label", "val")
+    got = read_delta_snapshot(spark, root)
+    assert _rows(got.select("id", "val", "day")) == [(1, "a", "d0")]
+    write_delta_append(
+        spark.createDataFrame(
+            [(2, "b", "d1")], "id bigint, val string, day string"
+        ),
+        root,
+    )
+    got = read_delta_snapshot(spark, root)
+    assert _rows(got.select("id", "val", "day")) == [
+        (1, "a", "d0"),
+        (2, "b", "d1"),
+    ]
+
+
+def test_rename_change_feed_and_tailer(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        delta_table_changes,
+    )
+    from mysoftware_nocnetintel_spark.streaming.ops import DeltaTailer
+
+    root = str(tmp_path / "t6")
+    write_delta_append(_mk(spark, [(1, "a")]), root)
+    t = DeltaTailer(spark, root, str(tmp_path / "ckpt"))
+    assert t.poll() is not None
+    t.commit()
+    v0 = rename_delta_column(root, "val", "label") - 1
+    write_delta_append(
+        _mk(spark, [(2, "b")], "id bigint, label string"), root
+    )
+    # feed across the rename surfaces the TO-version schema
+    feed = delta_table_changes(spark, root, v0)
+    ins = feed.filter("_change_type = 'insert'")
+    assert ins.columns[:2] == ["id", "label"]
+    assert _rows(ins.select("id", "label")) == [(2, "b")]
+    # the tailer consumes the post-rename increment
+    batch = t.poll()
+    assert batch is not None and "label" in batch.columns
+    assert _rows(batch.select("id", "label")) == [(2, "b")]
+    t.commit()
