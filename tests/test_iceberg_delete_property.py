@@ -217,3 +217,94 @@ def test_random_mixed_format_deletes_and_compaction(spark, tmp_path, seed):
             continue
         got = _rows(read_iceberg_snapshot(spark, root, snapshot_id=sid))
         assert got == want, f"seed={seed} snapshot {sid}"
+
+
+@pytest.mark.parametrize("seed", [13, 31])
+def test_random_lifecycle_with_renames(spark, tmp_path, seed):
+    """Lifecycle fuzz WITH COLUMN RENAMES interleaved (round 6): random
+    appends (parquet/avro), both delete kinds, compaction, and renames of
+    the value column. The model is name-independent (values + commit
+    sequences); every read — live and time-traveled — must keep
+    returning the same values no matter how many renames happened, and
+    post-rename writes use the current name."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        rename_iceberg_column,
+        rewrite_iceberg_table,
+        write_iceberg_equality_deletes,
+    )
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"ren{seed}")
+    ref: set[tuple[int, str, int]] = set()
+    seq = 0
+    cur = "val"
+    n_renames = 0
+    snapshots: list[tuple[int, set]] = []
+
+    ops = ["append"] + [
+        rng.choice(
+            ["append", "append", "posdel", "eqdel", "compact", "rename"]
+        )
+        for _ in range(9)
+    ]
+    for op in ops:
+        sid = None
+        if op == "rename" and ref:
+            n_renames += 1
+            new = f"val{n_renames}"
+            rename_iceberg_column(root, cur, new)
+            cur = new
+        elif op == "compact" and ref:
+            seq += 1
+            sid = rewrite_iceberg_table(spark, root)
+            ref = {(k, v, seq) for (k, v, _s) in ref}
+        elif op == "append" or not ref:
+            seq += 1
+            fmt = rng.choice(["parquet", "avro"])
+            batch = {
+                rng.randrange(8): chr(97 + seq)
+                for _ in range(rng.randint(1, 3))
+            }
+            sid = write_iceberg_append(
+                spark.createDataFrame(
+                    list(batch.items()), f"id bigint, {cur} string"
+                ),
+                root,
+                file_format=fmt,
+            )
+            ref |= {(k, v, seq) for k, v in batch.items()}
+        elif op == "posdel":
+            seq += 1
+            m = rng.choice([2, 3])
+            r = rng.randrange(m)
+            sid = write_iceberg_position_deletes(
+                spark, root, F.col("id") % m == r
+            )
+            ref = {t for t in ref if t[0] % m != r}
+        else:
+            seq += 1
+            ks = sorted({t[0] for t in ref} | {rng.randrange(8)})
+            chosen = rng.sample(ks, k=min(len(ks), rng.randint(1, 2)))
+            sid = write_iceberg_equality_deletes(
+                spark,
+                root,
+                spark.createDataFrame([(k,) for k in chosen], "id bigint"),
+            )
+            ref = {t for t in ref if not (t[0] in chosen and t[2] < seq)}
+        want = {(k, v) for (k, v, _s) in ref}
+        if sid is not None:
+            snapshots.append((sid, want))
+        # name-independent extractor: the value column's NAME changes
+        _vals = lambda df: {(r[0], r[1]) for r in df.collect()}  # noqa: E731
+        if ref:
+            got = _vals(read_iceberg_snapshot(spark, root))
+            assert got == want, f"seed={seed} after {op} (seq {seq})"
+
+    # time travel across every snapshot still reproduces the model, no
+    # matter how many renames happened since
+    _vals = lambda df: {(r[0], r[1]) for r in df.collect()}  # noqa: E731
+    for sid, want in snapshots:
+        if not want:
+            continue
+        got = _vals(read_iceberg_snapshot(spark, root, snapshot_id=sid))
+        assert got == want, f"seed={seed} snapshot {sid}"
