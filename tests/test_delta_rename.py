@@ -191,3 +191,87 @@ def test_rename_change_feed_and_tailer(spark, tmp_path):
     assert batch is not None and "label" in batch.columns
     assert _rows(batch.select("id", "label")) == [(2, "b")]
     t.commit()
+
+
+import random
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_delta_lifecycle_with_renames(spark, tmp_path, seed):
+    """Writer-side lifecycle fuzz: random appends, MoR deletes (DVs),
+    CoW updates, OPTIMIZE, and renames of the value column. The model
+    is name-independent; every live read must reproduce it and
+    post-rename writes use the current name (exercises the
+    _stage_append physical translation and _masked_target projection
+    under composition)."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        optimize_delta_table,
+    )
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"dren{seed}")
+    model: dict[int, str] = {}
+    cur = "val"
+    n_renames = 0
+    seq = 0
+
+    ops = ["append"] + [
+        rng.choice(
+            ["append", "append", "delete", "update", "optimize", "rename"]
+        )
+        for _ in range(9)
+    ]
+    for op in ops:
+        if op == "rename" and model:
+            n_renames += 1
+            new = f"val{n_renames}"
+            rename_delta_column(root, cur, new)
+            cur = new
+        elif op == "optimize" and model:
+            try:
+                optimize_delta_table(spark, root)
+            except ValueError:
+                pass  # nothing to compact — legal no-op refusal
+        elif op == "append" or not model:
+            seq += 1
+            batch = {
+                rng.randrange(8): chr(97 + seq)
+                for _ in range(rng.randint(1, 3))
+            }
+            write_delta_append(
+                spark.createDataFrame(
+                    list(batch.items()), f"id bigint, {cur} string"
+                ),
+                root,
+            )
+            # Delta appends do NOT upsert: duplicate ids coexist. Keep
+            # the model simple by deleting clashing ids first.
+            clash = [k for k in batch if k in model]
+            if clash:
+                delete_delta_rows(
+                    spark,
+                    root,
+                    f"id in ({','.join(map(str, clash))}) and "
+                    f"{cur} != '{chr(97 + seq)}'",
+                )
+            model.update(batch)
+        elif op == "delete":
+            m = rng.choice([2, 3])
+            r = rng.randrange(m)
+            if any(k % m == r for k in model):
+                delete_delta_rows(spark, root, f"id % {m} = {r}")
+                model = {k: v for k, v in model.items() if k % m != r}
+        else:  # update
+            ks = [k for k in model if k % 2 == 0]
+            if ks:
+                update_delta_rows(
+                    spark, root, "id % 2 = 0", {cur: f"'U{seq}'"}
+                )
+                for k in ks:
+                    model[k] = f"U{seq}"
+        if model:
+            got = {
+                (r[0], r[1])
+                for r in read_delta_snapshot(spark, root).collect()
+            }
+            assert got == set(model.items()), f"seed={seed} after {op}"
