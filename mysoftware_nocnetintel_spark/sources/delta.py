@@ -1444,7 +1444,9 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
             md["delta.columnMapping.physicalName"] = f["name"]
             f["metadata"] = md
         conf["delta.columnMapping.mode"] = "name"
-        conf["delta.columnMapping.maxColumnId"] = len(schema["fields"])
+        # configuration is a map<string,string> in the spec (and in the
+        # parquet checkpoint schema) — an int here breaks checkpointing
+        conf["delta.columnMapping.maxColumnId"] = str(len(schema["fields"]))
         actions.append(
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
         )
