@@ -310,3 +310,23 @@ def test_rename_survives_checkpoint_and_log_cleanup(spark, tmp_path):
         (3, "c"),
         (4, "d"),
     ]
+
+
+def test_restore_across_rename(spark, tmp_path):
+    """RESTORE to a pre-rename version re-commits the old metaData (old
+    logical names, unmapped config); post-rename files keep resolving if
+    later restored FORWARD because physicalName never changes."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        restore_delta_table,
+    )
+
+    root = str(tmp_path / "t8")
+    write_delta_append(_mk(spark, [(1, "a")]), root)  # v0
+    v_rename = rename_delta_column(root, "val", "label")
+    write_delta_append(
+        _mk(spark, [(2, "b")], "id bigint, label string"), root
+    )
+    restore_delta_table(root, v_rename - 1)
+    got = read_delta_snapshot(spark, root)
+    assert got.columns == ["id", "val"]  # old logical name is back
+    assert _rows(got) == [(1, "a")]

@@ -215,3 +215,24 @@ def test_rename_then_add_column_and_compaction(spark, tmp_path):
     rewrite_iceberg_table(spark, root)
     got = read_iceberg_snapshot(spark, root)
     assert {(r.id, r.label, r.score) for r in got.collect()} == rows
+
+
+def test_tailer_across_rename(spark, tmp_path):
+    """A rename commit is metadata-only (no snapshot): the tailer must
+    pass it untouched and later batches surface the NEW column name."""
+    from mysoftware_nocnetintel_spark.streaming.ops import IcebergTailer
+
+    root = str(tmp_path / "t10")
+    write_iceberg_append(_mk(spark, [(1, "a")]), root)
+    t = IcebergTailer(spark, root, str(tmp_path / "ckpt"))
+    assert t.poll() is not None
+    t.commit()
+    rename_iceberg_column(root, "val", "label")
+    assert t.poll() is None  # metadata-only: nothing to consume
+    write_iceberg_append(
+        _mk(spark, [(2, "b")], "id bigint, label string"), root
+    )
+    batch = t.poll()
+    assert batch is not None and "label" in batch.columns
+    assert [(r.id, r.label) for r in batch.collect()] == [(2, "b")]
+    t.commit()
