@@ -1471,6 +1471,75 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
     return version
 
 
+def drop_delta_column(path: str, name: str) -> int:
+    """DROP a column — metadata-only, one commit (the rename verb's
+    sibling; delta.io PROTOCOL.md "Column Mapping" is what makes drops
+    metadata-only). An unmapped table upgrades to name mode in the same
+    commit (physicalName pinned, protocol (2,5)) exactly like
+    :func:`rename_delta_column`; the field then leaves the logical
+    schema while data files keep the physical column — scans stop
+    projecting it, time travel to pre-drop versions still shows it (the
+    reader resolves each version's own metaData). Re-adding a column
+    under a dropped name is refused at append time for mapped tables
+    (exact-match schema gate), so old values can never resurface.
+    Refused: partition columns, the last remaining column. Returns the
+    committed version."""
+    log_dir = os.path.join(path, "_delta_log")
+    state = _replay_state(log_dir)
+    if state["version"] is None:
+        raise FileNotFoundError(f"no Delta table at {path}")
+    meta = state["meta"]
+    if not meta or (meta.get("configuration") or {}).get(
+        "writer"
+    ) != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to drop a column on a Delta table created by "
+            "another writer: use the delta-spark connector"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"column {name!r} does not exist; schema has {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last remaining column")
+    if name in (meta.get("partitionColumns") or []):
+        raise NotImplementedError(
+            f"column {name!r} is a partition column: partition drops "
+            "are not supported"
+        )
+    conf = dict(meta.get("configuration") or {})
+    mode = conf.get("delta.columnMapping.mode", "none")
+    actions: list[dict] = []
+    if mode in ("none", "", None):
+        for i, f in enumerate(schema["fields"]):
+            md = dict(f.get("metadata") or {})
+            md["delta.columnMapping.id"] = i + 1
+            md["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = md
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(len(schema["fields"]))
+        actions.append(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        )
+    elif mode != "name":
+        raise NotImplementedError(
+            f"drop under columnMapping.mode={mode!r}: name mode only"
+        )
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+    actions.append(
+        {
+            "metaData": dict(
+                meta,
+                schemaString=json.dumps(schema),
+                configuration=conf,
+            )
+        }
+    )
+    version = state["version"] + 1
+    _commit_version(log_dir, version, actions)
+    return version
+
+
 def restore_delta_table(path: str, version: int) -> int:
     """RESTORE the table to the state it had at ``version`` — as a NEW
     commit (the delta-spark ``RESTORE TABLE ... TO VERSION AS OF``

@@ -2836,6 +2836,91 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
 
 
 @_retry_on_conflict
+@_retry_on_conflict
+def drop_iceberg_column(path: str, name: str) -> int:
+    """DROP a column — metadata-only, one KB-scale CAS commit (spec
+    "Schema Evolution"): the field leaves the CURRENT schema; data files
+    keep the physical column — the explicit read schema simply stops
+    projecting it. (This reader scans every snapshot with the CURRENT
+    schema, so time travel also stops surfacing the dropped column —
+    documented divergence from connectors that resolve the snapshot's
+    own schema-id; the bytes stay in the files either way.) Every name
+    the field ever had stays reserved in the name
+    mapping: without file-level field ids, re-adding a column under a
+    dropped name would resurface the dropped field's old values under
+    the new column — refused at evolve/rename time exactly like renamed
+    names. Refused: partition-spec sources, the last remaining column.
+    Returns the new schema-id."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to drop a column on an Iceberg table created by "
+            "another writer: use the iceberg-spark-runtime connector"
+        )
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        raise ValueError("table has no field-id schema")
+    fields = [dict(f) for f in schemas[0]["fields"]]
+    by_name = {f["name"]: f for f in fields}
+    if name not in by_name:
+        raise ValueError(
+            f"column {name!r} does not exist; schema has {sorted(by_name)}"
+        )
+    if len(fields) == 1:
+        raise ValueError("cannot drop the last remaining column")
+    fid = by_name[name]["id"]
+    for spec in meta.get("partition-specs") or []:
+        if any(pf.get("source-id") == fid for pf in spec.get("fields", [])):
+            raise NotImplementedError(
+                f"column {name!r} is a partition-spec source: drop of "
+                "partition sources is not supported"
+            )
+    if meta.get("current-snapshot-id") is not None:
+        # a live equality-delete file keyed on this field would make the
+        # table unreadable (its ids resolve against the CURRENT schema):
+        # compact first, then drop
+        from .readers import _iceberg_snapshot_files
+
+        _d, _p, eq_deletes, _s = _iceberg_snapshot_files(path)
+        if any(name in cols for _f, _q, cols in eq_deletes):
+            raise ValueError(
+                f"column {name!r} is an equality-delete key of a live "
+                "delete file: rewrite_iceberg_table (compaction folds "
+                "the deletes away) before dropping it"
+            )
+    mapping = _load_name_mapping(meta)
+    entry = next((m for m in mapping if m["field-id"] == fid), None)
+    if entry is None:
+        entry = {"field-id": fid, "names": []}
+        mapping.append(entry)
+    if name not in entry["names"]:
+        entry["names"].append(name)  # reserve forever (see docstring)
+    new_schema = dict(
+        schemas[0],
+        fields=[f for f in fields if f["id"] != fid],
+        **{"schema-id": int(schemas[0].get("schema-id", 0)) + 1},
+    )
+    props = dict(meta.get("properties") or {})
+    props[_NAME_MAPPING_PROP] = json.dumps(mapping)
+    _commit_metadata(
+        meta_dir,
+        ver,
+        dict(
+            meta,
+            schemas=[new_schema],
+            **{
+                "current-schema-id": new_schema["schema-id"],
+                "properties": props,
+                "last-updated-ms": int(time.time() * 1000),
+            },
+        ),
+    )
+    return new_schema["schema-id"]
+
+
 def move_iceberg_ref(path: str, name: str, snapshot_id: int) -> int:
     """Create-or-move a TAG ref to ``snapshot_id`` in ONE metadata
     commit — the refs-map entry is replaced atomically, so there is no

@@ -330,3 +330,47 @@ def test_restore_across_rename(spark, tmp_path):
     got = read_delta_snapshot(spark, root)
     assert got.columns == ["id", "val"]  # old logical name is back
     assert _rows(got) == [(1, "a")]
+
+
+def test_drop_column_roundtrip(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        drop_delta_column,
+    )
+
+    root = str(tmp_path / "t9")
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a", 1.5)], "id bigint, val string, x double"
+        ),
+        root,
+    )
+    v = drop_delta_column(root, "x")
+    got = read_delta_snapshot(spark, root)
+    assert got.columns == ["id", "val"]
+    assert _rows(got) == [(1, "a")]
+    # time travel pre-drop still shows the column (per-version metaData)
+    old = read_delta_snapshot(spark, root, version=v - 1)
+    assert old.columns == ["id", "val", "x"]
+    assert _rows(old) == [(1, "a", 1.5)]
+    # appends use the narrowed schema; re-adding the dropped name is
+    # refused by the mapped exact-match gate
+    write_delta_append(_mk(spark, [(2, "b")]), root)
+    with pytest.raises(ValueError, match="does not match"):
+        write_delta_append(
+            spark.createDataFrame(
+                [(3, "c", 9.9)], "id bigint, val string, x double"
+            ),
+            root,
+        )
+    assert _rows(read_delta_snapshot(spark, root)) == [(1, "a"), (2, "b")]
+    # CoW verbs under the narrowed schema
+    update_delta_rows(spark, root, "id = 1", {"val": "'z'"})
+    delete_delta_rows(spark, root, "id = 2")
+    assert _rows(read_delta_snapshot(spark, root)) == [(1, "z")]
+    # refusals
+    with pytest.raises(ValueError, match="does not exist"):
+        drop_delta_column(root, "nope")
+    drop_delta_column(root, "id")  # two columns left: legal
+    with pytest.raises(ValueError, match="last remaining"):
+        drop_delta_column(root, "val")
+    assert _rows(read_delta_snapshot(spark, root)) == [("z",)]

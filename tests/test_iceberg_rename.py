@@ -236,3 +236,71 @@ def test_tailer_across_rename(spark, tmp_path):
     assert batch is not None and "label" in batch.columns
     assert [(r.id, r.label) for r in batch.collect()] == [(2, "b")]
     t.commit()
+
+
+def test_drop_column_roundtrip_and_refusals(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        drop_iceberg_column,
+        write_iceberg_equality_deletes,
+    )
+
+    root = str(tmp_path / "t11")
+    write_iceberg_append(
+        _mk(spark, [(1, "a", 1.5)], "id bigint, val string, x double"), root
+    )
+    drop_iceberg_column(root, "x")
+    got = read_iceberg_snapshot(spark, root)
+    assert got.columns == ["id", "val"]
+    assert {(r.id, r.val) for r in got.collect()} == {(1, "a")}
+    # appends now use the narrowed schema; the dropped name is reserved
+    write_iceberg_append(_mk(spark, [(2, "b")]), root)
+    with pytest.raises(ValueError, match="historical names"):
+        write_iceberg_append(
+            _mk(spark, [(3, "c", 9.9)], "id bigint, val string, x double"),
+            root,
+        )
+    # rename may not take the dropped name either
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        rename_iceberg_column,
+    )
+
+    with pytest.raises(ValueError, match="already used"):
+        rename_iceberg_column(root, "val", "x")
+    with pytest.raises(ValueError, match="does not exist"):
+        drop_iceberg_column(root, "nope")
+    # live equality-delete key → refuse the drop with the remedy
+    write_iceberg_equality_deletes(
+        spark, root, spark.createDataFrame([(1,)], "id bigint")
+    )
+    with pytest.raises(ValueError, match="equality-delete key"):
+        drop_iceberg_column(root, "id")
+    # compaction folds the deletes away, then the drop lands
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        rewrite_iceberg_table,
+    )
+
+    rewrite_iceberg_table(spark, root)
+    drop_iceberg_column(root, "id")
+    got = read_iceberg_snapshot(spark, root)
+    assert got.columns == ["val"]
+    assert {r.val for r in got.collect()} == {"b"}
+
+
+def test_drop_then_rename_interplay(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        drop_iceberg_column,
+        rename_iceberg_column,
+    )
+
+    root = str(tmp_path / "t12")
+    write_iceberg_append(
+        _mk(spark, [(1, "a", 2.0)], "id bigint, val string, x double"), root
+    )
+    rename_iceberg_column(root, "val", "label")
+    drop_iceberg_column(root, "label")  # drop under the renamed name
+    got = read_iceberg_snapshot(spark, root)
+    assert got.columns == ["id", "x"]
+    # BOTH historical names of the dropped field stay reserved
+    for bad in ("val", "label"):
+        with pytest.raises(ValueError, match="already used"):
+            rename_iceberg_column(root, "x", bad)
