@@ -2836,7 +2836,6 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
 
 
 @_retry_on_conflict
-@_retry_on_conflict
 def drop_iceberg_column(path: str, name: str) -> int:
     """DROP a column — metadata-only, one KB-scale CAS commit (spec
     "Schema Evolution"): the field leaves the CURRENT schema; data files
@@ -2921,6 +2920,7 @@ def drop_iceberg_column(path: str, name: str) -> int:
     return new_schema["schema-id"]
 
 
+@_retry_on_conflict
 def move_iceberg_ref(path: str, name: str, snapshot_id: int) -> int:
     """Create-or-move a TAG ref to ``snapshot_id`` in ONE metadata
     commit — the refs-map entry is replaced atomically, so there is no
