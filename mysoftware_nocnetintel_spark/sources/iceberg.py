@@ -2760,12 +2760,14 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
     populated one; zone-map bounds and equality-ids are keyed by field
     id and never notice).
 
-    Refused: renaming a partition-spec SOURCE column (partition records
-    and transform pruning are keyed by the spec field, but scan_filter
-    routing matches the source by name — out of scope), and a ``new``
-    name that collides with any current column or any HISTORICAL name
-    in the mapping (without file-level field ids a reused name would
-    make old files ambiguous). Returns the new schema-id."""
+    Partition-spec SOURCE columns rename fine: the spec references the
+    source by field id, spec FIELD names (``partition_filter`` keys and
+    manifest partition records) never change, and both the write-side
+    transform computation and ``scan_filter`` transform pruning resolve
+    the source through the CURRENT schema. Refused: a ``new`` name that
+    collides with any current column or any HISTORICAL name in the
+    mapping (without file-level field ids a reused name would make old
+    files ambiguous). Returns the new schema-id."""
     meta_dir = os.path.join(path, "metadata")
     meta, ver = _load_meta(meta_dir)
     if meta is None:
@@ -2797,13 +2799,11 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
             "or historical): reusing names over files without field ids "
             "would make old data ambiguous"
         )
-    for spec in meta.get("partition-specs") or []:
-        if any(pf.get("source-id") == fid for pf in spec.get("fields", [])):
-            raise NotImplementedError(
-                f"column {old!r} is a partition-spec source: rename of "
-                "partition sources is not supported (scan_filter routes "
-                "transform pruning by source NAME)"
-            )
+    # renaming a partition SOURCE is fine (round 6): the spec references
+    # the column by source-id, spec FIELD names (partition_filter keys,
+    # manifest partition records) never change, and both the write-side
+    # transform computation and scan_filter transform pruning resolve the
+    # source through the CURRENT schema by id
     by_name[old]["name"] = new
     entry = next((m for m in mapping if m["field-id"] == fid), None)
     if entry is None:

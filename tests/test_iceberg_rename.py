@@ -98,17 +98,46 @@ def test_rename_refusals(spark, tmp_path):
         )
 
 
-def test_rename_partition_source_refused(spark, tmp_path):
+def test_rename_partition_source(spark, tmp_path):
+    """Renaming a partition SOURCE works (round 6): spec fields key by
+    source-id, spec-field names (partition_filter keys) never change,
+    appends recompute transforms from the new name, and transform
+    pruning routes scan_filter on the new name."""
     root = str(tmp_path / "t4")
     write_iceberg_append(
-        _mk(spark, [(1, "a")]), root, partition_by=("id",)
+        _mk(spark, [(i, f"u{i % 3}") for i in range(9)]),
+        root,
+        partition_by=("bucket(4, id)",),
     )
-    with pytest.raises(NotImplementedError, match="partition-spec source"):
-        rename_iceberg_column(root, "id", "key")
-    # non-source columns still rename fine on a partitioned table
-    rename_iceberg_column(root, "val", "label")
+    rename_iceberg_column(root, "id", "key")
+    write_iceberg_append(
+        _mk(spark, [(100, "x")], "key bigint, val string"), root
+    )
     got = read_iceberg_snapshot(spark, root)
-    assert {(r.id, r.label) for r in got.collect()} == {(1, "a")}
+    assert sorted(r.key for r in got.collect()) == list(range(9)) + [100]
+    # bucket transform pruning routes the RENAMED source name
+    got = read_iceberg_snapshot(spark, root, scan_filter=("key", "=", 100))
+    assert sorted(r.key for r in got.collect()) == [100]
+    # identity-partitioned twin: partition_filter keys stay the SPEC
+    # FIELD name (the original column name at create time)
+    root2 = str(tmp_path / "t4b")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}") for i in range(6)], "id bigint, day string"
+        ),
+        root2,
+        partition_by=("day",),
+    )
+    rename_iceberg_column(root2, "day", "dt")
+    write_iceberg_append(
+        spark.createDataFrame([(6, "d0")], "id bigint, dt string"), root2
+    )
+    got = read_iceberg_snapshot(spark, root2, partition_filter={"day": "d0"})
+    assert sorted(r.id for r in got.collect()) == [0, 2, 4, 6]
+    # non-source columns still rename fine on a partitioned table
+    rename_iceberg_column(root2, "id", "nid")
+    got = read_iceberg_snapshot(spark, root2)
+    assert sorted(r.nid for r in got.collect()) == list(range(7))
 
 
 def test_scan_filter_and_zone_maps_after_rename(spark, tmp_path):
