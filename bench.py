@@ -54,6 +54,26 @@ HEADLINE = [
 ]
 
 
+def shrink_final_line(line: str, limit: int = 1800) -> str:
+    """Fit the final JSON line under the driver's stdout-capture window.
+
+    On overflow, DEGRADE instead of crashing (round-6 advisor: the old
+    assert here lost the whole round's perf record — the exact outcome
+    it guarded against): drop the per-query maps, keep every scalar,
+    and mark the object ``truncated``."""
+    if len(line) < limit:
+        return line
+    obj = json.loads(line)
+    for k in ("queries", "pipeline", "pipeline_duckdb"):
+        obj.pop(k, None)
+    if isinstance(obj.get("sf1"), dict):
+        obj["sf1"] = {
+            k: v for k, v in obj["sf1"].items() if not isinstance(v, dict)
+        }
+    obj["truncated"] = True
+    return json.dumps(obj, separators=(",", ":"))
+
+
 def materialize(df) -> None:
     """Execute a query end-to-end and fetch its result as Arrow —
     like-for-like with the DuckDB twin's ``.arrow()`` fetch.
@@ -221,10 +241,15 @@ def main() -> None:
     ]
     from mysoftware_nocnetintel_spark.plans import ORACLES
 
+    # best-of-5, matching the headline/sf1 sections (round-6 verdict
+    # task 2: the r6 artifact recorded q123 at 2.55 s off one contended
+    # draw when idle draws measure 0.91 s — model-fit queries are
+    # _NO_PLAN_CACHE and have the highest variance, so they need the
+    # most samples, not the fewest)
     for name in PIPELINE:
         materialize(QUERIES[name](spark, sf_dir))  # warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -240,7 +265,7 @@ def main() -> None:
                 )
             con.execute(ORACLES[name]).arrow()  # warm
             best_d = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 con.execute(ORACLES[name]).arrow()
                 best_d = min(best_d, time.perf_counter() - t0)
@@ -510,8 +535,14 @@ def main() -> None:
     )
     # The driver captures the tail of stdout (~2000 chars); a final line
     # that outgrows it silently voids the round's perf record (r5).
-    assert len(line) < 1800, f"final JSON line too long: {len(line)}"
-    print(line)
+    fitted = shrink_final_line(line)
+    if fitted is not line:
+        print(
+            f"WARN final JSON line overflowed ({len(line)} chars); "
+            f"emitted scalars-only fallback ({len(fitted)} chars)",
+            file=sys.stderr,
+        )
+    print(fitted)
 
 
 if __name__ == "__main__":

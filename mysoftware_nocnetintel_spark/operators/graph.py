@@ -105,6 +105,11 @@ def pagerank(
         F.col(dst).alias("__d"),
         *([F.col(weight).cast("double").alias("__w")] if weight else []),
     )
+    # NULL endpoints are dropped DELIBERATELY (round-6 advisor): a null
+    # src/dst is not an addressable node — countDistinct already excluded
+    # it from |V| while the join/agg keys silently grouped it, so the
+    # teleport base and the rank mass disagreed. Now neither sees it.
+    e = e.where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
     if weight is None:
         out_deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
         e = e.join(out_deg, "__s").select(

@@ -176,24 +176,42 @@ def lsh_bucketed_topk(
 
         if not len(v):
             return pd.Series([], dtype=object)
-        M = np.stack(v.to_numpy()).astype(np.float64)  # (N, D)
-        dots = np.einsum("nd,tpd->ntp", M, planes)  # (N, T, P)
-        packed = ((dots > 0).astype(np.int64) * weights).sum(axis=2)
-        return pd.Series(list(packed))
+        # NULL / wrong-dim vectors bucket to NULL (posexplode then drops
+        # the row) — matching the expression form this UDF replaced,
+        # where the HOF fold evaluated NULL embeddings to a NULL bucket;
+        # a bare np.stack would raise on the first ragged batch and fail
+        # the whole statement (round-6 advisor)
+        raw = v.to_numpy()
+        ok = np.array(
+            [x is not None and len(x) == planes.shape[2] for x in raw]
+        )
+        out = np.full(len(raw), None, dtype=object)
+        if ok.any():
+            M = np.stack(raw[ok]).astype(np.float64)  # (N_ok, D)
+            dots = np.einsum("nd,tpd->ntp", M, planes)  # (N_ok, T, P)
+            packed = ((dots > 0).astype(np.int64) * weights).sum(axis=2)
+            out[np.flatnonzero(ok)] = list(packed)
+        return pd.Series(out)
 
     def buckets(vec_col: str) -> Column:
         return _buckets_batch(F.col(vec_col))
 
-    # widen the corpus-side bucket computation: a single-file scan is one
-    # partition, which would run every per-row plane-projection on one core
-    from .dedup import spread_narrow
-
-    c = spread_narrow(corpus).select(
-        *[F.col(x) for x in corpus.columns],
+    # NO spread_narrow on the corpus: the bucket stage is an Arrow UDF
+    # whose serving-SF cost is per-TASK Python-worker dispatch, not
+    # per-row CPU (one einsum covers the whole batch) — repartitioning a
+    # KB-scale cached corpus to 32 partitions made the stage pay 32
+    # dispatches (the round-6 q48 lesson). Measured at sf0.1 best-of-5:
+    # q42 fresh statement 1.35 → 0.84 s with this + the single-shuffle
+    # top-k below + the single-parse cosine expr (functions/vectors.py).
+    # At cluster SF the scan already exceeds core count.
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
         F.posexplode(buckets(corpus_vec)).alias("tbl", "bucket"),
     )
     q = queries.select(
-        *[F.col(x) for x in queries.columns],
+        F.col(query_id),
+        F.col(query_vec),
         F.posexplode(buckets(query_vec)).alias("tbl", "bucket"),
     )
     if multiprobe >= 1:
@@ -206,18 +224,34 @@ def lsh_bucketed_topk(
         q = (
             q.withColumn("bucket", F.explode(flips))
         )
-    scored = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
-        .dropDuplicates([query_id, corpus_id])
-        .withColumn("score", V.cosine_similarity(corpus_vec, query_vec))
-    )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc(), F.col(corpus_id)
+    # Dedup (a pair can collide in several tables/probes) + per-query
+    # top-k in ONE shuffle: collect_set of (-score, id, score) structs,
+    # ascending array_sort = score desc / id asc, slice k, posexplode.
+    # The old dropDuplicates + row_number window was TWO shuffles — two
+    # extra 16-task scheduling waves per statement that dominate at
+    # serving SF. Struct-identical duplicates (same pair ⇒ same score
+    # bits) collapse in the set; candidate lists are bounded by bucket
+    # occupancy × tables, the same bound the window path shuffled.
+    scored = c.join(F.broadcast(q), ["tbl", "bucket"]).select(
+        F.col(query_id),
+        F.struct(
+            (-V.cosine_similarity(corpus_vec, query_vec)).alias("ns"),
+            F.col(corpus_id).alias("cid"),
+        ).alias("cand"),
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
-        .select(query_id, corpus_id, "score", "rn")
+        scored.groupBy(query_id)
+        .agg(F.slice(F.array_sort(F.collect_set("cand")), 1, k).alias("top"))
+        .select(
+            F.col(query_id),
+            F.posexplode("top").alias("pos", "s"),
+        )
+        .select(
+            query_id,
+            F.col("s.cid").alias(corpus_id),
+            (-F.col("s.ns")).alias("score"),
+            (F.col("pos") + 1).cast("bigint").alias("rn"),
+        )
     )
 
 

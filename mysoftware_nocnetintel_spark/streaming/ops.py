@@ -26,6 +26,30 @@ from pyspark.sql import types as T
 
 from ..session import tune
 
+
+def _durable_replace(tmp: str, dst: str) -> None:
+    """fsync-then-rename: the offset/pin files are the exactly-once
+    bookkeeping between two at-least-once halves, so they must survive a
+    POWER loss, not just a process crash (round-6 advisor). Plain
+    ``os.replace`` leaves the new bytes in the page cache — a host crash
+    after the sink's txn write but before writeback loses the pin, the
+    next poll re-derives the endpoint from the live head, and the
+    widened batch double-appends. fsync the tmp file's data, then the
+    directory entry, before the atomic rename."""
+    import os
+
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    os.replace(tmp, dst)
+    dfd = os.open(os.path.dirname(dst) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
 # events schema as stored (ts is ns-epoch long under nanosAsLong)
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
@@ -949,7 +973,7 @@ class _PinnedOffsetMixin:
         tmp = self._pending_file + f".{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump({key: int(v)}, fh)
-        os.replace(tmp, self._pending_file)
+        _durable_replace(tmp, self._pending_file)
 
     def _clear_pinned(self) -> None:
         import os
@@ -1124,7 +1148,7 @@ class DeltaTailer(_PinnedOffsetMixin):
         tmp = self._offset_file + f".{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": int(v)}, fh)
-        os.replace(tmp, self._offset_file)
+        _durable_replace(tmp, self._offset_file)
         self._clear_pinned()
         self._pending = None
         return int(v)
@@ -1321,7 +1345,7 @@ class IcebergTailer(_PinnedOffsetMixin):
         tmp = self._offset_file + f".{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump({"snapshot_id": int(v)}, fh)
-        os.replace(tmp, self._offset_file)
+        _durable_replace(tmp, self._offset_file)
         self._clear_pinned()
         self._pending = None
         return int(v)
