@@ -712,21 +712,16 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
     if not live:
         raise ValueError("empty table")
 
-    # ONE distributed scan finds (file, physical position) per match;
-    # NAME-mapped files scan under physical names and rename to logical
-    # before the (logical-name) predicate applies
-    scan = (
-        spark.read.parquet(*[os.path.join(path, rel) for rel in live])
-        .withColumn("__fp", F.col("_metadata.file_path"))
-        .withColumn("__pos", F.col("_metadata.row_index"))
-    )
-    inv = {v: k for k, v in _physical_names(state["meta"]).items()}
-    if inv:
-        scan = scan.select(
-            *[F.col(c).alias(inv.get(c, c)) for c in scan.columns]
-        )
+    # ONE distributed scan finds (file, physical position) per match.
+    # _masked_target scans with the DECLARED schema (pre-evolution files
+    # null-fill), projects physical→logical under column mapping, and
+    # re-attaches typed partition literals under their LOGICAL names —
+    # so the predicate can reference partition columns (and renamed
+    # ones) exactly like UPDATE/MERGE. Already-DV-deleted rows are
+    # masked out of the scan; the bitmap union below keeps them deleted.
     matches = (
-        scan.filter(F.expr(predicate))
+        _masked_target(spark, path, state)
+        .filter(F.expr(predicate))
         .select("__fp", "__pos")
         .limit(_MAX_DELETE_POSITIONS + 1)
         .collect()
@@ -741,20 +736,12 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
     abs_to_rel = {
         os.path.abspath(os.path.join(path, rel)): rel for rel in live
     }
-    from urllib.parse import unquote
-
     for r in matches:
-        fp = r["__fp"]
-        # _metadata.file_path is a PERCENT-ENCODED URI (file:/abs or
-        # file:///abs): strip the scheme AND decode, or a table dir with
-        # a space/non-ASCII char KeyErrors here (round-5 advisor).
-        # unquote leaves '+' alone, matching URI percent-encoding.
-        if fp.startswith("file://"):
-            fp = fp[7:]
-        elif fp.startswith("file:"):
-            fp = fp[5:]
-        fp = unquote(fp)
-        by_file.setdefault(abs_to_rel[os.path.abspath(fp)], set()).add(
+        # _masked_target already normalized __fp from the percent-encoded
+        # _metadata.file_path URI to a plain absolute path (readers.py
+        # _uri_to_path — the round-5 advisor seam), the same form the DV
+        # anti-join matches on
+        by_file.setdefault(abs_to_rel[os.path.abspath(r["__fp"])], set()).add(
             r["__pos"]
         )
     if not by_file:
@@ -890,6 +877,11 @@ def _masked_target(
     from .readers import _uri_to_path
 
     fp_norm = _uri_to_path(F.col("_metadata.file_path"))
+    # add.partitionValues keys are PHYSICAL names (spec: partition values
+    # are tracked physically under column mapping) — attach the literal
+    # under the LOGICAL name so the returned rows and the type lookup
+    # both follow the declared schema even after a partition rename
+    to_logical = {v: k for k, v in phys.items()}
     target = None
     for pv, rels in sorted(groups.items()):
         df = (
@@ -902,6 +894,7 @@ def _masked_target(
             )
         )
         for k, v in pv:
+            k = to_logical.get(k, k)
             df = df.withColumn(
                 k,
                 (F.lit(None) if v is None else F.lit(v)).cast(
@@ -1404,10 +1397,19 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
     the copy-on-write verbs scan physical and rewrite through the same
     translated append, so the full verb matrix survives a rename.
 
-    Refused: renaming a partition column (add.partitionValues and the
-    Hive directory layout are keyed by the physical partition name —
-    same posture as the Iceberg twin), a ``new`` name already in the
-    schema, and foreign tables. Returns the committed version."""
+    PARTITION columns rename too (round-7; the Iceberg twin landed
+    partition-SOURCE renames in round 6): ``metaData.partitionColumns``
+    tracks LOGICAL names in this writer, so the same commit rewrites the
+    entry, while ``add.partitionValues`` and the Hive directory layout
+    stay keyed by the PHYSICAL name — existing files and their pruning
+    metadata never move. Writes translate partition columns
+    logical→physical like every other column (``_stage_append``),
+    reads re-attach partition literals under the logical name
+    (``_masked_target``, readers.py), and ``partition_filter`` accepts
+    logical keys and translates before matching the log.
+
+    Refused: a ``new`` name already in the schema, and foreign tables.
+    Returns the committed version."""
     log_dir = os.path.join(path, "_delta_log")
     state = _replay_state(log_dir)
     if state["version"] is None:
@@ -1426,12 +1428,6 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
         raise ValueError(f"column {old!r} does not exist; schema has {names}")
     if new in names:
         raise ValueError(f"column {new!r} already exists")
-    if old in (meta.get("partitionColumns") or []):
-        raise NotImplementedError(
-            f"column {old!r} is a partition column: partition renames "
-            "are not supported (partitionValues and the directory "
-            "layout key by the physical partition name)"
-        )
     conf = dict(meta.get("configuration") or {})
     mode = conf.get("delta.columnMapping.mode", "none")
     actions: list[dict] = []
@@ -1457,11 +1453,18 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
     for f in schema["fields"]:
         if f["name"] == old:
             f["name"] = new
+    # partitionColumns tracks LOGICAL names (physical keys live only in
+    # add.partitionValues / the directory layout, both pinned by the
+    # name-mode upgrade above) — rename the entry in the same commit
+    part_cols = [
+        new if c == old else c for c in (meta.get("partitionColumns") or [])
+    ]
     actions.append(
         {
             "metaData": dict(
                 meta,
                 schemaString=json.dumps(schema),
+                partitionColumns=part_cols,
                 configuration=conf,
             )
         }

@@ -523,6 +523,34 @@ def read_delta_snapshot(
     if version is not None and max_seen < version:
         raise ValueError(f"version {version} not found (latest: {max_seen})")
     if partition_filter:
+        # callers filter by the CURRENT LOGICAL column name;
+        # add.partitionValues is keyed by PHYSICAL name under column
+        # mapping (the rename seam: a renamed partition column changes
+        # only metaData, the log entries keep their physical key) — so
+        # validate against metaData.partitionColumns (logical) first,
+        # then translate through physicalName. A STALE pre-rename name
+        # is rejected even though it happens to equal the physical key.
+        if table_meta and _cm_mode(table_meta) in ("name", "id"):
+            logical_parts = set(table_meta.get("partitionColumns") or [])
+            bad = [k for k in partition_filter if k not in logical_parts]
+            if bad:
+                raise ValueError(
+                    f"partition_filter keys {bad} are not partition "
+                    f"columns of this table (current: {sorted(logical_parts)})"
+                )
+            phys_by_logical = {}
+            for fld in json.loads(table_meta["schemaString"]).get(
+                "fields", []
+            ):
+                p = (fld.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName"
+                )
+                if p:
+                    phys_by_logical[fld["name"]] = p
+            partition_filter = {
+                phys_by_logical.get(k, k): v
+                for k, v in partition_filter.items()
+            }
         bad = [
             k
             for k in partition_filter

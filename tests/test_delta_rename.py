@@ -142,8 +142,6 @@ def test_rename_refusals_and_rename_back(spark, tmp_path):
         root,
         partition_by=("day",),
     )
-    with pytest.raises(NotImplementedError, match="partition column"):
-        rename_delta_column(root, "day", "dt")
     rename_delta_column(root, "val", "label")
     with pytest.raises(ValueError, match="already exists"):
         rename_delta_column(root, "id", "label")
@@ -374,3 +372,233 @@ def test_drop_column_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="last remaining"):
         drop_delta_column(root, "val")
     assert _rows(read_delta_snapshot(spark, root)) == [("z",)]
+
+
+def test_partition_column_rename_lifecycle(spark, tmp_path):
+    """Partition columns rename too (round 7 — the Delta twin of
+    Iceberg's partition-source rename): metaData.partitionColumns is
+    rewritten to the new LOGICAL name in the same commit while
+    add.partitionValues and the Hive directory layout stay keyed by the
+    pinned PHYSICAL name, so zero files move; appends under the new
+    name land in the old layout, partition_filter takes the new name,
+    and every CoW/MoR verb keeps working."""
+    import os
+
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        optimize_delta_table,
+    )
+
+    root = str(tmp_path / "tp")
+    write_delta_append(
+        spark.createDataFrame(
+            [(i, f"v{i}", i % 2) for i in range(6)],
+            "id bigint, val string, bucket bigint",
+        ),
+        root,
+        partition_by=("bucket",),
+    )
+    v_rename = rename_delta_column(root, "bucket", "shard")
+
+    got = read_delta_snapshot(spark, root)
+    assert sorted(got.columns) == ["id", "shard", "val"]
+    # typed re-attach survives the rename (bigint, not string)
+    assert dict(got.dtypes)["shard"] == "bigint"
+    assert _rows(got.select("id", "shard")) == [(i, i % 2) for i in range(6)]
+
+    # partition pruning by the NEW logical name
+    got = read_delta_snapshot(spark, root, partition_filter={"shard": "0"})
+    assert sorted(r.id for r in got.collect()) == [0, 2, 4]
+    # the OLD name no longer resolves
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_delta_snapshot(spark, root, partition_filter={"bucket": "0"})
+
+    # appends must use the new logical name and land in the OLD
+    # physical directory layout (physicalName pinned at upgrade)
+    write_delta_append(
+        spark.createDataFrame(
+            [(10, "x", 0)], "id bigint, val string, shard bigint"
+        ),
+        root,
+    )
+    assert os.path.isdir(os.path.join(root, "bucket=0"))
+    assert not any(d.startswith("shard=") for d in os.listdir(root))
+    got = read_delta_snapshot(spark, root, partition_filter={"shard": "0"})
+    assert sorted(r.id for r in got.collect()) == [0, 2, 4, 10]
+
+    # CoW verbs reference the renamed partition column logically
+    update_delta_rows(spark, root, "shard = 1", {"val": "'upd'"})
+    got = read_delta_snapshot(spark, root)
+    assert {r.val for r in got.filter("shard = 1").collect()} == {"upd"}
+    merge_delta_rows(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(0, "merged", 0), (11, "new", 1)],
+            "id bigint, val string, shard bigint",
+        ),
+        on=["id"],
+        when_matched="update",
+        when_not_matched="insert",
+    )
+    got = read_delta_snapshot(spark, root)
+    assert _rows(got.filter("id in (0, 11)").select("id", "val", "shard")) == [
+        (0, "merged", 0),
+        (11, "new", 1),
+    ]
+    optimize_delta_table(spark, root, min_files=2)
+    got = read_delta_snapshot(spark, root)
+    assert got.count() == 8
+    assert sorted(r.id for r in got.filter("shard = 0").collect()) == [
+        0,
+        2,
+        4,
+        10,
+    ]
+
+    # time travel to the pre-rename version shows the OLD logical name
+    old = read_delta_snapshot(spark, root, version=v_rename - 1)
+    assert sorted(old.columns) == ["bucket", "id", "val"]
+    assert _rows(old.select("id", "bucket")) == [(i, i % 2) for i in range(6)]
+
+    # renaming BACK works and the layout still never moved
+    rename_delta_column(root, "shard", "bucket")
+    got = read_delta_snapshot(spark, root, partition_filter={"bucket": "1"})
+    assert sorted(r.id for r in got.collect()) == [1, 3, 5, 11]
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_random_partitioned_lifecycle_with_partition_renames(
+    spark, tmp_path, seed
+):
+    """Partitioned twin of the rename lifecycle fuzz: random appends /
+    MoR deletes / CoW updates / OPTIMIZE with renames of BOTH the value
+    column and the PARTITION column interleaved. The model is
+    name-independent; every read (full and partition-pruned) must
+    reproduce it under the current names."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        optimize_delta_table,
+    )
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"dprn{seed}")
+    model: dict[int, tuple[str, int]] = {}  # id -> (val, part)
+    cur_val, cur_part = "val", "day"
+    n_renames = 0
+    seq = 0
+
+    ops = ["append"] + [
+        rng.choice(
+            [
+                "append",
+                "append",
+                "delete",
+                "update",
+                "optimize",
+                "rename_val",
+                "rename_part",
+            ]
+        )
+        for _ in range(11)
+    ]
+    for op in ops:
+        if op == "rename_val" and model:
+            n_renames += 1
+            new = f"val{n_renames}"
+            rename_delta_column(root, cur_val, new)
+            cur_val = new
+        elif op == "rename_part" and model:
+            n_renames += 1
+            new = f"day{n_renames}"
+            rename_delta_column(root, cur_part, new)
+            cur_part = new
+        elif op == "optimize" and model:
+            try:
+                optimize_delta_table(spark, root)
+            except ValueError:
+                pass  # nothing to compact — legal no-op refusal
+        elif op == "append" or not model:
+            seq += 1
+            batch = {
+                rng.randrange(8): (chr(97 + seq), rng.randrange(3))
+                for _ in range(rng.randint(1, 3))
+            }
+            write_delta_append(
+                spark.createDataFrame(
+                    [(k, v, p) for k, (v, p) in batch.items()],
+                    f"id bigint, {cur_val} string, {cur_part} bigint",
+                ),
+                root,
+                partition_by=(cur_part,) if seq == 1 else (),
+            )
+            clash = [k for k in batch if k in model]
+            if clash:
+                delete_delta_rows(
+                    spark,
+                    root,
+                    f"id in ({','.join(map(str, clash))}) and "
+                    f"{cur_val} != '{chr(97 + seq)}'",
+                )
+            model.update(batch)
+        elif op == "delete":
+            m = rng.choice([2, 3])
+            r = rng.randrange(m)
+            if any(k % m == r for k in model):
+                delete_delta_rows(spark, root, f"id % {m} = {r}")
+                model = {k: v for k, v in model.items() if k % m != r}
+        else:  # update
+            ks = [k for k in model if k % 2 == 0]
+            if ks:
+                update_delta_rows(
+                    spark, root, "id % 2 = 0", {cur_val: f"'U{seq}'"}
+                )
+                model = {
+                    k: (f"U{seq}", p) if k % 2 == 0 else (v, p)
+                    for k, (v, p) in model.items()
+                }
+        if model:
+            got = {
+                (r["id"], r[cur_val], r[cur_part])
+                for r in read_delta_snapshot(spark, root).collect()
+            }
+            assert got == {
+                (k, v, p) for k, (v, p) in model.items()
+            }, f"seed={seed} after {op}"
+            # partition-pruned read under the CURRENT partition name
+            parts = {p for _v, p in model.values()}
+            p0 = sorted(parts)[0]
+            pruned = {
+                (r["id"], r[cur_part])
+                for r in read_delta_snapshot(
+                    spark, root, partition_filter={cur_part: str(p0)}
+                ).collect()
+            }
+            assert pruned == {
+                (k, p) for k, (_v, p) in model.items() if p == p0
+            }, f"seed={seed} pruned after {op}"
+
+
+def test_mor_delete_by_partition_predicate_across_rename(spark, tmp_path):
+    """DELETE predicates can reference partition columns (round 7: the
+    delete scan goes through _masked_target, which re-attaches typed
+    partition literals under LOGICAL names) — including after the
+    partition column was renamed."""
+    root = str(tmp_path / "tdp")
+    write_delta_append(
+        spark.createDataFrame(
+            [(i, f"v{i}", i % 3) for i in range(9)],
+            "id bigint, val string, part bigint",
+        ),
+        root,
+        partition_by=("part",),
+    )
+    delete_delta_rows(spark, root, "part = 2")
+    got = read_delta_snapshot(spark, root)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 3, 4, 6, 7]
+    rename_delta_column(root, "part", "zone")
+    delete_delta_rows(spark, root, "zone = 1 and id < 4")
+    got = read_delta_snapshot(spark, root)
+    assert sorted(r.id for r in got.collect()) == [0, 3, 4, 6, 7]
+    # deletes stack idempotently on the same (renamed) partition
+    delete_delta_rows(spark, root, "zone = 1")
+    got = read_delta_snapshot(spark, root)
+    assert sorted(r.id for r in got.collect()) == [0, 3, 6]
