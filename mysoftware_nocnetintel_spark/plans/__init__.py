@@ -30,71 +30,71 @@ _ALL = {
 # (1) every registry query with no driver signal yet goes in first; (2) then
 # every query whose implementation or oracle changed this round (space
 # permitting); (3) fill the remainder with the queries whose last green
-# signal is oldest. ROUND 6 (per VERDICT r5 task 2 — "pay the rotation
-# debt, add nothing new"): exactly 1 never-graded entry (q146, the BPE
-# end-to-end driver signal VERDICT task 4 asked for) + ALL 49 queries
-# whose latest signal is pre-r4 (q46-q48 are r2-era, the rest r3-era) =
-# 50 exactly. After r6 grading no registry query has a pre-r4 signal.
-# Rule-(2) exception this round: q10's INTERSECT plan rewrite (VERDICT
-# task 6) does NOT enter — the window has zero slack and VERDICT task 2
-# takes precedence; q10's oracle parity is gated locally by
-# tests/test_oracle_parity.py and its plan shape by test_plans.py, and it
-# rotates in next round (r4 signal, will then be oldest). Outside the
-# window: everything graded green in r4/r5 (q0-q45 remainder, q94-q145).
+# signal is oldest. ROUND 7 (per VERDICT r6 task 1): no never-graded
+# entries exist; rule (2) admits q42_ann_lsh (lsh_bucketed_topk rebuilt:
+# closure-bucket UDF kept, dedup+top-k collapsed to one collect_set/
+# array_sort shuffle) and q36_knn_batch (exercises the new single-parse
+# cosine SQL fast path in functions/vectors.py on an ORACLE-paired
+# query); rule (3) fills the other 48 slots with the ENTIRE r4-signal
+# backlog — q10 first per the r6 verdict (its INTERSECT plan was
+# rewritten in r6 but its driver signal predates the rewrite), then
+# numeric order; q92_ann_opq and q125_mllib_pipeline (VERDICT task 7's
+# aging rows-only signals) are part of that block. Outside the window:
+# everything graded green in r5/r6 (q7_approx..q44, q46-q90 era, q93-
+# q106 era, q124-q146).
 _WINDOW = [
-    # --- NEW this round, never driver-graded (rule 1) ---
-    "q146_bpe_pipeline",
-    # --- every pre-r4 signal, oldest era first (rule 3): r2-era ---
-    "q46_sliding_window",
-    "q47_session_window",
-    "q48_ann_ivf",
-    # --- r3-era (numeric order within the equal-age block) ---
-    "q49_forecast_score",
-    "q51_dispatch_plan",
-    "q52_model_metrics",
-    "q53_multimodal_features",
-    "q54_scalar_subquery",
-    "q55_in_subquery",
-    "q56_lead_window",
-    "q57_first_last_value",
-    "q58_ntile_percent_rank",
-    "q59_time_range_frame",
-    "q60_union_distinct",
-    "q61_except_all",
-    "q62_like_filter",
-    "q63_date_arithmetic",
-    "q64_resample_asof",
-    "q65_conditional_agg",
-    "q66_salted_agg",
-    "q67_tfidf",
-    "q68_variance_corr",
-    "q69_array_ops",
-    "q70_null_handling",
-    "q71_pandas_udf_score",
-    "q72_variant_json",
-    "q73_rmse",
-    "q74_auc",
-    "q75_sequence_assembly",
-    "q76_ann_pq",
-    "q77_funnel",
-    "q78_hll_rollup",
-    "q79_repetition_signals",
-    "q80_scrub_sample",
-    "q81_root_cause_lift",
-    "q82_burst_detection",
-    "q83_chunking",
-    "q84_maintenance_suppression",
-    "q85_flap_suppression",
-    "q86_correlated_subquery",
-    "q87_window_distinct",
-    "q88_entropy",
-    "q89_mad_outliers",
-    "q90_ann_ivfpq",
-    "q93_dedup_keep_one",
-    "q100_gapfill",
-    "q101_cusum",
-    "q102_snapshot_diff",
-    "q106_transition_matrix",
+    # --- rule 2: implementation changed this round ---
+    "q42_ann_lsh",
+    "q36_knn_batch",
+    # --- rule 3: the 48 queries whose latest signal is r4, q10 first ---
+    "q10_setops",
+    "q0_flagship_risk",
+    "q1_pricing_summary",
+    "q2_join_topn",
+    "q3_window_rank",
+    "q4_rolling_avg",
+    "q5_sessionize",
+    "q6_json_extract",
+    "q7_distinct",
+    "q8_dedup_docs",
+    "q9_knn",
+    "q25_pivot",
+    "q28_asof_join",
+    "q34_running_total",
+    "q37_minhash_neardup",
+    "q38_simhash_neardup",
+    "q39_fingerprint_dedup",
+    "q41_ngram_jaccard",
+    "q45_tumbling_window",
+    "q50_per_entity_ols",
+    "q91_dedup_clusters",
+    "q92_ann_opq",
+    "q95_unpivot",
+    "q96_regr_native",
+    "q97_corpus_split",
+    "q98_corpus_mixture",
+    "q99_neardup_clusters",
+    "q103_bloom_prune",
+    "q104_histogram_quantiles",
+    "q105_seasonal_outliers",
+    "q107_decontamination",
+    "q108_sequence_packing",
+    "q109_pmi_bigrams",
+    "q110_pagerank",
+    "q111_weighted_sample",
+    "q112_chi2_independence",
+    "q113_countmin",
+    "q114_attribution",
+    "q115_containment",
+    "q116_retention",
+    "q117_bigram_surprisal",
+    "q118_frame_sample",
+    "q119_source_overlap",
+    "q120_ngram_novelty",
+    "q121_ewma",
+    "q122_ar2_sequence",
+    "q123_semdedup",
+    "q125_mllib_pipeline",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

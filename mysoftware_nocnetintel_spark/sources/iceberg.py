@@ -7,10 +7,14 @@
   (``_commit_metadata``: hard-link put-if-absent of
   ``v<N>.metadata.json``, the HadoopTableOperations recipe) — a lost
   race raises :class:`IcebergCommitConflict` instead of clobbering the
-  winner. Appends retry on top of it (they commute), and RECOMPUTABLE
+  winner. Appends retry on top of it (they commute), RECOMPUTABLE
   commits — compaction, manifest rewrite, expiration, ref/schema moves
-  — auto-retry too (``_retry_on_conflict``); data-SEMANTIC writers
-  (delete/update/merge) surface the conflict for the caller to
+  — auto-retry too (``_retry_on_conflict``), and data-SEMANTIC writers
+  (delete/update/merge) auto-retry after FILE-OVERLAP VALIDATION
+  (``_retry_head``, round 7): retry iff the winning commits are
+  provably disjoint from this commit's basis (schema/spec unchanged,
+  every referenced file still live, no new delete content over the
+  rewritten files), else the conflict surfaces for the caller to
   re-decide against the new head. Object stores without
   atomic link/rename still need a real catalog (REST/Hive/Glue) — that
   remains the production path;
@@ -316,11 +320,90 @@ def _retry_on_conflict(fn):
 
 class IcebergCommitConflict(RuntimeError):
     """Another writer committed the metadata version this commit was
-    staged against. Appends retry internally (they commute) and
+    staged against. Appends retry internally (they commute),
     recomputable maintenance/ref commits auto-retry
-    (``_retry_on_conflict``); delete/update/merge commits surface this
-    — re-run them against the new table state (their scan basis may
-    have changed)."""
+    (``_retry_on_conflict``), and the data-semantic verbs
+    (delete/update/merge) auto-retry AFTER file-overlap validation
+    (``_retry_head``, round 7) — when validation shows the winning
+    commit could have invalidated this one's scan basis, the conflict
+    surfaces and the caller re-runs against the new table state."""
+
+
+def _retry_head(
+    path: str,
+    base_meta: dict,
+    touched: "set[str] | None" = None,
+    forbid_new_deletes: bool = False,
+) -> "tuple[dict, int] | None":
+    """FILE-OVERLAP VALIDATION for retrying a data-semantic commit that
+    lost its metadata CAS (round-6 verdict task 5): reload the head and
+    decide whether the staged artifacts are still valid against it.
+    Returns ``(meta, ver)`` of the new head when the retry is safe, or
+    ``None`` when the conflict must surface to the caller.
+
+    The retry is safe iff the interleaving commits are provably disjoint
+    from this commit's basis:
+
+    - the table SCHEMA and PARTITION SPEC are unchanged (staged files
+      embed field ids, bounds, and partition records);
+    - every file in ``touched`` — the data files this commit's position
+      deletes reference / its rewrite replaces — is still LIVE at the
+      head (a compaction or another rewrite that touched them would
+      invalidate the (file, pos) coordinates);
+    - with ``forbid_new_deletes`` (the UPDATE case, which re-writes row
+      images): no interleaving commit added an EQUALITY delete (its key
+      scope is unknowable at file granularity) or a POSITION delete
+      referencing a ``touched`` file (the interleaved delete would be
+      silently resurrected by our rewritten images);
+    - the base snapshot still resolves (not expired mid-race).
+
+    Declarative commits (equality deletes, zero-read upsert merges) pass
+    ``touched=None``: re-applying them on the new head at a fresh
+    sequence number is exactly the serial order "winner first, then us".
+    """
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        return None
+    if (
+        meta.get("schemas") != base_meta.get("schemas")
+        or meta.get("partition-specs") != base_meta.get("partition-specs")
+        or meta.get("default-spec-id") != base_meta.get("default-spec-id")
+    ):
+        return None
+    if touched or forbid_new_deletes:
+        from .readers import _iceberg_snapshot_files
+
+        base_snap = base_meta.get("current-snapshot-id")
+        try:
+            head_data, head_pos, head_eq, _ = _iceberg_snapshot_files(path)
+            _b_data, base_pos, base_eq, _ = _iceberg_snapshot_files(
+                path, snapshot_id=base_snap
+            )
+        except (ValueError, FileNotFoundError):
+            return None
+        if touched:
+            head_live = {e.path for e in head_data}
+            if not set(touched) <= head_live:
+                return None
+        if forbid_new_deletes:
+            if {p for p, _s, _c in head_eq} - {p for p, _s, _c in base_eq}:
+                return None
+            new_pos = set(head_pos) - set(base_pos)
+            if new_pos and touched:
+                import pyarrow.parquet as pq
+
+                for pf in new_pos:
+                    refs = set(
+                        pq.read_table(pf, columns=["file_path"])
+                        .column("file_path")
+                        .to_pylist()
+                    )
+                    if refs & set(touched):
+                        return None
+            elif new_pos:
+                return None
+    return meta, ver
 
 
 def _commit_metadata(meta_dir: str, prev_ver: int, new_meta: dict) -> None:
@@ -1249,7 +1332,14 @@ def write_iceberg_position_deletes(spark, path: str, condition) -> int:
     )
 
     return _commit_delete_file(
-        meta, ver, meta_dir, del_file, n_rows=len(rows), file_content=1
+        meta,
+        ver,
+        meta_dir,
+        del_file,
+        n_rows=len(rows),
+        file_content=1,
+        path=path,
+        touched={r[0] for r in rows},
     )
 
 
@@ -1261,76 +1351,115 @@ def _commit_delete_file(
     n_rows: int,
     file_content: int,
     equality_ids: list[int] | None = None,
+    path: str | None = None,
+    touched: "set[str] | None" = None,
 ) -> int:
     """Shared delete-commit tail of the position- and equality-delete
     writers: one manifest Avro, one manifest-list Avro, one metadata.json
     bump — all driver-side KB-scale. ``file_content`` is the spec's
-    data_file content code (1=position deletes, 2=equality deletes)."""
-    now_ms = int(time.time() * 1000)
-    snap_id = now_ms * 1000 + (ver + 1)
-    seq = meta.get("last-sequence-number", 0) + 1
-    manifest = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
-    write_avro_file(
-        manifest,
-        MANIFEST_ENTRY_SCHEMA,
-        [
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "content": file_content,
-                    "file_path": del_file,
-                    "file_format": "PARQUET",
-                    "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(del_file),
-                    "equality_ids": equality_ids,
-                },
-            }
-        ],
-    )
+    data_file content code (1=position deletes, 2=equality deletes).
 
+    A lost CAS auto-retries after ``_retry_head`` validation (round 7):
+    position deletes retry iff every referenced data file (``touched``)
+    is still live at the head; equality deletes are declarative
+    (``touched=None``) and re-apply at the new head's sequence — the
+    serial order "winner first, then this delete". A failed validation
+    deletes the staged delete file and surfaces the conflict."""
     from .avro_lite import read_avro_file
 
-    cur = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
-    )
-    _, prior = read_avro_file(cur["manifest-list"])
-    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-    write_avro_file(
-        mlist,
-        MANIFEST_FILE_SCHEMA,
-        [dict(m, sequence_number=m.get("sequence_number", 0)) for m in prior]
-        + [
-            {
-                "manifest_path": manifest,
-                "manifest_length": os.path.getsize(manifest),
-                "partition_spec_id": 0,
-                "content": 1,  # delete manifest
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
-            }
-        ],
-    )
-    snapshot = {
-        "snapshot-id": snap_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": mlist,
-        "summary": {"operation": "delete"},
-    }
-    new_meta = dict(
-        meta,
-        **{
-            "last-sequence-number": seq,
-            "last-updated-ms": now_ms,
-            "snapshots": meta.get("snapshots", []) + [snapshot],
-            "current-snapshot-id": snap_id,
-        },
-    )
-    _commit_metadata(meta_dir, ver, new_meta)
-    return snap_id
+    last_err: IcebergCommitConflict | None = None
+    for _attempt in range(3):
+        now_ms = int(time.time() * 1000)
+        snap_id = now_ms * 1000 + (ver + 1)
+        seq = meta.get("last-sequence-number", 0) + 1
+        manifest = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
+        write_avro_file(
+            manifest,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": file_content,
+                        "file_path": del_file,
+                        "file_format": "PARQUET",
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(del_file),
+                        "equality_ids": equality_ids,
+                    },
+                }
+            ],
+        )
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, prior = read_avro_file(cur["manifest-list"])
+        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        write_avro_file(
+            mlist,
+            MANIFEST_FILE_SCHEMA,
+            [
+                dict(m, sequence_number=m.get("sequence_number", 0))
+                for m in prior
+            ]
+            + [
+                {
+                    "manifest_path": manifest,
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": 0,
+                    "content": 1,  # delete manifest
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            ],
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "summary": {"operation": "delete"},
+        }
+        new_meta = dict(
+            meta,
+            **{
+                "last-sequence-number": seq,
+                "last-updated-ms": now_ms,
+                "snapshots": meta.get("snapshots", []) + [snapshot],
+                "current-snapshot-id": snap_id,
+            },
+        )
+        try:
+            _commit_metadata(meta_dir, ver, new_meta)
+            return snap_id
+        except IcebergCommitConflict as e:
+            last_err = e
+            # this attempt's manifest + list embed the lost snap id
+            for f in (manifest, mlist):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            reloaded = (
+                _retry_head(path, meta, touched=touched)
+                if path is not None
+                else None
+            )
+            if reloaded is None:
+                try:
+                    os.remove(del_file)
+                except OSError:
+                    pass
+                raise
+            meta, ver = reloaded
+    try:
+        os.remove(del_file)
+    except OSError:
+        pass
+    raise last_err
 
 
 def write_iceberg_equality_deletes(spark, path: str, keys: DataFrame) -> int:
@@ -1402,6 +1531,8 @@ def write_iceberg_equality_deletes(spark, path: str, keys: DataFrame) -> int:
         n_rows=tbl.num_rows,
         file_content=2,
         equality_ids=equality_ids,
+        path=path,
+        touched=None,  # declarative: re-applies at the new head's seq
     )
 
 
@@ -1450,9 +1581,13 @@ def merge_iceberg_rows(
     the reason CDC engines write equality deletes at all. The ambiguity
     probe only reads the table when the source actually contains
     duplicate keys, and the other mode combinations need one key
-    semi/anti-join by construction. Merges do NOT commute (the write set
-    may be computed against key membership), so a lost metadata CAS is
-    NOT retried: staged files are removed and
+    semi/anti-join by construction. Lost metadata CAS (round 7): the
+    DECLARATIVE zero-read upsert (update+insert, no duplicate source
+    keys) auto-retries against the winner's head after ``_retry_head``
+    validation — re-applying it at the new sequence number is the serial
+    order "winner first, then this merge", and the staged files are
+    head-independent. Every OTHER mode's write set was computed against
+    key membership (it does not commute): staged files are removed and
     :class:`IcebergCommitConflict` propagates — re-run the merge against
     the winner's state. Scope: source schema == table schema (merge
     never evolves it), parquet or avro (``file_format``) data files
@@ -1550,13 +1685,24 @@ def merge_iceberg_rows(
     dup_keys = (
         src.groupBy(*keys).count().filter(F.col("count") > 1).drop("count")
     )
-    if not dup_keys.isEmpty():
+    has_dups = not dup_keys.isEmpty()
+    if has_dups:
         tgt = read_iceberg_snapshot(spark, path).select(*keys)
         if dup_keys.join(tgt, keys, "left_semi").limit(1).count():
             raise ValueError(
                 "merge is ambiguous: more than one source row matches the "
                 "same target row (duplicate ON keys in source)"
             )
+    # a merge is DECLARATIVE — safe to re-apply verbatim on a new head —
+    # only when neither its write set nor its validity was decided by
+    # reading the table: the zero-read upsert with no duplicate source
+    # keys. Every other mode's matched/unmatched split (or the ambiguity
+    # probe's verdict) could flip under the winning commit.
+    retryable = (
+        when_matched == "update"
+        and when_not_matched == "insert"
+        and not has_dups
+    )
 
     # write set + delete-key set per mode (upsert = the zero-read path)
     if when_matched == "update" and when_not_matched == "insert":
@@ -1643,119 +1789,150 @@ def merge_iceberg_rows(
                 "keys with inserts ignored)"
             )
 
-        now_ms = int(time.time() * 1000)
-        snap_id = now_ms * 1000 + (ver + 1)
-        seq = meta.get("last-sequence-number", 0) + 1
-        new_manifests = []
-        if new_files:
-            entries = []
-            for f, pvals, fmt, nrows in new_files:
-                if fmt == "PARQUET":
-                    pmeta = pq.read_metadata(f)
-                    lo, hi = _file_bounds(pmeta, schemas[0])
-                    nrows = pmeta.num_rows
-                else:
-                    lo = hi = None
-                rec = {
-                    "content": 0,
-                    "file_path": f,
-                    "file_format": fmt,
-                    "record_count": nrows,
-                    "file_size_in_bytes": os.path.getsize(f),
-                    "lower_bounds": lo,
-                    "upper_bounds": hi,
-                }
-                if part_fields:
-                    rec["partition"] = pvals
-                entries.append(
-                    {
-                        "status": 1,
-                        "snapshot_id": snap_id,
-                        "data_file": rec,
-                    }
-                )
-            manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
-            write_avro_file(
-                manifest,
-                _partition_manifest_schema(part_fields)
-                if part_fields
-                else MANIFEST_ENTRY_SCHEMA,
-                entries,
-            )
-            new_manifests.append((manifest, 0))
-        if del_file is not None:
-            dmanifest = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
-            write_avro_file(
-                dmanifest,
-                MANIFEST_ENTRY_SCHEMA,
-                [
-                    {
-                        "status": 1,
-                        "snapshot_id": snap_id,
-                        "data_file": {
-                            "content": 2,
-                            "file_path": del_file,
-                            "file_format": "PARQUET",
-                            "record_count": del_tbl.num_rows,
-                            "file_size_in_bytes": os.path.getsize(del_file),
-                            "equality_ids": [name_to_id[c] for c in keys],
-                        },
-                    }
-                ],
-            )
-            new_manifests.append((dmanifest, 1))
-
         from .avro_lite import read_avro_file
 
-        cur = next(
-            s
-            for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
-        )
-        _, prior = read_avro_file(cur["manifest-list"])
-        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-        write_avro_file(
-            mlist,
-            MANIFEST_FILE_SCHEMA,
-            [
-                dict(m, sequence_number=m.get("sequence_number", 0))
-                for m in prior
-            ]
-            + [
-                {
-                    "manifest_path": mpath,
-                    "manifest_length": os.path.getsize(mpath),
-                    "partition_spec_id": 0,
-                    "content": mcontent,
-                    "sequence_number": seq,
-                    "added_snapshot_id": snap_id,
-                }
-                for mpath, mcontent in new_manifests
-            ],
-        )
-        snapshot = {
-            "snapshot-id": snap_id,
-            "sequence-number": seq,
-            "timestamp-ms": now_ms,
-            "manifest-list": mlist,
-            "parent-snapshot-id": meta["current-snapshot-id"],
-            "summary": {"operation": "overwrite"},
-        }
-        if txn is not None:
-            snapshot["summary"]["txn-app"] = txn[0]
-            snapshot["summary"]["txn-version"] = str(int(txn[1]))
-        new_meta = dict(
-            meta,
-            **{
-                "last-sequence-number": seq,
-                "last-updated-ms": now_ms,
-                "snapshots": meta.get("snapshots", []) + [snapshot],
-                "current-snapshot-id": snap_id,
-            },
-        )
-        _commit_metadata(meta_dir, ver, new_meta)
-        staged_ok = True
-        return snap_id
+        last_err: IcebergCommitConflict | None = None
+        for _attempt in range(3):
+            now_ms = int(time.time() * 1000)
+            snap_id = now_ms * 1000 + (ver + 1)
+            seq = meta.get("last-sequence-number", 0) + 1
+            new_manifests = []
+            if new_files:
+                entries = []
+                for f, pvals, fmt, nrows in new_files:
+                    if fmt == "PARQUET":
+                        pmeta = pq.read_metadata(f)
+                        lo, hi = _file_bounds(pmeta, schemas[0])
+                        nrows = pmeta.num_rows
+                    else:
+                        lo = hi = None
+                    rec = {
+                        "content": 0,
+                        "file_path": f,
+                        "file_format": fmt,
+                        "record_count": nrows,
+                        "file_size_in_bytes": os.path.getsize(f),
+                        "lower_bounds": lo,
+                        "upper_bounds": hi,
+                    }
+                    if part_fields:
+                        rec["partition"] = pvals
+                    entries.append(
+                        {
+                            "status": 1,
+                            "snapshot_id": snap_id,
+                            "data_file": rec,
+                        }
+                    )
+                manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
+                write_avro_file(
+                    manifest,
+                    _partition_manifest_schema(part_fields)
+                    if part_fields
+                    else MANIFEST_ENTRY_SCHEMA,
+                    entries,
+                )
+                new_manifests.append((manifest, 0))
+            if del_file is not None:
+                dmanifest = os.path.join(
+                    meta_dir, f"m-{snap_id}-deletes.avro"
+                )
+                write_avro_file(
+                    dmanifest,
+                    MANIFEST_ENTRY_SCHEMA,
+                    [
+                        {
+                            "status": 1,
+                            "snapshot_id": snap_id,
+                            "data_file": {
+                                "content": 2,
+                                "file_path": del_file,
+                                "file_format": "PARQUET",
+                                "record_count": del_tbl.num_rows,
+                                "file_size_in_bytes": os.path.getsize(
+                                    del_file
+                                ),
+                                "equality_ids": [
+                                    name_to_id[c] for c in keys
+                                ],
+                            },
+                        }
+                    ],
+                )
+                new_manifests.append((dmanifest, 1))
+
+            cur = next(
+                s
+                for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            _, prior = read_avro_file(cur["manifest-list"])
+            mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+            write_avro_file(
+                mlist,
+                MANIFEST_FILE_SCHEMA,
+                [
+                    dict(m, sequence_number=m.get("sequence_number", 0))
+                    for m in prior
+                ]
+                + [
+                    {
+                        "manifest_path": mpath,
+                        "manifest_length": os.path.getsize(mpath),
+                        "partition_spec_id": 0,
+                        "content": mcontent,
+                        "sequence_number": seq,
+                        "added_snapshot_id": snap_id,
+                    }
+                    for mpath, mcontent in new_manifests
+                ],
+            )
+            snapshot = {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": mlist,
+                "parent-snapshot-id": meta["current-snapshot-id"],
+                "summary": {"operation": "overwrite"},
+            }
+            if txn is not None:
+                snapshot["summary"]["txn-app"] = txn[0]
+                snapshot["summary"]["txn-version"] = str(int(txn[1]))
+            new_meta = dict(
+                meta,
+                **{
+                    "last-sequence-number": seq,
+                    "last-updated-ms": now_ms,
+                    "snapshots": meta.get("snapshots", []) + [snapshot],
+                    "current-snapshot-id": snap_id,
+                },
+            )
+            try:
+                _commit_metadata(meta_dir, ver, new_meta)
+                staged_ok = True
+                return snap_id
+            except IcebergCommitConflict as e:
+                last_err = e
+                # drop this attempt's manifests/list (they embed the
+                # lost snap id); the staged data/delete files are
+                # head-independent and reusable on retry
+                for f in [m for m, _c in new_manifests] + [mlist]:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+                reloaded = (
+                    _retry_head(path, meta) if retryable else None
+                )
+                if reloaded is None:
+                    raise
+                meta, ver = reloaded
+                if _txn_already_committed(meta, txn):
+                    # the CAS winner carried this very txn (redelivered
+                    # batch racing itself): nothing to commit; the
+                    # finally block cleans the staged files
+                    return meta["current-snapshot-id"]
+        raise last_err
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         if not staged_ok:
@@ -1902,109 +2079,139 @@ def update_iceberg_rows(
             del_file,
         )
 
-        now_ms = int(time.time() * 1000)
-        snap_id = now_ms * 1000 + (ver + 1)
-        seq = meta.get("last-sequence-number", 0) + 1
-        new_manifests: list[tuple[str, int]] = []
-        if new_files:
-            entries = []
-            for f, pvals in new_files:
-                pmeta = pq.read_metadata(f)
-                lo, hi = _file_bounds(pmeta, schemas[0])
-                rec = {
-                    "content": 0,
-                    "file_path": f,
-                    "file_format": "PARQUET",
-                    "record_count": pmeta.num_rows,
-                    "file_size_in_bytes": os.path.getsize(f),
-                    "lower_bounds": lo,
-                    "upper_bounds": hi,
-                }
-                if part_fields:
-                    rec["partition"] = pvals
-                entries.append(
-                    {"status": 1, "snapshot_id": snap_id, "data_file": rec}
-                )
-            manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
-            write_avro_file(
-                manifest,
-                _partition_manifest_schema(part_fields)
-                if part_fields
-                else MANIFEST_ENTRY_SCHEMA,
-                entries,
-            )
-            new_manifests.append((manifest, 0))
-        dmanifest = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
-        write_avro_file(
-            dmanifest,
-            MANIFEST_ENTRY_SCHEMA,
-            [
-                {
-                    "status": 1,
-                    "snapshot_id": snap_id,
-                    "data_file": {
-                        "content": 1,
-                        "file_path": del_file,
-                        "file_format": "PARQUET",
-                        "record_count": len(rows),
-                        "file_size_in_bytes": os.path.getsize(del_file),
-                    },
-                }
-            ],
-        )
-        new_manifests.append((dmanifest, 1))
-
         from .avro_lite import read_avro_file
 
-        cur = next(
-            s
-            for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
-        )
-        _, prior = read_avro_file(cur["manifest-list"])
-        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-        write_avro_file(
-            mlist,
-            MANIFEST_FILE_SCHEMA,
-            [
-                dict(m, sequence_number=m.get("sequence_number", 0))
-                for m in prior
-            ]
-            + [
-                {
-                    "manifest_path": mpath,
-                    "manifest_length": os.path.getsize(mpath),
-                    "partition_spec_id": 0,
-                    "content": mcontent,
-                    "sequence_number": seq,
-                    "added_snapshot_id": snap_id,
-                }
-                for mpath, mcontent in new_manifests
-            ],
-        )
-        snapshot = {
-            "snapshot-id": snap_id,
-            "sequence-number": seq,
-            "timestamp-ms": now_ms,
-            "manifest-list": mlist,
-            "parent-snapshot-id": meta["current-snapshot-id"],
-            "summary": {"operation": "overwrite"},
-        }
-        _commit_metadata(
-            meta_dir,
-            ver,
-            dict(
-                meta,
-                **{
-                    "last-sequence-number": seq,
-                    "last-updated-ms": now_ms,
-                    "snapshots": meta.get("snapshots", []) + [snapshot],
-                    "current-snapshot-id": snap_id,
-                },
-            ),
-        )
-        staged_ok = True
-        return snap_id
+        last_err: IcebergCommitConflict | None = None
+        for _attempt in range(3):
+            now_ms = int(time.time() * 1000)
+            snap_id = now_ms * 1000 + (ver + 1)
+            seq = meta.get("last-sequence-number", 0) + 1
+            new_manifests: list[tuple[str, int]] = []
+            if new_files:
+                entries = []
+                for f, pvals in new_files:
+                    pmeta = pq.read_metadata(f)
+                    lo, hi = _file_bounds(pmeta, schemas[0])
+                    rec = {
+                        "content": 0,
+                        "file_path": f,
+                        "file_format": "PARQUET",
+                        "record_count": pmeta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(f),
+                        "lower_bounds": lo,
+                        "upper_bounds": hi,
+                    }
+                    if part_fields:
+                        rec["partition"] = pvals
+                    entries.append(
+                        {
+                            "status": 1,
+                            "snapshot_id": snap_id,
+                            "data_file": rec,
+                        }
+                    )
+                manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
+                write_avro_file(
+                    manifest,
+                    _partition_manifest_schema(part_fields)
+                    if part_fields
+                    else MANIFEST_ENTRY_SCHEMA,
+                    entries,
+                )
+                new_manifests.append((manifest, 0))
+            dmanifest = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
+            write_avro_file(
+                dmanifest,
+                MANIFEST_ENTRY_SCHEMA,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": del_file,
+                            "file_format": "PARQUET",
+                            "record_count": len(rows),
+                            "file_size_in_bytes": os.path.getsize(del_file),
+                        },
+                    }
+                ],
+            )
+            new_manifests.append((dmanifest, 1))
+
+            cur = next(
+                s
+                for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            _, prior = read_avro_file(cur["manifest-list"])
+            mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+            write_avro_file(
+                mlist,
+                MANIFEST_FILE_SCHEMA,
+                [
+                    dict(m, sequence_number=m.get("sequence_number", 0))
+                    for m in prior
+                ]
+                + [
+                    {
+                        "manifest_path": mpath,
+                        "manifest_length": os.path.getsize(mpath),
+                        "partition_spec_id": 0,
+                        "content": mcontent,
+                        "sequence_number": seq,
+                        "added_snapshot_id": snap_id,
+                    }
+                    for mpath, mcontent in new_manifests
+                ],
+            )
+            snapshot = {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": mlist,
+                "parent-snapshot-id": meta["current-snapshot-id"],
+                "summary": {"operation": "overwrite"},
+            }
+            try:
+                _commit_metadata(
+                    meta_dir,
+                    ver,
+                    dict(
+                        meta,
+                        **{
+                            "last-sequence-number": seq,
+                            "last-updated-ms": now_ms,
+                            "snapshots": meta.get("snapshots", [])
+                            + [snapshot],
+                            "current-snapshot-id": snap_id,
+                        },
+                    ),
+                )
+                staged_ok = True
+                return snap_id
+            except IcebergCommitConflict as e:
+                last_err = e
+                for f in [m for m, _c in new_manifests] + [mlist]:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+                # retry only when the winner provably didn't touch our
+                # basis: every file whose rows we re-wrote is still live
+                # AND the winner added no delete content that could mask
+                # rows in them (our rewritten images would resurrect an
+                # interleaved delete)
+                reloaded = _retry_head(
+                    path,
+                    meta,
+                    touched={r[0] for r in rows},
+                    forbid_new_deletes=True,
+                )
+                if reloaded is None:
+                    raise
+                meta, ver = reloaded
+        raise last_err
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         if not staged_ok:

@@ -3,7 +3,9 @@
 ``v<N>.metadata.json``). A lost race must never clobber the winning
 commit: appends re-stage their metadata on top of the winner (appends
 commute), recomputable maintenance/ref commits auto-retry (round-6),
-and data-semantic writers surface ``IcebergCommitConflict``."""
+and data-semantic writers auto-retry after file-overlap validation
+(round-7, ``_retry_head``) — surfacing ``IcebergCommitConflict`` only
+when the winner could have invalidated their scan basis."""
 
 import json
 import os
@@ -63,29 +65,159 @@ def test_append_retries_on_lost_race(spark, tmp_path, monkeypatch):
     assert hint == "3"
 
 
-def test_delete_surfaces_conflict(spark, tmp_path, monkeypatch):
-    """Non-commuting commits (delete) must raise, not retry: a
-    competing append lands between the delete's staging and its commit."""
-    root = str(tmp_path / "cas2")
-    write_iceberg_append(_df(spark, 0, 10), root)
-
+def _race_once(monkeypatch, winner):
+    """Monkeypatch _commit_metadata so the FIRST commit attempt loses to
+    ``winner()`` (which commits the contested version for real), then
+    every later attempt goes through untouched."""
     real = ice._commit_metadata
     fired = {"n": 0}
 
     def racing(meta_dir, prev_ver, new_meta):
         if fired["n"] == 0:
             fired["n"] = 1
-            write_iceberg_append(_df(spark, 100, 102), root)
+            winner()
         return real(meta_dir, prev_ver, new_meta)
 
     monkeypatch.setattr(ice, "_commit_metadata", racing)
+    return fired
+
+
+def test_position_delete_retries_after_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """Round 7 (validated data-commit retry): a competing APPEND never
+    touches the files a position delete references, so the delete
+    retries against the winner's head and BOTH land — zero lost
+    updates in the appender-races-deleter interleaving."""
+    root = str(tmp_path / "cas2")
+    write_iceberg_append(_df(spark, 0, 10), root)
+    _race_once(
+        monkeypatch, lambda: write_iceberg_append(_df(spark, 100, 102), root)
+    )
+    from pyspark.sql import functions as F
+
+    write_iceberg_position_deletes(spark, root, F.col("id") < 3)
+    monkeypatch.undo()
+    # the appended rows AND the delete both applied
+    assert _ids(spark, root) == list(range(3, 10)) + [100, 101]
+
+
+def test_position_delete_surfaces_after_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """A competing COMPACTION rewrites the very files the staged
+    position delete references — its (file, pos) coordinates are
+    invalid at the head, so validation must SURFACE the conflict (and
+    clean the staged delete file)."""
+    root = str(tmp_path / "cas2b")
+    write_iceberg_append(_df(spark, 0, 10), root)
+    _race_once(
+        monkeypatch, lambda: ice.rewrite_iceberg_table(spark, root)
+    )
     from pyspark.sql import functions as F
 
     with pytest.raises(IcebergCommitConflict, match="another"):
         write_iceberg_position_deletes(spark, root, F.col("id") < 3)
-    monkeypatch.setattr(ice, "_commit_metadata", real)
-    # the losing delete left the winner's state intact — no rows deleted
-    assert _ids(spark, root) == list(range(10)) + [100, 101]
+    monkeypatch.undo()
+    # winner intact, nothing deleted, no stranded delete parquet
+    assert _ids(spark, root) == list(range(10))
+    data_dir = os.path.join(root, "data")
+    assert not [
+        f for f in os.listdir(data_dir) if f.startswith("delete-")
+    ]
+
+
+def test_equality_delete_retries_serially_after_append(
+    spark, tmp_path, monkeypatch
+):
+    """Equality deletes are DECLARATIVE: the retry re-applies the key
+    delete at the winner's head with a fresh (higher) sequence number —
+    serial order 'append first, then delete key' — so the winner's rows
+    with the deleted keys die too."""
+    root = str(tmp_path / "cas2c")
+    write_iceberg_append(_df(spark, 0, 5), root)
+    _race_once(
+        monkeypatch,
+        # the racing append re-adds key 1 (and adds 100)
+        lambda: write_iceberg_append(
+            spark.createDataFrame(
+                [(1, "dup"), (100, "new")], "id bigint, val string"
+            ),
+            root,
+        ),
+    )
+    keys = spark.createDataFrame([(1,), (3,)], "id bigint")
+    ice.write_iceberg_equality_deletes(spark, root, keys)
+    monkeypatch.undo()
+    assert _ids(spark, root) == [0, 2, 4, 100]
+
+
+def test_update_retries_after_disjoint_append_surfaces_on_delete(
+    spark, tmp_path, monkeypatch
+):
+    """UPDATE rewrites specific rows: a disjoint append retries fine;
+    a competing delete adding masks over the SAME files must surface
+    (our rewritten images would resurrect the interleaved delete)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "cas2d")
+    write_iceberg_append(_df(spark, 0, 6), root)
+    _race_once(
+        monkeypatch, lambda: write_iceberg_append(_df(spark, 100, 102), root)
+    )
+    ice.update_iceberg_rows(spark, root, "id < 2", {"val": "'U'"})
+    monkeypatch.undo()
+    got = {
+        (r.id, r.val)
+        for r in __import__(
+            "mysoftware_nocnetintel_spark.sources.readers",
+            fromlist=["read_iceberg_snapshot"],
+        ).read_iceberg_snapshot(spark, root).collect()
+    }
+    assert {(0, "U"), (1, "U"), (100, "v100"), (101, "v101")} <= got
+    assert len(got) == 8
+
+    # now race an overlapping position delete: must surface
+    _race_once(
+        monkeypatch,
+        lambda: write_iceberg_position_deletes(
+            spark, root, F.col("id") == 3
+        ),
+    )
+    with pytest.raises(IcebergCommitConflict, match="another"):
+        ice.update_iceberg_rows(spark, root, "id >= 2", {"val": "'W'"})
+    monkeypatch.undo()
+    # the interleaved delete won and is never resurrected
+    assert 3 not in _ids(spark, root)
+
+
+def test_merge_upsert_retries_nondeclarative_surfaces(
+    spark, tmp_path, monkeypatch
+):
+    """The zero-read upsert merge (update+insert, no dup source keys)
+    re-applies declaratively after a lost CAS; a decision-dependent
+    merge (when_not_matched='ignore') surfaces the conflict."""
+    root = str(tmp_path / "cas2e")
+    write_iceberg_append(_df(spark, 0, 4), root)
+    _race_once(
+        monkeypatch, lambda: write_iceberg_append(_df(spark, 100, 102), root)
+    )
+    src = spark.createDataFrame(
+        [(1, "up"), (50, "ins")], "id bigint, val string"
+    )
+    ice.merge_iceberg_rows(spark, root, src, on=["id"])
+    monkeypatch.undo()
+    assert _ids(spark, root) == [0, 1, 2, 3, 50, 100, 101]
+
+    _race_once(
+        monkeypatch, lambda: write_iceberg_append(_df(spark, 200, 201), root)
+    )
+    with pytest.raises(IcebergCommitConflict, match="another"):
+        ice.merge_iceberg_rows(
+            spark, root, src, on=["id"], when_not_matched="ignore"
+        )
+    monkeypatch.undo()
+    assert 200 in _ids(spark, root)  # winner intact
 
 
 def test_expire_retries_on_conflict_without_losing_files(
@@ -275,3 +407,63 @@ def test_two_writer_interleaving_no_lost_updates(spark, tmp_path, seed):
         10 * (k + 1) + j for k in range(5) for j in range(3)
     ]
     assert _ids(spark, root) == sorted(want)
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_two_writer_appender_races_deleter(spark, tmp_path, seed):
+    """Round-7 'done' criterion: one thread appends fresh batches, the
+    other issues position deletes of initial-batch rows and zero-read
+    upsert merges, all through the real filesystem CAS. Zero lost
+    updates (every surviving append row present exactly once) and zero
+    double-applies (every merge insert present exactly once)."""
+    import random
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"adfuzz{seed}")
+    write_iceberg_append(_df(spark, 0, 8), root)
+    errs: list = []
+
+    def appender():
+        try:
+            for k in range(5):
+                lo = 100 * (k + 1)
+                write_iceberg_append(_df(spark, lo, lo + 3), root)
+                _time.sleep(rng.random() * 0.04)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    deleted = [0, 2, 4, 6]
+    merged = [5000, 5001]
+
+    def deleter():
+        try:
+            for i, d in enumerate(deleted):
+                write_iceberg_position_deletes(
+                    spark, root, F.col("id") == d
+                )
+                if i < len(merged):
+                    ice.merge_iceberg_rows(
+                        spark,
+                        root,
+                        _df(spark, merged[i], merged[i] + 1),
+                        on=["id"],
+                    )
+                _time.sleep(rng.random() * 0.04)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender)
+    t2 = threading.Thread(target=deleter)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    want = sorted(
+        [i for i in range(8) if i not in deleted]
+        + [100 * (k + 1) + j for k in range(5) for j in range(3)]
+        + merged
+    )
+    got = _ids(spark, root)
+    assert got == want, f"seed={seed}: {got} != {want}"
