@@ -189,9 +189,98 @@ def _schema_sig(schema_json: str) -> list[tuple[str, object]]:
 class DeltaCommitConflict(RuntimeError):
     """Another writer committed this log version first. Appends retry
     internally (new data files have unique names and adds commute, as
-    long as the schema/partition layout didn't change underneath);
-    overwrite / delete / checkpoint commits surface this — their remove
-    lists were computed against the old state, so re-run them."""
+    long as the schema/partition layout didn't change underneath), and
+    the data-semantic verbs (DELETE / UPDATE / MERGE) auto-retry after
+    FILE-OVERLAP VALIDATION (``_commit_data_version``, round 7 — the
+    Delta twin of the Iceberg writer's ``_retry_head``); overwrite /
+    restore / checkpoint commits surface this — their action lists were
+    computed against the old state, so re-run them."""
+
+
+def _layout_sig(state: dict):
+    m = state.get("meta") or {}
+    return (
+        m.get("schemaString"),
+        tuple(m.get("partitionColumns") or ()),
+    )
+
+
+def _retry_recompute(fn):
+    """Auto-retry (3 attempts, jittered growing backoff) for
+    RECOMPUTABLE Delta commits — maintenance verbs that reload the table
+    head on entry and re-derive their whole action list, so re-running
+    against the winner's state is semantically a fresh invocation (the
+    Delta twin of iceberg's ``_retry_on_conflict``). The verb itself
+    must clean its staged files before re-raising the conflict."""
+    import functools
+    import random
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        last: DeltaCommitConflict | None = None
+        for attempt in range(3):
+            if attempt:
+                time.sleep(random.uniform(0, 0.05 * (2**attempt)))
+            try:
+                return fn(*args, **kwargs)
+            except DeltaCommitConflict as e:
+                last = e
+        raise last
+
+    return wrapper
+
+
+def _commit_data_version(
+    log_dir: str,
+    version: int,
+    actions: list[dict],
+    base_state: dict,
+    touched: "list[str] | set[str]",
+) -> int:
+    """Validated-retry commit for the data-semantic verbs (round 7):
+    a DELETE/UPDATE/MERGE whose CAS loses re-commits on top of the
+    winner iff the winner provably didn't touch its basis — the schema
+    and partition layout are unchanged AND every live entry this verb
+    removes/re-adds (``touched``) is byte-identical at the new head
+    (same add action: same stats, same deletion vector). A winner that
+    only APPENDED passes; one that compacted, deleted from, or rewrote
+    any touched file fails validation, this verb's NEWLY staged data
+    files are removed (re-adds of pre-existing files are left alone),
+    and the conflict surfaces for the caller to re-decide."""
+    import random
+
+    last: DeltaCommitConflict | None = None
+    for attempt in range(3):
+        if attempt:
+            time.sleep(random.uniform(0, 0.05 * (2**attempt)))
+        try:
+            _commit_version(log_dir, version, actions)
+            return version
+        except DeltaCommitConflict as e:
+            last = e
+            state = _replay_state(log_dir)
+            meta = state.get("meta") or {}
+            ok = (
+                (meta.get("configuration") or {}).get("writer")
+                == _WRITER_TAG
+                and _layout_sig(state) == _layout_sig(base_state)
+                and all(
+                    state["live"].get(rel) == base_state["live"].get(rel)
+                    for rel in touched
+                )
+            )
+            if not ok:
+                root = os.path.dirname(log_dir)
+                for a in actions:
+                    rel = a.get("add", {}).get("path")
+                    if rel and rel not in base_state["live"]:
+                        try:
+                            os.remove(os.path.join(root, rel))
+                        except OSError:
+                            pass
+                raise
+            version = state["version"] + 1
+    raise last
 
 
 def _physical_names(meta: dict | None) -> dict[str, str]:
@@ -813,8 +902,7 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
             re_add["stats"] = old["stats"]
         actions.append({"add": re_add})
     version = state["version"] + 1
-    _commit_version(log_dir, version, actions)
-    return version
+    return _commit_data_version(log_dir, version, actions, state, rels)
 
 
 def _masked_target(
@@ -968,8 +1056,9 @@ def _commit_cow_rewrite(
         version, add_actions = _stage_append(new_df, path)
     else:
         version, add_actions = state["version"] + 1, []
-    _commit_version(log_dir, version, removes + add_actions)
-    return version
+    return _commit_data_version(
+        log_dir, version, removes + add_actions, state, touched_rel
+    )
 
 
 def merge_delta_rows(
@@ -1220,8 +1309,8 @@ def _commit_mor_mask_and_add(
                 }
             }
         )
+    rels = sorted(by_file)
     if by_file:
-        rels = sorted(by_file)
         bitmaps: list[bytes] = []
         cards: list[int] = []
         for rel in rels:
@@ -1277,8 +1366,7 @@ def _commit_mor_mask_and_add(
         version = state["version"] + 1
     if not actions:
         raise ValueError(f"{op} changed nothing")
-    _commit_version(log_dir, version, actions)
-    return version
+    return _commit_data_version(log_dir, version, actions, state, rels)
 
 
 def update_delta_rows(
@@ -1832,6 +1920,7 @@ def vacuum_delta(
     return deleted
 
 
+@_retry_recompute
 def optimize_delta_table(
     spark,
     path: str,
@@ -1901,9 +1990,23 @@ def optimize_delta_table(
     for a in add_actions:
         if "add" in a:
             a["add"]["dataChange"] = False
-    _commit_version(
-        os.path.join(path, "_delta_log"), version, removes + add_actions
-    )
+    try:
+        _commit_version(
+            os.path.join(path, "_delta_log"), version, removes + add_actions
+        )
+    except DeltaCommitConflict:
+        # OPTIMIZE is recomputable maintenance (the Delta twin of
+        # rewrite_iceberg_table's auto-retry): clean this attempt's
+        # staged compacted files and let the decorator re-run the whole
+        # verb against the winner's head
+        for a in add_actions:
+            rel = a.get("add", {}).get("path")
+            if rel:
+                try:
+                    os.remove(os.path.join(path, rel))
+                except OSError:
+                    pass
+        raise
     return version
 
 

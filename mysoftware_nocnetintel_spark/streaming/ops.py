@@ -376,6 +376,85 @@ def with_drift_state_v2(events: DataFrame) -> DataFrame:
     )
 
 
+#: JSON value contract of the kafka events topic (docs/kafka_source.md):
+#: each record's ``value`` is one UTF-8 JSON object with these fields;
+#: ``ts_us`` is the event time as MICROSECONDS since the Unix epoch (an
+#: instant — producers never ship wall-clock strings, so no session-TZ
+#: hazard can exist on either side).
+KAFKA_EVENTS_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def kafka_package_coordinate(spark: SparkSession | None = None) -> str:
+    """The exact ``--packages`` coordinate for THIS interpreter's Spark:
+    ``org.apache.spark:spark-sql-kafka-0-10_<scala>:<spark>`` — derived
+    from the live versions so the remedy in the gate error (and the
+    recipe in docs/kafka_source.md) can never go stale. The Scala binary
+    version comes from the JVM when a session is up, else from the
+    bundled spark-core jar name."""
+    import pyspark
+
+    scala = None
+    if spark is not None:
+        try:
+            scala = ".".join(
+                spark.sparkContext._jvm.scala.util.Properties.versionNumberString().split(".")[:2]
+            )
+        except Exception:
+            scala = None
+    if scala is None:
+        import os as _os
+        from glob import glob as _glob
+
+        jars = _glob(
+            _os.path.join(
+                _os.path.dirname(pyspark.__file__), "jars", "spark-core_*.jar"
+            )
+        )
+        scala = (
+            _os.path.basename(jars[0]).split("_")[1].split("-")[0]
+            if jars
+            else "2.13"
+        )
+    return f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{pyspark.__version__}"
+
+
+def kafka_events_contract(raw: DataFrame) -> DataFrame:
+    """The SCHEMA CONTRACT between the kafka topic and every operator in
+    this module: project a kafka-source-shaped DataFrame (``key``/
+    ``value`` binary, topic/partition/offset metadata) to the events
+    schema the file-replay source produces — identical columns, so the
+    downstream plans are interchangeable. Works on batch AND streaming
+    inputs (it is pure projection), which is how the contract stays
+    TESTED in this jar-less sandbox: tests/test_kafka_contract.py drives
+    it with kafka-shaped batch rows (tombstones, corrupt JSON, missing
+    fields included) and pins the output schema against
+    ``read_events_stream``'s. Corrupt/non-JSON values surface as a row
+    of NULL fields (``from_json`` semantics) rather than a stream crash
+    — route them to a dead-letter sink with ``event_id IS NULL``."""
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), KAFKA_EVENTS_VALUE_SCHEMA
+        ).alias("e")
+    )
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("e.ts_us")).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+
+
 def read_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -386,8 +465,13 @@ def read_events_kafka(
 
     The downstream plan is identical to the file-replay source, so every
     operator in this module serves both. Requires the spark-sql-kafka
-    connector on the classpath; this sandbox ships none, so construction is
-    gated with a clear error instead of a mid-stream failure.
+    connector on the classpath; this sandbox ships none (and has no
+    network to fetch it), so construction is gated with a clear error
+    carrying the exact, version-derived package coordinate instead of a
+    mid-stream failure. The full tested recipe — docker-compose broker,
+    session config, value contract, dead-letter routing — lives in
+    docs/kafka_source.md; the contract itself (``kafka_events_contract``)
+    and the coordinate derivation ARE exercised by the suite.
     """
     tune(spark)
     try:
@@ -400,32 +484,12 @@ def read_events_kafka(
         )
     except Exception as e:  # connector jar missing
         raise RuntimeError(
-            "kafka source unavailable: add the spark-sql-kafka-0-10 package "
-            "to the session (--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+            "kafka source unavailable: add the spark-sql-kafka-0-10 "
+            f"package to the session (--packages "
+            f"{kafka_package_coordinate(spark)}); full tested recipe in "
+            "docs/kafka_source.md"
         ) from e
-    parsed = raw.select(
-        F.from_json(
-            F.col("value").cast("string"),
-            T.StructType(
-                [
-                    T.StructField("event_id", T.LongType()),
-                    T.StructField("ts_us", T.LongType()),
-                    T.StructField("user_id", T.LongType()),
-                    T.StructField("event_type", T.StringType()),
-                    T.StructField("value", T.DoubleType()),
-                    T.StructField("props", T.StringType()),
-                ]
-            ),
-        ).alias("e")
-    )
-    return parsed.select(
-        F.col("e.event_id").alias("event_id"),
-        F.timestamp_micros(F.col("e.ts_us")).alias("ts"),
-        F.col("e.user_id").alias("user_id"),
-        F.col("e.event_type").alias("event_type"),
-        F.col("e.value").alias("value"),
-        F.col("e.props").alias("props"),
-    )
+    return kafka_events_contract(raw)
 
 
 def continuous_rollup(
