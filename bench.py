@@ -234,6 +234,7 @@ def main() -> None:
         "q91_dedup_clusters",  # connected-components dedup clustering
         "q94_token_budget",    # BPE-style subword token budgeting
         "q48_ann_ivf",         # IVF ANN top-k (rows-only: approximate)
+        "q42_ann_lsh",         # LSH ANN top-k (rows-only; r7 rebuild)
         "q107_decontamination",  # test-set 8-gram overlap vs train split
         "q110_pagerank",       # 10-iteration weighted PageRank
         "q123_semdedup",       # semantic dedup (rows-only: k-means cells)

@@ -281,6 +281,16 @@ def _iceberg_schema(spark_schema) -> dict | None:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def _default_spec_id(meta: dict | None) -> int:
+    """The table's current default partition spec id — stamped on every
+    NEW manifest-list row so readers resolve each manifest's partition
+    records against the spec they were written under (partition
+    evolution: carried rows keep their original ids)."""
+    if not meta or not meta.get("partition-specs"):
+        return 0
+    return int(meta.get("default-spec-id", 0))
+
+
 def _retry_on_conflict(fn):
     """Auto-retry (3 attempts) for RECOMPUTABLE commits — maintenance
     verbs (compaction, manifest rewrite, expiration) and metadata-only
@@ -1170,7 +1180,7 @@ def write_iceberg_append(
                 {
                     "manifest_path": manifest,
                     "manifest_length": os.path.getsize(manifest),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": _default_spec_id(meta),
                     "content": 0,
                     "sequence_number": seq,
                     "added_snapshot_id": snap_id,
@@ -1409,7 +1419,7 @@ def _commit_delete_file(
                 {
                     "manifest_path": manifest,
                     "manifest_length": os.path.getsize(manifest),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": _default_spec_id(meta),
                     "content": 1,  # delete manifest
                     "sequence_number": seq,
                     "added_snapshot_id": snap_id,
@@ -1879,7 +1889,7 @@ def merge_iceberg_rows(
                     {
                         "manifest_path": mpath,
                         "manifest_length": os.path.getsize(mpath),
-                        "partition_spec_id": 0,
+                        "partition_spec_id": _default_spec_id(meta),
                         "content": mcontent,
                         "sequence_number": seq,
                         "added_snapshot_id": snap_id,
@@ -2157,7 +2167,7 @@ def update_iceberg_rows(
                     {
                         "manifest_path": mpath,
                         "manifest_length": os.path.getsize(mpath),
-                        "partition_spec_id": 0,
+                        "partition_spec_id": _default_spec_id(meta),
                         "content": mcontent,
                         "sequence_number": seq,
                         "added_snapshot_id": snap_id,
@@ -2291,6 +2301,26 @@ def rewrite_iceberg_table(
         live = _iceberg_live_scan(spark, path)
     else:
         data_files, pos_del, eq_del, snap = _iceberg_snapshot_files(path)
+        # partition evolution: kept entries land in a manifest stamped
+        # with the DEFAULT spec, so bin-packing a table still carrying
+        # older-spec data manifests would mislabel their partition
+        # records — the full rewrite (which re-partitions everything
+        # under the current spec) is the migration path
+        from .avro_lite import read_avro_file as _read_avro_specs
+
+        _, _spec_m = _read_avro_specs(snap["manifest-list"])
+        stale_specs = {
+            m.get("partition_spec_id", 0)
+            for m in _spec_m
+            if m.get("content", 0) == 0
+        } - {_default_spec_id(meta)}
+        if stale_specs:
+            raise NotImplementedError(
+                "incremental bin-packing on a table with data manifests "
+                f"from older partition specs {sorted(stale_specs)}: run "
+                "a full rewrite_iceberg_table() first (it re-partitions "
+                "everything under the current spec)"
+            )
         if pos_del or eq_del:
             # live delete files compose with incremental bin-packing via
             # per-entry sequence numbers: kept entries PIN their original
@@ -2487,7 +2517,7 @@ def rewrite_iceberg_table(
         {
             "manifest_path": manifest,
             "manifest_length": os.path.getsize(manifest),
-            "partition_spec_id": 0,
+            "partition_spec_id": _default_spec_id(meta),
             "content": 0,
             "sequence_number": seq,
             "added_snapshot_id": snap_id,
@@ -2502,7 +2532,7 @@ def rewrite_iceberg_table(
             {
                 "manifest_path": kept_manifest,
                 "manifest_length": os.path.getsize(kept_manifest),
-                "partition_spec_id": 0,
+                "partition_spec_id": _default_spec_id(meta),
                 "content": 0,
                 "sequence_number": seq,
                 "added_snapshot_id": snap_id,
@@ -2604,6 +2634,22 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
         n_del = len(manifests) - n_data
         if (n_data <= 1 and n_del <= 1) or len(manifests) < min_manifests:
             return cur["snapshot-id"]  # already consolidated / under valve
+        # partition evolution: a consolidated manifest holds ONE record
+        # shape, so manifests written under different specs cannot merge
+        # (their partition records differ) — full rewrite first
+        spec_ids = {
+            m.get("partition_spec_id", 0)
+            for m in manifests
+            if m.get("content", 0) == 0
+        }
+        if len(spec_ids) > 1:
+            raise NotImplementedError(
+                "manifest consolidation across partition specs "
+                f"{sorted(spec_ids)}: run rewrite_iceberg_table() first "
+                "(the full rewrite re-partitions everything under the "
+                "current spec)"
+            )
+        spec_id = spec_ids.pop() if spec_ids else _default_spec_id(meta)
 
         data_entries: list[dict] = []
         del_entries: list[dict] = []
@@ -2628,14 +2674,15 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
 
         # the data manifest needs the partition record schema when the
         # table is partitioned (delete manifests never carry partitions
-        # in this writer)
+        # in this writer) — the schema of the SOURCE manifests' spec,
+        # which after the mixed-spec gate is the single `spec_id`
         entry_schema = MANIFEST_ENTRY_SCHEMA
         if meta.get("partition-specs"):
             from .iceberg_transforms import spec_field_to_part_field
 
-            spec_fields = meta["partition-specs"][
-                meta.get("default-spec-id", 0)
-            ].get("fields", [])
+            spec_fields = meta["partition-specs"][spec_id].get(
+                "fields", []
+            )
             if spec_fields:
                 schema_fields = (meta.get("schemas") or [{}])[0].get(
                     "fields", []
@@ -2668,7 +2715,10 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
                 {
                     "manifest_path": mpath,
                     "manifest_length": os.path.getsize(mpath),
-                    "partition_spec_id": 0,
+                    # the SOURCE manifests' spec (single by the gate
+                    # above), not the default — consolidation moves old
+                    # entries, it doesn't re-partition them
+                    "partition_spec_id": spec_id,
                     "content": mcontent,
                     "sequence_number": seq,
                     "added_snapshot_id": snap_id,
@@ -3159,6 +3209,141 @@ def drop_iceberg_column(path: str, name: str) -> int:
         ),
     )
     return new_schema["schema-id"]
+
+
+@_retry_on_conflict
+def update_iceberg_partition_spec(
+    path: str, partition_by: "tuple[str, ...]"
+) -> int:
+    """PARTITION SPEC EVOLUTION — metadata-only, one KB-scale CAS commit
+    (spec "Partition Evolution"): append a NEW spec built from
+    ``partition_by`` (same grammar as ``write_iceberg_append``: identity
+    column names, ``bucket(N, col)``, ``truncate(W, col)``,
+    ``year/month/day/hour(col)``; an EMPTY tuple evolves to
+    unpartitioned) and make it the default. Zero data files move: old
+    files keep their old spec's partition records (their manifest-list
+    rows keep the old spec id), new appends/merges/updates/compactions
+    fan out and stamp manifests under the NEW spec, and reads combine
+    both generations —
+
+    - scans are complete either way (Iceberg data files CONTAIN their
+      partition source columns, unlike Hive layout);
+    - ``scan_filter`` transform pruning evaluates each file against the
+      partition fields its record actually carries (a file from a spec
+      without the transform is conservatively kept and the row filter
+      does the work) — this is the 100 TB migration story: evolve
+      day→(day, hour) and new data prunes at hour granularity
+      immediately while old data keeps day-level pruning until the next
+      full ``rewrite_iceberg_table`` re-partitions it;
+    - ``partition_filter`` (exact spec-field match) keeps files that
+      predate the field — a conservative SUPERSET on evolved tables;
+      exact slices come from ``scan_filter``/row predicates.
+
+    Partition field ids are table-unique and (source-id, transform)
+    pairs REUSE their earlier field-id and name (spec recommendation),
+    so an evolved-then-reverted spec round-trips; reusing a FIELD NAME
+    with a different meaning is refused (it would poison the per-name
+    conservative pruning). ``rewrite_iceberg_manifests`` and incremental
+    bin-packing refuse mixed-spec tables with a full-rewrite remedy.
+    Returns the new default spec id (current id when the requested spec
+    is already the default — no empty commit)."""
+    from .iceberg_transforms import parse_partition_by, resolve_part_field
+
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to evolve the partition spec of an Iceberg table "
+            "created by another writer: use the iceberg-spark-runtime "
+            "connector"
+        )
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        raise NotImplementedError(
+            "partition evolution needs a field-id schema and this table "
+            "was created without one (complex-typed columns)"
+        )
+    by_name = {f["name"]: f for f in schemas[0]["fields"]}
+    specs = list(meta.get("partition-specs") or [])
+    if not specs:
+        # implicit unpartitioned spec 0 of a table created without
+        # partition_by — materialize it so list position == spec-id
+        specs = [{"spec-id": 0, "fields": []}]
+    if any(s.get("spec-id") != i for i, s in enumerate(specs)):
+        raise NotImplementedError(
+            "partition-specs list is not positionally indexed by spec-id "
+            "(foreign metadata layout): use the iceberg-spark-runtime "
+            "connector"
+        )
+    by_key: dict[tuple, tuple[int, str]] = {}
+    by_pname: dict[str, tuple] = {}
+    max_fid = 999
+    for s in specs:
+        for f in s.get("fields", []):
+            key = (f.get("source-id"), f.get("transform", "identity"))
+            by_key[key] = (f["field-id"], f["name"])
+            by_pname[f["name"]] = key
+            max_fid = max(max_fid, f["field-id"])
+    new_fields: list[dict] = []
+    seen = set()
+    for item in partition_by:
+        kind, col, param = parse_partition_by(item)
+        src = by_name.get(col)
+        if src is None:
+            raise ValueError(
+                f"partition column {col!r} not in the schema "
+                f"{sorted(by_name)}"
+            )
+        pf = resolve_part_field(kind, col, param, src["type"])
+        if pf.value_type not in _PARTITION_AVRO_TYPES:
+            raise NotImplementedError(
+                f"{kind} partitioning on type {src['type']!r} unsupported"
+            )
+        key = (src["id"], pf.transform)
+        if key in by_key:
+            fid, name = by_key[key]
+        else:
+            if pf.name in by_pname and by_pname[pf.name] != key:
+                raise ValueError(
+                    f"partition field name {pf.name!r} was already used "
+                    "by an earlier spec with a different source/transform "
+                    "— reusing it would make per-name pruning ambiguous"
+                )
+            max_fid += 1
+            fid, name = max_fid, pf.name
+        if name in seen:
+            raise ValueError(f"duplicate partition field {name!r}")
+        seen.add(name)
+        new_fields.append(
+            {
+                "name": name,
+                "transform": pf.transform,
+                "source-id": src["id"],
+                "field-id": fid,
+            }
+        )
+    cur_id = meta.get("default-spec-id", 0) if meta.get(
+        "partition-specs"
+    ) else 0
+    if specs[cur_id].get("fields", []) == new_fields:
+        return cur_id  # already the default — no empty commit
+    new_spec = {"spec-id": len(specs), "fields": new_fields}
+    _commit_metadata(
+        meta_dir,
+        ver,
+        dict(
+            meta,
+            **{
+                "partition-specs": specs + [new_spec],
+                "default-spec-id": new_spec["spec-id"],
+                "last-partition-id": max_fid,
+                "last-updated-ms": int(time.time() * 1000),
+            },
+        ),
+    )
+    return new_spec["spec-id"]
 
 
 @_retry_on_conflict

@@ -862,11 +862,16 @@ def _iceberg_live_scan(
                 f"partition_filter keys {bad} are not partition columns "
                 "of this table"
             )
+        # partition evolution: a file written under a spec that PREDATES
+        # the filtered field carries no value for it and is
+        # conservatively KEPT (the result is a superset on evolved
+        # tables; exact slices come from scan_filter / row predicates) —
+        # files that DO carry the field match exactly as before
         data_files = [
             e
             for e in data_files
             if all(
-                _pv(e.partition).get(k) == v
+                k not in _pv(e.partition) or _pv(e.partition).get(k) == v
                 for k, v in partition_filter.items()
             )
         ]
@@ -1267,7 +1272,23 @@ def _transform_partition_prune(
     if not schemas:
         return data_files
     by_id = {f["id"]: f for f in schemas[0]["fields"]}
-    for f in specs[meta.get("default-spec-id", 0)].get("fields", []):
+    # partition evolution: prune with EVERY spec's transform fields, not
+    # just the default's — each keep() already treats a file whose record
+    # lacks the field as "keep", so a transform only ever drops files
+    # written under a spec that carries it. Field names are unique per
+    # meaning (update_iceberg_partition_spec refuses name reuse with a
+    # different source/transform), so deduping by partition field-id is
+    # exact; old-spec files keep pruning at their own granularity after
+    # an evolution, new-spec files at theirs.
+    seen_pfids: set = set()
+    all_fields: list[dict] = []
+    for sp in specs:
+        for f in sp.get("fields", []):
+            if f.get("field-id") in seen_pfids:
+                continue
+            seen_pfids.add(f.get("field-id"))
+            all_fields.append(f)
+    for f in all_fields:
         src = by_id.get(f.get("source-id"))
         if src is None or src["name"] != col_name:
             continue
