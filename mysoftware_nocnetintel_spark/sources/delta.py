@@ -518,6 +518,7 @@ def _stage_append(
     partition_by: tuple[str, ...] = (),
     sort_by: tuple[str, ...] = (),
     zorder: bool = False,
+    repartition_to: "tuple[str, ...] | None" = None,
 ) -> tuple[int, list[dict]]:
     """Gate + stage an append: runs every check ``write_delta_append``
     documents, performs the distributed data write, moves the files into
@@ -546,9 +547,15 @@ def _stage_append(
         if partition_by:
             raise ValueError(
                 "partition_by is declared at table CREATE time; later "
-                "appends inherit the table's partitionColumns"
+                "appends inherit the table's partitionColumns "
+                "(repartition_delta_table migrates the layout)"
             )
         part_cols = meta.get("partitionColumns") or []
+        if repartition_to is not None:
+            # layout migration (repartition_delta_table): write under
+            # the TARGET layout instead of the inherited one — logical
+            # names here, the mapped branch below translates to physical
+            part_cols = list(repartition_to)
         conf = meta.get("configuration") or {}
         mapped = conf.get("delta.columnMapping.mode", "none") not in (
             "none",
@@ -1918,6 +1925,106 @@ def vacuum_delta(
             os.remove(f)
             deleted.append(rel)
     return deleted
+
+
+@_retry_recompute
+def repartition_delta_table(
+    spark,
+    path: str,
+    partition_by: tuple[str, ...],
+    sort_by: tuple[str, ...] = (),
+    zorder: bool = False,
+) -> int:
+    """LAYOUT MIGRATION — the Delta answer to Iceberg partition spec
+    evolution (``iceberg.update_iceberg_partition_spec``). The Delta
+    protocol pins ``metaData.partitionColumns`` and every add action
+    carries that layout's ``partitionValues``, so changing the
+    partitioning IS a rewrite: this verb rewrites the current LIVE rows
+    (deletion vectors folded away) under the new ``partition_by``
+    (LOGICAL column names; ``()`` un-partitions) and commits the new
+    metaData + remove tombstones + adds as ONE version json — no reader
+    or crash can observe mixed layouts. ``dataChange: false``
+    throughout (rows are preserved, only rearranged), so streaming
+    tailers skip the range exactly like an OPTIMIZE. Time travel below
+    the migration resolves each version's own metaData, so pre-migration
+    reads keep the old layout and pruning. Lost CAS races recompute
+    (``_retry_recompute``) with the attempt's staged files cleaned.
+
+    At 100 TB this is the planned-downtime-free alternative to
+    recreate-and-backfill: one distributed scan + partitioned write,
+    KB-scale commit; the Iceberg twin is metadata-only because its spec
+    travels per manifest — Delta buys simpler reader rules at the cost
+    of this rewrite, which is exactly the trade the two formats
+    document. Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    state = _writer_state(path)
+    meta = state["meta"]
+    live = state["live"]
+    table_cols = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    bad = [c for c in partition_by if c not in table_cols]
+    if bad:
+        raise ValueError(f"partition columns {bad} not in the schema")
+    if list(partition_by) == list(meta.get("partitionColumns") or []):
+        raise ValueError(
+            f"table is already partitioned by {list(partition_by)}"
+        )
+    new_df = _masked_target(spark, path, state).select(*table_cols)
+    if partition_by and not sort_by:
+        # one task per target partition tuple → one file per Hive dir
+        # (the optimize packing shape); sort_by/zorder shape the write
+        # themselves via _stage_append's range exchange
+        new_df = new_df.repartition(*[F.col(c) for c in partition_by])
+    elif not partition_by and not sort_by:
+        total = sum(e.get("size") or 0 for e in live.values())
+        n = max(1, -(-total // (128 * 1024 * 1024)))
+        new_df = new_df.coalesce(int(n))
+    version, add_actions = _stage_append(
+        new_df,
+        path,
+        sort_by=sort_by,
+        zorder=zorder and len(sort_by) >= 2,
+        repartition_to=tuple(partition_by),
+    )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "metaData": dict(
+                meta, partitionColumns=list(partition_by)
+            )
+        }
+    ]
+    actions += [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for rel in sorted(live)
+    ]
+    for a in add_actions:
+        if "add" in a:
+            a["add"]["dataChange"] = False
+    actions += add_actions
+    log_dir = os.path.join(path, "_delta_log")
+    try:
+        _commit_version(log_dir, version, actions)
+    except DeltaCommitConflict:
+        # recomputable: clean this attempt's staged files and let the
+        # decorator re-run against the winner's head
+        for a in add_actions:
+            rel = a.get("add", {}).get("path")
+            if rel:
+                try:
+                    os.remove(os.path.join(path, rel))
+                except OSError:
+                    pass
+        raise
+    return version
 
 
 @_retry_recompute
