@@ -420,6 +420,7 @@ def read_delta_snapshot(
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
     scan_filter: tuple | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Minimal Delta Lake snapshot reader built on the PUBLIC Delta
     transaction-log protocol (delta.io PROTOCOL.md): replay the
@@ -470,6 +471,29 @@ def read_delta_snapshot(
     cp_meta_path = os.path.join(log_dir, "_last_checkpoint")
     if not commits and not os.path.exists(cp_meta_path):
         raise FileNotFoundError(f"no Delta log at {log_dir}")
+    if as_of_ms is not None:
+        # TIMESTAMP time travel (delta-spark's `timestampAsOf`, the
+        # Iceberg reader's `as_of_ms` twin): the spec resolves a
+        # timestamp to the LAST commit whose file timestamp is at or
+        # before it — commit-file modification time, exactly what
+        # delta-spark uses absent in-commit timestamps. Checkpointed
+        # tables whose JSON prefix was cleaned can only resolve
+        # timestamps at or after the surviving commits (same limitation
+        # as delta-spark after log retention).
+        if version is not None:
+            raise ValueError("version and as_of_ms are mutually exclusive")
+        eligible = [
+            int(os.path.basename(c).split(".")[0])
+            for c in commits
+            if int(os.path.getmtime(c) * 1000) <= as_of_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no Delta commit at or before timestamp {as_of_ms} "
+                "(earliest surviving commit is newer, or the log prefix "
+                "was cleaned up)"
+            )
+        version = max(eligible)
 
     live: dict[str, dict] = {}
     table_meta: dict | None = None

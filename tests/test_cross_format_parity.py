@@ -142,3 +142,62 @@ def test_same_verbs_same_state(spark, tmp_path, seed):
             f"seed={seed} step={step} op={op}: delta={sorted(d)} "
             f"iceberg={sorted(i)} model={sorted(model.items())}"
         )
+
+
+def test_layout_migration_parity(spark, tmp_path):
+    """Round 7: Iceberg partition spec EVOLUTION (metadata-only) and
+    Delta LAYOUT MIGRATION (one-commit rewrite) express the same logical
+    operation — after migrating both tables from unpartitioned to
+    day-partitioned, every read (full, pruned, post-migration appends,
+    deletes) must agree."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        delete_delta_rows,
+        repartition_delta_table,
+    )
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        update_iceberg_partition_spec,
+        write_iceberg_position_deletes,
+    )
+    from pyspark.sql import functions as F
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id bigint, day string, val string")
+
+    dpath = str(tmp_path / "delta")
+    ipath = str(tmp_path / "iceberg")
+    init = [(i, f"d{i % 2}", f"v{i}") for i in range(6)]
+    write_delta_append(mk(init), dpath)
+    write_iceberg_append(mk(init), ipath)
+
+    repartition_delta_table(spark, dpath, ("day",))
+    update_iceberg_partition_spec(ipath, ("day",))
+    # Iceberg's old files weren't rewritten — a full rewrite is its
+    # optional migration step; do it so the PRUNED reads compare exactly
+    rewrite_iceberg_table(spark, ipath)
+
+    write_delta_append(mk([(10, "d0", "new")]), dpath)
+    write_iceberg_append(mk([(10, "d0", "new")]), ipath)
+    delete_delta_rows(spark, dpath, "id = 1")
+    write_iceberg_position_deletes(spark, ipath, F.col("id") == 1)
+
+    def state(df):
+        return sorted(
+            (r.id, r.day, r.val)
+            for r in df.select("id", "day", "val").collect()
+        )
+
+    assert state(read_delta_snapshot(spark, dpath)) == state(
+        read_iceberg_snapshot(spark, ipath)
+    )
+    d0_d = state(
+        read_delta_snapshot(spark, dpath, partition_filter={"day": "d0"})
+    )
+    d0_i = state(
+        read_iceberg_snapshot(spark, ipath, partition_filter={"day": "d0"})
+    )
+    assert d0_d == d0_i == [
+        (0, "d0", "v0"),
+        (2, "d0", "v2"),
+        (4, "d0", "v4"),
+        (10, "d0", "new"),
+    ]
