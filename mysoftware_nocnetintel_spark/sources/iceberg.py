@@ -1244,6 +1244,8 @@ def write_iceberg_append(
             if meta.get("partition-specs"):
                 new_meta["partition-specs"] = meta["partition-specs"]
                 new_meta["default-spec-id"] = meta.get("default-spec-id", 0)
+                if "last-partition-id" in meta:
+                    new_meta["last-partition-id"] = meta["last-partition-id"]
         elif part_fields:
             name_to_id = {
                 f["name"]: f["id"]

@@ -1308,9 +1308,12 @@ def _transform_partition_prune(
     all_fields: list[dict] = []
     for sp in specs:
         for f in sp.get("fields", []):
-            if f.get("field-id") in seen_pfids:
+            # key by (field-id, name): legacy pre-transform specs wrote
+            # fields without ids, which must not dedup against each other
+            k = (f.get("field-id"), f.get("name"))
+            if k in seen_pfids:
                 continue
-            seen_pfids.add(f.get("field-id"))
+            seen_pfids.add(k)
             all_fields.append(f)
     for f in all_fields:
         src = by_id.get(f.get("source-id"))

@@ -17,7 +17,6 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from mysoftware_nocnetintel_spark.sources import iceberg as ice
 from mysoftware_nocnetintel_spark.sources.iceberg import (
     merge_iceberg_rows,
     rewrite_iceberg_manifests,
