@@ -3715,12 +3715,53 @@ def iceberg_files(spark, path: str, snapshot_id: int | None = None) -> "DataFram
                 e.seq,
                 size,
                 bool(e.lower),
+                e.spec_id,
             )
         )
     return spark.createDataFrame(
         rows,
         "file_path string, file_format string, partition string, "
-        "sequence_number long, file_size_bytes long, has_bounds boolean",
+        "sequence_number long, file_size_bytes long, has_bounds boolean, "
+        "spec_id int",
+    )
+
+
+def iceberg_partition_specs(spark, path: str) -> "DataFrame":
+    """The connector's ``partition-specs`` view: one row per spec FIELD
+    across every spec the table ever had — the observability side of
+    :func:`update_iceberg_partition_spec` (which files organize how
+    shows up by joining ``iceberg_files().spec_id`` against this).
+    Driver-side metadata read."""
+    meta_dir = os.path.join(path, "metadata")
+    meta, _ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    schemas = meta.get("schemas") or []
+    by_id = (
+        {f["id"]: f["name"] for f in schemas[0]["fields"]} if schemas else {}
+    )
+    default = _default_spec_id(meta)
+    rows = []
+    for s in meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]:
+        sid = s.get("spec-id", 0)
+        fields = s.get("fields", [])
+        if not fields:
+            rows.append((sid, sid == default, None, None, None, None))
+        for f in fields:
+            rows.append(
+                (
+                    sid,
+                    sid == default,
+                    f.get("name"),
+                    f.get("transform", "identity"),
+                    by_id.get(f.get("source-id")),
+                    f.get("field-id"),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "spec_id int, is_default boolean, field string, transform string, "
+        "source_column string, field_id int",
     )
 
 

@@ -1485,6 +1485,7 @@ class _DataFile(NamedTuple):
     lower: dict | None  # str(field id) -> typed min (zone map)
     upper: dict | None
     fmt: str = "PARQUET"  # PARQUET | AVRO
+    spec_id: int = 0  # partition spec the entry's manifest was written under
 
 
 def _iceberg_snapshot_files(
@@ -1613,6 +1614,7 @@ def _iceberg_snapshot_files(
                         _decode_bounds(df_rec.get("lower_bounds")),
                         _decode_bounds(df_rec.get("upper_bounds")),
                         fmt,
+                        spec_id=m.get("partition_spec_id", 0),
                     )
                 )
             elif fc == 1:  # position deletes

@@ -310,3 +310,31 @@ def test_random_lifecycle_with_spec_evolutions(spark, tmp_path, seed):
                 ).collect()
             ]
             assert got_ids == [probe], f"seed={seed} probe after {op}"
+
+
+def test_metadata_tables_expose_specs(spark, tmp_path):
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        iceberg_files,
+        iceberg_partition_specs,
+    )
+
+    root = str(tmp_path / "t7")
+    write_iceberg_append(_df(spark, [(1, "d0", "a")]), root)
+    update_iceberg_partition_spec(root, ("day",))
+    write_iceberg_append(_df(spark, [(2, "d1", "b")]), root)
+
+    specs = iceberg_partition_specs(spark, root).collect()
+    assert {(r.spec_id, r.is_default) for r in specs} == {
+        (0, False),
+        (1, True),
+    }
+    s1 = [r for r in specs if r.spec_id == 1]
+    assert [(r.field, r.transform, r.source_column) for r in s1] == [
+        ("day", "identity", "day")
+    ]
+
+    files = iceberg_files(spark, root).collect()
+    by_spec = {r.spec_id for r in files}
+    assert by_spec == {0, 1}
+    new = [r for r in files if r.spec_id == 1]
+    assert all(r.partition and "day" in r.partition for r in new)
