@@ -239,6 +239,12 @@ def lsh_bucketed_topk(
             F.col(corpus_id).alias("cid"),
         ).alias("cand"),
     )
+    # Struct ordering puts a NULL leading field FIRST in ascending sort,
+    # so a NULL cosine (zero-norm vector via try_divide) would jump the
+    # top-k queue — the row_number window this replaced used score.desc()
+    # (NULLS LAST). A null-score candidate is meaningless as a match, so
+    # drop it pre-shuffle rather than rank it last (round-7 advisor).
+    scored = scored.where(F.col("cand.ns").isNotNull())
     return (
         scored.groupBy(query_id)
         .agg(F.slice(F.array_sort(F.collect_set("cand")), 1, k).alias("top"))

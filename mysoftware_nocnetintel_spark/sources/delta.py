@@ -271,13 +271,38 @@ def _commit_data_version(
             )
             if not ok:
                 root = os.path.dirname(log_dir)
+                dv_bins: set[str] = set()
                 for a in actions:
-                    rel = a.get("add", {}).get("path")
+                    add = a.get("add") or {}
+                    rel = add.get("path")
                     if rel and rel not in base_state["live"]:
                         try:
                             os.remove(os.path.join(root, rel))
                         except OSError:
                             pass
+                    # a MOR re-add whose DV descriptor is NEW relative to
+                    # base_state references a bin file this failed attempt
+                    # wrote (every MOR commit mints a fresh UUID file, so
+                    # no base entry can share it) — delete it too, or the
+                    # bin strands as an orphan (round-7 advisor). Several
+                    # re-adds span one file; the set dedups.
+                    dv = add.get("deletionVector")
+                    if (
+                        rel
+                        and dv
+                        and dv
+                        != (base_state["live"].get(rel) or {}).get(
+                            "deletionVector"
+                        )
+                    ):
+                        p = _dv_rel_path(dv)
+                        if p:
+                            dv_bins.add(os.path.join(root, p))
+                for p in dv_bins:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
                 raise
             version = state["version"] + 1
     raise last
@@ -314,9 +339,27 @@ def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
     Object stores without atomic link/rename need a real log store —
     that remains the delta-spark production path. A reader can never
     observe an empty or partial commit, and a crash before the link
-    leaves the table at the previous version."""
+    leaves the table at the previous version.
+
+    Every commit leads with a ``commitInfo`` action carrying
+    ``timestamp`` (wall-clock ms at serialization — the spec's
+    informational commit timestamp, what delta-spark also records).
+    Timestamp time travel (``read_delta_snapshot(as_of_ms=...)``)
+    prefers this over commit-file mtime, so resolution survives a log
+    tree copied/rsynced without mtime preservation (round-8; commits
+    from legacy/foreign writers without commitInfo fall back to mtime).
+    """
     final = os.path.join(log_dir, f"{version:020d}.json")
     tmp = os.path.join(log_dir, f".{version:020d}.json.{uuid.uuid4().hex[:8]}")
+    if not any("commitInfo" in a for a in actions):
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "engineInfo": "mysoftware-nocnetintel-spark",
+                }
+            }
+        ] + actions
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
@@ -740,7 +783,13 @@ def write_delta_overwrite(df: DataFrame, path: str) -> int:
     # tombstones first, then the adds — is then written as ONE version
     # json (put-if-absent), so no reader or crash can ever observe the
     # append without its removes.
-    version, add_actions = _stage_append(df, path)
+    _, add_actions = _stage_append(df, path)
+    # Commit at the ENTRY state's version+1, not _stage_append's fresh
+    # replay: the remove set was computed from that entry state, so a
+    # writer landing during the distributed stage must trip the CAS
+    # (round-7 advisor TOCTOU) — absorbing it would leave its files
+    # live and un-tombstoned under the overwrite.
+    version = state["version"] + 1
     now_ms = int(time.time() * 1000)
     actions = [
         {
@@ -752,7 +801,19 @@ def write_delta_overwrite(df: DataFrame, path: str) -> int:
         }
         for rel in live
     ] + add_actions
-    _commit_version(log_dir, version, actions)
+    try:
+        _commit_version(log_dir, version, actions)
+    except DeltaCommitConflict:
+        # overwrite is not validated-retry: clean this attempt's staged
+        # files and surface — the caller re-runs against the new head
+        for a in add_actions:
+            rel = a.get("add", {}).get("path")
+            if rel:
+                try:
+                    os.remove(os.path.join(path, rel))
+                except OSError:
+                    pass
+        raise
     return version
 
 
@@ -778,7 +839,16 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
     KB/MB-scale objects by design, but an unbounded DELETE (e.g. WHERE
     true at 100 TB) must fail fast toward the copy-on-write path
     (``write_delta_overwrite`` with the inverted predicate) instead of
-    ballooning the driver. Returns the committed version."""
+    ballooning the driver. Returns the committed version.
+
+    VALIDATED-RETRY SCOPE: a lost commit race auto-retries only on
+    tables whose metaData still carries THIS engine's writer tag
+    (``_commit_data_version``) — if a foreign engine (e.g. delta-spark)
+    races this verb and its winning commit rewrote the metaData, the
+    conflict always surfaces as :class:`DeltaCommitConflict` for the
+    caller to re-run, because a foreign winner's semantics (protocol
+    features, action conventions) can't be validated file-by-file here.
+    Single-engine multi-writer races validate and retry as documented."""
     import uuid as uuid_mod
 
     from pyspark.sql import functions as F
@@ -1060,9 +1130,15 @@ def _commit_cow_rewrite(
         for rel in touched_rel
     ]
     if has_rows:
-        version, add_actions = _stage_append(new_df, path)
+        _, add_actions = _stage_append(new_df, path)
     else:
-        version, add_actions = state["version"] + 1, []
+        add_actions = []
+    # Commit at base_state's version+1, NOT _stage_append's fresh replay:
+    # the removes/touched set were computed against base_state, so a
+    # writer landing between entry and staging must trip the CAS and flow
+    # through _commit_data_version's validation instead of being silently
+    # absorbed at the re-derived version (round-7 advisor TOCTOU).
+    version = state["version"] + 1
     return _commit_data_version(
         log_dir, version, removes + add_actions, state, touched_rel
     )
@@ -1115,8 +1191,11 @@ def merge_delta_rows(
     NULL-keyed source rows insert rather than update. The source schema
     must equal the table schema (merge never evolves it). Returns the
     committed version; raises :class:`DeltaCommitConflict` if another
-    writer commits first (re-run — the touched set was computed against
-    the old state)."""
+    writer commits first and file-overlap validation can't prove the
+    winner disjoint (re-run — the touched set was computed against the
+    old state). Validated retry engages only against same-engine
+    winners — see the VALIDATED-RETRY SCOPE note on
+    :func:`delete_delta_rows`."""
     from pyspark.sql import functions as F
 
     if when_matched not in ("update", "delete"):
@@ -1367,10 +1446,12 @@ def _commit_mor_mask_and_add(
             actions.append({"add": re_add})
 
     if has_rows:
-        version, add_actions = _stage_append(new_df, path)
+        _, add_actions = _stage_append(new_df, path)
         actions.extend(add_actions)
-    else:
-        version = state["version"] + 1
+    # base_state version+1, not _stage_append's re-derived version: an
+    # interleaved writer must trip the CAS so the DV coordinates/protocol
+    # decisions computed from `state` go through validation (r7 advisor).
+    version = state["version"] + 1
     if not actions:
         raise ValueError(f"{op} changed nothing")
     return _commit_data_version(log_dir, version, actions, state, rels)
@@ -1395,7 +1476,9 @@ def update_delta_rows(
     input either way (an UPDATE can't resurrect deleted rows);
     partition-column updates are legal — rewritten/new rows land in their
     new partition directory. Raises if the predicate matches nothing (a
-    no-op commit would bump the version for no reason)."""
+    no-op commit would bump the version for no reason). Lost commit
+    races validate-and-retry only against same-engine winners — see the
+    VALIDATED-RETRY SCOPE note on :func:`delete_delta_rows`."""
     from pyspark.sql import functions as F
 
     if strategy not in ("cow", "mor"):
@@ -1981,13 +2064,19 @@ def repartition_delta_table(
         total = sum(e.get("size") or 0 for e in live.values())
         n = max(1, -(-total // (128 * 1024 * 1024)))
         new_df = new_df.coalesce(int(n))
-    version, add_actions = _stage_append(
+    _, add_actions = _stage_append(
         new_df,
         path,
         sort_by=sort_by,
         zorder=zorder and len(sort_by) >= 2,
         repartition_to=tuple(partition_by),
     )
+    # entry-state version+1, not _stage_append's fresh replay: the
+    # metaData + remove set came from the entry state, so a writer
+    # committing during the (long) distributed scan/write must trip the
+    # CAS and recompute — absorbing it would strand its files with
+    # old-layout partitionValues under the new metaData (r7 advisor).
+    version = state["version"] + 1
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -2075,7 +2164,7 @@ def optimize_delta_table(
             total = sum(e.get("size") or 0 for e in live.values())
             n = max(1, -(-total // (128 * 1024 * 1024)))
             new_df = new_df.coalesce(int(n))
-    version, add_actions = _stage_append(
+    _, add_actions = _stage_append(
         new_df,
         path,
         sort_by=zorder_by,
@@ -2083,6 +2172,10 @@ def optimize_delta_table(
         # interleave needs >= 2 (zorder.py enforces it)
         zorder=len(zorder_by) >= 2,
     )
+    # entry-state version+1 (not _stage_append's re-derived version): the
+    # remove set came from the entry state, so an interleaved writer must
+    # trip the CAS and recompute rather than be absorbed (r7 advisor).
+    version = state["version"] + 1
     now_ms = int(time.time() * 1000)
     removes = [
         {
@@ -2300,9 +2393,12 @@ def delta_history(spark, path: str) -> DataFrame:
     committed version with its action counts, inferred operation, and
     any transaction identifier — the operational surface delta-spark
     exposes as ``DESCRIBE HISTORY`` (PROTOCOL.md actions; commitInfo is
-    optional in the protocol and this writer doesn't emit it, so the
-    operation is derived from the action mix). Driver-side JSON walk —
-    one KB-scale row per commit — then a bounded createDataFrame."""
+    optional in the protocol, so the operation is derived from the
+    action mix). ``commit_ts_ms`` is the in-commit ``commitInfo.
+    timestamp`` when present (every commit this writer makes since
+    round 8), else the commit file's mtime — the same preference
+    ``as_of_ms`` time travel uses. Driver-side JSON walk — one KB-scale
+    row per commit — then a bounded createDataFrame."""
     log_dir = os.path.join(path, "_delta_log")
     versions = _log_versions(log_dir)
     cp_v = _checkpoint_version(log_dir)
@@ -2331,11 +2427,16 @@ def delta_history(spark, path: str) -> DataFrame:
         txn_app = None
         txn_ver = None
         dv_adds = 0
+        ts_ms = None
         with open(fp) as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 act = json.loads(line)
+                if "commitInfo" in act:
+                    t = act["commitInfo"].get("timestamp")
+                    if t is not None:
+                        ts_ms = int(t)
                 if "add" in act:
                     n_add += 1
                     if act["add"].get("deletionVector"):
@@ -2362,7 +2463,8 @@ def delta_history(spark, path: str) -> DataFrame:
         rows.append(
             (
                 v,
-                int(os.path.getmtime(fp) * 1000),
+                ts_ms if ts_ms is not None
+                else int(os.path.getmtime(fp) * 1000),
                 op,
                 n_add,
                 n_remove,
@@ -2372,7 +2474,7 @@ def delta_history(spark, path: str) -> DataFrame:
         )
     return spark.createDataFrame(
         rows,
-        "version long, commit_mtime_ms long, operation string, "
+        "version long, commit_ts_ms long, operation string, "
         "n_added_files long, n_removed_files long, "
         "txn_app_id string, txn_version long",
     )

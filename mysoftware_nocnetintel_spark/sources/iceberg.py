@@ -361,10 +361,13 @@ def _retry_head(
       head (a compaction or another rewrite that touched them would
       invalidate the (file, pos) coordinates);
     - with ``forbid_new_deletes`` (the UPDATE case, which re-writes row
-      images): no interleaving commit added an EQUALITY delete (its key
-      scope is unknowable at file granularity) or a POSITION delete
-      referencing a ``touched`` file (the interleaved delete would be
-      silently resurrected by our rewritten images);
+      images, AND position-delete retries): no interleaving commit added
+      an EQUALITY delete (its key scope is unknowable at file
+      granularity) or a POSITION delete referencing a ``touched`` file.
+      For UPDATE the interleaved delete would be silently resurrected by
+      our rewritten images; for a position-delete retry the interleaved
+      commit may be an UPDATE whose rewritten images carry rows our
+      (file,pos) coordinates can no longer reach (round-7 advisor);
     - the base snapshot still resolves (not expired mid-race).
 
     Declarative commits (equality deletes, zero-read upsert merges) pass
@@ -374,6 +377,12 @@ def _retry_head(
     meta_dir = os.path.join(path, "metadata")
     meta, ver = _load_meta(meta_dir)
     if meta is None:
+        return None
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        # VALIDATED-RETRY SCOPE (round 8, matching the Delta twin): a
+        # winning commit from a FOREIGN engine can't be validated
+        # file-by-file here (its manifest conventions / delete
+        # granularity are its own) — always surface the conflict.
         return None
     if (
         meta.get("schemas") != base_meta.get("schemas")
@@ -1373,10 +1382,13 @@ def _commit_delete_file(
 
     A lost CAS auto-retries after ``_retry_head`` validation (round 7):
     position deletes retry iff every referenced data file (``touched``)
-    is still live at the head; equality deletes are declarative
-    (``touched=None``) and re-apply at the new head's sequence — the
-    serial order "winner first, then this delete". A failed validation
-    deletes the staged delete file and surfaces the conflict."""
+    is still live at the head AND the head gained no delete content over
+    those files (``forbid_new_deletes`` — a concurrent UPDATE keeps the
+    files live while rewriting row images our coordinates can't reach;
+    round-7 advisor); equality deletes are declarative (``touched=None``)
+    and re-apply at the new head's sequence — the serial order "winner
+    first, then this delete". A failed validation deletes the staged
+    delete file and surfaces the conflict."""
     from .avro_lite import read_avro_file
 
     last_err: IcebergCommitConflict | None = None
@@ -1455,8 +1467,20 @@ def _commit_delete_file(
                     os.remove(f)
                 except OSError:
                     pass
+            # Position deletes (touched set) must ALSO reject heads that
+            # gained delete content over the touched files: a concurrent
+            # UPDATE keeps those files live (it masks rows via new
+            # position deletes and adds rewritten image files), so the
+            # live-file check alone would pass while rows whose rewritten
+            # images still match our predicate silently escape the
+            # retried (file,pos) coordinates (round-7 advisor).
             reloaded = (
-                _retry_head(path, meta, touched=touched)
+                _retry_head(
+                    path,
+                    meta,
+                    touched=touched,
+                    forbid_new_deletes=bool(touched),
+                )
                 if path is not None
                 else None
             )

@@ -473,27 +473,60 @@ def read_delta_snapshot(
         raise FileNotFoundError(f"no Delta log at {log_dir}")
     if as_of_ms is not None:
         # TIMESTAMP time travel (delta-spark's `timestampAsOf`, the
-        # Iceberg reader's `as_of_ms` twin): the spec resolves a
-        # timestamp to the LAST commit whose file timestamp is at or
-        # before it — commit-file modification time, exactly what
-        # delta-spark uses absent in-commit timestamps. Checkpointed
-        # tables whose JSON prefix was cleaned can only resolve
-        # timestamps at or after the surviving commits (same limitation
-        # as delta-spark after log retention).
+        # Iceberg reader's `as_of_ms` twin): resolve to the LAST commit
+        # whose timestamp is at or before the target. Each commit's
+        # timestamp is its IN-COMMIT ``commitInfo.timestamp`` when
+        # present (every commit this writer makes since round 8 — robust
+        # to a log tree copied/rsynced without mtime preservation), else
+        # the commit file's mtime (delta-spark's fallback for legacy
+        # commits). A running max makes the sequence monotonic, the same
+        # adjustment delta-spark applies to out-of-order commit times.
+        # A timestamp AFTER the latest commit raises, matching
+        # delta-spark's temporal-version gate (the Iceberg twin resolves
+        # it to the current snapshot — each format follows its own
+        # engine's semantics). Checkpointed tables whose JSON prefix was
+        # cleaned can only resolve timestamps at or after the surviving
+        # commits (same limitation as delta-spark after log retention).
         if version is not None:
             raise ValueError("version and as_of_ms are mutually exclusive")
-        eligible = [
-            int(os.path.basename(c).split(".")[0])
-            for c in commits
-            if int(os.path.getmtime(c) * 1000) <= as_of_ms
-        ]
-        if not eligible:
+        resolved = None
+        running = None
+        latest_ts = None
+        for c in commits:
+            ts = None
+            try:
+                with open(c) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        act = json.loads(line)
+                        if "commitInfo" in act:
+                            t = act["commitInfo"].get("timestamp")
+                            if t is not None:
+                                ts = int(t)
+                        break  # commitInfo leads; one line decides
+            except OSError:
+                pass
+            if ts is None:
+                ts = int(os.path.getmtime(c) * 1000)
+            running = ts if running is None else max(running, ts)
+            latest_ts = running
+            if running <= as_of_ms:
+                resolved = int(os.path.basename(c).split(".")[0])
+        if resolved is None:
             raise ValueError(
                 f"no Delta commit at or before timestamp {as_of_ms} "
                 "(earliest surviving commit is newer, or the log prefix "
                 "was cleaned up)"
             )
-        version = max(eligible)
+        if latest_ts is not None and as_of_ms > latest_ts:
+            raise ValueError(
+                f"timestamp {as_of_ms} is after the latest commit "
+                f"({latest_ts}): pass a version, or a timestamp at or "
+                "before the latest commit (delta-spark raises the same "
+                "temporal-version error)"
+            )
+        version = resolved
 
     live: dict[str, dict] = {}
     table_meta: dict | None = None
