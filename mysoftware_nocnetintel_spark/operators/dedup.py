@@ -562,22 +562,29 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_band_pairs(
+    sig: DataFrame,
+    id_col: str = "doc",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dups by SimHash Hamming distance ≤ k (k ≤ 3): by pigeonhole, at
-    least one of four 16-bit bands is identical → equi-join per band, then
-    exact Hamming verify. Linear-ish for bounded band collision rates."""
-    sig = simhash_signatures(df, id_col, text_col)
+    """Candidate pairs within Hamming distance ≤ k over a 64-bit
+    signature column, WITHOUT an all-pairs join: by pigeonhole, two
+    signatures differing in ≤ 3 bits agree exactly on at least one of
+    four 16-bit bands → per-band equi-join on (band, bucket), then exact
+    ``bit_count`` verify. Shared blocking machinery for SimHash text
+    near-dup AND the perceptual image hashes (operators/multimodal.py,
+    round 8). Returns (id_a, id_b, hamming), id_a < id_b. Linear-ish for
+    bounded band collision rates; the verify filter bounds the rest."""
     banded = sig.select(
-        "doc",
-        "sig",
+        F.col(id_col).alias("doc"),
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("sig", 16 * b)
+                        F.shiftright(F.col(sig_col), 16 * b)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("bucket"),
                     )
@@ -599,6 +606,16 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash Hamming distance ≤ k (k ≤ 3): by pigeonhole, at
+    least one of four 16-bit bands is identical → equi-join per band, then
+    exact Hamming verify. Linear-ish for bounded band collision rates."""
+    sig = simhash_signatures(df, id_col, text_col)
+    return hamming_band_pairs(sig, "doc", "sig", max_hamming)
 
 
 # Single-task gate shared by both connected-components strategies: a

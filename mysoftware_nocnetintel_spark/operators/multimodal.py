@@ -306,6 +306,174 @@ def resize_meta(df: DataFrame, max_dim: int = 256) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Perceptual image hashing (round 8) — the IMAGE near-dup tier next to the
+# text family (exact / MinHash / SimHash / Jaccard in operators/dedup.py):
+# dHash (gradient sign over an area-resized 8x9 grayscale) and aHash
+# (above-mean bits over 8x8), both 64-bit, both robust to small pixel
+# perturbations and re-encodes that break exact-byte dedup. Pair generation
+# reuses the SimHash Hamming-band pigeonhole join (dedup.hamming_band_pairs)
+# — a banded equi-join, never all-pairs, so the candidate stage stays
+# linear-ish at 100 TB of image bytes.
+# --------------------------------------------------------------------------
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3 and img.shape[2] >= 3:
+        return img[..., :3].astype(np.float64) @ np.array(
+            [0.299, 0.587, 0.114]
+        )
+    return img.reshape(img.shape[0], -1).astype(np.float64)
+
+
+def _area_resize(gray: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Box-mean resize (each target cell averages its source span; an
+    upsampled axis degenerates to nearest-neighbor). Deterministic,
+    stdlib+numpy only — no codec dependency."""
+    H, W = gray.shape
+    out = np.empty((th, tw), dtype=np.float64)
+    ylo = (np.arange(th) * H) // th
+    yhi = np.maximum(ylo + 1, (np.arange(1, th + 1) * H) // th)
+    xlo = (np.arange(tw) * W) // tw
+    xhi = np.maximum(xlo + 1, (np.arange(1, tw + 1) * W) // tw)
+    rows = [gray[ylo[y]: yhi[y]].mean(axis=0) for y in range(th)]
+    g = np.stack(rows)  # (th, W)
+    for x in range(tw):
+        out[:, x] = g[:, xlo[x]: xhi[x]].mean(axis=1)
+    return out
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    """64 bools → signed int64 (two's-complement wraparound, matching
+    Spark's BIGINT semantics for shiftleft/bit ops)."""
+    v = np.uint64(0)
+    for i, b in enumerate(bits.ravel()[:64]):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(v.astype(np.int64))
+
+
+def dhash64_bytes(payload: bytes, fmt: str = "png") -> int | None:
+    """Difference hash: area-resize grayscale to 8x9, bit = left<right
+    per adjacent horizontal pair. None when no codec decodes the payload
+    (stub byte-histograms would near-collide unrelated images)."""
+    img = decode_image(payload, fmt)
+    if img is None:
+        return None
+    d = _area_resize(_to_gray(img), 8, 9)
+    return _pack_bits(d[:, :-1] < d[:, 1:])
+
+
+def ahash64_bytes(payload: bytes, fmt: str = "png") -> int | None:
+    """Average hash: area-resize grayscale to 8x8, bit = pixel > mean."""
+    img = decode_image(payload, fmt)
+    if img is None:
+        return None
+    a = _area_resize(_to_gray(img), 8, 8)
+    return _pack_bits(a > a.mean())
+
+
+def image_hashes(
+    df: DataFrame, payload_col: str = "media", fmt_col: str | None = None
+) -> DataFrame:
+    """Append ``dhash``/``ahash`` BIGINT columns (NULL for undecodable
+    payloads) via ONE Arrow-batched mapInPandas pass — each payload is
+    decoded once and hashed twice. Metadata columns pass through; the
+    payload column is dropped on output (hash-then-shed: downstream
+    near-dup stages shuffle 16 bytes per row, never the image bytes —
+    the 100 TB posture)."""
+    fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("dhash", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dh, ah = [], []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    dh.append(None)
+                    ah.append(None)
+                    continue
+                img = decode_image(bytes(payload), "png")
+                if img is None:
+                    dh.append(None)
+                    ah.append(None)
+                    continue
+                g = _to_gray(img)
+                d = _area_resize(g, 8, 9)
+                a = _area_resize(g, 8, 8)
+                dh.append(_pack_bits(d[:, :-1] < d[:, 1:]))
+                ah.append(_pack_bits(a > a.mean()))
+            out = pdf.drop(columns=[payload_col])
+            out["dhash"] = pd.array(dh, dtype="Int64")
+            out["ahash"] = pd.array(ah, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "media",
+    max_hamming: int = 3,
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """IMAGE near-duplicate pairs by perceptual-hash Hamming distance
+    ≤ ``max_hamming`` (≤ 3 for the pigeonhole guarantee): decode+hash in
+    one Arrow pass (:func:`image_hashes`), drop undecodable rows, then
+    the SimHash banded equi-join (dedup.hamming_band_pairs) — at least
+    one of four 16-bit bands matches exactly, so candidates come from a
+    bucket join, never an all-pairs product. Returns
+    (id_a, id_b, hamming)."""
+    from .dedup import hamming_band_pairs
+
+    sig = (
+        image_hashes(df.select(id_col, payload_col), payload_col)
+        .where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), F.col(hash_col).alias("sig"))
+    )
+    return hamming_band_pairs(sig, "doc", "sig", max_hamming)
+
+
+def perturb_png_media(
+    df: DataFrame, payload_col: str = "media", delta: int = 8
+) -> DataFrame:
+    """Re-encode each PNG payload with a small uniform brightness shift —
+    a deterministic NEAR-duplicate generator (different bytes, almost
+    identical perceptual hash) for recall tests and the registry query's
+    planted-pair corpus. Non-PNG payloads pass through unchanged."""
+    fields = list(df.schema.fields)
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for payload in pdf[payload_col]:
+                try:
+                    img = png_decode(bytes(payload))
+                except Exception:
+                    blobs.append(payload)
+                    continue
+                if img.shape[2] != 3:
+                    blobs.append(payload)
+                    continue
+                shifted = np.clip(
+                    img.astype(np.int32) + delta, 0, 255
+                ).astype(np.uint8)
+                blobs.append(png_encode(shifted))
+            out = pdf.copy()
+            out[payload_col] = blobs
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 def sample_frames(df: DataFrame, every_n: int = 24) -> DataFrame:
     """Frame sampling plan: explode a frame-index column (1 row per sampled
     frame) — at scale this is the fan-out stage feeding per-frame decode."""

@@ -10,6 +10,7 @@ from .queries_r6 import R6_QUERIES as _R6
 from .queries_r7 import R7_QUERIES as _R7
 from .queries_r8 import R8_QUERIES as _R8
 from .queries_r9 import R9_QUERIES as _R9
+from .queries_r10 import R10_QUERIES as _R10
 from .oracles import ORACLES as _O_CORE
 from .oracles_r6 import ORACLES_R6 as _O_R6
 from .oracles_r7 import ORACLES_R7 as _O_R7
@@ -22,7 +23,7 @@ from .oracles_r5 import ORACLES_R5 as _O_R5
 
 _ALL = {
     **_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5,
-    **_R6, **_R7, **_R8, **_R9,
+    **_R6, **_R7, **_R8, **_R9, **_R10,
 }
 
 # The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
@@ -30,71 +31,70 @@ _ALL = {
 # (1) every registry query with no driver signal yet goes in first; (2) then
 # every query whose implementation or oracle changed this round (space
 # permitting); (3) fill the remainder with the queries whose last green
-# signal is oldest. ROUND 7 (per VERDICT r6 task 1): no never-graded
-# entries exist; rule (2) admits q42_ann_lsh (lsh_bucketed_topk rebuilt:
-# closure-bucket UDF kept, dedup+top-k collapsed to one collect_set/
-# array_sort shuffle) and q36_knn_batch (exercises the new single-parse
-# cosine SQL fast path in functions/vectors.py on an ORACLE-paired
-# query); rule (3) fills the other 48 slots with the ENTIRE r4-signal
-# backlog — q10 first per the r6 verdict (its INTERSECT plan was
-# rewritten in r6 but its driver signal predates the rewrite), then
-# numeric order; q92_ann_opq and q125_mllib_pipeline (VERDICT task 7's
-# aging rows-only signals) are part of that block. Outside the window:
-# everything graded green in r5/r6 (q7_approx..q44, q46-q90 era, q93-
-# q106 era, q124-q146).
+# signal is oldest. ROUND 8 (per VERDICT r7 task 1): rule (1) admits
+# q147_image_neardup (NEW this round — the perceptual dHash/aHash image
+# near-dup tier, verdict task 6); rule (2) admits q42_ann_lsh
+# (lsh_bucketed_topk changed: NULL-score candidates are now filtered
+# before the top-k aggregation — the round-7 advisor's struct-ordering
+# inversion); rule (3) fills the other 48 slots with the ENTIRE
+# r5-signal backlog in numeric order (q7_approx, q11-q24, q26-q33, q35,
+# q40, q43/q44, q94, q124, q126-q145 — verified against merged
+# CORRECTNESS_r01-r07: exactly the 48 queries whose latest signal is
+# r5). Outside the window: everything graded green in r6/r7.
 _WINDOW = [
+    # --- rule 1: never graded (new this round) ---
+    "q147_image_neardup",
     # --- rule 2: implementation changed this round ---
     "q42_ann_lsh",
-    "q36_knn_batch",
-    # --- rule 3: the 48 queries whose latest signal is r4, q10 first ---
-    "q10_setops",
-    "q0_flagship_risk",
-    "q1_pricing_summary",
-    "q2_join_topn",
-    "q3_window_rank",
-    "q4_rolling_avg",
-    "q5_sessionize",
-    "q6_json_extract",
-    "q7_distinct",
-    "q8_dedup_docs",
-    "q9_knn",
-    "q25_pivot",
-    "q28_asof_join",
-    "q34_running_total",
-    "q37_minhash_neardup",
-    "q38_simhash_neardup",
-    "q39_fingerprint_dedup",
-    "q41_ngram_jaccard",
-    "q45_tumbling_window",
-    "q50_per_entity_ols",
-    "q91_dedup_clusters",
-    "q92_ann_opq",
-    "q95_unpivot",
-    "q96_regr_native",
-    "q97_corpus_split",
-    "q98_corpus_mixture",
-    "q99_neardup_clusters",
-    "q103_bloom_prune",
-    "q104_histogram_quantiles",
-    "q105_seasonal_outliers",
-    "q107_decontamination",
-    "q108_sequence_packing",
-    "q109_pmi_bigrams",
-    "q110_pagerank",
-    "q111_weighted_sample",
-    "q112_chi2_independence",
-    "q113_countmin",
-    "q114_attribution",
-    "q115_containment",
-    "q116_retention",
-    "q117_bigram_surprisal",
-    "q118_frame_sample",
-    "q119_source_overlap",
-    "q120_ngram_novelty",
-    "q121_ewma",
-    "q122_ar2_sequence",
-    "q123_semdedup",
-    "q125_mllib_pipeline",
+    # --- rule 3: the 48 queries whose latest signal is r5 ---
+    "q7_approx_distinct",
+    "q11_left_join_agg",
+    "q12_semi_join",
+    "q13_anti_join",
+    "q14_rollup",
+    "q15_cube",
+    "q16_full_outer",
+    "q17_union_all",
+    "q18_except",
+    "q19_exists_subquery",
+    "q20_topk_global",
+    "q21_daily_counts",
+    "q22_hourly_profile",
+    "q23_dow_profile",
+    "q24_string_funcs",
+    "q26_quantiles",
+    "q27_zscore_outliers",
+    "q29_range_join",
+    "q30_interpolate",
+    "q31_token_stats",
+    "q32_term_df",
+    "q33_quality_scores",
+    "q35_embedding_neardup",
+    "q40_lang_id",
+    "q43_grouping_sets",
+    "q44_map_ops",
+    "q94_token_budget",
+    "q124_bm25",
+    "q126_edit_distance_pairs",
+    "q127_incremental_ingest",
+    "q128_balanced_sample",
+    "q129_bpe_pairs",
+    "q130_repetition",
+    "q131_chunk_overlap",
+    "q132_session_funnel",
+    "q133_rfm_segments",
+    "q134_profile",
+    "q135_repeated_spans",
+    "q136_temperature_mix",
+    "q137_gopher_rules",
+    "q138_regression_aggs",
+    "q139_exact_percentiles",
+    "q140_psi_drift",
+    "q141_doc_lm_score",
+    "q142_embedding_cohesion",
+    "q143_snapshot_diff",
+    "q144_span_scrub",
+    "q145_embedding_decontam",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -1,0 +1,190 @@
+"""Pluggable catalog COMMIT seam (round 8 — verdict task 2).
+
+Both lakehouse writers funnel every commit through ONE compare-and-swap
+primitive: "publish these bytes as version N+1 iff nobody else has" —
+Delta's ``_delta_log/<v>.json`` log-store contract (PROTOCOL.md:
+"the creation of <v>.json must be mutually exclusive") and Iceberg's
+``v<N>.metadata.json`` HadoopTableOperations swap. This module extracts
+that primitive behind :class:`CatalogCommitter` so the production
+commit endpoint — an Iceberg REST catalog's ``POST /v1/.../tables``
+commit, a Hive Metastore ``alter_table`` CAS, a Glue
+``UpdateTable(VersionId=...)``, or a Delta LogStore for object stores
+without atomic rename — is a drop-in subclass. Everything above the
+seam (action staging, validation, retry policy) is committer-agnostic.
+
+Two implementations ship:
+
+- :class:`FilesystemCommitter` (default): write-temp + fsync +
+  ``os.link`` — hard-linking is put-if-absent on POSIX, so a lost race
+  raises :class:`CatalogCommitConflict` instead of clobbering the
+  winner. Exactly the behavior both writers had inline before the
+  extraction; every existing CAS/fuzz test runs on it unchanged.
+- :class:`FaultInjectingCommitter` (test double): wraps another
+  committer and injects the failure modes a REMOTE catalog adds —
+  latency around the swap (widening race windows so two-writer fuzz
+  actually interleaves) and spurious conflict responses (a transient
+  catalog error where the commit did NOT land; the caller's retry path
+  must re-resolve the head and re-commit). Stats counters prove the
+  faults fired.
+
+Scope note: ``put_if_absent`` is deliberately the WHOLE interface.
+Reads stay plain filesystem/object-store GETs in both formats (Iceberg
+readers list ``v*.metadata.json``; Delta readers list the log dir) —
+real catalogs serve reads too, but the commit endpoint is the only
+operation whose atomicity the engine's correctness depends on, so it is
+the only one worth abstracting. A catalog-backed implementation would
+also override :meth:`publish_hint` (Iceberg's ``version-hint.text``
+convenience) to update its table pointer."""
+
+from __future__ import annotations
+
+import os
+import threading
+import uuid
+
+
+class CatalogCommitConflict(RuntimeError):
+    """Another writer holds the contested version (or the catalog
+    reported a conflict). The format layers translate this into their
+    own conflict types (``DeltaCommitConflict`` /
+    ``IcebergCommitConflict``) so caller-facing semantics are
+    unchanged by the seam."""
+
+
+class CatalogCommitter:
+    """Commit endpoint: atomically publish a version artifact."""
+
+    def put_if_absent(self, final_path: str, payload: bytes) -> None:
+        """Publish ``payload`` at ``final_path`` iff nothing exists
+        there; raise :class:`CatalogCommitConflict` otherwise. Must be
+        atomic: no reader may ever observe a partial payload, and of N
+        concurrent writers exactly one succeeds."""
+        raise NotImplementedError
+
+    def publish_hint(self, hint_path: str, value: str) -> None:
+        """Best-effort non-CAS pointer update (Iceberg's
+        ``version-hint.text``). Last writer wins by design."""
+        raise NotImplementedError
+
+
+class FilesystemCommitter(CatalogCommitter):
+    """POSIX hard-link put-if-absent (the HadoopTableOperations /
+    delta LogStore recipe for filesystems with atomic link)."""
+
+    def put_if_absent(self, final_path: str, payload: bytes) -> None:
+        tmp = final_path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final_path)
+        except FileExistsError:
+            raise CatalogCommitConflict(
+                f"{os.path.basename(final_path)} was committed by "
+                "another writer while this commit was staged"
+            ) from None
+        finally:
+            os.remove(tmp)
+
+    def publish_hint(self, hint_path: str, value: str) -> None:
+        tmp = hint_path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(value)
+        os.replace(tmp, hint_path)
+
+
+class FaultInjectingCommitter(CatalogCommitter):
+    """Test double for remote-catalog failure modes. Wraps ``inner``
+    (default: a fresh :class:`FilesystemCommitter`) and injects, per
+    call, seeded-deterministically:
+
+    - ``max_delay_s``: uniform sleep before AND after the inner swap —
+      the remote round-trip that widens two-writer race windows;
+    - ``spurious_conflict_rate``: probability of raising
+      :class:`CatalogCommitConflict` WITHOUT attempting the commit (a
+      transient catalog rejection; the commit provably did not land, so
+      a correct caller re-resolves the head — sees its version still
+      free — and re-commits).
+
+    ``stats`` counts attempts / delays / injected conflicts so tests
+    can assert the faults actually fired."""
+
+    def __init__(
+        self,
+        inner: CatalogCommitter | None = None,
+        spurious_conflict_rate: float = 0.0,
+        max_delay_s: float = 0.0,
+        seed: int = 0,
+    ) -> None:
+        import random
+
+        self.inner = inner or FilesystemCommitter()
+        self.rate = float(spurious_conflict_rate)
+        self.max_delay = float(max_delay_s)
+        self._rng = random.Random(seed)
+        self._lock = threading.Lock()
+        self.stats = {"attempts": 0, "injected_conflicts": 0, "delays": 0}
+
+    def _maybe_delay(self) -> None:
+        if self.max_delay > 0:
+            import time
+
+            with self._lock:
+                d = self._rng.uniform(0, self.max_delay)
+                self.stats["delays"] += 1
+            time.sleep(d)
+
+    def put_if_absent(self, final_path: str, payload: bytes) -> None:
+        with self._lock:
+            self.stats["attempts"] += 1
+            inject = self.rate > 0 and self._rng.random() < self.rate
+            if inject:
+                self.stats["injected_conflicts"] += 1
+        if inject:
+            raise CatalogCommitConflict(
+                f"catalog transiently rejected "
+                f"{os.path.basename(final_path)} (injected)"
+            )
+        self._maybe_delay()
+        try:
+            self.inner.put_if_absent(final_path, payload)
+        finally:
+            self._maybe_delay()
+
+    def publish_hint(self, hint_path: str, value: str) -> None:
+        self.inner.publish_hint(hint_path, value)
+
+
+_DEFAULT = FilesystemCommitter()
+_current: CatalogCommitter = _DEFAULT
+
+
+def get_committer() -> CatalogCommitter:
+    return _current
+
+
+def set_committer(c: CatalogCommitter | None) -> CatalogCommitter:
+    """Install ``c`` as the process-wide commit endpoint (None restores
+    the filesystem default). Returns the PREVIOUS committer so tests
+    can restore it. Process-wide by design: a catalog is per-deployment
+    infrastructure, not per-table state."""
+    global _current
+    prev = _current
+    _current = c if c is not None else _DEFAULT
+    return prev
+
+
+class use_committer:
+    """Context manager for tests: ``with use_committer(double): ...``"""
+
+    def __init__(self, c: CatalogCommitter) -> None:
+        self._c = c
+        self._prev: CatalogCommitter | None = None
+
+    def __enter__(self) -> CatalogCommitter:
+        self._prev = set_committer(self._c)
+        return self._c
+
+    def __exit__(self, *exc) -> None:
+        set_committer(self._prev)

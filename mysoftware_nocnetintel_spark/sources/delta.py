@@ -332,14 +332,16 @@ def _physical_names(meta: dict | None) -> dict[str, str]:
 def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
     """ATOMIC put-if-absent commit of ``<version>.json`` — the spec's
     log-store contract ("the creation of <v>.json must be mutually
-    exclusive"): serialize to a temp file, fsync, then ``os.link`` into
-    place. Hard-linking is put-if-absent on POSIX, so a lost race raises
-    :class:`DeltaCommitConflict` instead of silently clobbering the
-    winner (the same filesystem-CAS recipe as the Iceberg writer).
-    Object stores without atomic link/rename need a real log store —
-    that remains the delta-spark production path. A reader can never
-    observe an empty or partial commit, and a crash before the link
-    leaves the table at the previous version.
+    exclusive"), routed through the pluggable :mod:`.catalog` seam
+    (round 8): the default :class:`~.catalog.FilesystemCommitter` does
+    temp + fsync + ``os.link`` (put-if-absent on POSIX), and a lost
+    race raises :class:`DeltaCommitConflict` instead of silently
+    clobbering the winner (the same CAS recipe as the Iceberg writer).
+    Object stores without atomic link/rename plug a real log store /
+    catalog commit endpoint into the same seam
+    (``catalog.set_committer``). A reader can never observe an empty or
+    partial commit, and a crash before the swap leaves the table at the
+    previous version.
 
     Every commit leads with a ``commitInfo`` action carrying
     ``timestamp`` (wall-clock ms at serialization — the spec's
@@ -349,8 +351,9 @@ def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
     tree copied/rsynced without mtime preservation (round-8; commits
     from legacy/foreign writers without commitInfo fall back to mtime).
     """
+    from .catalog import CatalogCommitConflict, get_committer
+
     final = os.path.join(log_dir, f"{version:020d}.json")
-    tmp = os.path.join(log_dir, f".{version:020d}.json.{uuid.uuid4().hex[:8]}")
     if not any("commitInfo" in a for a in actions):
         actions = [
             {
@@ -360,20 +363,14 @@ def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
                 }
             }
         ] + actions
-    with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
+    payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
     try:
-        os.link(tmp, final)
-    except FileExistsError:
+        get_committer().put_if_absent(final, payload)
+    except CatalogCommitConflict as e:
         raise DeltaCommitConflict(
             f"log version {version} was committed by another writer while "
-            "this commit was staged"
+            f"this commit was staged ({e})"
         ) from None
-    finally:
-        os.remove(tmp)
 
 
 def latest_txn_version(path: str, app_id: str) -> int | None:

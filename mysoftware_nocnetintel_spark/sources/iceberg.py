@@ -436,30 +436,26 @@ def _commit_metadata(meta_dir: str, prev_ver: int, new_meta: dict) -> None:
     Hadoop-catalog convention) is refreshed after the swap so external
     tooling can find the current version without globbing.
 
-    This is single-FILESYSTEM CAS — the real multi-engine answer is a
-    catalog (REST/Hive/Glue) whose commit endpoint does the swap
-    transactionally; object stores without atomic rename (S3) need that
-    catalog path. Scope documented in the module docstring."""
+    Round 8: the swap goes through the pluggable :mod:`.catalog` seam —
+    the default :class:`~.catalog.FilesystemCommitter` is this
+    filesystem CAS; a REST/Hive/Glue catalog (whose commit endpoint
+    does the swap transactionally — the production path for object
+    stores without atomic rename) plugs in via
+    ``catalog.set_committer`` with no change above this function."""
+    from .catalog import CatalogCommitConflict, get_committer
+
+    committer = get_committer()
     final = os.path.join(meta_dir, f"v{prev_ver + 1}.metadata.json")
-    tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
-        os.link(tmp, final)
-    except FileExistsError:
+        committer.put_if_absent(final, json.dumps(new_meta).encode())
+    except CatalogCommitConflict as e:
         raise IcebergCommitConflict(
             f"metadata version v{prev_ver + 1} was committed by another "
-            "writer while this commit was staged"
+            f"writer while this commit was staged ({e})"
         ) from None
-    finally:
-        os.remove(tmp)
-    hint = os.path.join(meta_dir, "version-hint.text")
-    hint_tmp = hint + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(hint_tmp, "w") as fh:
-        fh.write(str(prev_ver + 1))
-    os.replace(hint_tmp, hint)
+    committer.publish_hint(
+        os.path.join(meta_dir, "version-hint.text"), str(prev_ver + 1)
+    )
 
 
 def _load_meta(meta_dir: str) -> tuple[dict | None, int]:

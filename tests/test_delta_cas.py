@@ -273,20 +273,39 @@ def test_threaded_appends_lose_no_rows(spark, tmp_path):
     assert _ids(spark, root) == sorted(want)
 
 
+@pytest.mark.parametrize("committer", ["default", "faulty"])
 @pytest.mark.parametrize("seed", [3, 17])
-def test_two_writer_appender_races_deleter_delta(spark, tmp_path, seed):
+def test_two_writer_appender_races_deleter_delta(
+    spark, tmp_path, seed, committer
+):
     """Round-7 'done' twin of the Iceberg fuzz: one thread appends fresh
     batches, the other DV-deletes initial-batch rows and upsert-merges,
     through the real put-if-absent log CAS. Zero lost updates, zero
-    double-applies."""
+    double-applies. Round 8: the same fuzz also runs with the
+    fault-injecting CatalogCommitter double (remote-catalog latency +
+    transient rejections) installed at the commit seam — the guarantees
+    must hold unchanged."""
     import random
     import threading
     import time as _time
 
+    from mysoftware_nocnetintel_spark.sources.catalog import (
+        FaultInjectingCommitter,
+        use_committer,
+    )
     from mysoftware_nocnetintel_spark.sources.delta import merge_delta_rows
 
+    ctx = (
+        use_committer(
+            FaultInjectingCommitter(
+                spurious_conflict_rate=0.15, max_delay_s=0.01, seed=seed
+            )
+        )
+        if committer == "faulty"
+        else None
+    )
     rng = random.Random(seed)
-    root = str(tmp_path / f"dfuzz{seed}")
+    root = str(tmp_path / f"dfuzz{seed}{committer}")
     write_delta_append(_df(spark, 0, 8), root)
     errs: list = []
 
@@ -317,9 +336,15 @@ def test_two_writer_appender_races_deleter_delta(spark, tmp_path, seed):
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
-    t1 = threading.Thread(target=appender)
-    t2 = threading.Thread(target=deleter)
-    t1.start(); t2.start(); t1.join(); t2.join()
+    if ctx is not None:
+        ctx.__enter__()
+    try:
+        t1 = threading.Thread(target=appender)
+        t2 = threading.Thread(target=deleter)
+        t1.start(); t2.start(); t1.join(); t2.join()
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
     assert not errs, errs
     want = sorted(
         [i for i in range(8) if i not in deleted]

@@ -409,21 +409,38 @@ def test_two_writer_interleaving_no_lost_updates(spark, tmp_path, seed):
     assert _ids(spark, root) == sorted(want)
 
 
+@pytest.mark.parametrize("committer", ["default", "faulty"])
 @pytest.mark.parametrize("seed", [5, 19])
-def test_two_writer_appender_races_deleter(spark, tmp_path, seed):
+def test_two_writer_appender_races_deleter(spark, tmp_path, seed, committer):
     """Round-7 'done' criterion: one thread appends fresh batches, the
     other issues position deletes of initial-batch rows and zero-read
     upsert merges, all through the real filesystem CAS. Zero lost
     updates (every surviving append row present exactly once) and zero
-    double-applies (every merge insert present exactly once)."""
+    double-applies (every merge insert present exactly once). Round 8:
+    the same fuzz also runs with the fault-injecting CatalogCommitter
+    double (latency + transient rejections) at the commit seam."""
     import random
     import threading
     import time as _time
 
     from pyspark.sql import functions as F
 
+    from mysoftware_nocnetintel_spark.sources.catalog import (
+        FaultInjectingCommitter,
+        use_committer,
+    )
+
+    ctx = (
+        use_committer(
+            FaultInjectingCommitter(
+                spurious_conflict_rate=0.15, max_delay_s=0.01, seed=seed
+            )
+        )
+        if committer == "faulty"
+        else None
+    )
     rng = random.Random(seed)
-    root = str(tmp_path / f"adfuzz{seed}")
+    root = str(tmp_path / f"adfuzz{seed}{committer}")
     write_iceberg_append(_df(spark, 0, 8), root)
     errs: list = []
 
@@ -456,9 +473,15 @@ def test_two_writer_appender_races_deleter(spark, tmp_path, seed):
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
-    t1 = threading.Thread(target=appender)
-    t2 = threading.Thread(target=deleter)
-    t1.start(); t2.start(); t1.join(); t2.join()
+    if ctx is not None:
+        ctx.__enter__()
+    try:
+        t1 = threading.Thread(target=appender)
+        t2 = threading.Thread(target=deleter)
+        t1.start(); t2.start(); t1.join(); t2.join()
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
     assert not errs, errs
     want = sorted(
         [i for i in range(8) if i not in deleted]
