@@ -120,6 +120,11 @@ def main() -> None:
     # serving SF are known-small, so static planning is strictly better
     # here; the engine default (session.py) keeps AQE ON for batch/cluster
     # work, where the brief's 100 TB skew arguments actually bind.
+    # SPARK_GRAFT_AQE pins the choice against session.tune(), which runs
+    # on every cache-miss table load and would otherwise flip AQE back on
+    # at the first warm pass (round-8 fix: the sf1 section's AQE-off A/B
+    # had been silently running AQE-on for exactly this reason).
+    os.environ["SPARK_GRAFT_AQE"] = "false"
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # pin hot tables in memory for the amortized serving mode (the DuckDB

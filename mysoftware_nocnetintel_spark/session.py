@@ -53,6 +53,16 @@ def _cpus() -> int:
 def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent, cheap)."""
     for k, v in _RUNTIME_CONF.items():
+        # A caller that pinned AQE (bench's serving/sf1 sections run
+        # AQE OFF: per-exchange materialize barriers cost more than
+        # runtime coalescing buys on sub-second statements) must not be
+        # silently overridden by the next cache-miss table load — the
+        # same survive-later-tune rule as shuffle.partitions below.
+        # SPARK_GRAFT_AQE=false pins it off process-wide (round 8: the
+        # sf1 bench section had been flipped back to AQE-on by the first
+        # warm pass's load_table -> tune, defeating its own A/B).
+        if k == "spark.sql.adaptive.enabled":
+            v = os.environ.get("SPARK_GRAFT_AQE", v)
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -2288,6 +2288,15 @@ def rewrite_iceberg_table(
     difference between rewriting a handful of hot partitions and
     rewriting the table.
 
+    PARTITION SPEC EVOLUTION composes with incremental bin-packing
+    (round 8): fragmentation is judged and compacted PER (spec,
+    partition) group — old-spec fragments merge with old-spec
+    fragments under their own layout, each output/kept manifest is
+    stamped with its group's spec id, and files are never merged across
+    specs (re-deriving partition records under one spec is the full
+    rewrite's job). Maintenance therefore stays incremental after an
+    evolution instead of demanding a table-scale migration first.
+
     ``sort_by`` RE-CLUSTERS during the rewrite (unpartitioned tables):
     the production lifecycle is unsorted fast-appends + a clustering
     compactor — the rewrite's range exchange + in-partition sort gives
@@ -2317,32 +2326,27 @@ def rewrite_iceberg_table(
             "writer: use the iceberg-spark-runtime connector"
         )
     bounds_schema = (meta.get("schemas") or [None])[0]
-    kept_entries: list = []
+    kept_by_spec: dict[int, list] = {}
+    frag_by_spec: dict[int, list] = {}
     carried_delete_manifests: list[dict] = []
     if min_files_per_partition is None:
         live = _iceberg_live_scan(spark, path)
     else:
         data_files, pos_del, eq_del, snap = _iceberg_snapshot_files(path)
-        # partition evolution: kept entries land in a manifest stamped
-        # with the DEFAULT spec, so bin-packing a table still carrying
-        # older-spec data manifests would mislabel their partition
-        # records — the full rewrite (which re-partitions everything
-        # under the current spec) is the migration path
-        from .avro_lite import read_avro_file as _read_avro_specs
-
-        _, _spec_m = _read_avro_specs(snap["manifest-list"])
-        stale_specs = {
-            m.get("partition_spec_id", 0)
-            for m in _spec_m
-            if m.get("content", 0) == 0
-        } - {_default_spec_id(meta)}
-        if stale_specs:
-            raise NotImplementedError(
-                "incremental bin-packing on a table with data manifests "
-                f"from older partition specs {sorted(stale_specs)}: run "
-                "a full rewrite_iceberg_table() first (it re-partitions "
-                "everything under the current spec)"
-            )
+        # PARTITION SPEC EVOLUTION (round 8, replacing the round-7
+        # refuse-mixed-spec gate): incremental bin-packing is PER SPEC
+        # GROUP. Every live entry carries its source spec id (the
+        # manifest-list row's partition_spec_id, exposed by
+        # _iceberg_snapshot_files), fragmentation is judged within
+        # (spec, partition-tuple) groups — partition records from
+        # different specs are not comparable — and each group's
+        # compacted + kept entries land in manifests STAMPED WITH THAT
+        # GROUP'S OWN spec id, so partition records never get mislabeled
+        # and per-spec pruning proofs survive. Files are never merged
+        # ACROSS specs (that would need re-deriving partition records
+        # under one spec — the full rewrite's job); after an evolution,
+        # maintenance stays incremental instead of demanding a
+        # table-scale migration first.
         if pos_del or eq_del:
             # live delete files compose with incremental bin-packing via
             # per-entry sequence numbers: kept entries PIN their original
@@ -2364,7 +2368,7 @@ def rewrite_iceberg_table(
             ]
         by_part: dict = {}
         for e in data_files:
-            key = tuple(sorted((e.partition or {}).items()))
+            key = (e.spec_id, tuple(sorted((e.partition or {}).items())))
             by_part.setdefault(key, []).append(e)
         frag = [
             e
@@ -2400,8 +2404,10 @@ def rewrite_iceberg_table(
             # was routed into frag above. Their EXPLICIT sequence number
             # pins the original data sequence — mandatory when delete
             # files are live (the strictly-lower rule must keep masking
-            # them), harmless otherwise.
-            kept_entries.append(
+            # them), harmless otherwise. Grouped by SOURCE SPEC so each
+            # kept manifest is stamped with the spec its partition
+            # records were written under.
+            kept_by_spec.setdefault(e.spec_id, []).append(
                 {
                     "status": 1,
                     "snapshot_id": None,  # filled with the new snap id
@@ -2418,31 +2424,36 @@ def rewrite_iceberg_table(
                     },
                 }
             )
-        # the fragmented files' LIVE rows (position + equality deletes
-        # applied, parquet + avro unioned) — the compacted replacement
-        # must not resurrect deleted rows
-        live = _iceberg_live_scan(
-            spark, path, only_files={e.path for e in frag}
-        )
+        for e in frag:
+            frag_by_spec.setdefault(e.spec_id, []).append(e)
     # partitioned tables regroup per partition tuple (the same
     # duplicate-column partitionBy fan-out as the append path), so the
     # compacted entries keep their partition records and pruning stays
     # correct after compaction
     from .iceberg_transforms import spec_field_to_part_field
 
-    part_fields: list[tuple[str, str]] = []
-    pfs = []
-    if meta.get("partition-specs"):
-        spec = meta["partition-specs"][meta.get("default-spec-id", 0)]
+    def _spec_layout(spec_id: int):
+        """(pfs, part_fields) for one spec id — ``([], [])`` means
+        unpartitioned. Positional index is the legacy fallback for
+        metadata whose spec entries carry no ``spec-id`` key."""
+        specs = meta.get("partition-specs") or []
+        spec = next(
+            (s for i, s in enumerate(specs) if s.get("spec-id", i) == spec_id),
+            None,
+        )
+        if not spec or not spec.get("fields"):
+            return [], []
         if not bounds_schema:
             raise NotImplementedError(
                 "partitioned rewrite needs the table's field-id schema"
             )
-        pfs = [
+        pfs_g = [
             spec_field_to_part_field(f, bounds_schema["fields"])
             for f in spec["fields"]
         ]
-        part_fields = [(pf.name, pf.value_type) for pf in pfs]
+        return pfs_g, [(pf.name, pf.value_type) for pf in pfs_g]
+
+    pfs, part_fields = _spec_layout(_default_spec_id(meta))
 
     if sort_by:
         if part_fields:
@@ -2450,116 +2461,192 @@ def rewrite_iceberg_table(
                 "sort_by re-clustering is unpartitioned-only (partition "
                 "fan-out already groups the write)"
             )
-        bad = [c for c in sort_by if c not in live.columns]
-        if bad:
-            raise ValueError(f"sort_by columns {bad} not in the schema")
+        schema_cols = (
+            [f["name"] for f in bounds_schema["fields"]]
+            if bounds_schema
+            else None
+        )
+        if schema_cols is not None:
+            bad = [c for c in sort_by if c not in schema_cols]
+            if bad:
+                raise ValueError(
+                    f"sort_by columns {bad} not in the schema"
+                )
+
+    def _cluster(df_in):
+        """Apply the sort_by range clustering to one rewrite input."""
+        if not sort_by:
+            return df_in
         from pyspark.sql import functions as F
 
         num = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
         if zorder:
             from .zorder import zvalue_column
 
-            zc = zvalue_column(live, tuple(sort_by))
-            live = live.repartitionByRange(num, zc).sortWithinPartitions(zc)
-        else:
-            live = live.repartitionByRange(
-                num, *[F.col(c) for c in sort_by]
-            ).sortWithinPartitions(*sort_by)
-    stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
-    new_files: list[tuple[str, dict | None]] = []
-    try:
-        if part_fields:
-            # bin-packing must actually PACK (``pack=True``): collapse
-            # each rewritten partition tuple to one task → one output
-            # file (the live scan's joins scatter rows across tasks, and
-            # the fan-out writer emits one file per task×dir). One
-            # shuffle of only the fragmented rows — that shuffle IS the
-            # packing. A partition whose live bytes exceed a single-file
-            # target is not a small-file problem; rewrite it with the
-            # full path (clustered write) instead.
-            new_files.extend(
-                _stage_partitioned_parquet(
-                    live,
-                    path,
-                    data_dir,
-                    pfs,
-                    pack=min_files_per_partition is not None,
-                )
-            )
-        else:
-            live.write.parquet(stage)
-            for f in sorted(glob(os.path.join(stage, "*.parquet"))):
-                dest = os.path.join(
-                    data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
-                )
-                shutil.move(f, dest)
-                new_files.append((dest, None))
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-    if not new_files:
-        raise ValueError("rewrite produced no data files (empty live set)")
+            zc = zvalue_column(df_in, tuple(sort_by))
+            return df_in.repartitionByRange(num, zc).sortWithinPartitions(zc)
+        return df_in.repartitionByRange(
+            num, *[F.col(c) for c in sort_by]
+        ).sortWithinPartitions(*sort_by)
 
+    def _stage_group(live_df, pfs_g, part_fields_g, pack):
+        """Distributed write of one rewrite input under one spec's
+        layout; returns [(abs path, partition record|None)]."""
+        stage = os.path.join(path, f"__stage-{uuid.uuid4().hex[:12]}")
+        group_files: list[tuple[str, dict | None]] = []
+        try:
+            if part_fields_g:
+                # bin-packing must actually PACK (``pack=True``):
+                # collapse each rewritten partition tuple to one task →
+                # one output file (the live scan's joins scatter rows
+                # across tasks, and the fan-out writer emits one file
+                # per task×dir). One shuffle of only the fragmented rows
+                # — that shuffle IS the packing. A partition whose live
+                # bytes exceed a single-file target is not a small-file
+                # problem; rewrite it with the full path instead.
+                group_files.extend(
+                    _stage_partitioned_parquet(
+                        live_df, path, data_dir, pfs_g, pack=pack
+                    )
+                )
+            else:
+                if pack and not sort_by:
+                    # bin-packing an unpartitioned group must PACK too:
+                    # the live scan mirrors the fragmented input's task
+                    # layout, so an unshaped write reproduces the
+                    # fragmentation file-for-file (round 8 — the old
+                    # path only packed partitioned groups). One file per
+                    # ~128 MiB of input bytes, floor 1 (the OPTIMIZE
+                    # byte-budget rule); sort_by shapes the write itself
+                    # via the range exchange.
+                    total = sum(
+                        os.path.getsize(e.path)
+                        for grp in frag_by_spec.values()
+                        for e in grp
+                        if os.path.exists(e.path)
+                    )
+                    n = max(1, -(-total // (128 * 1024 * 1024)))
+                    live_df = live_df.coalesce(int(n))
+                live_df.write.parquet(stage)
+                for f in sorted(glob(os.path.join(stage, "*.parquet"))):
+                    dest = os.path.join(
+                        data_dir, f"{uuid.uuid4().hex[:16]}.parquet"
+                    )
+                    shutil.move(f, dest)
+                    group_files.append((dest, None))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return group_files
+
+    new_files_by_spec: dict[int, list] = {}
+    if min_files_per_partition is None:
+        new_files_by_spec[_default_spec_id(meta)] = _stage_group(
+            _cluster(live), pfs, part_fields, pack=False
+        )
+        if not new_files_by_spec[_default_spec_id(meta)]:
+            raise ValueError(
+                "rewrite produced no data files (empty live set)"
+            )
+    else:
+        # one rewrite input PER SPEC GROUP: the fragmented files' LIVE
+        # rows (position + equality deletes applied, parquet + avro
+        # unioned — the compacted replacement must not resurrect deleted
+        # rows), written back under that group's OWN spec layout. A
+        # group whose live rows are all masked legitimately compacts to
+        # zero files.
+        for sid in sorted(frag_by_spec):
+            pfs_g, part_fields_g = _spec_layout(sid)
+            live_g = _iceberg_live_scan(
+                spark, path, only_files={e.path for e in frag_by_spec[sid]}
+            )
+            if not part_fields_g:
+                live_g = _cluster(live_g)
+            new_files_by_spec[sid] = _stage_group(
+                live_g, pfs_g, part_fields_g, pack=True
+            )
+
+    new_files: list[tuple[str, dict | None]] = [
+        nf for files in new_files_by_spec.values() for nf in files
+    ]
     now_ms = int(time.time() * 1000)
     snap_id = now_ms * 1000 + (ver + 1)
     seq = meta.get("last-sequence-number", 0) + 1
-    entries = []
-    for f, pvals in new_files:
-        pmeta = pq.read_metadata(f)
-        lo, hi = _file_bounds(pmeta, bounds_schema)
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f,
-                    "file_format": "PARQUET",
-                    "record_count": pmeta.num_rows,
-                    "file_size_in_bytes": os.path.getsize(f),
-                    "partition": pvals,
-                    "lower_bounds": lo,
-                    "upper_bounds": hi,
-                },
-            }
-        )
-    manifest = os.path.join(meta_dir, f"m-{snap_id}.avro")
-    entry_schema = (
-        _partition_manifest_schema(part_fields)
-        if part_fields
-        else MANIFEST_ENTRY_SCHEMA
-    )
-    write_avro_file(manifest, entry_schema, entries)
     # REPLACE semantics: the new manifest list holds ONLY this snapshot's
-    # manifests — the compacted files plus (incremental bin-pack only) one
-    # manifest carrying the untouched partitions' entries verbatim (their
-    # explicit sequence numbers pinned) and, when the table had live
-    # delete files, the delete manifests carried unchanged so kept files
-    # stay masked; the full rewrite applies-and-drops all deletes instead
-    mlist_rows = [
-        {
-            "manifest_path": manifest,
-            "manifest_length": os.path.getsize(manifest),
-            "partition_spec_id": _default_spec_id(meta),
-            "content": 0,
-            "sequence_number": seq,
-            "added_snapshot_id": snap_id,
-        }
-    ]
-    if kept_entries:
-        for ke in kept_entries:
-            ke["snapshot_id"] = snap_id
-        kept_manifest = os.path.join(meta_dir, f"m-{snap_id}-kept.avro")
-        write_avro_file(kept_manifest, entry_schema, kept_entries)
+    # manifests — per SPEC GROUP, one manifest of compacted files plus
+    # (incremental bin-pack only) one manifest carrying the untouched
+    # entries verbatim (explicit sequence numbers pinned), every row
+    # stamped with its group's spec id; when the table had live delete
+    # files, the delete manifests are carried unchanged so kept files
+    # stay masked (the full rewrite applies-and-drops all deletes).
+    mlist_rows: list[dict] = []
+    for sid in sorted(new_files_by_spec):
+        files = new_files_by_spec[sid]
+        if not files:
+            continue
+        _pfs_g, part_fields_g = _spec_layout(sid)
+        entry_schema = (
+            _partition_manifest_schema(part_fields_g)
+            if part_fields_g
+            else MANIFEST_ENTRY_SCHEMA
+        )
+        entries = []
+        for f, pvals in files:
+            pmeta = pq.read_metadata(f)
+            lo, hi = _file_bounds(pmeta, bounds_schema)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f,
+                        "file_format": "PARQUET",
+                        "record_count": pmeta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(f),
+                        "partition": pvals,
+                        "lower_bounds": lo,
+                        "upper_bounds": hi,
+                    },
+                }
+            )
+        manifest = os.path.join(meta_dir, f"m-{snap_id}-s{sid}.avro")
+        write_avro_file(manifest, entry_schema, entries)
         mlist_rows.append(
             {
-                "manifest_path": kept_manifest,
-                "manifest_length": os.path.getsize(kept_manifest),
-                "partition_spec_id": _default_spec_id(meta),
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": sid,
                 "content": 0,
                 "sequence_number": seq,
                 "added_snapshot_id": snap_id,
             }
         )
+    for sid in sorted(kept_by_spec):
+        kents = kept_by_spec[sid]
+        for ke in kents:
+            ke["snapshot_id"] = snap_id
+        _pfs_g, part_fields_g = _spec_layout(sid)
+        entry_schema = (
+            _partition_manifest_schema(part_fields_g)
+            if part_fields_g
+            else MANIFEST_ENTRY_SCHEMA
+        )
+        kept_manifest = os.path.join(
+            meta_dir, f"m-{snap_id}-kept-s{sid}.avro"
+        )
+        write_avro_file(kept_manifest, entry_schema, kents)
+        mlist_rows.append(
+            {
+                "manifest_path": kept_manifest,
+                "manifest_length": os.path.getsize(kept_manifest),
+                "partition_spec_id": sid,
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        )
+    if not mlist_rows:
+        raise ValueError("rewrite produced no data files (empty live set)")
     mlist_rows.extend(carried_delete_manifests)
     mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
     write_avro_file(mlist, MANIFEST_FILE_SCHEMA, mlist_rows)
@@ -2604,8 +2691,11 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
     ``rewrite_manifests`` action): collapse the current snapshot's
     manifest list — which grows by one data manifest per append and up
     to two per merge, so a CDC table accumulates THOUSANDS — into at
-    most one data manifest + one delete manifest, and commit a
-    ``replace`` snapshot referencing only those. No data file is read,
+    most one data manifest PER LIVE PARTITION SPEC (one total on
+    un-evolved tables; round 8 made consolidation per-spec-group, since
+    a consolidated manifest holds a single partition-record shape) plus
+    one delete manifest, and commit a ``replace`` snapshot referencing
+    only those. No data file is read,
     moved, or rewritten; the whole job is KB/MB-scale driver Avro. At
     100 TB this is what keeps scan PLANNING O(live files) instead of
     O(commit history): the reader opens every manifest in the list
@@ -2652,31 +2742,31 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
         _, manifests = read_avro_file(cur["manifest-list"])
-        n_data = sum(1 for m in manifests if m.get("content", 0) == 0)
-        n_del = len(manifests) - n_data
-        if (n_data <= 1 and n_del <= 1) or len(manifests) < min_manifests:
-            return cur["snapshot-id"]  # already consolidated / under valve
-        # partition evolution: a consolidated manifest holds ONE record
-        # shape, so manifests written under different specs cannot merge
-        # (their partition records differ) — full rewrite first
-        spec_ids = {
+        data_specs = {
             m.get("partition_spec_id", 0)
             for m in manifests
             if m.get("content", 0) == 0
         }
-        if len(spec_ids) > 1:
-            raise NotImplementedError(
-                "manifest consolidation across partition specs "
-                f"{sorted(spec_ids)}: run rewrite_iceberg_table() first "
-                "(the full rewrite re-partitions everything under the "
-                "current spec)"
-            )
-        spec_id = spec_ids.pop() if spec_ids else _default_spec_id(meta)
+        n_data = sum(1 for m in manifests if m.get("content", 0) == 0)
+        n_del = len(manifests) - n_data
+        # PARTITION SPEC EVOLUTION (round 8, replacing the round-7
+        # refuse-mixed-spec gate): consolidate PER SPEC GROUP — a
+        # consolidated manifest holds one partition-record shape, so
+        # entries merge only within their own spec; the output is one
+        # data manifest PER live spec (+ one delete manifest), each
+        # list row stamped with its group's spec id. Entries are never
+        # re-partitioned across specs (the full rewrite's job). The
+        # no-op valve scales with the live spec-group count.
+        if (
+            n_data <= max(1, len(data_specs)) and n_del <= 1
+        ) or len(manifests) < min_manifests:
+            return cur["snapshot-id"]  # already consolidated / under valve
 
-        data_entries: list[dict] = []
+        data_by_spec: dict[int, list[dict]] = {}
         del_entries: list[dict] = []
         for m in manifests:
             m_seq = m.get("sequence_number", 0)
+            m_spec = m.get("partition_spec_id", 0)
             _, entries = read_avro_file(m["manifest_path"])
             for e in entries:
                 if e.get("status") == 2:  # not live — drop from the copy
@@ -2690,45 +2780,53 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
                     "data_file": e["data_file"],
                 }
                 if e["data_file"].get("content", 0) == 0:
-                    data_entries.append(rec)
+                    data_by_spec.setdefault(m_spec, []).append(rec)
                 else:
                     del_entries.append(rec)
 
-        # the data manifest needs the partition record schema when the
-        # table is partitioned (delete manifests never carry partitions
-        # in this writer) — the schema of the SOURCE manifests' spec,
-        # which after the mixed-spec gate is the single `spec_id`
-        entry_schema = MANIFEST_ENTRY_SCHEMA
-        if meta.get("partition-specs"):
+        def _entry_schema_for(spec_id: int) -> dict:
+            # the data manifest needs the partition record schema when
+            # that SPEC is partitioned (delete manifests never carry
+            # partitions in this writer) — the SOURCE spec's shape:
+            # consolidation moves entries, it doesn't re-partition them
+            specs = meta.get("partition-specs") or []
+            spec = next(
+                (
+                    s
+                    for i, s in enumerate(specs)
+                    if s.get("spec-id", i) == spec_id
+                ),
+                None,
+            )
+            if not spec or not spec.get("fields"):
+                return MANIFEST_ENTRY_SCHEMA
             from .iceberg_transforms import spec_field_to_part_field
 
-            spec_fields = meta["partition-specs"][spec_id].get(
+            schema_fields = (meta.get("schemas") or [{}])[0].get(
                 "fields", []
             )
-            if spec_fields:
-                schema_fields = (meta.get("schemas") or [{}])[0].get(
-                    "fields", []
-                )
-                pfs = [
-                    spec_field_to_part_field(f, schema_fields)
-                    for f in spec_fields
-                ]
-                entry_schema = _partition_manifest_schema(
-                    [(pf.name, pf.value_type) for pf in pfs]
-                )
+            pfs = [
+                spec_field_to_part_field(f, schema_fields)
+                for f in spec["fields"]
+            ]
+            return _partition_manifest_schema(
+                [(pf.name, pf.value_type) for pf in pfs]
+            )
 
         now_ms = int(time.time() * 1000)
         snap_id = now_ms * 1000 + (ver + 1)
         seq = meta.get("last-sequence-number", 0) + 1
         new_rows = []
-        if data_entries:
-            mpath = os.path.join(meta_dir, f"m-{snap_id}.avro")
-            write_avro_file(mpath, entry_schema, data_entries)
-            new_rows.append((mpath, 0))
+        for spec_id in sorted(data_by_spec):
+            mpath = os.path.join(meta_dir, f"m-{snap_id}-s{spec_id}.avro")
+            write_avro_file(
+                mpath, _entry_schema_for(spec_id), data_by_spec[spec_id]
+            )
+            new_rows.append((mpath, 0, spec_id))
         if del_entries:
             dpath = os.path.join(meta_dir, f"m-{snap_id}-deletes.avro")
             write_avro_file(dpath, MANIFEST_ENTRY_SCHEMA, del_entries)
-            new_rows.append((dpath, 1))
+            new_rows.append((dpath, 1, _default_spec_id(meta)))
         mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
         write_avro_file(
             mlist,
@@ -2737,15 +2835,15 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
                 {
                     "manifest_path": mpath,
                     "manifest_length": os.path.getsize(mpath),
-                    # the SOURCE manifests' spec (single by the gate
-                    # above), not the default — consolidation moves old
-                    # entries, it doesn't re-partition them
-                    "partition_spec_id": spec_id,
+                    # each row stamped with its SOURCE manifests' spec,
+                    # not the default — consolidation moves old entries,
+                    # it doesn't re-partition them
+                    "partition_spec_id": mspec,
                     "content": mcontent,
                     "sequence_number": seq,
                     "added_snapshot_id": snap_id,
                 }
-                for mpath, mcontent in new_rows
+                for mpath, mcontent, mspec in new_rows
             ],
         )
         snapshot = {
@@ -3265,10 +3363,16 @@ def update_iceberg_partition_spec(
     pairs REUSE their earlier field-id and name (spec recommendation),
     so an evolved-then-reverted spec round-trips; reusing a FIELD NAME
     with a different meaning is refused (it would poison the per-name
-    conservative pruning). ``rewrite_iceberg_manifests`` and incremental
-    bin-packing refuse mixed-spec tables with a full-rewrite remedy.
-    Returns the new default spec id (current id when the requested spec
-    is already the default — no empty commit)."""
+    conservative pruning). Maintenance stays INCREMENTAL after an
+    evolution (round 8): ``rewrite_iceberg_manifests`` consolidates and
+    ``rewrite_iceberg_table(min_files_per_partition=...)`` bin-packs
+    PER SPEC GROUP — entries merge only within their own spec, each
+    output manifest stamped with its group's spec id — so an evolution
+    never forces a table-scale migration before small-file maintenance
+    can resume; the full rewrite remains the way to RE-PARTITION old
+    data under the current spec. Returns the new default spec id
+    (current id when the requested spec is already the default — no
+    empty commit)."""
     from .iceberg_transforms import parse_partition_by, resolve_part_field
 
     meta_dir = os.path.join(path, "metadata")
