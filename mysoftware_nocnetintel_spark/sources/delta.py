@@ -230,6 +230,30 @@ def _retry_recompute(fn):
     return wrapper
 
 
+def _rescan_retry(fn, attempts: int = 3):
+    """SNAPSHOT-ISOLATION RE-SCAN RETRY (round 8, opt-in via the verbs'
+    ``on_conflict="rescan"``; the Delta twin of iceberg._rescan_retry):
+    when a data-semantic verb surfaces a conflict that validated retry
+    could not absorb, re-run the WHOLE verb against the winner's head —
+    a fresh invocation replays the log, re-derives every decision
+    (matched keys, touched files, DV coordinates), and commits against
+    the new state: the serial order "winner first, then this verb".
+    Jittered growing backoff; losing attempts already cleaned their
+    staged files/DV bins. The caller's source/predicate re-evaluates
+    per attempt, so it must be deterministic."""
+    import random
+
+    last: DeltaCommitConflict | None = None
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(random.uniform(0, 0.05 * (2**attempt)))
+        try:
+            return fn()
+        except DeltaCommitConflict as e:
+            last = e
+    raise last
+
+
 def _commit_data_version(
     log_dir: str,
     version: int,
@@ -817,7 +841,9 @@ def write_delta_overwrite(df: DataFrame, path: str) -> int:
 _MAX_DELETE_POSITIONS = 5_000_000  # driver-side DV build cap (see below)
 
 
-def delete_delta_rows(spark, path: str, predicate: str) -> int:
+def delete_delta_rows(
+    spark, path: str, predicate: str, on_conflict: str = "surface"
+) -> int:
     """MERGE-ON-READ DELETE: mark the rows matching ``predicate`` deleted
     via DELETION VECTORS (PROTOCOL.md "Deletion Vectors") — no data file
     is rewritten. The commit re-adds each touched file with a
@@ -857,6 +883,15 @@ def delete_delta_rows(spark, path: str, predicate: str) -> int:
         z85_encode,
     )
 
+    if on_conflict not in ("surface", "rescan"):
+        raise ValueError("on_conflict must be 'surface' or 'rescan'")
+    if on_conflict == "rescan":
+        # snapshot-isolation serial re-execution (round 8): re-run the
+        # whole DELETE against the winner's head — fresh replay, fresh
+        # (file, pos) coordinates and DV merge targets
+        return _rescan_retry(
+            lambda: delete_delta_rows(spark, path, predicate)
+        )
     log_dir = os.path.join(path, "_delta_log")
     state = _replay_state(log_dir)
     if state["version"] is None:
@@ -1149,6 +1184,7 @@ def merge_delta_rows(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     strategy: str = "cow",
+    on_conflict: str = "surface",
 ) -> int:
     """MERGE (upsert) into the Delta table at ``path`` —
     the standard ``MERGE INTO target USING source ON keys`` subset:
@@ -1201,6 +1237,18 @@ def merge_delta_rows(
         raise ValueError("when_not_matched must be 'insert' or 'ignore'")
     if strategy not in ("cow", "mor"):
         raise ValueError("strategy must be 'cow' or 'mor'")
+    if on_conflict not in ("surface", "rescan"):
+        raise ValueError("on_conflict must be 'surface' or 'rescan'")
+    if on_conflict == "rescan":
+        # snapshot-isolation serial re-execution (round 8): the whole
+        # merge re-runs against the winner's head — fresh key
+        # membership, fresh touched-file set, fresh ambiguity probe
+        return _rescan_retry(
+            lambda: merge_delta_rows(
+                spark, path, source, on, when_matched,
+                when_not_matched, strategy,
+            )
+        )
     keys = list(on)
     if not keys:
         raise ValueError("merge needs at least one ON key column")
@@ -1460,6 +1508,7 @@ def update_delta_rows(
     predicate: str,
     set_exprs: dict[str, str],
     strategy: str = "cow",
+    on_conflict: str = "surface",
 ) -> int:
     """UPDATE rows matching ``predicate``, applying ``set_exprs``
     (column → SQL expression, evaluated against the old row, cast back to
@@ -1482,6 +1531,16 @@ def update_delta_rows(
         raise ValueError("strategy must be 'cow' or 'mor'")
     state = _writer_state(path)
     meta = state["meta"]
+    if on_conflict not in ("surface", "rescan"):
+        raise ValueError("on_conflict must be 'surface' or 'rescan'")
+    if on_conflict == "rescan":
+        # snapshot-isolation serial re-execution (round 8): fresh scan,
+        # fresh touched files / DV coordinates / rewritten images
+        return _rescan_retry(
+            lambda: update_delta_rows(
+                spark, path, predicate, set_exprs, strategy
+            )
+        )
     fields = json.loads(meta["schemaString"])["fields"]
     table_cols = [f["name"] for f in fields]
     bad = [c for c in set_exprs if c not in table_cols]

@@ -328,6 +328,34 @@ def _retry_on_conflict(fn):
     return wrapper
 
 
+def _rescan_retry(fn, attempts: int = 3):
+    """SNAPSHOT-ISOLATION RE-SCAN RETRY (round 8, opt-in via the verbs'
+    ``on_conflict="rescan"``): when a data-semantic verb surfaces a
+    conflict that validated retry could not absorb (its actions depended
+    on a scan of the pre-race table), re-run the WHOLE verb against the
+    winner's head — a fresh invocation reloads the snapshot, re-derives
+    every decision (matched keys, touched files, row coordinates), and
+    commits against the new state, exactly the serial order "winner
+    first, then this verb". Jittered growing backoff between attempts;
+    the losing attempt already cleaned its staged files (every verb's
+    surface path does), so retries strand nothing. Bounded attempts —
+    the final conflict propagates. The caller's source/predicate is
+    re-evaluated per attempt, so it must be deterministic (a DataFrame
+    over stable input, not a consumed stream)."""
+    import random
+    import time as _time
+
+    last: IcebergCommitConflict | None = None
+    for attempt in range(attempts):
+        if attempt:
+            _time.sleep(random.uniform(0, 0.05 * (2**attempt)))
+        try:
+            return fn()
+        except IcebergCommitConflict as e:
+            last = e
+    raise last
+
+
 class IcebergCommitConflict(RuntimeError):
     """Another writer committed the metadata version this commit was
     staged against. Appends retry internally (they commute),
@@ -1291,10 +1319,19 @@ def write_iceberg_append(
 _MAX_DELETE_ROWS = 1_000_000
 
 
-def write_iceberg_position_deletes(spark, path: str, condition) -> int:
+def write_iceberg_position_deletes(
+    spark, path: str, condition, on_conflict: str = "surface"
+) -> int:
     """Merge-on-read DELETE: commit a v2 POSITION delete file marking every
     currently-live row matching ``condition`` (a Column predicate over the
     table's columns). Returns the new snapshot id.
+
+    ``on_conflict="rescan"`` (round 8, default ``"surface"``): when a
+    lost CAS fails validated retry (the winner rewrote/masked the
+    touched files, so the staged (file,pos) coordinates are stale),
+    re-run the whole delete against the winner's head instead of
+    raising — the fresh scan re-derives coordinates, i.e.
+    snapshot-isolation serial re-execution (:func:`_rescan_retry`).
 
     The matching rows' (file_path, pos) coordinates come from the hidden
     ``_metadata`` columns of a distributed scan (existing position deletes
@@ -1309,6 +1346,12 @@ def write_iceberg_position_deletes(spark, path: str, condition) -> int:
 
     from .readers import _iceberg_live_scan
 
+    if on_conflict not in ("surface", "rescan"):
+        raise ValueError("on_conflict must be 'surface' or 'rescan'")
+    if on_conflict == "rescan":
+        return _rescan_retry(
+            lambda: write_iceberg_position_deletes(spark, path, condition)
+        )
     meta_dir = os.path.join(path, "metadata")
     meta, ver = _load_meta(meta_dir)
     if meta is None:
@@ -1577,6 +1620,7 @@ def merge_iceberg_rows(
     when_not_matched: str = "insert",
     file_format: str = "parquet",
     txn: "tuple[str, int] | None" = None,
+    on_conflict: str = "surface",
 ) -> int:
     """Merge-on-read MERGE (upsert) into the Iceberg v2 table at ``path``
     as ONE ATOMIC ROW-DELTA SNAPSHOT: the equality-delete file naming the
@@ -1641,6 +1685,20 @@ def merge_iceberg_rows(
     if file_format not in ("parquet", "avro"):
         raise ValueError(
             f"file_format must be parquet or avro: {file_format!r}"
+        )
+    if on_conflict not in ("surface", "rescan"):
+        raise ValueError("on_conflict must be 'surface' or 'rescan'")
+    if on_conflict == "rescan":
+        # snapshot-isolation serial re-execution (round 8) for the
+        # decision-dependent modes validated retry can't absorb: the
+        # whole merge re-runs against the winner's head (fresh key
+        # membership, fresh ambiguity probe); txn idempotency still
+        # short-circuits redelivered batches on each attempt
+        return _rescan_retry(
+            lambda: merge_iceberg_rows(
+                spark, path, source, on, when_matched,
+                when_not_matched, file_format, txn,
+            )
         )
     keys = list(on)
     if not keys:
@@ -1986,6 +2044,7 @@ def update_iceberg_rows(
     path: str,
     predicate,
     set_exprs: dict[str, str],
+    on_conflict: str = "surface",
 ) -> int:
     """Merge-on-read UPDATE by predicate — the verb-matrix completion
     next to :func:`merge_iceberg_rows` (keyed upsert) and
@@ -2009,6 +2068,15 @@ def update_iceberg_rows(
 
     from .readers import _iceberg_live_scan
 
+    if on_conflict not in ("surface", "rescan"):
+        raise ValueError("on_conflict must be 'surface' or 'rescan'")
+    if on_conflict == "rescan":
+        # snapshot-isolation serial re-execution (round 8): re-run the
+        # whole UPDATE against the winner's head — fresh scan, fresh
+        # coordinates, fresh rewritten images
+        return _rescan_retry(
+            lambda: update_iceberg_rows(spark, path, predicate, set_exprs)
+        )
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     meta, ver = _load_meta(meta_dir)
