@@ -156,6 +156,79 @@ class FaultInjectingCommitter(CatalogCommitter):
         self.inner.publish_hint(hint_path, value)
 
 
+class HttpCommitServiceCommitter(CatalogCommitter):
+    """Commit endpoint over HTTP — the wire shape of a catalog / log
+    service doing the atomic swap server-side (an Iceberg REST catalog
+    commit, a Delta commit-coordinator, an S3 conditional-put proxy).
+    The writer ships ``(path, payload)``; the SERVICE owns atomicity and
+    durability of the version artifact on shared storage. Protocol
+    (deliberately minimal — one verb, stdlib-only):
+
+    - ``PUT {endpoint}/commit`` body ``{"path": ..., "payload_b64": ...}``
+      → ``201`` committed; ``409``/``412`` someone else holds the
+      version (raised as :class:`CatalogCommitConflict`); anything else
+      propagates (an outage is NOT a conflict — retrying a commit whose
+      fate is unknown could double-apply, so the caller must decide).
+    - ``PUT {endpoint}/hint`` body ``{"path": ..., "value": ...}`` —
+      best-effort pointer update; failures are swallowed (hints are a
+      convenience, never a correctness input).
+
+    ``tests/test_catalog_committer.py`` runs the full writer verb flow
+    and a two-writer thread race through an in-process stdlib HTTP
+    server backed by the filesystem swap — the drop-in proof for the
+    seam. A production REST catalog maps onto the same class with a
+    token header and its own conflict codes."""
+
+    def __init__(self, endpoint: str, timeout_s: float = 10.0) -> None:
+        self.endpoint = endpoint.rstrip("/")
+        self.timeout_s = float(timeout_s)
+
+    def _put(self, route: str, body: dict) -> int:
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.endpoint}/{route}",
+            data=_json.dumps(body).encode(),
+            method="PUT",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    def put_if_absent(self, final_path: str, payload: bytes) -> None:
+        import base64
+
+        status = self._put(
+            "commit",
+            {
+                "path": final_path,
+                "payload_b64": base64.b64encode(payload).decode(),
+            },
+        )
+        if status in (409, 412):
+            raise CatalogCommitConflict(
+                f"commit service holds {os.path.basename(final_path)} "
+                f"for another writer (HTTP {status})"
+            )
+        if status not in (200, 201):
+            raise RuntimeError(
+                f"commit service error HTTP {status} for {final_path} — "
+                "commit fate unknown; re-resolve the table head before "
+                "retrying"
+            )
+
+    def publish_hint(self, hint_path: str, value: str) -> None:
+        try:
+            self._put("hint", {"path": hint_path, "value": value})
+        except Exception:
+            pass  # hints are best-effort by contract
+
+
 _DEFAULT = FilesystemCommitter()
 _current: CatalogCommitter = _DEFAULT
 

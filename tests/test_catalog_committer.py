@@ -140,6 +140,132 @@ def test_iceberg_append_retries_through_transient_catalog_conflicts(
     assert got == [0, 1, 2, 3, 4, 5, 6]
 
 
+class _CommitServiceHandler:
+    """In-process stdlib HTTP commit service: the server side owns the
+    atomic swap (FilesystemCommitter) — the wire model of a REST
+    catalog / commit coordinator. Factory returns a handler class bound
+    to a shared stats dict."""
+
+    @staticmethod
+    def make(stats):
+        import base64
+        import json as _json
+        from http.server import BaseHTTPRequestHandler
+
+        fs = FilesystemCommitter()
+
+        class H(BaseHTTPRequestHandler):
+            def do_PUT(self):  # noqa: N802 (http.server API)
+                n = int(self.headers.get("Content-Length", 0))
+                body = _json.loads(self.rfile.read(n))
+                if self.path == "/commit":
+                    stats["commits"] = stats.get("commits", 0) + 1
+                    try:
+                        fs.put_if_absent(
+                            body["path"],
+                            base64.b64decode(body["payload_b64"]),
+                        )
+                        self.send_response(201)
+                    except CatalogCommitConflict:
+                        stats["conflicts"] = stats.get("conflicts", 0) + 1
+                        self.send_response(409)
+                elif self.path == "/hint":
+                    fs.publish_hint(body["path"], body["value"])
+                    self.send_response(200)
+                else:
+                    self.send_response(404)
+                self.end_headers()
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        return H
+
+
+@pytest.fixture()
+def commit_service():
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    stats: dict = {}
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _CommitServiceHandler.make(stats)
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", stats
+    finally:
+        srv.shutdown()
+
+
+def test_http_commit_service_runs_the_verb_flow(
+    spark, tmp_path, commit_service
+):
+    """The drop-in proof: the whole writer verb flow (create, append,
+    MOR delete, read-back) runs with the atomic swap happening on the
+    SERVICE side of an HTTP hop — zero changes above the seam."""
+    from pyspark.sql import functions as F
+
+    from mysoftware_nocnetintel_spark.sources.catalog import (
+        HttpCommitServiceCommitter,
+    )
+
+    endpoint, stats = commit_service
+    root = str(tmp_path / "http1")
+    with use_committer(HttpCommitServiceCommitter(endpoint)):
+        write_delta_append(_df(spark, 0, 3), root)
+        write_delta_append(_df(spark, 3, 6), root)
+        delete_delta_rows(spark, root, "id = 0")
+        iroot = str(tmp_path / "http1_ice")
+        write_iceberg_append(_df(spark, 0, 4).coalesce(1), iroot)
+        write_iceberg_position_deletes(spark, iroot, F.col("id") == 3)
+    assert stats["commits"] >= 5  # every version went over the wire
+    got = sorted(r.id for r in read_delta_snapshot(spark, root).collect())
+    assert got == [1, 2, 3, 4, 5]
+    got_i = sorted(
+        r.id for r in read_iceberg_snapshot(spark, iroot).collect()
+    )
+    assert got_i == [0, 1, 2]
+    # the Iceberg hint also traveled over the wire
+    hint = os.path.join(iroot, "metadata", "version-hint.text")
+    assert os.path.exists(hint)
+
+
+def test_http_commit_service_thread_race_one_winner(
+    spark, tmp_path, commit_service
+):
+    """Two threads race appends THROUGH the service: its server-side
+    swap serializes them — both land, no clobber, conflicts observed
+    service-side are retried by the append path."""
+    from mysoftware_nocnetintel_spark.sources.catalog import (
+        HttpCommitServiceCommitter,
+    )
+
+    endpoint, stats = commit_service
+    root = str(tmp_path / "http2")
+    errs: list = []
+    with use_committer(HttpCommitServiceCommitter(endpoint)):
+        write_delta_append(_df(spark, 0, 2), root)
+
+        def work(lo):
+            try:
+                write_delta_append(_df(spark, lo, lo + 3), root)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=work, args=(lo,)) for lo in (10, 20)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not errs
+    got = sorted(r.id for r in read_delta_snapshot(spark, root).collect())
+    assert got == [0, 1, 10, 11, 12, 20, 21, 22]
+
+
 def test_threaded_delta_appends_under_latency_double(spark, tmp_path):
     """Injected commit latency widens the race window; the put-if-absent
     guarantee and the append retry must still land every batch."""
