@@ -53,6 +53,17 @@ def q147_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Arrow-stage task sizing (the q48 dispatch lesson): the cached
+    # documents table is spread to one partition per core for JVM regex
+    # stages, but every mapInPandas stage here pays a Python-worker
+    # dispatch PER TASK — at serving SF that's 64 dispatches of ~80 rows
+    # each. Bound the fan-in to cores/4 (floor 8): measured best-of-3 at
+    # sf0.1: 3.55 s @ 32/64 tasks → 2.20 s @ 8. On a real cluster
+    # defaultParallelism scales with executors, so the floor never
+    # throttles a large scan.
+    docs = docs.coalesce(
+        max(8, spark.sparkContext.defaultParallelism // 4)
+    )
     base = MM.attach_png_media(docs, text_col="text").select(
         "doc_id", "media"
     )
