@@ -88,10 +88,15 @@ class FilesystemCommitter(CatalogCommitter):
             os.remove(tmp)
 
     def publish_hint(self, hint_path: str, value: str) -> None:
-        tmp = hint_path + f".{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(value)
-        os.replace(tmp, hint_path)
+        # best-effort by contract: the commit already landed, so a hint
+        # failure must not surface as a failed commit
+        try:
+            tmp = hint_path + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(value)
+            os.replace(tmp, hint_path)
+        except OSError:
+            pass
 
 
 class FaultInjectingCommitter(CatalogCommitter):

@@ -2938,7 +2938,7 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
             # losing attempt deletes its own staged manifests/list —
             # metadata-only, but KBs per lost race still shouldn't pile
             # up as orphans across retries (round-6 advisor)
-            for f in [mpath for mpath, _c in new_rows] + [mlist]:
+            for f in [mpath for mpath, _c, _s in new_rows] + [mlist]:
                 try:
                     os.remove(f)
                 except OSError:

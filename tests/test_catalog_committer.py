@@ -74,6 +74,16 @@ def test_filesystem_committer_exactly_one_thread_wins(tmp_path):
     assert open(p).read() == f"writer-{wins[0]}"
 
 
+def test_filesystem_publish_hint_failure_is_swallowed(tmp_path):
+    # the hint is best-effort BY CONTRACT: the commit already landed, so
+    # an unwritable hint path must not surface as a failed commit
+    c = FilesystemCommitter()
+    c.publish_hint(str(tmp_path / "no" / "such" / "dir" / "_last"), "7")
+    ok = str(tmp_path / "_last_checkpoint")
+    c.publish_hint(ok, "7")
+    assert open(ok).read() == "7"
+
+
 def test_fault_injector_spurious_conflict_does_not_commit(tmp_path):
     c = FaultInjectingCommitter(spurious_conflict_rate=1.0, seed=1)
     p = str(tmp_path / "x.json")
