@@ -1,6 +1,6 @@
-"""Round-8 coverage: the IMAGE near-duplicate tier — perceptual hashing
-over the multimodal binary column (reference README.md:101-103 corpus
-tables; the round-7 verdict's task 6).
+"""Round-8 coverage: the IMAGE and AUDIO media tiers over the multimodal
+binary column (reference README.md:101-103 corpus tables; the round-7
+verdict's task 6 plus the build brief's image/audio/video requirement).
 
 The text dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
 SemDeDup) covered every text tier but images only via exact bytes
@@ -9,6 +9,12 @@ SemDeDup) covered every text tier but images only via exact bytes
 Hamming-band pigeonhole join SimHash uses (dedup.hamming_band_pairs) —
 a banded equi-join on 16-bit signature bands, never an all-pairs
 product, so the candidate stage stays linear-ish at 100 TB of images.
+
+q148/q149 extend the same posture to AUDIO (operators/audio.py): a real
+stdlib WAV codec (wave + numpy), one-Arrow-pass feature extraction, and
+a gain-invariant 64-bit spectral fingerprint feeding the identical
+Hamming-band join. One blocking machinery, three signature families
+(SimHash text, dHash image, spectral-band audio).
 """
 
 from __future__ import annotations
@@ -84,6 +90,101 @@ def q147_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with one deterministic WAV clip each (text-seeded synth —
+    operators/audio.attach_wav_media), Arrow fan-in bounded exactly like
+    q147 (the q48 dispatch lesson: each mapInPandas stage pays a Python
+    worker dispatch per task, so serving-SF scans cap tasks at cores/4,
+    floor 8; on a real cluster defaultParallelism scales with executors
+    and the floor never throttles)."""
+    from ..operators import audio as AU
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.coalesce(max(8, spark.sparkContext.defaultParallelism // 4))
+    return AU.attach_wav_media(docs, text_col="text").select("doc_id", "media")
+
+
+def q148_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO feature extraction: decode every WAV payload ONCE in
+    an Arrow mapInPandas pass (operators/audio.audio_features — duration,
+    RMS, zero-crossing rate, spectral centroid, peak frequency; payloads
+    shed before the shuffle), then a spectral profile: clips bucketed by
+    peak-frequency band (200 Hz), per-band clip counts and mean loudness /
+    brightness. The synth corpus pins every byte to sha256(text), so the
+    distribution is deterministic.
+
+    Rows-only by design: stdlib WAV decode + numpy rfft inside an Arrow UDF
+    has no single-statement SQL twin; the value oracle is the pure-tone
+    feature pinning + codec round-trip units (tests/test_audio.py).
+
+    At 100 TB: one linear Arrow scan emits ~40 bytes/row of features; the
+    groupBy shuffles those features, never the audio bytes."""
+    from ..operators import audio as AU
+
+    feats = AU.audio_features(_audio_corpus(spark, sf_dir), payload_col="media")
+    return (
+        feats.withColumn(
+            "peak_band_hz",
+            (F.floor(F.col("peak_freq_hz") / 200) * 200).cast("long"),
+        )
+        .groupBy("peak_band_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.round(F.avg("zcr"), 4).alias("avg_zcr"),
+            F.round(F.avg("spectral_centroid_hz"), 1).alias("avg_centroid_hz"),
+        )
+        .orderBy("peak_band_hz")
+    )
+
+
+def q149_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/J8 audio tier: spectral-fingerprint near-duplicate detection over
+    the WAV binary column — the audio sibling of q147. Corpus = one
+    deterministic clip per document UNIONed with a planted near-duplicate
+    per document: the same clip re-encoded at 0.9x gain plus 0.25%-full-
+    scale noise (different bytes — exact-byte dedup scores 0; nearly
+    identical spectral shape — the gain-invariant fingerprint pairs it).
+    Planted ids are original + 10^7.
+
+    Pipeline: decode+fingerprint each payload ONCE in an Arrow pass
+    (hash-then-shed: the 64-bit afp travels downstream, never the bytes),
+    band into four 16-bit buckets, equi-join on (band, bucket) (pigeonhole:
+    hamming <= 3 implies >= 1 exact band), bit_count verify. Output:
+    per-hamming pair counts split into planted vs organic (duplicate texts
+    synthesize byte-identical WAVs at hamming 0). The median-threshold
+    fingerprint fixes popcount at 32, so all pairwise distances are EVEN —
+    expect hamming values 0/2 only.
+
+    Rows-only by design (same argument as q147); the value oracle is the
+    planted-recall unit gated at >= 0.8 (tests/test_audio.py) and the
+    sha256 seed that pins every fingerprint bit.
+
+    At 100 TB: fingerprinting is one linear Arrow scan; the band join
+    shuffles 8 bytes x 4 bands per clip; the verify filter bounds bucket
+    collisions. No stage is quadratic in the corpus."""
+    from ..operators import audio as AU
+
+    base = _audio_corpus(spark, sf_dir)
+    planted = AU.perturb_wav_media(base, payload_col="media").select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "media"
+    )
+    corpus = base.unionByName(planted)
+    pairs = AU.audio_near_dup_pairs(
+        corpus, id_col="doc_id", payload_col="media", max_hamming=3
+    )
+    return (
+        pairs.withColumn(
+            "planted", F.col("id_b") - F.col("id_a") == F.lit(10_000_000)
+        )
+        .groupBy("hamming", "planted")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming", "planted")
+    )
+
+
 R10_QUERIES = {
     "q147_image_neardup": q147_image_neardup,
+    "q148_audio_features": q148_audio_features,
+    "q149_audio_neardup": q149_audio_neardup,
 }
