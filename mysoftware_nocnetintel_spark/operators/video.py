@@ -1,0 +1,345 @@
+"""Video modality: multi-frame binary payloads + typed metadata, with REAL
+per-frame decode (the stdlib PNG codec from operators/multimodal.py),
+sampled-frame feature extraction, and a video-level perceptual signature
+whose near-duplicate pairs come from the SAME Hamming-band pigeonhole join
+the text/image/audio tiers use.
+
+Beyond-reference capability (the build brief's image/audio/video
+requirement; the reference README describes no media handling). The
+container has no video codec, so the CONTAINER is ours — a deliberately
+simple length-prefixed sequence of PNG frames ("vpng") — but everything
+under it is real: byte-level header parsing, per-frame PNG decode, numpy
+pixel math. A deployment swaps the container parser for ffmpeg/pyav behind
+the same function signatures; every Spark-side plan is unchanged.
+
+Container layout (little-endian):
+
+    b"VPNG" | u8 version=1 | u16 n_frames | u16 fps_x100
+    then per frame: u32 byte_length | PNG bytes
+
+THE scale decision in this module: frame sampling happens INSIDE the Arrow
+stage, never via an explode over the payload column. Exploding k sampled
+frame indices against the binary column would replicate every payload k
+times through a shuffle — at 100 TB of video that is the whole job's cost.
+Instead ONE mapInPandas pass parses the header, seeks straight to the
+sampled offsets (length-prefixed frames make the seek O(frames), no
+decode), decodes ONLY the sampled frames, and emits ~50-byte feature rows.
+The index-explode plan (multimodal.sample_frames) remains the right shape
+for metadata-only fan-out where no bytes ride along.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .multimodal import _pack_bits, _to_gray, _area_resize, png_decode, png_encode
+
+VIDEO_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+    ]
+)
+
+_MAGIC = b"VPNG"
+_HEADER = struct.Struct("<4sBHH")  # magic, version, n_frames, fps*100
+
+
+# --------------------------------------------------------------------------
+# Container codec: length-prefixed PNG frames. Real byte-level parsing.
+# --------------------------------------------------------------------------
+def vpng_encode(frames: list[np.ndarray], fps: float = 24.0) -> bytes:
+    """Encode RGB uint8 frames into the vpng container."""
+    parts = [_HEADER.pack(_MAGIC, 1, len(frames), int(round(fps * 100)))]
+    for fr in frames:
+        blob = png_encode(fr)
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def vpng_header(data: bytes) -> tuple[int, float] | None:
+    """(n_frames, fps) from the container header; None if not vpng."""
+    if len(data) < _HEADER.size:
+        return None
+    magic, version, n_frames, fps_x100 = _HEADER.unpack_from(data)
+    if magic != _MAGIC or version != 1:
+        return None
+    return n_frames, fps_x100 / 100.0
+
+
+def vpng_frame_offsets(data: bytes) -> list[tuple[int, int]] | None:
+    """(offset, length) per frame — an O(n_frames) seek table walk that
+    touches only the 4-byte length prefixes, never the frame bytes."""
+    head = vpng_header(data)
+    if head is None:
+        return None
+    n_frames, _ = head
+    offsets, pos = [], _HEADER.size
+    for _ in range(n_frames):
+        if pos + 4 > len(data):
+            return None
+        (length,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if pos + length > len(data):
+            return None
+        offsets.append((pos, length))
+        pos += length
+    return offsets
+
+
+def vpng_decode_frame(data: bytes, idx: int) -> np.ndarray | None:
+    """Decode exactly ONE frame (real PNG decode); None when the container
+    or index is invalid. Only the requested frame's bytes are inflated."""
+    offsets = vpng_frame_offsets(data)
+    if offsets is None or not 0 <= idx < len(offsets):
+        return None
+    off, length = offsets[idx]
+    try:
+        return png_decode(data[off : off + length])
+    except Exception:
+        return None
+
+
+# --------------------------------------------------------------------------
+# Deterministic synthesized corpus: a crossfade between two hash-seeded
+# images — smooth per-frame evolution (real motion for the sampler to see)
+# and a non-degenerate mean frame (the video signature below).
+# --------------------------------------------------------------------------
+def _seed_img(key: str, size: int) -> np.ndarray:
+    seed = hashlib.sha256(key.encode()).digest()
+    need = size * size * 3
+    return np.frombuffer(
+        (seed * (need // len(seed) + 1))[:need], dtype=np.uint8
+    ).reshape(size, size, 3)
+
+
+def _synth_frames(key: str, n_frames: int, size: int) -> list[np.ndarray]:
+    a = _seed_img(key + "/a", size).astype(np.float64)
+    b = _seed_img(key + "/b", size).astype(np.float64)
+    out = []
+    for k in range(n_frames):
+        t = k / max(1, n_frames - 1)
+        out.append(((1 - t) * a + t * b).astype(np.uint8))
+    return out
+
+
+def attach_vpng_media(
+    df: DataFrame,
+    text_col: str = "text",
+    n_frames: int = 12,
+    size: int = 8,
+    fps: float = 24.0,
+) -> DataFrame:
+    """Append ``media`` (a real vpng container of PNG frames, text-seeded)
+    and ``media_meta``. Deployments replace this stage with a scan of real
+    video bytes — downstream operators are unchanged."""
+    fields = list(df.schema.fields)
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", VIDEO_META),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, metas = [], []
+            for txt in pdf[text_col]:
+                blobs.append(vpng_encode(_synth_frames(str(txt), n_frames, size), fps))
+                metas.append(
+                    {
+                        "format": "vpng",
+                        "width": size,
+                        "height": size,
+                        "n_frames": n_frames,
+                        "fps": fps,
+                    }
+                )
+            out = pdf.copy()
+            out["media"] = blobs
+            out["media_meta"] = metas
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def perturb_vpng_media(
+    df: DataFrame, payload_col: str = "media", delta: int = 8
+) -> DataFrame:
+    """Re-encode every frame with a uniform brightness shift — different
+    bytes in every frame (exact dedup scores 0), nearly identical perceptual
+    signature (the mean-frame dHash pairs it). Non-vpng payloads pass
+    through unchanged."""
+    out_schema = T.StructType(list(df.schema.fields))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for payload in pdf[payload_col]:
+                data = bytes(payload) if payload is not None else None
+                head = vpng_header(data) if data else None
+                if head is None:
+                    blobs.append(payload)
+                    continue
+                offsets = vpng_frame_offsets(data)
+                frames = []
+                ok = offsets is not None
+                if ok:
+                    for i in range(len(offsets)):
+                        img = vpng_decode_frame(data, i)
+                        if img is None or img.shape[2] != 3:
+                            ok = False
+                            break
+                        frames.append(
+                            np.clip(img.astype(np.int32) + delta, 0, 255).astype(
+                                np.uint8
+                            )
+                        )
+                blobs.append(vpng_encode(frames, head[1]) if ok else payload)
+            out = pdf.copy()
+            out[payload_col] = blobs
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Sampled-frame features: sampling INSIDE the Arrow stage (see module
+# docstring — no payload replication through an explode).
+# --------------------------------------------------------------------------
+def sampled_frame_features(
+    df: DataFrame, payload_col: str = "media", every_n: int = 4
+) -> DataFrame:
+    """One Arrow pass: parse the container header, seek to every
+    ``every_n``-th frame, decode ONLY those (real PNG decode), emit one row
+    per sampled frame with brightness / contrast / edge-energy features.
+    Payload bytes never leave the stage; undecodable payloads emit zero
+    rows (count them upstream via vpng_header if needed)."""
+    fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_s", T.DoubleType()),
+            T.StructField("brightness", T.DoubleType()),
+            T.StructField("contrast", T.DoubleType()),
+            T.StructField("edge_energy", T.DoubleType()),
+        ]
+    )
+    passthrough = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, rec in pdf.iterrows():
+                payload = rec[payload_col]
+                data = bytes(payload) if payload is not None else None
+                head = vpng_header(data) if data else None
+                if head is None:
+                    continue
+                n_frames, fps = head
+                for idx in range(0, n_frames, every_n):
+                    img = vpng_decode_frame(data, idx)
+                    if img is None:
+                        continue
+                    g = _to_gray(img).astype(np.float64)
+                    row = {k: rec[k] for k in passthrough}
+                    row.update(
+                        frame_idx=idx,
+                        ts_s=idx / fps if fps > 0 else 0.0,
+                        brightness=float(g.mean()),
+                        contrast=float(g.std()),
+                        edge_energy=float(
+                            np.abs(np.diff(g, axis=1)).mean()
+                            + np.abs(np.diff(g, axis=0)).mean()
+                        ),
+                    )
+                    rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Video signature + near-dup pairs (shared Hamming-band machinery).
+# --------------------------------------------------------------------------
+def vhash64_bytes(data: bytes, every_n: int = 4) -> int | None:
+    """Video perceptual signature: dHash of the MEAN of sampled decoded
+    grayscale frames. Brightness-shift invariant (the mean shifts uniformly
+    and dHash compares adjacent pixels); frame-count robust (sampling grid
+    is deterministic given the container)."""
+    head = vpng_header(data)
+    if head is None:
+        return None
+    n_frames, _ = head
+    acc, n = None, 0
+    for idx in range(0, n_frames, every_n):
+        img = vpng_decode_frame(data, idx)
+        if img is None:
+            return None
+        g = _to_gray(img).astype(np.float64)
+        acc = g if acc is None else acc + g
+        n += 1
+    if acc is None:
+        return None
+    mean = acc / n
+    d = _area_resize(mean, 8, 9)
+    return _pack_bits(d[:, :-1] < d[:, 1:])
+
+
+def video_hashes(
+    df: DataFrame, payload_col: str = "media", every_n: int = 4
+) -> DataFrame:
+    """Append a ``vhash`` BIGINT signature column (NULL for undecodable
+    payloads) via one Arrow pass; the payload column is dropped on output
+    (hash-then-shed — downstream shuffles 8 bytes per row)."""
+    fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(fields + [T.StructField("vhash", T.LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [
+                vhash64_bytes(bytes(p), every_n) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            out = pdf.drop(columns=[payload_col])
+            out["vhash"] = pd.array(hs, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "media",
+    max_hamming: int = 3,
+    every_n: int = 4,
+) -> DataFrame:
+    """VIDEO near-duplicate pairs by mean-frame dHash Hamming distance
+    <= ``max_hamming``: decode+hash in one Arrow pass, then the shared
+    banded equi-join (dedup.hamming_band_pairs) — candidates come from a
+    bucket join, never an all-pairs product. Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming_band_pairs
+
+    sig = (
+        video_hashes(df.select(id_col, payload_col), payload_col, every_n)
+        .where(F.col("vhash").isNotNull())
+        .select(F.col(id_col).alias("doc"), F.col("vhash").alias("sig"))
+    )
+    return hamming_band_pairs(sig, "doc", "sig", max_hamming)

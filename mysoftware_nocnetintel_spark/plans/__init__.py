@@ -33,15 +33,19 @@ _ALL = {
 # permitting); (3) fill the remainder with the queries whose last green
 # signal is oldest. ROUND 8 (per VERDICT r7 task 1): rule (1) admits
 # q147_image_neardup (NEW this round — the perceptual dHash/aHash image
-# near-dup tier, verdict task 6) and q148/q149 (NEW this round — the
+# near-dup tier, verdict task 6), q148/q149 (NEW this round — the
 # AUDIO media tier: stdlib WAV codec features + spectral-fingerprint
-# near-dup, operators/audio.py); rule (2) admits q42_ann_lsh
+# near-dup, operators/audio.py), and q150/q151 (NEW this round — the
+# VIDEO media tier: multi-frame container with real per-frame PNG
+# decode, in-stage frame sampling, mean-frame dHash near-dup,
+# operators/video.py); rule (2) admits q42_ann_lsh
 # (lsh_bucketed_topk changed: NULL-score candidates are now filtered
 # before the top-k aggregation — the round-7 advisor's struct-ordering
-# inversion); rule (3) fills the other 46 slots with the r5-signal
+# inversion); rule (3) fills the other 44 slots with the r5-signal
 # backlog in numeric order (q7_approx, q11-q24, q26-q33, q35, q40,
-# q43/q44, q94, q124, q126-q143 — verified against merged
-# CORRECTNESS_r01-r07). The two displaced tail entries (q144_span_scrub,
+# q43/q44, q94, q124, q126-q141 — verified against merged
+# CORRECTNESS_r01-r07). The four displaced tail entries
+# (q142_embedding_cohesion, q143_snapshot_diff, q144_span_scrub,
 # q145_embedding_decontam) keep their r5 signal and enter the round-9
 # window first under rule (3). Outside the window: everything graded
 # green in r6/r7.
@@ -50,6 +54,8 @@ _WINDOW = [
     "q147_image_neardup",
     "q148_audio_features",
     "q149_audio_neardup",
+    "q150_video_frames",
+    "q151_video_neardup",
     # --- rule 2: implementation changed this round ---
     "q42_ann_lsh",
     # --- rule 3: the 48 queries whose latest signal is r5 ---
@@ -97,8 +103,6 @@ _WINDOW = [
     "q139_exact_percentiles",
     "q140_psi_drift",
     "q141_doc_lm_score",
-    "q142_embedding_cohesion",
-    "q143_snapshot_diff",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

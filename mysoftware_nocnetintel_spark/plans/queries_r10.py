@@ -15,6 +15,13 @@ stdlib WAV codec (wave + numpy), one-Arrow-pass feature extraction, and
 a gain-invariant 64-bit spectral fingerprint feeding the identical
 Hamming-band join. One blocking machinery, three signature families
 (SimHash text, dHash image, spectral-band audio).
+
+q150/q151 complete the media triple with VIDEO (operators/video.py): a
+length-prefixed multi-frame PNG container with REAL per-frame decode,
+frame sampling INSIDE the Arrow stage (payload bytes are never
+replicated through an explode — THE video-at-100TB decision), and a
+mean-frame dHash signature feeding the same Hamming-band join. Four
+signature families, one blocking join.
 """
 
 from __future__ import annotations
@@ -183,8 +190,98 @@ def q149_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with one deterministic 12-frame vpng clip each (crossfade
+    between two text-seeded images — operators/video.attach_vpng_media),
+    Arrow fan-in bounded exactly like q147/q148."""
+    from ..operators import video as VD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.coalesce(max(8, spark.sparkContext.defaultParallelism // 4))
+    return VD.attach_vpng_media(docs, text_col="text").select("doc_id", "media")
+
+
+def q150_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO sampled-frame extraction: ONE Arrow mapInPandas
+    pass parses each container header, seeks to every 4th frame via the
+    length-prefix table (no decode for skipped frames), PNG-decodes ONLY
+    the sampled frames, and emits ~50-byte feature rows (brightness /
+    contrast / edge energy). The payload is never replicated through an
+    explode — sampling happens inside the stage (operators/video.py module
+    docstring: THE video-at-scale decision). Output: per-sampled-frame-
+    index clip counts and mean features — a temporal profile of the corpus
+    (the crossfade synth makes brightness drift monotonically with frame
+    index, which the profile exposes).
+
+    Rows-only by design: byte-level container parsing + stdlib PNG decode
+    inside an Arrow UDF has no SQL twin; the value oracle is the exact
+    frame-decode round-trip + feature units (tests/test_video.py).
+
+    At 100 TB: one linear Arrow scan; sampled-frame features (not frames)
+    are all that shuffles."""
+    from ..operators import video as VD
+
+    feats = VD.sampled_frame_features(
+        _video_corpus(spark, sf_dir), payload_col="media", every_n=4
+    )
+    return (
+        feats.groupBy("frame_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("brightness"), 2).alias("avg_brightness"),
+            F.round(F.avg("contrast"), 2).alias("avg_contrast"),
+            F.round(F.avg("edge_energy"), 2).alias("avg_edge_energy"),
+        )
+        .orderBy("frame_idx")
+    )
+
+
+def q151_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/J8 video tier: perceptual near-duplicate detection over the
+    multi-frame binary column — the video sibling of q147/q149. Corpus =
+    one deterministic 12-frame clip per document UNIONed with a planted
+    near-duplicate per document: every frame re-encoded with a +8
+    brightness shift (different bytes in every frame — exact dedup scores
+    0; nearly identical mean-frame gradients — the dHash signature pairs
+    it). Planted ids are original + 10^7.
+
+    Pipeline: sample+decode+hash each container ONCE in an Arrow pass
+    (signature = dHash of the mean sampled grayscale frame; hash-then-shed
+    — 8 bytes travel downstream, never the container), then the shared
+    four-band pigeonhole join, bit_count verify. Output: per-hamming pair
+    counts split into planted vs organic (duplicate texts synthesize
+    byte-identical containers at hamming 0).
+
+    Rows-only by design (same argument as q147/q149); the value oracle is
+    the planted-recall unit gated at >= 0.8 (tests/test_video.py) and the
+    sha256 seed that pins every signature bit.
+
+    At 100 TB: same posture as q147 — linear hash scan, banded equi-join,
+    no quadratic stage."""
+    from ..operators import video as VD
+
+    base = _video_corpus(spark, sf_dir)
+    planted = VD.perturb_vpng_media(base, payload_col="media").select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "media"
+    )
+    corpus = base.unionByName(planted)
+    pairs = VD.video_near_dup_pairs(
+        corpus, id_col="doc_id", payload_col="media", max_hamming=3
+    )
+    return (
+        pairs.withColumn(
+            "planted", F.col("id_b") - F.col("id_a") == F.lit(10_000_000)
+        )
+        .groupBy("hamming", "planted")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming", "planted")
+    )
+
+
 R10_QUERIES = {
     "q147_image_neardup": q147_image_neardup,
     "q148_audio_features": q148_audio_features,
     "q149_audio_neardup": q149_audio_neardup,
+    "q150_video_frames": q150_video_frames,
+    "q151_video_neardup": q151_video_neardup,
 }
