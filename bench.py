@@ -245,6 +245,7 @@ def main() -> None:
         "q123_semdedup",       # semantic dedup (rows-only: k-means cells)
         "q124_bm25",           # BM25 ranked retrieval (inverted index)
         "q147_image_neardup",  # perceptual image near-dup (rows-only; r8)
+        "q149_audio_neardup",  # spectral audio near-dup (rows-only; r8)
     ]
     from mysoftware_nocnetintel_spark.plans import ORACLES
 
