@@ -26,6 +26,8 @@ signature families, one blocking join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -278,10 +280,82 @@ def q151_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 incremental NEAR-dup tier, end-to-end: q127 gates a new batch
+    with EXACT fingerprints; this query gates it with MinHash against a
+    PERSISTED signature index (operators/dedup_index.py) — the ingestion-
+    pipeline shape where the historical corpus is a Delta table of
+    32-hash signatures and is never re-shingled.
+
+    Pipeline (all inside the query, so the driver signal covers the whole
+    lifecycle): split documents 80/20 by the q97 deterministic md5 trick;
+    BUILD the index from the corpus split (engine's own Delta writer, a
+    fresh build per invocation at a deterministic tmp path); DEDUP the
+    batch split against it (banded equi-join on the pinned geometry +
+    signature-agreement >= 0.6); triage every batch doc:
+
+    - ``dup_vs_index`` — agrees with a persisted signature;
+    - ``dup_in_batch`` — keep-one rule within the batch (min id survives);
+    - ``novel``        — kept for ingestion.
+
+    Output: per-(lang, status) counts — deterministic because MinHash is
+    (xxhash64 salts, no RNG). Rows-only by design: xxhash64 signatures
+    have no DuckDB twin; the value oracles are the lifecycle +
+    banding-bit-compatibility units (tests/test_dedup_index.py).
+
+    At 100 TB: the index side shuffles 8-byte-per-hash signatures (point
+    1 of the module docstring), the batch side is the only text scan,
+    and verification is array agreement — no historical text is read."""
+    import shutil
+    import tempfile
+
+    from ..operators import dedup_index as DI
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+        ).alias("bucket"),
+    )
+    corpus = docs.filter(F.col("bucket") < "cd").select("doc_id", "text")
+    batch = docs.filter(F.col("bucket") >= "cd").select("doc_id", "lang", "text")
+
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"nocnetintel_dedup_index_{tag}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    DI.build_minhash_index(corpus, path, id_col="doc_id", text_col="text")
+
+    verdicts = DI.dedup_against_minhash_index(
+        spark, batch, path, id_col="doc_id", text_col="text", threshold=0.6
+    )
+    per_doc = verdicts.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.max(F.col("source") == "index").alias("__vs_index")
+    )
+    labeled = batch.join(per_doc, "doc_id", "left").select(
+        "lang",
+        F.when(F.col("__vs_index"), "dup_vs_index")
+        .when(F.col("__vs_index").isNotNull(), "dup_in_batch")
+        .otherwise("novel")
+        .alias("status"),
+    )
+    return (
+        labeled.groupBy("lang", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "status")
+    )
+
+
 R10_QUERIES = {
     "q147_image_neardup": q147_image_neardup,
     "q148_audio_features": q148_audio_features,
     "q149_audio_neardup": q149_audio_neardup,
     "q150_video_frames": q150_video_frames,
     "q151_video_neardup": q151_video_neardup,
+    "q152_incremental_neardup": q152_incremental_neardup,
 }
