@@ -186,9 +186,11 @@ def dedup_against_minhash_index(
 
     Candidates come from the banded equi-join only (pigeonhole over the
     index's pinned band geometry); verification is the signature-agreement
-    estimate >= ``threshold``. Batch ids must not collide with index ids
-    (ingestion pipelines use monotone ids; assert-checked cheaply on the
-    join output)."""
+    estimate >= ``threshold``. A batch doc whose id ALREADY EXISTS in the
+    index self-matches at est_jaccard 1.0 — deliberately not filtered:
+    for an ingestion gate a re-delivered document is a duplicate of its
+    registered self, and flagging it keeps non-txn re-deliveries from
+    double-registering."""
     from ..sources.readers import read_delta_snapshot
 
     p = read_index_params(path)

@@ -1,0 +1,130 @@
+"""Streaming ingestion gate (streaming/ops.dedup_gate_batch /
+dedup_gated_stream_append): micro-batches are near-dup gated against the
+persisted MinHash index, novel docs land in the corpus Delta table AND
+register in the index — both exactly-once under batch replay."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from mysoftware_nocnetintel_spark.operators.dedup_index import (
+    build_minhash_index,
+)
+from mysoftware_nocnetintel_spark.sources.readers import read_delta_snapshot
+from mysoftware_nocnetintel_spark.streaming.ops import (
+    dedup_gate_batch,
+    dedup_gated_stream_append,
+)
+
+SEED = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "pyspark structured streaming processes unbounded data in micro batches"),
+]
+SCHEMA = "doc_id bigint, text string"
+
+
+def _setup(spark, tmp_path):
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    seed = spark.createDataFrame(SEED, SCHEMA)
+    from mysoftware_nocnetintel_spark.sources.delta import write_delta_append
+
+    write_delta_append(seed, corpus_path)
+    build_minhash_index(seed, index_path)
+    return corpus_path, index_path
+
+
+def _corpus_ids(spark, corpus_path):
+    return sorted(
+        r.doc_id for r in read_delta_snapshot(spark, corpus_path).collect()
+    )
+
+
+def _index_ids(spark, index_path):
+    return sorted(r.doc for r in read_delta_snapshot(spark, index_path).collect())
+
+
+def test_gate_batch_filters_dups_and_registers_novel(spark, tmp_path):
+    corpus_path, index_path = _setup(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (10, SEED[0][1]),  # exact dup of corpus doc 0 -> gated out
+            (11, SEED[1][1].rsplit(" ", 1)[0]),  # near-dup of doc 1 -> gated
+            (12, "a genuinely novel document about subterranean mushrooms"),
+            (13, "a genuinely novel document about subterranean mushrooms"),
+            # 12/13 within-batch dup: keep-one keeps 12
+        ],
+        SCHEMA,
+    )
+    dedup_gate_batch(batch, 0, corpus_path, index_path, app_id="gateA",
+                     threshold=0.5)
+    assert _corpus_ids(spark, corpus_path) == [0, 1, 12]
+    assert _index_ids(spark, index_path) == [0, 1, 12]
+
+
+def test_gate_batch_replay_is_exactly_once(spark, tmp_path):
+    corpus_path, index_path = _setup(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(20, "novel text the replay must not double-ingest")], SCHEMA
+    )
+    dedup_gate_batch(batch, 5, corpus_path, index_path, app_id="gateB")
+    assert _corpus_ids(spark, corpus_path) == [0, 1, 20]
+    # at-least-once replay of the SAME batch id: both txn skips fire —
+    # and doc 20's self-match in the index would gate it out anyway
+    dedup_gate_batch(batch, 5, corpus_path, index_path, app_id="gateB")
+    assert _corpus_ids(spark, corpus_path) == [0, 1, 20]
+    assert _index_ids(spark, index_path) == [0, 1, 20]
+
+
+def test_gate_replay_after_partial_crash_converges(spark, tmp_path):
+    """Crash between the corpus append and the index registration: the
+    replay must skip the corpus write and complete the index — never
+    duplicating either."""
+    from mysoftware_nocnetintel_spark.operators.dedup_index import (
+        dedup_against_minhash_index,
+    )
+    from mysoftware_nocnetintel_spark.sources.delta import write_delta_append
+
+    corpus_path, index_path = _setup(spark, tmp_path)
+    batch = spark.createDataFrame([(30, "crash window novel text")], SCHEMA)
+    # simulate step 2 only (corpus committed, index registration lost)
+    verdicts = dedup_against_minhash_index(spark, batch, index_path)
+    novel = batch.join(
+        verdicts.select(F.col("doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    write_delta_append(novel, corpus_path, txn=("gateC:corpus", 0))
+    assert _index_ids(spark, index_path) == [0, 1]  # behind by one batch
+    # full replay of batch 0
+    dedup_gate_batch(batch, 0, corpus_path, index_path, app_id="gateC")
+    assert _corpus_ids(spark, corpus_path) == [0, 1, 30]
+    assert _index_ids(spark, index_path) == [0, 1, 30]
+
+
+def test_streaming_end_to_end_available_now(spark, tmp_path):
+    corpus_path, index_path = _setup(spark, tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([40, 41], pa.int64()),
+                "text": pa.array(
+                    [SEED[0][1], "streaming novel doc about tidal energy"]
+                ),
+            }
+        ),
+        str(src / "a.parquet"),
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = dedup_gated_stream_append(
+        stream, corpus_path, index_path, str(tmp_path / "ckpt"),
+        app_id="gateD", threshold=0.5,
+    )
+    q.awaitTermination(120)
+    # 40 is an exact dup of seed doc 0 -> gated; 41 is novel -> ingested
+    assert _corpus_ids(spark, corpus_path) == [0, 1, 41]
+    assert _index_ids(spark, index_path) == [0, 1, 41]
