@@ -351,6 +351,61 @@ def q152_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 persisted-ANN tier, end-to-end: the batch IVF operators (q48)
+    re-derive centroids and assignments per run; this query BUILDS the
+    lakehouse-native index (operators/ann_index.py — IVF cells as a
+    cell-partitioned Delta table, centroids in a sidecar) and SERVES a
+    query batch from it, reading only the probed cells' files via
+    driver-side partition pruning.
+
+    Corpus = the embeddings table; queries = the 8 lowest vec_ids (their
+    own vectors, so rank-1 self-hits pin the scoring path). Output: per
+    rank, hit counts and mean score — deterministic because the sampled
+    k-means is seeded and ties break on vec_id.
+
+    Rows-only by design: seeded k-means + Arrow cosine has no DuckDB
+    twin; the value oracles are the batch-operator parity and the
+    corrupt-unprobed-cell pruning proof (tests/test_ann_index.py).
+
+    At 100 TB: the index IS the corpus organized by cell — a serving
+    query opens nprobe/n_cells of the files (partition pruning happens
+    on the driver before any scan is planned), scores one broadcast
+    probe join, and windows per-query top-k."""
+    import shutil
+    import tempfile
+    import hashlib
+
+    from ..operators import ann_index as AI
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"nocnetintel_ann_index_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    AI.build_ivf_index(emb, path, n_cells=16)
+
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    topk = AI.query_ivf_index(spark, queries, path, k=5, nprobe=4)
+    return (
+        topk.groupBy("rn")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum((F.col("qid") == F.col("vec_id")).cast("int")).alias(
+                "self_hits"
+            ),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("rn")
+    )
+
+
 R10_QUERIES = {
     "q147_image_neardup": q147_image_neardup,
     "q148_audio_features": q148_audio_features,
@@ -358,4 +413,5 @@ R10_QUERIES = {
     "q150_video_frames": q150_video_frames,
     "q151_video_neardup": q151_video_neardup,
     "q152_incremental_neardup": q152_incremental_neardup,
+    "q153_ann_index": q153_ann_index,
 }
