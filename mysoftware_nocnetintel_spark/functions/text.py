@@ -254,3 +254,37 @@ def lang_id(text: Column | str) -> Column:
     ]
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def hashed_embedding(
+    text: Column | str, dim: int = 64, ngram: int = 3
+) -> Column:
+    """Deterministic text embedding by the HASHING TRICK (feature hashing,
+    Weinberger et al. 2009): char n-grams hashed into ``dim`` signed
+    buckets, L2-normalized — array<double>. No model, no vocabulary, no
+    RNG: the same text embeds identically on any engine, executor, or
+    round, which is what corpus-pipeline embeddings need for
+    reproducible near-dup/decontamination decisions.
+
+    Per-row HOF form for SINGLE-USE expressions; pipelines that fan the
+    embedding out (banding, indexing) must use :func:`hashed_embeddings`
+    — the same projection-collapse lesson as minhash_signature vs
+    minhash_signatures (operators/dedup.py)."""
+    grams = char_ngrams(F.lower(text if not isinstance(text, str) else F.col(text)), ngram)
+    zeros = F.transform(F.sequence(F.lit(1), F.lit(dim)), lambda _: F.lit(0.0))
+    raw = F.aggregate(
+        grams,
+        zeros,
+        lambda acc, g: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(
+                F.pmod(F.xxhash64(g, F.lit("fh-bucket")), F.lit(dim)) == i.cast("bigint"),
+                F.when(
+                    F.pmod(F.xxhash64(g, F.lit("fh-sign")), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(norm > 0, F.transform(raw, lambda x: x / norm)).otherwise(raw)

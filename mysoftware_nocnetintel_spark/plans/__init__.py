@@ -40,15 +40,17 @@ _ALL = {
 # decode, in-stage frame sampling, mean-frame dHash near-dup,
 # operators/video.py), q152 (NEW this round — incremental near-dup
 # gating against a persisted Delta signature index,
-# operators/dedup_index.py), and q153 (NEW this round — persisted IVF
+# operators/dedup_index.py), q153 (NEW this round — persisted IVF
 # ANN index: cell-partitioned Delta layout, partition-pruned serving,
-# operators/ann_index.py); rule (2) admits q42_ann_lsh
+# operators/ann_index.py), and q154 (NEW this round — hashing-trick
+# text embeddings feeding the persisted index end-to-end,
+# operators/embed.py); rule (2) admits q42_ann_lsh
 # (lsh_bucketed_topk changed: NULL-score candidates are now filtered
 # before the top-k aggregation — the round-7 advisor's struct-ordering
-# inversion); rule (3) fills the other 42 slots with the r5-signal
+# inversion); rule (3) fills the other 41 slots with the r5-signal
 # backlog in numeric order (q7_approx, q11-q24, q26-q33, q35, q40,
-# q43/q44, q94, q124, q126-q139 — verified against merged
-# CORRECTNESS_r01-r07). The six displaced tail entries (q140-q145)
+# q43/q44, q94, q124, q126-q138 — verified against merged
+# CORRECTNESS_r01-r07). The seven displaced tail entries (q139-q145)
 # keep their r5 signal and enter the round-9 window first under
 # rule (3). Outside the window: everything graded green in r6/r7.
 _WINDOW = [
@@ -60,6 +62,7 @@ _WINDOW = [
     "q151_video_neardup",
     "q152_incremental_neardup",
     "q153_ann_index",
+    "q154_text_semantic_search",
     # --- rule 2: implementation changed this round ---
     "q42_ann_lsh",
     # --- rule 3: the 48 queries whose latest signal is r5 ---
@@ -104,7 +107,6 @@ _WINDOW = [
     "q136_temperature_mix",
     "q137_gopher_rules",
     "q138_regression_aggs",
-    "q139_exact_percentiles",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -406,6 +406,63 @@ def q153_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q154_text_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/J8 text-to-retrieval, END-TO-END inside the engine: documents
+    are embedded with the HASHING TRICK (operators/embed.py — signed
+    char-trigram buckets, L2-normalized, NO model and NO RNG, so the
+    vectors are reproducible on any engine), the vectors build the
+    persisted IVF index (operators/ann_index.py), and a query batch (the
+    8 lowest doc_ids' own texts, re-embedded through the SAME expression)
+    is served with partition-pruned probes. Every stage that exists
+    between raw text and semantic search runs in this one query.
+
+    Output: per rank, hit counts, self-or-tie hits (exact-duplicate
+    texts embed identically, so rank-1 may be a byte-identical twin at
+    cosine 1.0 — counted via score >= 1 - 1e-9), and mean score.
+    Deterministic: hashing-trick embeddings + seeded k-means + vec_id
+    tie-breaks.
+
+    Rows-only by design (xxhash64 embeddings + seeded k-means have no
+    DuckDB twin); value oracles: the HOF≡pipeline bit-parity and
+    cosine-separation units (tests/test_embed.py) plus q153's index
+    parity suite.
+
+    At 100 TB: embedding is two even-keyed shuffles (explode + groupBy);
+    the index build is one partitioned write; serving opens
+    nprobe/n_cells of the files."""
+    import shutil
+    import tempfile
+    import hashlib
+
+    from ..operators import ann_index as AI
+    from ..operators.embed import hashed_embeddings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = hashed_embeddings(docs, dim=64).select(
+        F.col("doc").alias("vec_id"), "embedding"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"nocnetintel_semsearch_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    AI.build_ivf_index(emb, path, n_cells=16)
+
+    queries = hashed_embeddings(
+        docs.orderBy("doc_id").limit(8), dim=64
+    ).select(F.col("doc").alias("qid"), F.col("embedding").alias("qv"))
+    topk = AI.query_ivf_index(spark, queries, path, k=5, nprobe=4)
+    return (
+        topk.groupBy("rn")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum((F.col("score") >= 1 - 1e-9).cast("int")).alias(
+                "exact_hits"
+            ),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("rn")
+    )
+
+
 R10_QUERIES = {
     "q147_image_neardup": q147_image_neardup,
     "q148_audio_features": q148_audio_features,
@@ -414,4 +471,5 @@ R10_QUERIES = {
     "q151_video_neardup": q151_video_neardup,
     "q152_incremental_neardup": q152_incremental_neardup,
     "q153_ann_index": q153_ann_index,
+    "q154_text_semantic_search": q154_text_semantic_search,
 }
