@@ -5,8 +5,9 @@ partition pruning.
 The batch ANN operators (operators/similarity.py) re-derive centroids and
 cell assignments per run. This module persists the index the way FAISS
 persists one — train once, assign once, store — but in open lakehouse
-layout, so the index is a TABLE: time travel, vacuum, idempotent appends,
-CAS commits, and any foreign parquet reader all apply.
+layout (Delta or Iceberg, ``table_format=``), so the index is a TABLE:
+time travel, vacuum, idempotent appends, CAS commits, and any foreign
+parquet reader all apply.
 
 Layout and the 100 TB argument:
 
@@ -61,6 +62,36 @@ def read_ann_params(path: str) -> dict:
         return json.load(f)
 
 
+def _write_table(df, path, fmt, partition_by=(), txn=None):
+    """Format seam: the index rides either open table format — same
+    partition spec, same idempotent-txn discipline (Delta Transaction
+    Identifiers / Iceberg snapshot-summary txn markers)."""
+    if fmt == "delta":
+        from ..sources.delta import write_delta_append
+
+        return write_delta_append(df, path, partition_by=partition_by, txn=txn)
+    if fmt == "iceberg":
+        from ..sources.iceberg import write_iceberg_append
+
+        return write_iceberg_append(df, path, partition_by=partition_by, txn=txn)
+    raise ValueError(f"unknown table_format {fmt!r}")
+
+
+def _read_cell(spark, path, fmt, cell: int):
+    """One probed cell's files — driver-side partition pruning in either
+    format (Delta add.partitionValues are strings; Iceberg manifests carry
+    the typed partition record)."""
+    if fmt == "delta":
+        from ..sources.readers import read_delta_snapshot
+
+        return read_delta_snapshot(spark, path, partition_filter={"cell": str(cell)})
+    if fmt == "iceberg":
+        from ..sources.readers import read_iceberg_snapshot
+
+        return read_iceberg_snapshot(spark, path, partition_filter={"cell": cell})
+    raise ValueError(f"unknown table_format {fmt!r}")
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -68,13 +99,12 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
+    table_format: str = "delta",
 ) -> int:
     """Create the persisted IVF index: sampled-kmeans centroids (bounded
     driver collect — ivf_centroids' FAISS heuristic), zero-shuffle cell
-    assignment (ivf_assign's Arrow argmin), one Delta commit partitioned
-    by cell. Returns the committed version."""
-    from ..sources.delta import write_delta_append
-
+    assignment (ivf_assign's Arrow argmin), one cell-partitioned commit in
+    either open table format. Returns the committed version/snapshot."""
     if os.path.exists(_params_path(path)):
         raise ValueError(f"index already exists at {path}")
     cents = ivf_centroids(df, vec_col, n_cells, seed, as_list=True)
@@ -83,10 +113,11 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
     )
-    version = write_delta_append(assigned, path, partition_by=("cell",))
+    version = _write_table(assigned, path, table_format, partition_by=("cell",))
     params = {
         "n_cells": n_cells,
         "seed": seed,
+        "table_format": table_format,
         "centroids": [[float(x) for x in c] for _, c in cents],
     }
     tmp = _params_path(path) + ".tmp"
@@ -105,10 +136,8 @@ def append_to_ivf_index(
 ) -> int:
     """Register new vectors under the index's PINNED centroids (cells
     stay stable — the FAISS add-after-train contract; re-train by
-    rebuilding). ``txn`` passes through to the Delta writer for
-    exactly-once batch registration."""
-    from ..sources.delta import write_delta_append
-
+    rebuilding). ``txn`` passes through to the format's idempotent-commit
+    support for exactly-once batch registration."""
     p = read_ann_params(path)
     cents = [(i, c) for i, c in enumerate(p["centroids"])]
     assigned = ivf_assign(df, cents, vec_col).select(
@@ -116,7 +145,9 @@ def append_to_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
     )
-    return write_delta_append(assigned, path, txn=txn)
+    return _write_table(
+        assigned, path, p.get("table_format", "delta"), txn=txn
+    )
 
 
 def _probe_cells_np(
@@ -157,9 +188,8 @@ def query_ivf_index(
 
     Returns (qid, vec_id, score, rn) — identical to similarity.ivf_topk
     run with the same centroids (parity test-pinned)."""
-    from ..sources.readers import read_delta_snapshot
-
     p = read_ann_params(path)
+    fmt = p.get("table_format", "delta")
     qrows = [
         (r[0], list(r[1]))
         for r in queries.select(query_id, query_vec)
@@ -177,9 +207,7 @@ def query_ivf_index(
     scans = []
     for c in cells:
         try:
-            scans.append(
-                read_delta_snapshot(spark, path, partition_filter={"cell": str(c)})
-            )
+            scans.append(_read_cell(spark, path, fmt, c))
         except ValueError:
             continue  # an empty cell has no files — legal, nothing to scan
     if not scans:

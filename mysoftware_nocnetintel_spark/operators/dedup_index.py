@@ -4,9 +4,9 @@ The batch near-dup operators (operators/dedup.py) recompute signatures for
 the whole corpus every run — right for one-shot jobs, wrong for an
 ingestion pipeline that receives a new crawl slice every hour against a
 100 TB historical corpus. This module persists per-document MinHash
-signatures in a Delta table (sources/delta.py — the engine's own writer,
-so the index participates in time travel, vacuum, optimize, CAS commits)
-and gates each new batch with:
+signatures in an open lakehouse table — Delta or Iceberg, the engine's
+own writers, so the index participates in time travel, vacuum, optimize,
+and CAS commits in either format — and gates each new batch with:
 
     batch text  --shingle+minhash-->  batch sigs        (the ONLY text scan)
     index sigs  --native banding-->   (band, bucket)    (NO text, NO shingles)
@@ -60,6 +60,32 @@ def read_index_params(path: str) -> dict:
     """The pinned signature-space parameters of the index at ``path``."""
     with open(_params_path(path), encoding="utf-8") as f:
         return json.load(f)
+
+
+def _write_table(df, path, fmt, txn=None, sort_by=()):
+    """Format seam: the index rides either open table format with the same
+    idempotent-txn discipline."""
+    if fmt == "delta":
+        from ..sources.delta import write_delta_append
+
+        return write_delta_append(df, path, txn=txn, sort_by=sort_by)
+    if fmt == "iceberg":
+        from ..sources.iceberg import write_iceberg_append
+
+        return write_iceberg_append(df, path, txn=txn, sort_by=sort_by)
+    raise ValueError(f"unknown table_format {fmt!r}")
+
+
+def _read_table(spark, path, fmt):
+    if fmt == "delta":
+        from ..sources.readers import read_delta_snapshot
+
+        return read_delta_snapshot(spark, path)
+    if fmt == "iceberg":
+        from ..sources.readers import read_iceberg_snapshot
+
+        return read_iceberg_snapshot(spark, path)
+    raise ValueError(f"unknown table_format {fmt!r}")
 
 
 def sig_band_rows(
@@ -119,13 +145,13 @@ def build_minhash_index(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    table_format: str = "delta",
 ) -> int:
     """Create the signature index at ``path`` from a corpus DataFrame:
-    one Delta-committed row per document with a non-empty shingle set.
-    Returns the committed Delta version. Fails if an index already exists
-    there (appends go through :func:`append_to_minhash_index`)."""
-    from ..sources.delta import write_delta_append
-
+    one committed row per document with a non-empty shingle set, in
+    either open table format. Returns the committed version/snapshot.
+    Fails if an index already exists there (appends go through
+    :func:`append_to_minhash_index`)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     if os.path.exists(_params_path(path)):
@@ -133,11 +159,12 @@ def build_minhash_index(
             f"index already exists at {path}; use append_to_minhash_index"
         )
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    version = write_delta_append(sigs, path, sort_by=("doc",))
+    version = _write_table(sigs, path, table_format, sort_by=("doc",))
     params = {
         "num_hashes": num_hashes,
         "bands": bands,
         "shingle_k": shingle_k,
+        "table_format": table_format,
     }
     tmp = _params_path(path) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -155,16 +182,16 @@ def append_to_minhash_index(
 ) -> int:
     """Append a batch's signatures to an existing index, under the INDEX'S
     pinned parameters (the caller cannot accidentally mix signature
-    spaces). ``txn=(app_id, version)`` passes through to the Delta writer's
+    spaces). ``txn=(app_id, version)`` passes through to the format's
     idempotent-transaction support, so an ingestion pipeline retrying a
     batch cannot double-register it. Returns the committed version."""
-    from ..sources.delta import write_delta_append
-
     p = read_index_params(path)
     sigs = minhash_signatures(
         df, id_col, text_col, p["num_hashes"], p["shingle_k"]
     )
-    return write_delta_append(sigs, path, txn=txn, sort_by=("doc",))
+    return _write_table(
+        sigs, path, p.get("table_format", "delta"), txn=txn, sort_by=("doc",)
+    )
 
 
 def dedup_against_minhash_index(
@@ -191,8 +218,6 @@ def dedup_against_minhash_index(
     for an ingestion gate a re-delivered document is a duplicate of its
     registered self, and flagging it keeps non-txn re-deliveries from
     double-registering."""
-    from ..sources.readers import read_delta_snapshot
-
     p = read_index_params(path)
     num_hashes, bands = p["num_hashes"], p["bands"]
     rows_per_band = num_hashes // bands
@@ -200,7 +225,7 @@ def dedup_against_minhash_index(
     batch_sigs = minhash_signatures(
         batch_df, id_col, text_col, num_hashes, p["shingle_k"]
     )
-    index_sigs = read_delta_snapshot(spark, path)
+    index_sigs = _read_table(spark, path, p.get("table_format", "delta"))
 
     b_band = sig_band_rows(batch_sigs, bands, rows_per_band)
     i_band = sig_band_rows(index_sigs, bands, rows_per_band)

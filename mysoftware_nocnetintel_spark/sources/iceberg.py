@@ -188,7 +188,7 @@ def _file_bounds(
     by_name = {
         f["name"]: (f["id"], f["type"])
         for f in schema["fields"]
-        if f["type"] in _BOUNDABLE_TYPES
+        if isinstance(f["type"], str) and f["type"] in _BOUNDABLE_TYPES
     }
     if not by_name:
         return None, None
@@ -269,15 +269,40 @@ def _spark_to_iceberg_type(dt) -> str | None:
 
 def _iceberg_schema(spark_schema) -> dict | None:
     """Field-id schema for metadata.json (ids 1..n in column order), or
-    None when any column type has no primitive mapping."""
+    None when any column type has no mapping. LISTS of primitives map to
+    the spec's nested list type (element-ids allocated AFTER every
+    top-level id — ids are forever, so the allocation order must be
+    deterministic); struct/map columns stay unmapped and the table is
+    then written without a field-id schema (partitioning and equality
+    deletes fail fast, as before). List columns are never boundable,
+    avro-encodable, or equality-key-able — each of those sites guards on
+    the type being a STRING primitive."""
+    from pyspark.sql import types as T
+
     fields = []
+    lists: list[tuple[int, str, bool]] = []
     for i, f in enumerate(spark_schema.fields):
         t = _spark_to_iceberg_type(f.dataType)
+        if t is None and isinstance(f.dataType, T.ArrayType):
+            et = _spark_to_iceberg_type(f.dataType.elementType)
+            if et is None:
+                return None
+            lists.append((len(fields), et, f.dataType.containsNull))
+            t = "__list_placeholder__"
         if t is None:
             return None
         fields.append(
             {"id": i + 1, "name": f.name, "required": not f.nullable, "type": t}
         )
+    next_id = len(fields) + 1
+    for idx, et, contains_null in lists:
+        fields[idx]["type"] = {
+            "type": "list",
+            "element-id": next_id,
+            "element": et,
+            "element-required": not contains_null,
+        }
+        next_id += 1
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
@@ -640,7 +665,8 @@ def _write_avro_data_files(
 
     sch = _iceberg_schema(df.schema)
     if sch is None or any(
-        f["type"] not in _AVRO_DATA_TYPES for f in sch["fields"]
+        not isinstance(f["type"], str) or f["type"] not in _AVRO_DATA_TYPES
+        for f in sch["fields"]
     ):
         bad = [
             (f.name, str(f.dataType)) for f in df.schema.fields

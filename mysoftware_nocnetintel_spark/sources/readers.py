@@ -1083,8 +1083,17 @@ def _iceberg_expected_schema(path: str):
         t = f.get("type")
         if isinstance(t, str) and t.startswith("decimal("):
             ddl = t
+        elif isinstance(t, dict) and t.get("type") == "list":
+            # nested list type (spec 'Schemas' — e.g. embedding columns
+            # of the persisted ANN index): array<element-ddl>
+            et = (
+                _ICE_TO_SPARK_DDL_FULL.get(t.get("element"))
+                if isinstance(t.get("element"), str)
+                else None
+            )
+            ddl = f"array<{et}>" if et else None
         else:
-            ddl = _ICE_TO_SPARK_DDL_FULL.get(t)
+            ddl = _ICE_TO_SPARK_DDL_FULL.get(t) if isinstance(t, str) else None
         if ddl is None:
             return None
         parts.append(f"`{f['name']}` {ddl}")
@@ -1163,7 +1172,11 @@ def _scan_iceberg_avro(
         )
     names, ddl_parts = [], []
     for f in schemas[0]["fields"]:
-        t = _ICE_TO_SPARK_DDL.get(f["type"])
+        t = (
+            _ICE_TO_SPARK_DDL.get(f["type"])
+            if isinstance(f["type"], str)
+            else None
+        )
         if t is None:
             raise NotImplementedError(
                 f"Iceberg AVRO data file column {f['name']!r} of type "

@@ -149,3 +149,60 @@ def test_query_plan_has_no_cartesian(spark, tmp_path):
     df = AI.query_ivf_index(spark, _queries(spark, n=2), path, k=3, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_iceberg_format_parity_and_pruning(spark, tmp_path):
+    """The ANN index rides Iceberg identically: same top-k as the Delta
+    build of the same corpus, and the partition-pruning proof holds (the
+    typed partition record prunes manifest entries driver-side)."""
+    ice, dlt = str(tmp_path / "ice"), str(tmp_path / "dlt")
+    corpus = _corpus(spark)
+    AI.build_ivf_index(corpus, ice, n_cells=8, table_format="iceberg")
+    AI.build_ivf_index(corpus, dlt, n_cells=8, table_format="delta")
+    assert AI.read_ann_params(ice)["table_format"] == "iceberg"
+    queries = _queries(spark)
+    got_i = {
+        (r.qid, r.vec_id, r.rn)
+        for r in AI.query_ivf_index(spark, queries, ice, k=5, nprobe=3).collect()
+    }
+    got_d = {
+        (r.qid, r.vec_id, r.rn)
+        for r in AI.query_ivf_index(spark, queries, dlt, k=5, nprobe=3).collect()
+    }
+    assert got_i == got_d and len(got_i) == 25
+    # idempotent append under the pinned format (before the corruption
+    # pass below — this check reads the whole table)
+    newv = spark.createDataFrame(
+        [(700, _corpus_rows(1, seed=5)[0][1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    v1 = AI.append_to_ivf_index(newv, ice, txn=("annice", 0))
+    v2 = AI.append_to_ivf_index(newv, ice, txn=("annice", 0))
+    assert v1 == v2
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_iceberg_snapshot,
+    )
+
+    assert read_iceberg_snapshot(spark, ice).filter("vec_id = 700").count() == 1
+    # pruning proof: corrupt every data file of unprobed cells (Iceberg
+    # partition records live in the MANIFESTS, not the paths — resolve
+    # each file's cell through the snapshot listing)
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        _iceberg_snapshot_files,
+    )
+
+    q1 = _queries(spark, n=1)
+    qrows = [(r.qid, list(r.qv)) for r in q1.collect()]
+    probes = AI._probe_cells_np(qrows, AI.read_ann_params(ice)["centroids"], 2)
+    probed = {c for cs in probes.values() for c in cs}
+    data_files = _iceberg_snapshot_files(ice, None, None)[0]
+    corrupted = 0
+    for e in data_files:
+        if int((e.partition or {}).get("cell")) in probed:
+            continue
+        with open(e.path, "wb") as f:
+            f.write(b"corrupt")
+        corrupted += 1
+    assert corrupted > 0
+    got = AI.query_ivf_index(spark, q1, ice, k=3, nprobe=2).collect()
+    assert len(got) == 3

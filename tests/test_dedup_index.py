@@ -94,6 +94,7 @@ def test_params_pinned_and_validated(spark, tmp_path):
         "num_hashes": 16,
         "bands": 4,
         "shingle_k": 3,
+        "table_format": "delta",
     }
     # rebuild refused
     with pytest.raises(ValueError, match="already exists"):
@@ -148,3 +149,41 @@ def test_query_plan_has_no_cartesian(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_iceberg_format_lifecycle(spark, tmp_path):
+    """The index rides Iceberg identically: build, pinned-param append
+    with txn idempotency, and gating verdicts equal to the Delta build."""
+    ice, dlt = str(tmp_path / "ice"), str(tmp_path / "dlt")
+    corpus = _docs(spark, list(enumerate(BASE)))
+    DI.build_minhash_index(corpus, ice, table_format="iceberg")
+    DI.build_minhash_index(corpus, dlt, table_format="delta")
+    assert DI.read_index_params(ice)["table_format"] == "iceberg"
+    batch = _docs(
+        spark,
+        [(100, _near(BASE[0])), (101, "a wholly novel iceberg-side text")],
+    )
+    got_i = {
+        (r.doc, r.dup_of, r.source, round(r.est_jaccard, 6))
+        for r in DI.dedup_against_minhash_index(
+            spark, batch, ice, threshold=0.5
+        ).collect()
+    }
+    got_d = {
+        (r.doc, r.dup_of, r.source, round(r.est_jaccard, 6))
+        for r in DI.dedup_against_minhash_index(
+            spark, batch, dlt, threshold=0.5
+        ).collect()
+    }
+    assert got_i == got_d and (100, 0, "index", 1.0) not in got_i  # near, not exact
+    assert {r[0] for r in got_i} == {100}
+    # idempotent append under the pinned format
+    add = _docs(spark, [(7, "registered exactly once on the iceberg side")])
+    v1 = DI.append_to_minhash_index(add, ice, txn=("ing", 3))
+    v2 = DI.append_to_minhash_index(add, ice, txn=("ing", 3))
+    assert v1 == v2
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_iceberg_snapshot,
+    )
+
+    assert read_iceberg_snapshot(spark, ice).filter("doc = 7").count() == 1

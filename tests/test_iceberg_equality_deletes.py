@@ -123,16 +123,35 @@ def test_equality_delete_fail_fasts(spark, tmp_path):
             str(tmp_path / "missing"),
             spark.createDataFrame([(1,)], "id bigint"),
         )
-    # a table created with complex-typed columns has no field-id schema
+    # a table created with UNMAPPED complex-typed columns (map/struct) has
+    # no field-id schema — equality deletes fail fast
     root2 = str(tmp_path / "eqcomplex")
     write_iceberg_append(
-        spark.createDataFrame([(1, ["a", "b"])], "id bigint, tags array<string>"),
+        spark.createDataFrame(
+            [(1, {"a": "b"})], "id bigint, tags map<string,string>"
+        ),
         root2,
     )
     with pytest.raises(NotImplementedError, match="field-id schema"):
         write_iceberg_equality_deletes(
             spark, root2, spark.createDataFrame([(1,)], "id bigint")
         )
+    # LIST columns get field-id schemas since the ANN-index round: equality
+    # deletes on a primitive key of a list-carrying table now just work
+    root3 = str(tmp_path / "eqlist")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, ["a", "b"]), (2, ["c"])], "id bigint, tags array<string>"
+        ),
+        root3,
+    )
+    write_iceberg_equality_deletes(
+        spark, root3, spark.createDataFrame([(2,)], "id bigint")
+    )
+    assert {
+        (r.id, tuple(r.tags))
+        for r in read_iceberg_snapshot(spark, root3).collect()
+    } == {(1, ("a", "b"))}
 
 
 def test_rewrite_compacts_away_delete_files(spark, tmp_path):
