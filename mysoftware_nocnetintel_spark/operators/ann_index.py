@@ -108,23 +108,26 @@ def build_ivf_index(
     if os.path.exists(_params_path(path)):
         raise ValueError(f"index already exists at {path}")
     cents = ivf_centroids(df, vec_col, n_cells, seed, as_list=True)
-    assigned = ivf_assign(df, cents, vec_col).select(
-        "cell",
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("embedding"),
-    )
-    version = _write_table(assigned, path, table_format, partition_by=("cell",))
     params = {
         "n_cells": n_cells,
         "seed": seed,
         "table_format": table_format,
         "centroids": [[float(x) for x in c] for _, c in cents],
     }
+    # sidecar FIRST (same crash argument as dedup_index.build): a rerun
+    # after a crash mid-build hits the exists-guard instead of silently
+    # double-appending; remedy is delete-and-rebuild.
+    os.makedirs(path, exist_ok=True)
     tmp = _params_path(path) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(params, f)
     os.replace(tmp, _params_path(path))
-    return version
+    assigned = ivf_assign(df, cents, vec_col).select(
+        "cell",
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    return _write_table(assigned, path, table_format, partition_by=("cell",))
 
 
 def append_to_ivf_index(
@@ -152,15 +155,24 @@ def append_to_ivf_index(
 
 def _probe_cells_np(
     qrows: list, centroids: list[list[float]], nprobe: int
-) -> dict[int, list[int]]:
+) -> dict:
     """qid -> nprobe nearest cell ids (ascending L2, ties to lower cell) —
     numpy over driver-side metadata, the serving-path analogue of
-    similarity._probe_cells_literal (same tie-break, test-pinned)."""
+    similarity._probe_cells_literal (same tie-break). Distances accumulate
+    component-by-component in ELEMENT ORDER (not numpy pairwise
+    summation), reproducing the SQL aggregate fold's rounding exactly —
+    near-tie centroid distances must not rank differently here than in
+    the batch operator, or the parity guarantee breaks on adversarial
+    inputs."""
     C = np.asarray(centroids, dtype=np.float64)
-    out: dict[int, list[int]] = {}
+    out: dict = {}
     for qid, qv in qrows:
-        d = ((np.asarray(qv, dtype=np.float64)[None, :] - C) ** 2).sum(axis=1)
-        order = np.lexsort((np.arange(len(C)), d))
+        q = np.asarray(qv, dtype=np.float64)
+        acc = np.zeros(len(C))
+        for j in range(C.shape[1]):
+            diff = q[j] - C[:, j]
+            acc = acc + diff * diff  # left-to-right fold per cell
+        order = np.lexsort((np.arange(len(C)), acc))
         out[qid] = [int(c) for c in order[:nprobe]]
     return out
 
@@ -203,6 +215,9 @@ def query_ivf_index(
         )
     probes = _probe_cells_np(qrows, p["centroids"], nprobe)
     cells = sorted({c for cs in probes.values() for c in cs})
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[query_id].dataType
 
     scans = []
     for c in cells:
@@ -211,8 +226,29 @@ def query_ivf_index(
         except ValueError:
             continue  # an empty cell has no files — legal, nothing to scan
     if not scans:
+        # schema-stable empty result: qid type from the QUERY frame,
+        # vec_id type from the index table when it is readable
+        vec_id_type: T.DataType = T.LongType()
+        try:
+            from ..sources.readers import (
+                read_delta_snapshot,
+                read_iceberg_snapshot,
+            )
+
+            rdr = read_delta_snapshot if fmt == "delta" else read_iceberg_snapshot
+            vec_id_type = rdr(spark, path).schema["vec_id"].dataType
+        except Exception:
+            pass
         return spark.createDataFrame(
-            [], f"{query_id} bigint, vec_id bigint, score double, rn bigint"
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id, qid_type),
+                    T.StructField("vec_id", vec_id_type),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("rn", T.LongType()),
+                ]
+            ),
         )
     corpus = scans[0]
     for s in scans[1:]:
@@ -222,7 +258,14 @@ def query_ivf_index(
         (qid, qv, c) for qid, qv in qrows for c in probes[qid]
     ]
     probe_df = spark.createDataFrame(
-        probe_rows, f"{query_id} bigint, {query_vec} array<double>, cell int"
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField(query_id, qid_type),
+                T.StructField(query_vec, T.ArrayType(T.DoubleType())),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ),
     )
     scored = corpus.join(
         F.broadcast(probe_df),

@@ -378,6 +378,45 @@ def minhash_signatures(
     )
 
 
+def sig_band_rows(
+    sig_df: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    id_col: str = "doc",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(doc, band, bucket) from MinHash signature ARRAYS — native
+    expressions only (slice + cast + concat_ws + xxhash64), no text, no
+    shingles. THE single banding definition: the batch LSH operator below
+    and the persisted signature index (operators/dedup_index.py) both call
+    this, so an index built today is guaranteed to bucket identically to
+    batches banded tomorrow."""
+    return sig_df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        sig_col, b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -396,28 +435,7 @@ def lsh_candidate_pairs(
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k, _shingles=_shingles
     )
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    banded = sig_band_rows(sig, bands, rows_per_band)
     a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
     return (

@@ -47,7 +47,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import minhash_signatures
+from .dedup import minhash_signatures, sig_band_rows  # noqa: F401 — re-export:
+# sig_band_rows moved to dedup.py (the single banding definition shared
+# with lsh_candidate_pairs); kept importable from here for callers.
 
 _PARAMS_FILE = "_dedup_index_params.json"
 
@@ -88,43 +90,6 @@ def _read_table(spark, path, fmt):
     raise ValueError(f"unknown table_format {fmt!r}")
 
 
-def sig_band_rows(
-    sig_df: DataFrame,
-    bands: int,
-    rows_per_band: int,
-    id_col: str = "doc",
-    sig_col: str = "sig",
-) -> DataFrame:
-    """(doc, band, bucket) from signature ARRAYS — native expressions only
-    (slice + cast + concat_ws + xxhash64), no text, no shingles. Must stay
-    bit-identical to the banding inside dedup.lsh_candidate_pairs so an
-    index built today matches batches banded tomorrow."""
-    return sig_df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(
-                                        sig_col, b * rows_per_band + 1, rows_per_band
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
-
-
 def est_jaccard(sig_a, sig_b, num_hashes: int):
     """Unbiased MinHash Jaccard estimate: fraction of agreeing positions."""
     return (
@@ -158,19 +123,24 @@ def build_minhash_index(
         raise ValueError(
             f"index already exists at {path}; use append_to_minhash_index"
         )
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    version = _write_table(sigs, path, table_format, sort_by=("doc",))
     params = {
         "num_hashes": num_hashes,
         "bands": bands,
         "shingle_k": shingle_k,
         "table_format": table_format,
     }
+    # sidecar FIRST: its existence is the build guard above, so a crash
+    # between sidecar and data commit leaves a visibly broken index
+    # (queries fail on the missing table) instead of letting a rerun pass
+    # the guard and silently DOUBLE-append the whole corpus. Remedy for a
+    # half-built index: delete the directory and rebuild.
+    os.makedirs(path, exist_ok=True)
     tmp = _params_path(path) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(params, f)
     os.replace(tmp, _params_path(path))
-    return version
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    return _write_table(sigs, path, table_format, sort_by=("doc",))
 
 
 def append_to_minhash_index(

@@ -65,7 +65,7 @@ _WINDOW = [
     "q154_text_semantic_search",
     # --- rule 2: implementation changed this round ---
     "q42_ann_lsh",
-    # --- rule 3: the 48 queries whose latest signal is r5 ---
+    # --- rule 3: the 41 oldest r5-signal queries (q139-q145 displaced) ---
     "q7_approx_distinct",
     "q11_left_join_agg",
     "q12_semi_join",

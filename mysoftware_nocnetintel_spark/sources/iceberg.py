@@ -306,6 +306,34 @@ def _iceberg_schema(spark_schema) -> dict | None:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def _type_equal(a, b) -> bool:
+    """Schema-compat type comparison: primitives compare directly; LIST
+    types compare by (element, element-required) and deliberately IGNORE
+    element-id — ids are allocation artifacts of whichever frame computed
+    the schema (the incoming frame numbers elements after ITS top-level
+    count), not part of the logical type. Comparing them raw falsely
+    rejects legal additive appends to list-bearing tables."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        if a.get("type") != b.get("type"):
+            return False
+        return a.get("element") == b.get("element") and a.get(
+            "element-required"
+        ) == b.get("element-required")
+    return a == b
+
+
+def _max_field_id(fields: list[dict]) -> int:
+    """Highest id in use across top-level fields AND nested list
+    element-ids — new ids must clear both (spec: ids are forever)."""
+    m = 0
+    for f in fields:
+        m = max(m, int(f["id"]))
+        t = f["type"]
+        if isinstance(t, dict) and "element-id" in t:
+            m = max(m, int(t["element-id"]))
+    return m
+
+
 def _default_spec_id(meta: dict | None) -> int:
     """The table's current default partition spec id — stamped on every
     NEW manifest-list row so readers resolve each manifest's partition
@@ -960,6 +988,11 @@ def write_iceberg_append(
             kind, c, param = parse_partition_by(item)
             if c not in by_name:
                 raise ValueError(f"partition column {c!r} not in schema")
+            if not isinstance(by_name[c], str):
+                raise NotImplementedError(
+                    f"partitioning on complex-typed column {c!r} "
+                    f"({by_name[c]!r}) is unsupported"
+                )
             pf = resolve_part_field(kind, c, param, by_name[c])
             if pf.value_type not in _PARTITION_AVRO_TYPES:
                 raise NotImplementedError(
@@ -999,11 +1032,11 @@ def write_iceberg_append(
             else {}
         )
         if not incoming or any(
-            n not in inc or inc[n] != t for n, t in tb.items()
+            n not in inc or not _type_equal(inc[n], t) for n, t in tb.items()
         ):
             raise ValueError(
-                f"append schema {sorted(inc.items()) or None} does not "
-                f"cover the table schema {sorted(tb.items())} (drops or "
+                f"append schema {sorted((inc or {}).keys()) or None} does "
+                f"not cover the table schema {sorted(tb.keys())} (drops or "
                 "type changes are refused; only additive evolution is "
                 "supported)"
             )
@@ -1025,7 +1058,26 @@ def write_iceberg_append(
                     "renamed columns (schema.name-mapping.default): pick "
                     "different names"
                 )
-            next_id = max(f["id"] for f in table_fields) + 1
+            # allocate past top-level ids AND nested element-ids; a new
+            # LIST column's element-id is re-numbered here too (the
+            # incoming frame numbered it relative to ITSELF)
+            next_id = _max_field_id(table_fields) + 1
+            new_fields = []
+            for f in extra:
+                t = f["type"]
+                fid = next_id
+                next_id += 1
+                if isinstance(t, dict) and "element-id" in t:
+                    t = {**t, "element-id": next_id}
+                    next_id += 1
+                new_fields.append(
+                    {
+                        "id": fid,
+                        "name": f["name"],
+                        "required": False,
+                        "type": t,
+                    }
+                )
             evolved_schema = {
                 "type": "struct",
                 "schema-id": (meta.get("schemas") or [])[0].get(
@@ -1033,13 +1085,8 @@ def write_iceberg_append(
                 ),
                 "fields": table_fields
                 + [
-                    {
-                        "id": next_id + i,
-                        "name": f["name"],
-                        "required": False,
-                        "type": f["type"],
-                    }
-                    for i, f in enumerate(extra)
+                    f
+                    for f in new_fields
                 ],
             }
         # normalize COLUMN ORDER to the (evolved) table schema: the
@@ -1765,15 +1812,19 @@ def merge_iceberg_rows(
     inc = {
         f["name"]: f["type"] for f in (incoming or {}).get("fields", [])
     }
-    if inc != tb:
+    if set(inc) != set(tb) or any(
+        not _type_equal(inc[n], t) for n, t in tb.items()
+    ):
         raise ValueError(
-            f"merge source schema {sorted(inc.items()) or None} does not "
-            f"equal the table schema {sorted(tb.items())} (merge never "
+            f"merge source schema {sorted(inc.keys()) or None} does not "
+            f"equal the table schema {sorted(tb.keys())} (merge never "
             "evolves the schema; use write_iceberg_append)"
         )
     if file_format == "avro":
         _AVRO_OK = {"int", "long", "float", "double", "string", "boolean"}
-        if any(t not in _AVRO_OK for t in tb.values()):
+        if any(
+            not isinstance(t, str) or t not in _AVRO_OK for t in tb.values()
+        ):
             raise NotImplementedError(
                 "avro merge data files support primitive "
                 "int/long/float/double/string/boolean columns only"
@@ -3515,6 +3566,11 @@ def update_iceberg_partition_spec(
             raise ValueError(
                 f"partition column {col!r} not in the schema "
                 f"{sorted(by_name)}"
+            )
+        if not isinstance(src["type"], str):
+            raise NotImplementedError(
+                f"partitioning on complex-typed column {col!r} "
+                f"({src['type']!r}) is unsupported"
             )
         pf = resolve_part_field(kind, col, param, src["type"])
         if pf.value_type not in _PARTITION_AVRO_TYPES:

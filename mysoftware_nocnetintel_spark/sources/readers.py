@@ -1086,11 +1086,13 @@ def _iceberg_expected_schema(path: str):
         elif isinstance(t, dict) and t.get("type") == "list":
             # nested list type (spec 'Schemas' — e.g. embedding columns
             # of the persisted ANN index): array<element-ddl>
-            et = (
-                _ICE_TO_SPARK_DDL_FULL.get(t.get("element"))
-                if isinstance(t.get("element"), str)
-                else None
-            )
+            et_raw = t.get("element")
+            if isinstance(et_raw, str) and et_raw.startswith("decimal("):
+                et = et_raw  # decimal elements keep their (p, s) ddl
+            elif isinstance(et_raw, str):
+                et = _ICE_TO_SPARK_DDL_FULL.get(et_raw)
+            else:
+                et = None
             ddl = f"array<{et}>" if et else None
         else:
             ddl = _ICE_TO_SPARK_DDL_FULL.get(t) if isinstance(t, str) else None

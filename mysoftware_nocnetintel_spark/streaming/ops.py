@@ -1018,6 +1018,7 @@ def dedup_gate_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    short_docs: str = "ingest",
 ) -> None:
     """One micro-batch of the streaming ingestion GATE (the foreachBatch
     body of :func:`dedup_gated_stream_append`, callable directly so tests
@@ -1040,19 +1041,41 @@ def dedup_gate_batch(
     state it reads includes at most its own batch's registration — which
     the keep-one rule and txn ordering guarantee: the index never
     contains a LATER batch before an earlier one's replay, because
-    batches are sequenced by the streaming checkpoint."""
+    batches are sequenced by the streaming checkpoint.
+
+    KNOWN LIMIT — zero-shingle documents (fewer than ``shingle_k`` words):
+    MinHash cannot sign them, so the near-dup gate cannot flag them and
+    the index cannot register them. ``short_docs`` picks the policy:
+    ``"ingest"`` (default — they pass through to the corpus EVERY time
+    they arrive, including non-txn re-deliveries; pair the corpus with an
+    exact-dedup pass if short docs matter), or ``"drop"`` (they never
+    ingest). Both are deterministic; neither can near-dup-gate them."""
+    if short_docs not in ("ingest", "drop"):
+        raise ValueError(f"short_docs must be 'ingest' or 'drop': {short_docs!r}")
+    from ..functions.text import word_shingles
     from ..operators.dedup_index import (
         append_to_minhash_index,
         dedup_against_minhash_index,
+        read_index_params,
     )
     from ..sources.delta import write_delta_append
 
     spark = batch_df.sparkSession
+    if short_docs == "drop":
+        k = read_index_params(index_path)["shingle_k"]
+        batch_df = batch_df.filter(
+            F.size(word_shingles(F.col(text_col), k)) > 0
+        )
     verdicts = dedup_against_minhash_index(
         spark, batch_df, index_path, id_col, text_col, threshold
     )
     dup_ids = verdicts.select(F.col("doc").alias(id_col)).distinct()
-    novel = batch_df.join(dup_ids, id_col, "left_anti")
+    # localCheckpoint: `novel` feeds BOTH commits below — without it the
+    # batch minhash + full index banding + verify joins execute twice
+    # per micro-batch (the dedup.py shared-intermediate pattern)
+    novel = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
     write_delta_append(
         novel, corpus_path, txn=(f"{app_id}:corpus", int(batch_id))
     )
@@ -1071,6 +1094,7 @@ def dedup_gated_stream_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    short_docs: str = "ingest",
 ):
     """EXACTLY-ONCE streaming ingestion gate: every micro-batch of incoming
     documents is near-duplicate-gated against the persisted signature index
@@ -1087,7 +1111,7 @@ def dedup_gated_stream_append(
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         dedup_gate_batch(
             batch_df, batch_id, corpus_path, index_path, app_id,
-            id_col, text_col, threshold,
+            id_col, text_col, threshold, short_docs,
         )
 
     return (

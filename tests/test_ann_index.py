@@ -206,3 +206,18 @@ def test_iceberg_format_parity_and_pruning(spark, tmp_path):
     assert corrupted > 0
     got = AI.query_ivf_index(spark, q1, ice, k=3, nprobe=2).collect()
     assert len(got) == 3
+
+
+def test_string_ids_supported(spark, tmp_path):
+    """id columns are not forced to bigint: string vec_ids index, string
+    qids serve, and the all-empty-cells result keeps both types."""
+    path = str(tmp_path / "strids")
+    rows = [(f"doc-{i}", v) for i, v in _corpus_rows(30)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    AI.build_ivf_index(df, path, n_cells=4)
+    q = spark.createDataFrame(
+        [("q-1", rows[0][1])], "qid string, qv array<double>"
+    )
+    got = AI.query_ivf_index(spark, q, path, k=2, nprobe=2).collect()
+    assert got[0].qid == "q-1" and got[0].vec_id == "doc-0"
+    assert got[0].score >= 1 - 1e-9

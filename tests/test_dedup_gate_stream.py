@@ -128,3 +128,22 @@ def test_streaming_end_to_end_available_now(spark, tmp_path):
     # 40 is an exact dup of seed doc 0 -> gated; 41 is novel -> ingested
     assert _corpus_ids(spark, corpus_path) == [0, 1, 41]
     assert _index_ids(spark, index_path) == [0, 1, 41]
+
+
+def test_short_docs_policy(spark, tmp_path):
+    """Zero-shingle docs cannot be MinHash-gated (documented limit):
+    default policy ingests them every delivery; short_docs='drop' keeps
+    them out of the corpus entirely; anything else is rejected."""
+    import pytest
+
+    corpus_path, index_path = _setup(spark, tmp_path)
+    short = spark.createDataFrame([(50, "too short")], SCHEMA)
+    dedup_gate_batch(short, 0, corpus_path, index_path, app_id="gateS",
+                     short_docs="drop")
+    assert _corpus_ids(spark, corpus_path) == [0, 1]  # dropped
+    dedup_gate_batch(short, 1, corpus_path, index_path, app_id="gateS")
+    assert _corpus_ids(spark, corpus_path) == [0, 1, 50]  # default ingests
+    assert _index_ids(spark, index_path) == [0, 1]  # but cannot register
+    with pytest.raises(ValueError, match="short_docs"):
+        dedup_gate_batch(short, 2, corpus_path, index_path, app_id="gateS",
+                         short_docs="nope")

@@ -113,3 +113,64 @@ def test_drops_and_retypes_still_refused(spark, tmp_path):
             ),
             root,
         )  # retypes val
+
+
+def test_list_table_additive_append_and_reorder(spark, tmp_path):
+    """List-type element-ids are allocation artifacts of the computing
+    frame: additive appends and pure column reorders to a list-bearing
+    table must NOT be rejected by the schema-compat check (the code-review
+    regression: incoming element-ids are numbered after the INCOMING
+    top-level count, so raw dict comparison falsely mismatched)."""
+    import json as _json
+    import os as _os
+    from glob import glob as _glob
+
+    root = str(tmp_path / "listevo")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, [1.0, 2.0])], "id bigint, vec array<double>"
+        ),
+        root,
+    )
+    # additive append: extra column shifts the incoming element-id
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(2, [3.0], "x")], "id bigint, vec array<double>, tag string"
+        ),
+        root,
+    )
+    # reordered append (same columns, different order)
+    write_iceberg_append(
+        spark.createDataFrame(
+            [("y", 3, [4.0])], "tag string, id bigint, vec array<double>"
+        ).select("tag", "id", "vec"),
+        root,
+    )
+    got = {
+        (r.id, tuple(r.vec), r.tag)
+        for r in read_iceberg_snapshot(spark, root).collect()
+    }
+    assert got == {(1, (1.0, 2.0), None), (2, (3.0,), "x"), (3, (4.0,), "y")}
+    # ids stay unique across the evolved schema, including element-ids
+    metas = sorted(_glob(_os.path.join(root, "metadata", "v*.metadata.json")))
+    with open(metas[-1]) as fh:
+        fields = _json.load(fh)["schemas"][0]["fields"]
+    ids = []
+    for f in fields:
+        ids.append(f["id"])
+        if isinstance(f["type"], dict):
+            ids.append(f["type"]["element-id"])
+    assert len(ids) == len(set(ids)), ids
+
+
+def test_partition_by_list_column_fails_cleanly(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="complex-typed column"):
+        write_iceberg_append(
+            spark.createDataFrame(
+                [(1, ["a"])], "id bigint, tags array<string>"
+            ),
+            str(tmp_path / "listpart"),
+            partition_by=("tags",),
+        )
