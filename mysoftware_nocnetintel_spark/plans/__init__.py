@@ -16,6 +16,7 @@ from .oracles_r6 import ORACLES_R6 as _O_R6
 from .oracles_r7 import ORACLES_R7 as _O_R7
 from .oracles_r8 import ORACLES_R8 as _O_R8
 from .oracles_r9 import ORACLES_R9 as _O_R9
+from .oracles_r10 import ORACLES_R10 as _O_R10
 from .oracles_ext import ORACLES_EXT as _O_EXT
 from .oracles_extra import ORACLES_EXTRA as _O_EXTRA
 from .oracles_r4 import ORACLES_R4 as _O_R4
@@ -42,15 +43,16 @@ _ALL = {
 # gating against a persisted Delta signature index,
 # operators/dedup_index.py), q153 (NEW this round — persisted IVF
 # ANN index: cell-partitioned Delta layout, partition-pruned serving,
-# operators/ann_index.py), and q154 (NEW this round — hashing-trick
+# operators/ann_index.py), q154 (NEW this round — hashing-trick
 # text embeddings feeding the persisted index end-to-end,
-# operators/embed.py); rule (2) admits q42_ann_lsh
-# (lsh_bucketed_topk changed: NULL-score candidates are now filtered
-# before the top-k aggregation — the round-7 advisor's struct-ordering
-# inversion); rule (3) fills the other 41 slots with the r5-signal
-# backlog in numeric order (q7_approx, q11-q24, q26-q33, q35, q40,
-# q43/q44, q94, q124, q126-q138 — verified against merged
-# CORRECTNESS_r01-r07). The seven displaced tail entries (q139-q145)
+# operators/embed.py), and q155 (NEW this round — ORACLE-PAIRED
+# training-shard plan, operators/shards.py); rule (2) admits
+# q42_ann_lsh (lsh_bucketed_topk changed: NULL-score candidates are now
+# filtered before the top-k aggregation — the round-7 advisor's
+# struct-ordering inversion); rule (3) fills the other 40 slots with
+# the r5-signal backlog in numeric order (q7_approx, q11-q24, q26-q33,
+# q35, q40, q43/q44, q94, q124, q126-q137 — verified against merged
+# CORRECTNESS_r01-r07). The eight displaced tail entries (q138-q145)
 # keep their r5 signal and enter the round-9 window first under
 # rule (3). Outside the window: everything graded green in r6/r7.
 _WINDOW = [
@@ -63,9 +65,10 @@ _WINDOW = [
     "q152_incremental_neardup",
     "q153_ann_index",
     "q154_text_semantic_search",
+    "q155_shard_plan",
     # --- rule 2: implementation changed this round ---
     "q42_ann_lsh",
-    # --- rule 3: the 41 oldest r5-signal queries (q139-q145 displaced) ---
+    # --- rule 3: the 40 oldest r5-signal queries (q138-q145 displaced) ---
     "q7_approx_distinct",
     "q11_left_join_agg",
     "q12_semi_join",
@@ -106,7 +109,6 @@ _WINDOW = [
     "q135_repeated_spans",
     "q136_temperature_mix",
     "q137_gopher_rules",
-    "q138_regression_aggs",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -117,7 +119,7 @@ QUERIES = {k: _ALL[k] for k in _WINDOW}
 QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
 ORACLES = {
     **_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5,
-    **_O_R6, **_O_R7, **_O_R8, **_O_R9,
+    **_O_R6, **_O_R7, **_O_R8, **_O_R9, **_O_R10,
 }
 
 

@@ -463,6 +463,28 @@ def q154_text_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q155_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/U1 training-shard export plan, ORACLE-PAIRED: the deterministic
+    shard placement + manifest stats of operators/shards.py computed as
+    pure engine-portable expressions (md5 buckets + 60-bit content
+    hashes + bit_xor), so DuckDB derives the byte-identical plan — which
+    is the point: the SHARD PLAN must reproduce on any engine, or the
+    trainer cannot verify what it reads.
+
+    Output: (shard, n_docs, n_chars_total, content_xor) for 16 shards.
+    The write/verify halves (write_training_shards /
+    verify_training_shards) are covered by tests/test_shards.py — the
+    driver grades the plan itself value-for-value against the oracle.
+
+    At 100 TB: one partial-aggregated groupBy on the shard id; the full
+    export adds one hash repartition and a write pass (SCALING.md)."""
+    from ..operators.shards import shard_plan
+
+    return shard_plan(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_shards=16
+    )
+
+
 R10_QUERIES = {
     "q147_image_neardup": q147_image_neardup,
     "q148_audio_features": q148_audio_features,
@@ -472,4 +494,5 @@ R10_QUERIES = {
     "q152_incremental_neardup": q152_incremental_neardup,
     "q153_ann_index": q153_ann_index,
     "q154_text_semantic_search": q154_text_semantic_search,
+    "q155_shard_plan": q155_shard_plan,
 }
