@@ -79,8 +79,13 @@ def q147_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.coalesce(
         max(8, spark.sparkContext.defaultParallelism // 4)
     )
-    base = MM.attach_png_media(docs, text_col="text").select(
-        "doc_id", "media"
+    # localCheckpoint: the base media feeds BOTH the corpus union and the
+    # perturb stage — without truncation the synth+encode Arrow pass runs
+    # twice (the shared-intermediate pattern; ~20 MB at serving SF)
+    base = (
+        MM.attach_png_media(docs, text_col="text")
+        .select("doc_id", "media")
+        .localCheckpoint(eager=False)
     )
     planted = MM.perturb_png_media(base, delta=8).select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "media"
@@ -174,7 +179,8 @@ def q149_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions. No stage is quadratic in the corpus."""
     from ..operators import audio as AU
 
-    base = _audio_corpus(spark, sf_dir)
+    # shared-intermediate checkpoint: base feeds both union and perturb
+    base = _audio_corpus(spark, sf_dir).localCheckpoint(eager=False)
     planted = AU.perturb_wav_media(base, payload_col="media").select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "media"
     )
@@ -262,7 +268,8 @@ def q151_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no quadratic stage."""
     from ..operators import video as VD
 
-    base = _video_corpus(spark, sf_dir)
+    # shared-intermediate checkpoint: base feeds both union and perturb
+    base = _video_corpus(spark, sf_dir).localCheckpoint(eager=False)
     planted = VD.perturb_vpng_media(base, payload_col="media").select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "media"
     )
