@@ -155,6 +155,15 @@ _NO_PLAN_CACHE = {
     "q123_semdedup",
     "q125_mllib_pipeline",
     "q146_bpe_pipeline",  # trains the BPE merge loop at build time
+    # round-8 media/index tiers: localCheckpoint'd base media (result
+    # state, not a plan) and/or index builds + driver-collected probe
+    # rows at build time — caching the DataFrame would pin stale state
+    "q147_image_neardup",
+    "q149_audio_neardup",
+    "q151_video_neardup",
+    "q152_incremental_neardup",  # rebuilds the signature index per call
+    "q153_ann_index",
+    "q154_text_semantic_search",
 }
 
 
