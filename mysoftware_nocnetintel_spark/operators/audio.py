@@ -96,7 +96,11 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int] | None:
             raw = w.readframes(n)
         arr = np.frombuffer(raw, dtype="<i2").reshape(-1, nch)
         return arr, int(w.getframerate())
-    except (wave.Error, EOFError, ValueError, OSError):
+    except Exception:
+        # fail closed on ANY malformed payload: stdlib wave/chunk raise a
+        # zoo of types on corrupt bytes (wave.Error, EOFError, ValueError,
+        # OSError, and bare RuntimeError from chunk seeks — fuzz-caught),
+        # and an Arrow stage that throws on one bad row kills the job
         return None
 
 
