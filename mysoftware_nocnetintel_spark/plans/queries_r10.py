@@ -331,7 +331,10 @@ def q152_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import hashlib
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = hashlib.md5(  # PID-keyed: a concurrent driver/verify session
+        # must never rmtree a path another process is mid-building
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), f"nocnetintel_dedup_index_{tag}"
     )
@@ -386,7 +389,10 @@ def q153_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import ann_index as AI
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = hashlib.md5(  # PID-keyed: a concurrent driver/verify session
+        # must never rmtree a path another process is mid-building
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"nocnetintel_ann_index_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     AI.build_ivf_index(emb, path, n_cells=16)
@@ -448,7 +454,10 @@ def q154_text_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = hashed_embeddings(docs, dim=64).select(
         F.col("doc").alias("vec_id"), "embedding"
     )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = hashlib.md5(  # PID-keyed: a concurrent driver/verify session
+        # must never rmtree a path another process is mid-building
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"nocnetintel_semsearch_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     AI.build_ivf_index(emb, path, n_cells=16)
