@@ -164,6 +164,7 @@ _NO_PLAN_CACHE = {
     "q152_incremental_neardup",  # rebuilds the signature index per call
     "q153_ann_index",
     "q154_text_semantic_search",
+    "q156_media_index",  # rebuilds the hamming index per call
 }
 
 

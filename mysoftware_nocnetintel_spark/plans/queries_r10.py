@@ -501,6 +501,93 @@ def q155_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q156_media_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/J8 incremental MEDIA gating, end-to-end: the Hamming-space
+    sibling of q152 (operators/hamming_index.py) — persist the 80%
+    corpus split's image dHashes in a lakehouse table, then gate the 20%
+    batch split against it. The batch additionally carries PLANTED
+    near-duplicates of a slice of CORPUS images (brightness-shifted
+    re-encodes, ids + 10^7) — the takedown-resubmission shape: those
+    must flag with source='index' even though their bytes differ from
+    anything the index ever saw. Only the batch's media is decoded; the
+    historical corpus participates as an 8-byte-per-doc signature table
+    (the O(batch) media-intake shape).
+
+    Output: per-(source, planted) duplicate-relation counts.
+    Deterministic: sha256-seeded pixels pin every dHash bit.
+
+    Rows-only by design (stdlib PNG decode has no SQL twin; the value
+    oracles are tests/test_hamming_index.py's batch-operator banding
+    parity + the planted-recall units). Enters the round-9 window under
+    rule (1) — round 8's window already carries nine rule-1 entries.
+
+    At 100 TB: same posture as q152 — the index side shuffles 8 bytes x
+    4 bands per doc; batch media never leaves its Arrow stage."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators import hamming_index as HI
+    from ..operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+        ).alias("bucket"),
+    )
+    docs = docs.coalesce(max(8, spark.sparkContext.defaultParallelism // 4))
+
+    def sigs(df):
+        media = MM.attach_png_media(df, text_col="text").select(
+            "doc_id", "media"
+        )
+        return (
+            MM.image_hashes(media, "media")
+            .where(F.col("dhash").isNotNull())
+            .select(F.col("doc_id").alias("doc"), F.col("dhash").alias("sig"))
+        )
+
+    corpus_docs = docs.filter(F.col("bucket") < "cd")
+    corpus_sigs = sigs(corpus_docs)
+    batch_docs = docs.filter(F.col("bucket") >= "cd").select("doc_id", "text")
+    base = MM.attach_png_media(batch_docs, text_col="text").select(
+        "doc_id", "media"
+    )
+    # planted: perturbed re-encodes of a CORPUS slice (the resubmission
+    # shape — must flag against the index, not the batch)
+    resub_src = MM.attach_png_media(
+        corpus_docs.filter(F.col("bucket") < "08").select("doc_id", "text"),
+        text_col="text",
+    ).select("doc_id", "media")
+    planted = MM.perturb_png_media(resub_src, delta=8).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "media"
+    )
+    batch_sigs = (
+        MM.image_hashes(base.unionByName(planted), "media")
+        .where(F.col("dhash").isNotNull())
+        .select(F.col("doc_id").alias("doc"), F.col("dhash").alias("sig"))
+    )
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"nocnetintel_hamming_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    HI.build_hamming_index(corpus_sigs, path, family="dhash")
+
+    verdicts = HI.dedup_against_hamming_index(
+        spark, batch_sigs, path, family="dhash", max_hamming=3
+    )
+    return (
+        verdicts.withColumn("planted", F.col("doc") >= 10_000_000)
+        .groupBy("source", "planted")
+        .agg(F.count(F.lit(1)).alias("n_relations"))
+        .orderBy("source", "planted")
+    )
+
+
 R10_QUERIES = {
     "q147_image_neardup": q147_image_neardup,
     "q148_audio_features": q148_audio_features,
@@ -511,4 +598,5 @@ R10_QUERIES = {
     "q153_ann_index": q153_ann_index,
     "q154_text_semantic_search": q154_text_semantic_search,
     "q155_shard_plan": q155_shard_plan,
+    "q156_media_index": q156_media_index,
 }
