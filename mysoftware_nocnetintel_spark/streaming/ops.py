@@ -1085,6 +1085,92 @@ def dedup_gate_batch(
     )
 
 
+def media_gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    index_path: str,
+    app_id: str,
+    signer,
+    family: str,
+    id_col: str = "doc_id",
+    payload_col: str = "media",
+    max_hamming: int = 3,
+) -> None:
+    """One micro-batch of the MEDIA ingestion gate — the Hamming-index
+    sibling of :func:`dedup_gate_batch` (same two-commit exactly-once
+    argument; operators/hamming_index.py). ``signer(df) -> DataFrame``
+    computes (doc, sig) for the batch with the family's hasher, e.g.::
+
+        lambda df: (MM.image_hashes(df.select("doc_id", "media"), "media")
+                    .where(F.col("dhash").isNotNull())
+                    .select(F.col("doc_id").alias("doc"),
+                            F.col("dhash").alias("sig")))
+
+    Undecodable payloads (the signer's NULL drops) pass through to the
+    corpus un-gated and un-registered — the media analogue of the text
+    gate's ``short_docs="ingest"`` policy, documented there."""
+    from ..operators.hamming_index import (
+        append_to_hamming_index,
+        dedup_against_hamming_index,
+    )
+    from ..sources.delta import write_delta_append
+
+    spark = batch_df.sparkSession
+    sigs = signer(batch_df).localCheckpoint(eager=False)
+    verdicts = dedup_against_hamming_index(
+        spark, sigs, index_path, family, max_hamming
+    )
+    dup_ids = verdicts.select(F.col("doc").alias(id_col)).distinct()
+    novel = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    write_delta_append(
+        novel, corpus_path, txn=(f"{app_id}:corpus", int(batch_id))
+    )
+    novel_sigs = sigs.join(
+        novel.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+    )
+    append_to_hamming_index(
+        novel_sigs, index_path, family,
+        txn=(f"{app_id}:index", int(batch_id)),
+    )
+
+
+def media_gated_stream_append(
+    media: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    app_id: str,
+    signer,
+    family: str,
+    id_col: str = "doc_id",
+    payload_col: str = "media",
+    max_hamming: int = 3,
+):
+    """EXACTLY-ONCE streaming MEDIA ingestion gate: every micro-batch of
+    incoming media is perceptual-hash gated against the persisted Hamming
+    index before touching the corpus — the streaming face of
+    operators/hamming_index.py, composing :func:`delta_stream_append`'s
+    txn discipline with the media near-dup gate. The index must exist
+    (``build_hamming_index`` over the initial corpus signatures)."""
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        media_gate_batch(
+            batch_df, batch_id, corpus_path, index_path, app_id,
+            signer, family, id_col, payload_col, max_hamming,
+        )
+
+    return (
+        media.writeStream.foreachBatch(gate)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_gated_stream_append(
     docs: DataFrame,
     corpus_path: str,
