@@ -38,6 +38,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _scratch_index_path(kind: str, sf_dir: str) -> str:
+    """Fresh scratch path for a per-invocation index build.
+
+    PID-keyed (a concurrent driver/verify session must never rmtree a
+    path another process is mid-building), cleared at the START of the
+    next same-process invocation, and registered for atexit removal so
+    a finished driver leaves no ``/tmp/nocnetintel_*`` debris behind.
+    Cleanup cannot run in a ``finally`` here: the returned DataFrame
+    reads the index lazily, so the files must outlive this function —
+    process exit is the earliest safe point.
+    """
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"nocnetintel_{kind}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def q147_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3/J8 image tier: perceptual near-duplicate detection over the
     multimodal binary column. Corpus = one deterministic 8x8 PNG per
@@ -313,9 +338,6 @@ def q152_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the index side shuffles 8-byte-per-hash signatures (point
     1 of the module docstring), the batch side is the only text scan,
     and verification is array agreement — no historical text is read."""
-    import shutil
-    import tempfile
-
     from ..operators import dedup_index as DI
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -329,16 +351,7 @@ def q152_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("bucket") < "cd").select("doc_id", "text")
     batch = docs.filter(F.col("bucket") >= "cd").select("doc_id", "lang", "text")
 
-    import hashlib
-
-    tag = hashlib.md5(  # PID-keyed: a concurrent driver/verify session
-        # must never rmtree a path another process is mid-building
-        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"nocnetintel_dedup_index_{tag}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_index_path("dedup_index", sf_dir)
     DI.build_minhash_index(corpus, path, id_col="doc_id", text_col="text")
 
     verdicts = DI.dedup_against_minhash_index(
@@ -382,19 +395,10 @@ def q153_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     query opens nprobe/n_cells of the files (partition pruning happens
     on the driver before any scan is planned), scores one broadcast
     probe join, and windows per-query top-k."""
-    import shutil
-    import tempfile
-    import hashlib
-
     from ..operators import ann_index as AI
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    tag = hashlib.md5(  # PID-keyed: a concurrent driver/verify session
-        # must never rmtree a path another process is mid-building
-        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"nocnetintel_ann_index_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_index_path("ann_index", sf_dir)
     AI.build_ivf_index(emb, path, n_cells=16)
 
     queries = (
@@ -443,10 +447,6 @@ def q154_text_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: embedding is two even-keyed shuffles (explode + groupBy);
     the index build is one partitioned write; serving opens
     nprobe/n_cells of the files."""
-    import shutil
-    import tempfile
-    import hashlib
-
     from ..operators import ann_index as AI
     from ..operators.embed import hashed_embeddings
 
@@ -454,12 +454,7 @@ def q154_text_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = hashed_embeddings(docs, dim=64).select(
         F.col("doc").alias("vec_id"), "embedding"
     )
-    tag = hashlib.md5(  # PID-keyed: a concurrent driver/verify session
-        # must never rmtree a path another process is mid-building
-        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"nocnetintel_semsearch_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_index_path("semsearch", sf_dir)
     AI.build_ivf_index(emb, path, n_cells=16)
 
     queries = hashed_embeddings(
@@ -523,10 +518,6 @@ def q156_media_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: same posture as q152 — the index side shuffles 8 bytes x
     4 bands per doc; batch media never leaves its Arrow stage."""
-    import hashlib
-    import shutil
-    import tempfile
-
     from ..operators import hamming_index as HI
     from ..operators import multimodal as MM
 
@@ -570,11 +561,7 @@ def q156_media_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc"), F.col("dhash").alias("sig"))
     )
 
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"nocnetintel_hamming_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_index_path("hamming", sf_dir)
     HI.build_hamming_index(corpus_sigs, path, family="dhash")
 
     verdicts = HI.dedup_against_hamming_index(
