@@ -217,9 +217,35 @@ def png_decode(data: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 90) -> bytes:
+    """JPEG writer for test fixtures and planted-pair corpora — gated on
+    Pillow (the engineering boundary for lossy codecs: hand-rolling a
+    stdlib JPEG coder is the wrong trade, per the round-8 verdict).
+    Raises with a remedy when Pillow is absent so callers can skip."""
+    if not _PIL_PRESENT:
+        raise NotImplementedError(
+            "jpeg_encode requires Pillow (`pip install Pillow`); PNG "
+            "fixtures via png_encode need no external codec"
+        )
+    import io
+
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("jpeg_encode expects uint8 (H, W, 3)")
+    buf = io.BytesIO()
+    PIL.Image.fromarray(arr, "RGB").save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
 def decode_image(payload: bytes, fmt: str) -> np.ndarray | None:
     """Best-available pixel decode; None when no codec understands the
-    payload (callers fall back to the stub featurizer)."""
+    payload (callers fall back to the stub featurizer / NULL hashes).
+    PNG takes the stdlib decoder; everything else — JPEG (sniffed by
+    SOI marker), WebP, GIF, exotic PNGs — routes through Pillow when
+    installed. The gate is evaluated once at import, never probed
+    inside the Arrow batch loop."""
     if payload[:8] == _PNG_SIG:
         try:
             return png_decode(payload)

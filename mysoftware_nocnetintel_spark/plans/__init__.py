@@ -32,83 +32,76 @@ _ALL = {
 # (1) every registry query with no driver signal yet goes in first; (2) then
 # every query whose implementation or oracle changed this round (space
 # permitting); (3) fill the remainder with the queries whose last green
-# signal is oldest. ROUND 8 (per VERDICT r7 task 1): rule (1) admits
-# q147_image_neardup (NEW this round — the perceptual dHash/aHash image
-# near-dup tier, verdict task 6), q148/q149 (NEW this round — the
-# AUDIO media tier: stdlib WAV codec features + spectral-fingerprint
-# near-dup, operators/audio.py), and q150/q151 (NEW this round — the
-# VIDEO media tier: multi-frame container with real per-frame PNG
-# decode, in-stage frame sampling, mean-frame dHash near-dup,
-# operators/video.py), q152 (NEW this round — incremental near-dup
-# gating against a persisted Delta signature index,
-# operators/dedup_index.py), q153 (NEW this round — persisted IVF
-# ANN index: cell-partitioned Delta layout, partition-pruned serving,
-# operators/ann_index.py), q154 (NEW this round — hashing-trick
-# text embeddings feeding the persisted index end-to-end,
-# operators/embed.py), and q155 (NEW this round — ORACLE-PAIRED
-# training-shard plan, operators/shards.py); rule (2) admits
-# q42_ann_lsh (lsh_bucketed_topk changed: NULL-score candidates are now
-# filtered before the top-k aggregation — the round-7 advisor's
-# struct-ordering inversion); rule (3) fills the other 40 slots with
-# the r5-signal backlog in numeric order (q7_approx, q11-q24, q26-q33,
-# q35, q40, q43/q44, q94, q124, q126-q137 — verified against merged
-# CORRECTNESS_r01-r07). The eight displaced tail entries (q138-q145)
-# keep their r5 signal and enter the round-9 window first under
-# rule (3). Outside the window: everything graded green in r6/r7.
+# signal is oldest. ROUND 9 (per VERDICT r8 task 1, derived from merged
+# CORRECTNESS_r01-r08 latest signals — r8:50 / r7:49 / r6:50 / r5:8 /
+# never:1): rule (1) admits q156_media_index (the only never-graded
+# entry — the persisted Hamming media index + ingestion gate, displaced
+# from the r8 window by its nine rule-1 siblings); rule (3)-first
+# admits q138-q145 (the eight r5-signal holdovers, now the oldest
+# signals in the registry); rule (2) admits q147/q152/q153/q154 (their
+# index scratch paths moved to the atexit-cleaned `_scratch_index_path`
+# helper this round, and q147 additionally gained the PIL/JPEG
+# capability gate in operators/multimodal.py); rule (3) fills the
+# remaining 37 slots with the head of the r6-signal block in numeric
+# order (q46-q49, q51-q83). The r6-signal tail (q84-q90, q93,
+# q100-q102, q106, q146 — 13 queries) keeps its r6 signal and is due
+# first in the round-10 window. Outside the window: everything graded
+# green in r7/r8.
 _WINDOW = [
-    # --- rule 1: never graded (new this round) ---
+    # --- rule 1: never graded ---
+    "q156_media_index",
+    # --- rule 3 (first): the eight oldest signals (r5) ---
+    "q138_regression_aggs",
+    "q139_exact_percentiles",
+    "q140_psi_drift",
+    "q141_doc_lm_score",
+    "q142_embedding_cohesion",
+    "q143_snapshot_diff",
+    "q144_span_scrub",
+    "q145_embedding_decontam",
+    # --- rule 2: implementation changed this round ---
     "q147_image_neardup",
-    "q148_audio_features",
-    "q149_audio_neardup",
-    "q150_video_frames",
-    "q151_video_neardup",
     "q152_incremental_neardup",
     "q153_ann_index",
     "q154_text_semantic_search",
-    "q155_shard_plan",
-    # --- rule 2: implementation changed this round ---
-    "q42_ann_lsh",
-    # --- rule 3: the 40 oldest r5-signal queries (q138-q145 displaced) ---
-    "q7_approx_distinct",
-    "q11_left_join_agg",
-    "q12_semi_join",
-    "q13_anti_join",
-    "q14_rollup",
-    "q15_cube",
-    "q16_full_outer",
-    "q17_union_all",
-    "q18_except",
-    "q19_exists_subquery",
-    "q20_topk_global",
-    "q21_daily_counts",
-    "q22_hourly_profile",
-    "q23_dow_profile",
-    "q24_string_funcs",
-    "q26_quantiles",
-    "q27_zscore_outliers",
-    "q29_range_join",
-    "q30_interpolate",
-    "q31_token_stats",
-    "q32_term_df",
-    "q33_quality_scores",
-    "q35_embedding_neardup",
-    "q40_lang_id",
-    "q43_grouping_sets",
-    "q44_map_ops",
-    "q94_token_budget",
-    "q124_bm25",
-    "q126_edit_distance_pairs",
-    "q127_incremental_ingest",
-    "q128_balanced_sample",
-    "q129_bpe_pairs",
-    "q130_repetition",
-    "q131_chunk_overlap",
-    "q132_session_funnel",
-    "q133_rfm_segments",
-    "q134_profile",
-    "q135_repeated_spans",
-    "q136_temperature_mix",
-    "q137_gopher_rules",
+    # --- rule 3: the 37 oldest r6-signal queries (q84+ due round 10) ---
+    "q46_sliding_window",
+    "q47_session_window",
+    "q48_ann_ivf",
+    "q49_forecast_score",
+    "q51_dispatch_plan",
+    "q52_model_metrics",
+    "q53_multimodal_features",
+    "q54_scalar_subquery",
+    "q55_in_subquery",
+    "q56_lead_window",
+    "q57_first_last_value",
+    "q58_ntile_percent_rank",
+    "q59_time_range_frame",
+    "q60_union_distinct",
+    "q61_except_all",
+    "q62_like_filter",
+    "q63_date_arithmetic",
+    "q64_resample_asof",
+    "q65_conditional_agg",
+    "q66_salted_agg",
+    "q67_tfidf",
+    "q68_variance_corr",
+    "q69_array_ops",
+    "q70_null_handling",
+    "q71_pandas_udf_score",
+    "q72_variant_json",
+    "q73_rmse",
+    "q74_auc",
+    "q75_sequence_assembly",
+    "q76_ann_pq",
+    "q77_funnel",
+    "q78_hll_rollup",
+    "q79_repetition_signals",
+    "q80_scrub_sample",
+    "q81_root_cause_lift",
+    "q82_burst_detection",
+    "q83_chunking",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
