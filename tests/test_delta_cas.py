@@ -273,7 +273,7 @@ def test_threaded_appends_lose_no_rows(spark, tmp_path):
     assert _ids(spark, root) == sorted(want)
 
 
-@pytest.mark.parametrize("committer", ["default", "faulty"])
+@pytest.mark.parametrize("committer", ["default", "faulty", "rest"])
 @pytest.mark.parametrize("seed", [3, 17])
 def test_two_writer_appender_races_deleter_delta(
     spark, tmp_path, seed, committer
@@ -284,26 +284,37 @@ def test_two_writer_appender_races_deleter_delta(
     double-applies. Round 8: the same fuzz also runs with the
     fault-injecting CatalogCommitter double (remote-catalog latency +
     transient rejections) installed at the commit seam — the guarantees
-    must hold unchanged."""
+    must hold unchanged. Round 9: and with every log-version swap riding
+    the Iceberg REST-catalog commit shape (Delta paths map onto the same
+    route) against the in-process REST-shaped server."""
+    import contextlib
     import random
     import threading
     import time as _time
 
     from mysoftware_nocnetintel_spark.sources.catalog import (
         FaultInjectingCommitter,
+        IcebergRestCatalogCommitter,
         use_committer,
     )
     from mysoftware_nocnetintel_spark.sources.delta import merge_delta_rows
 
-    ctx = (
-        use_committer(
-            FaultInjectingCommitter(
-                spurious_conflict_rate=0.15, max_delay_s=0.01, seed=seed
+    from .rest_catalog_server import rest_catalog_server
+
+    ctx = contextlib.ExitStack()
+    if committer == "faulty":
+        ctx.enter_context(
+            use_committer(
+                FaultInjectingCommitter(
+                    spurious_conflict_rate=0.15, max_delay_s=0.01, seed=seed
+                )
             )
         )
-        if committer == "faulty"
-        else None
-    )
+    elif committer == "rest":
+        endpoint, _stats = ctx.enter_context(rest_catalog_server())
+        ctx.enter_context(
+            use_committer(IcebergRestCatalogCommitter(endpoint))
+        )
     rng = random.Random(seed)
     root = str(tmp_path / f"dfuzz{seed}{committer}")
     write_delta_append(_df(spark, 0, 8), root)
@@ -336,15 +347,10 @@ def test_two_writer_appender_races_deleter_delta(
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
-    if ctx is not None:
-        ctx.__enter__()
-    try:
+    with ctx:
         t1 = threading.Thread(target=appender)
         t2 = threading.Thread(target=deleter)
         t1.start(); t2.start(); t1.join(); t2.join()
-    finally:
-        if ctx is not None:
-            ctx.__exit__(None, None, None)
     assert not errs, errs
     want = sorted(
         [i for i in range(8) if i not in deleted]

@@ -409,7 +409,7 @@ def test_two_writer_interleaving_no_lost_updates(spark, tmp_path, seed):
     assert _ids(spark, root) == sorted(want)
 
 
-@pytest.mark.parametrize("committer", ["default", "faulty"])
+@pytest.mark.parametrize("committer", ["default", "faulty", "rest"])
 @pytest.mark.parametrize("seed", [5, 19])
 def test_two_writer_appender_races_deleter(spark, tmp_path, seed, committer):
     """Round-7 'done' criterion: one thread appends fresh batches, the
@@ -418,7 +418,10 @@ def test_two_writer_appender_races_deleter(spark, tmp_path, seed, committer):
     updates (every surviving append row present exactly once) and zero
     double-applies (every merge insert present exactly once). Round 8:
     the same fuzz also runs with the fault-injecting CatalogCommitter
-    double (latency + transient rejections) at the commit seam."""
+    double (latency + transient rejections) at the commit seam. Round 9:
+    and with every version swap riding the Iceberg REST-catalog commit
+    shape against the in-process REST-shaped server."""
+    import contextlib
     import random
     import threading
     import time as _time
@@ -427,18 +430,26 @@ def test_two_writer_appender_races_deleter(spark, tmp_path, seed, committer):
 
     from mysoftware_nocnetintel_spark.sources.catalog import (
         FaultInjectingCommitter,
+        IcebergRestCatalogCommitter,
         use_committer,
     )
 
-    ctx = (
-        use_committer(
-            FaultInjectingCommitter(
-                spurious_conflict_rate=0.15, max_delay_s=0.01, seed=seed
+    from .rest_catalog_server import rest_catalog_server
+
+    ctx = contextlib.ExitStack()
+    if committer == "faulty":
+        ctx.enter_context(
+            use_committer(
+                FaultInjectingCommitter(
+                    spurious_conflict_rate=0.15, max_delay_s=0.01, seed=seed
+                )
             )
         )
-        if committer == "faulty"
-        else None
-    )
+    elif committer == "rest":
+        endpoint, _stats = ctx.enter_context(rest_catalog_server())
+        ctx.enter_context(
+            use_committer(IcebergRestCatalogCommitter(endpoint))
+        )
     rng = random.Random(seed)
     root = str(tmp_path / f"adfuzz{seed}{committer}")
     write_iceberg_append(_df(spark, 0, 8), root)
@@ -473,15 +484,10 @@ def test_two_writer_appender_races_deleter(spark, tmp_path, seed, committer):
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
-    if ctx is not None:
-        ctx.__enter__()
-    try:
+    with ctx:
         t1 = threading.Thread(target=appender)
         t2 = threading.Thread(target=deleter)
         t1.start(); t2.start(); t1.join(); t2.join()
-    finally:
-        if ctx is not None:
-            ctx.__exit__(None, None, None)
     assert not errs, errs
     want = sorted(
         [i for i in range(8) if i not in deleted]
