@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
 from mysoftware_nocnetintel_spark.operators.dedup_index import (
@@ -147,3 +148,118 @@ def test_short_docs_policy(spark, tmp_path):
     with pytest.raises(ValueError, match="short_docs"):
         dedup_gate_batch(short, 2, corpus_path, index_path, app_id="gateS",
                          short_docs="nope")
+
+
+# --------------------------------------------- round 9: two-gate fuzz
+
+
+def _doc_text(doc_id: int, n_words: int = 8) -> str:
+    """Per-doc disjoint vocabulary: zero shingle overlap between distinct
+    docs (no accidental near-dups), while dropping the last word keeps
+    ~5/6 of the shingles (a true near-dup at threshold 0.5)."""
+    return " ".join(f"tok{doc_id}x{i}" for i in range(n_words))
+
+
+@pytest.mark.parametrize("index_format", ["delta", "iceberg"])
+def test_two_gates_race_shared_index(spark, tmp_path, index_format):
+    """Round-9 verdict task 7: TWO ingestion gates (independent app_ids —
+    two crawl streams feeding one corpus) race concurrent batches against
+    the SAME signature index, under the fault-injecting committer
+    (remote-catalog latency + transient rejections) so the CAS retry
+    machinery provably carries the gate commits. Guarantees proved:
+
+    - no lost registrations: after the race, every corpus doc beyond the
+      un-signable seeds is registered in the index (corpus == index);
+    - cross-gate visibility: a doc admitted by gate A is near-dup-matched
+      by gate B's NEXT batch (and vice versa), in both index formats."""
+    import threading
+    import time as _time
+
+    from mysoftware_nocnetintel_spark.operators.dedup_index import (
+        build_minhash_index as _build,
+    )
+    from mysoftware_nocnetintel_spark.sources.catalog import (
+        FaultInjectingCommitter,
+        use_committer,
+    )
+    from mysoftware_nocnetintel_spark.sources.delta import write_delta_append
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_iceberg_snapshot,
+    )
+
+    corpus_path = str(tmp_path / f"corpus_{index_format}")
+    index_path = str(tmp_path / f"index_{index_format}")
+    seed = spark.createDataFrame(
+        [(0, _doc_text(0)), (1, _doc_text(1))], SCHEMA
+    )
+    # CREATE both tables outside the double (creation commits carry
+    # non-retryable metaData/protocol actions by design)
+    write_delta_append(seed, corpus_path)
+    _build(seed, index_path, table_format=index_format)
+
+    def index_ids():
+        reader = (
+            read_iceberg_snapshot
+            if index_format == "iceberg"
+            else read_delta_snapshot
+        )
+        return sorted(r.doc for r in reader(spark, index_path).collect())
+
+    gates = {"gateA": 1000, "gateB": 2000}
+    errs: list = []
+
+    def run_gate(app_id: str, base: int) -> None:
+        try:
+            for k in range(3):
+                batch = spark.createDataFrame(
+                    [
+                        (base + 10 * k + j, _doc_text(base + 10 * k + j))
+                        for j in range(2)
+                    ],
+                    SCHEMA,
+                )
+                dedup_gate_batch(
+                    batch, k, corpus_path, index_path, app_id=app_id,
+                    threshold=0.5,
+                )
+                _time.sleep(0.01)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    double = FaultInjectingCommitter(
+        spurious_conflict_rate=0.15, max_delay_s=0.01, seed=11
+    )
+    with use_committer(double):
+        threads = [
+            threading.Thread(target=run_gate, args=(a, b))
+            for a, b in gates.items()
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not errs, errs
+    assert double.stats["injected_conflicts"] >= 1, "faults never fired"
+
+    want = sorted(
+        [0, 1]
+        + [b + 10 * k + j for b in gates.values() for k in range(3)
+           for j in range(2)]
+    )
+    got_corpus = _corpus_ids(spark, corpus_path)
+    assert got_corpus == want, f"lost corpus rows: {got_corpus}"
+    assert index_ids() == want, "index lost a registration"
+
+    # cross-gate visibility: gate B's next batch carries near-dups of
+    # docs gate A admitted during the race (and vice versa) — all gated
+    cross = {
+        "gateB": [(9001, _doc_text(1000, 7)), (9002, _doc_text(1011, 7))],
+        "gateA": [(9003, _doc_text(2000, 7)), (9004, _doc_text(2021, 7))],
+    }
+    for app_id, rows in cross.items():
+        dedup_gate_batch(
+            spark.createDataFrame(rows, SCHEMA), 3, corpus_path,
+            index_path, app_id=app_id, threshold=0.5,
+        )
+    assert _corpus_ids(spark, corpus_path) == want, "cross-gate dup leaked"
+    assert index_ids() == want
