@@ -64,7 +64,7 @@ def shrink_final_line(line: str, limit: int = 1800) -> str:
     if len(line) < limit:
         return line
     obj = json.loads(line)
-    for k in ("queries", "pipeline", "pipeline_duckdb"):
+    for k in ("queries", "pipeline", "pipeline_duckdb", "media_stored"):
         obj.pop(k, None)
     if isinstance(obj.get("sf1"), dict):
         obj["sf1"] = {
@@ -279,6 +279,105 @@ def main() -> None:
                 best_d = min(best_d, time.perf_counter() - t0)
             pipeline_duckdb[name] = round(best_d, 4)
             con.close()
+
+    # Round-9 verdict task 4: the q147/q149/q151 registry numbers time
+    # synth+encode SCAFFOLDING a deployment never pays (~60-70% of their
+    # wall — BASELINE.md documents it). `media_stored` reports the
+    # PRODUCTION path alone: the same corpora (base + planted
+    # perturbations, byte-identical to the registry queries') are
+    # materialized ONCE to parquet OUTSIDE the timed region, then each
+    # family is timed as scan → Arrow decode+hash → band join → agg —
+    # what a 100 TB deployment actually runs over stored bytes. This is
+    # also the regression net for the Arrow media stages, de-noised from
+    # the synth half. maxPartitionBytes drops to 8 MB for the section so
+    # the small-at-serving-SF files still fan decode across cores the
+    # way a many-file production corpus does (no payload repartition —
+    # decode must happen on the scan partitions, the hash-then-shed
+    # posture).
+    media_stored: dict[str, float] = {}
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from mysoftware_nocnetintel_spark.operators import audio as AU
+    from mysoftware_nocnetintel_spark.operators import multimodal as MM
+    from mysoftware_nocnetintel_spark.operators import video as VD
+    from mysoftware_nocnetintel_spark.plans.queries_r10 import (
+        _audio_corpus,
+        _t as _load_table,
+        _video_corpus,
+    )
+
+    media_root = os.path.join(
+        _tf.gettempdir(), f"nocnetintel_bench_media_{os.getpid()}"
+    )
+    _sh.rmtree(media_root, ignore_errors=True)
+
+    def _with_planted(base, perturb):
+        base = base.localCheckpoint(eager=False)
+        planted = perturb(base).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "media"
+        )
+        return base.unionByName(planted)
+
+    _docs = _load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _docs = _docs.coalesce(
+        max(8, spark.sparkContext.defaultParallelism // 4)
+    )
+    _corpora = {
+        "img": _with_planted(
+            MM.attach_png_media(_docs, text_col="text").select(
+                "doc_id", "media"
+            ),
+            lambda b: MM.perturb_png_media(b, delta=8),
+        ),
+        "aud": _with_planted(
+            _audio_corpus(spark, sf_dir),
+            lambda b: AU.perturb_wav_media(b, payload_col="media"),
+        ),
+        "vid": _with_planted(
+            _video_corpus(spark, sf_dir),
+            lambda b: VD.perturb_vpng_media(b, payload_col="media"),
+        ),
+    }
+    for fam, df in _corpora.items():  # untimed: the stored corpus
+        df.write.parquet(os.path.join(media_root, fam))
+
+    _pairs_fn = {
+        "img": lambda d: MM.image_near_dup_pairs(d, "doc_id", max_hamming=3),
+        "aud": lambda d: AU.audio_near_dup_pairs(d, "doc_id", max_hamming=3),
+        "vid": lambda d: VD.video_near_dup_pairs(d, "doc_id", max_hamming=3),
+    }
+
+    def _media_prod(fam):
+        pairs = _pairs_fn[fam](
+            spark.read.parquet(os.path.join(media_root, fam))
+        )
+        materialize(
+            pairs.withColumn(
+                "planted",
+                F.col("id_b") - F.col("id_a") == F.lit(10_000_000),
+            )
+            .groupBy("hamming", "planted")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("hamming", "planted")
+        )
+
+    _mpb_before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    try:
+        for fam in _pairs_fn:
+            _media_prod(fam)  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _media_prod(fam)
+                best = min(best, time.perf_counter() - t0)
+            media_stored[fam] = round(best, 4)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _mpb_before)
+        _sh.rmtree(media_root, ignore_errors=True)
 
     # Serving-mode view of the LLM-pipeline section too (round-3 judge):
     # the SAME pipeline queries submitted concurrently to the shared
@@ -526,6 +625,7 @@ def main() -> None:
             "queries": timings,
             "pipeline": _short(pipeline),
             "pipeline_duckdb": _short(pipeline_duckdb),
+            "media_stored": media_stored,
             "pipeline_batch_wall": round(pipeline_batch_wall, 4),
             "pipeline_duckdb_batch_wall": round(
                 pipeline_duckdb_batch_wall, 4
