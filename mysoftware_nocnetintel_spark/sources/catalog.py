@@ -467,11 +467,71 @@ class IcebergRestCatalogCommitter(CatalogCommitter):
             pass
 
 
+def committer_from_spec(spec: str) -> CatalogCommitter:
+    """Build a committer from a deployment spec string — the
+    configuration face of the seam, so installing a remote catalog is
+    an environment change, not a code change. Shapes:
+
+    - ``filesystem`` — the POSIX hard-link default;
+    - ``commit-service+http://host:port`` — the minimal
+      :class:`HttpCommitServiceCommitter` wire shape;
+    - ``rest+http://host:port[?ns=a.b&prefix=w&token=t&timeout=10]`` —
+      the Iceberg REST-catalog dialect; ``ns`` is dot-separated
+      (multipart namespaces), ``token`` is the bearer credential
+      (prefer injecting it via the ``SPARK_GRAFT_CATALOG_TOKEN``
+      environment variable so the spec itself can be logged).
+    """
+    spec = spec.strip()
+    if spec in ("", "filesystem"):
+        return FilesystemCommitter()
+    kind, sep, rest = spec.partition("+")
+    if not sep:
+        raise ValueError(
+            f"catalog spec {spec!r} is not 'filesystem', "
+            "'commit-service+<url>' or 'rest+<url>[?...]'"
+        )
+    if kind == "commit-service":
+        return HttpCommitServiceCommitter(rest)
+    if kind == "rest":
+        import urllib.parse
+
+        parts = urllib.parse.urlsplit(rest)
+        q = dict(urllib.parse.parse_qsl(parts.query))
+        endpoint = urllib.parse.urlunsplit(
+            (parts.scheme, parts.netloc, parts.path, "", "")
+        )
+        token = q.get("token") or os.environ.get(
+            "SPARK_GRAFT_CATALOG_TOKEN"
+        )
+        return IcebergRestCatalogCommitter(
+            endpoint,
+            namespace=tuple(q["ns"].split(".")) if q.get("ns") else (
+                "nocnetintel",
+            ),
+            prefix=q.get("prefix", ""),
+            token=token,
+            timeout_s=float(q.get("timeout", "10")),
+        )
+    raise ValueError(f"unknown catalog kind {kind!r} in spec {spec!r}")
+
+
 _DEFAULT = FilesystemCommitter()
 _current: CatalogCommitter = _DEFAULT
+_env_applied = False
 
 
 def get_committer() -> CatalogCommitter:
+    """The process-wide commit endpoint. On first use, honors the
+    ``SPARK_GRAFT_CATALOG`` environment spec (see
+    :func:`committer_from_spec`) so a deployment points every writer at
+    its catalog without touching code; ``set_committer`` always wins
+    over the environment."""
+    global _current, _env_applied
+    if not _env_applied:
+        _env_applied = True
+        spec = os.environ.get("SPARK_GRAFT_CATALOG")
+        if spec and _current is _DEFAULT:
+            _current = committer_from_spec(spec)
     return _current
 
 

@@ -255,3 +255,73 @@ def test_rest_catalog_two_writer_race_one_winner(spark, tmp_path):
         got = sorted(r.id for r in read_delta_snapshot(spark, root).collect())
         assert got == [0, 1, 10, 11, 12, 20, 21, 22]
         assert stats.get("errors", 0) >= 0  # conflicts allowed, not required
+
+
+# ------------------------------------------ deployment spec / env wiring
+
+
+def test_committer_from_spec_parses_all_shapes(monkeypatch):
+    from mysoftware_nocnetintel_spark.sources.catalog import (
+        FilesystemCommitter,
+        HttpCommitServiceCommitter,
+        committer_from_spec,
+    )
+
+    assert isinstance(committer_from_spec("filesystem"), FilesystemCommitter)
+    c = committer_from_spec("commit-service+http://h:9")
+    assert isinstance(c, HttpCommitServiceCommitter)
+    assert c.endpoint == "http://h:9"
+    r = committer_from_spec(
+        "rest+http://h:9?ns=prod.corpora&prefix=w&token=t1&timeout=3"
+    )
+    assert isinstance(r, IcebergRestCatalogCommitter)
+    assert r.endpoint == "http://h:9"
+    assert r.namespace == ("prod", "corpora")
+    assert r.prefix == "w" and r.token == "t1" and r.timeout_s == 3.0
+    # token prefers the env injection path when the spec omits it
+    monkeypatch.setenv("SPARK_GRAFT_CATALOG_TOKEN", "from-env")
+    assert committer_from_spec("rest+http://h:9").token == "from-env"
+    with pytest.raises(ValueError, match="catalog spec"):
+        committer_from_spec("bogus")
+    with pytest.raises(ValueError, match="unknown catalog kind"):
+        committer_from_spec("glue+http://h:9")
+
+
+def test_env_spec_installs_rest_committer_end_to_end(
+    spark, tmp_path, monkeypatch
+):
+    """SPARK_GRAFT_CATALOG=rest+... is the entire deployment surface:
+    with only the env var set (fresh process simulated by resetting the
+    module's first-use latch), a Delta append commits through the
+    REST-shaped server."""
+    from mysoftware_nocnetintel_spark.sources import catalog as C
+
+    with rest_catalog_server(token="envtok") as (endpoint, stats):
+        monkeypatch.setenv("SPARK_GRAFT_CATALOG", f"rest+{endpoint}")
+        monkeypatch.setenv("SPARK_GRAFT_CATALOG_TOKEN", "envtok")
+        monkeypatch.setattr(C, "_env_applied", False)
+        monkeypatch.setattr(C, "_current", C._DEFAULT)
+        try:
+            root = str(tmp_path / "env_d")
+            write_delta_append(_df(spark, 0, 3), root)
+            assert stats.get("commits", 0) >= 1, "commit never hit the wire"
+            assert stats["requests"][0]["auth"] == "Bearer envtok"
+            got = sorted(
+                r.id for r in read_delta_snapshot(spark, root).collect()
+            )
+            assert got == [0, 1, 2]
+        finally:
+            C.set_committer(None)
+
+
+def test_explicit_set_committer_wins_over_env(monkeypatch, tmp_path):
+    from mysoftware_nocnetintel_spark.sources import catalog as C
+
+    monkeypatch.setenv("SPARK_GRAFT_CATALOG", "rest+http://127.0.0.1:1")
+    monkeypatch.setattr(C, "_env_applied", False)
+    explicit = C.FilesystemCommitter()
+    prev = C.set_committer(explicit)
+    try:
+        assert C.get_committer() is explicit  # env never consulted
+    finally:
+        C.set_committer(prev)
