@@ -251,35 +251,38 @@ class IcebergRestCatalogCommitter(CatalogCommitter):
     (URL-encoded ``%1F``); a bearer ``token`` rides the standard
     ``Authorization`` header.
 
-    Dialect notes (documented divergences, both rooted in the engine's
-    HadoopTableOperations-style SELF-MANAGED metadata — the engine
-    stages complete version artifacts, while a full spec server
-    materializes metadata from update actions itself):
+    TWO REQUEST MODES, chosen per commit:
 
-    - the version CAS is expressed as ONE requirement:
-      ``{"type": "assert-create"}`` for a table's first version
-      (spec-verbatim: the table must not exist), and
-      ``{"type": "assert-current-version", "version": N-1}`` after that
-      — the version-addressed twin of the spec's
-      ``assert-ref-snapshot-id``, enforced server-side the same way
-      (mismatch → 409 ``CommitFailedException``);
-    - the staged artifact travels as one update action,
-      ``{"action": "publish-metadata", "format": "iceberg"|"delta",
-      "version": N, "metadata-location": <final path>,
-      "metadata-b64": ...}`` — the server owns the durable write (what
-      production REST catalogs do for metadata), so readers' plain
-      file/object GETs are unchanged.
+    - **SPEC-NATIVE** (default for Iceberg artifacts,
+      ``spec_native=True``): the staged metadata is parsed, the prior
+      artifact is read from storage, and the request carries REAL spec
+      requirements (``assert-table-uuid`` + ``assert-ref-snapshot-id``
+      per modified ref, ``assert-create`` for new tables) and REAL spec
+      update actions describing the transition (``add-snapshot``,
+      ``set-snapshot-ref``, ``remove-snapshots``, ``add-schema``,
+      ``set-properties``, ... — :mod:`.rest_spec`). The in-process test
+      server replays the update actions onto its own prior state and
+      rejects any commit whose replayed result is not congruent with
+      the published artifact, so EVERY engine verb is proved to fully
+      describe its transition in spec actions
+      (tests/test_rest_spec_native.py's verb-matrix conformance test).
+    - **version-addressed fallback** (Delta payloads, foreign or
+      unparseable metadata): ``assert-create`` for a table's first
+      version, ``{"type": "assert-current-version", "version": N-1}``
+      after — the version-addressed twin of ``assert-ref-snapshot-id``,
+      enforced server-side the same way.
 
-    Moving to a full spec server from here is request-shaping work on an
-    established seam (generate spec requirements/updates from the parsed
-    payload), not architecture work: the writers, retry policy, and
-    conflict taxonomy above the seam are already final. Path → identity
-    mapping: the table name defaults to the table directory's basename;
-    pass ``table_name_for`` to override (e.g. a warehouse-relative
-    mapping). tests/test_rest_catalog_committer.py drives the full verb
-    flow of BOTH formats, a two-writer race, wire-shape capture, and
-    the error taxonomy against an in-process REST-shaped server; the
-    two-format CAS fuzzes run under it via their committer matrix."""
+    In both modes the staged artifact additionally travels as one
+    documented update action, ``{"action": "publish-metadata", ...,
+    "metadata-b64": ...}`` — the server owns the durable write (what
+    production REST catalogs do for metadata), so readers' plain
+    file/object GETs are unchanged. Path → identity mapping: the table
+    name defaults to the table directory's basename; pass
+    ``table_name_for`` to override. tests/test_rest_catalog_committer.py
+    drives the full verb flow of BOTH formats, a two-writer race,
+    wire-shape capture, and the error taxonomy against the in-process
+    REST-shaped server; the two-format CAS fuzzes run under it via
+    their committer matrix (the Iceberg fuzz rides spec-native)."""
 
     _PATTERNS = (
         (
@@ -304,12 +307,14 @@ class IcebergRestCatalogCommitter(CatalogCommitter):
         token: str | None = None,
         timeout_s: float = 10.0,
         table_name_for=None,
+        spec_native: bool = True,
     ) -> None:
         self.endpoint = endpoint.rstrip("/")
         self.namespace = tuple(namespace)
         self.prefix = prefix.strip("/")
         self.token = token
         self.timeout_s = float(timeout_s)
+        self.spec_native = spec_native
         self._table_name_for = table_name_for or (
             lambda table_location: os.path.basename(
                 table_location.rstrip("/")
@@ -379,23 +384,69 @@ class IcebergRestCatalogCommitter(CatalogCommitter):
             "<table>/_delta_log/<N>.json commits only"
         )
 
+    def _spec_native_request(
+        self, final_path: str, payload: bytes, ver: int, first: bool
+    ):
+        """SPEC-NATIVE mode (round 9): when the staged artifact parses as
+        Iceberg table metadata, generate the real CommitTableRequest —
+        requirements asserted from the PRIOR artifact (assert-table-uuid
+        + assert-ref-snapshot-id per modified ref) and update actions
+        describing the transition (rest_spec.diff_iceberg_metadata). The
+        prior artifact is read from storage the same way every reader
+        resolves it. Returns (requirements, updates) or (None, None) to
+        fall back to the version-addressed dialect (Delta payloads,
+        foreign/unparseable metadata, missing prior)."""
+        import json as _json
+
+        try:
+            new_meta = _json.loads(payload)
+        except Exception:
+            return None, None
+        if not isinstance(new_meta, dict) or "table-uuid" not in new_meta:
+            return None, None
+        prior = None
+        if not first:
+            prior_path = re.sub(
+                r"v\d+\.metadata\.json$",
+                f"v{ver - 1}.metadata.json",
+                final_path,
+            )
+            try:
+                with open(prior_path, "rb") as fh:
+                    prior = _json.loads(fh.read())
+            except Exception:
+                return None, None
+        from .rest_spec import diff_iceberg_metadata
+
+        try:
+            return diff_iceberg_metadata(prior, new_meta)
+        except Exception:
+            return None, None
+
     def put_if_absent(self, final_path: str, payload: bytes) -> None:
         import base64
 
         _loc, name, fmt, ver, first = self._parse(final_path)
+        reqs = upds = None
+        if self.spec_native and fmt == "iceberg":
+            reqs, upds = self._spec_native_request(
+                final_path, payload, ver, first
+            )
+        if reqs is None:
+            reqs = (
+                [{"type": "assert-create"}]
+                if first
+                else [{"type": "assert-current-version", "version": ver - 1}]
+            )
+            upds = []
         body = {
             "identifier": {
                 "namespace": list(self.namespace),
                 "name": name,
             },
-            "requirements": (
-                [{"type": "assert-create"}]
-                if first
-                else [
-                    {"type": "assert-current-version", "version": ver - 1}
-                ]
-            ),
-            "updates": [
+            "requirements": reqs,
+            "updates": list(upds)
+            + [
                 {
                     "action": "publish-metadata",
                     "format": fmt,

@@ -105,38 +105,97 @@ def _make_handler(stats: dict, token: str | None, prefix: str):
                 fs.publish_hint(hint["hint-location"], hint["value"])
                 return self._reply(200)
 
+            if pub is None:
+                return self._error(
+                    400, "BadRequestException", "no publish-metadata"
+                )
+            published_meta = None
+            if pub.get("format") == "iceberg":
+                try:
+                    published_meta = json.loads(
+                        base64.b64decode(pub["metadata-b64"])
+                    )
+                except Exception:
+                    published_meta = None
+            spec_upds = [
+                u
+                for u in body.get("updates", [])
+                if u.get("action")
+                not in ("publish-metadata", "publish-hint")
+            ]
+
             with lock:
-                for req in body.get("requirements", []):
+                state = tables.get(key)
+                reqs = body.get("requirements", [])
+                if state is None and not any(
+                    r["type"] == "assert-create" for r in reqs
+                ):
+                    # registry bootstrap: accept a table created outside
+                    # this catalog iff the prior artifact is on storage;
+                    # for Iceberg, its parsed metadata seeds ref state
+                    import os
+
+                    prior_ver = pub["version"] - 1
+                    prior_path = _prior_artifact(
+                        pub["metadata-location"], prior_ver
+                    )
+                    if prior_path and os.path.exists(prior_path):
+                        prior_meta = None
+                        if pub.get("format") == "iceberg":
+                            try:
+                                prior_meta = json.loads(
+                                    open(prior_path, "rb").read()
+                                )
+                            except Exception:
+                                prior_meta = None
+                        state = tables[key] = {
+                            "version": prior_ver,
+                            "meta": prior_meta,
+                        }
+                    else:
+                        return self._error(
+                            404,
+                            "NoSuchTableException",
+                            f"unknown table {key}",
+                        )
+                for req in reqs:
                     if req["type"] == "assert-create":
-                        if key in tables:
+                        if state is not None:
                             return self._error(
                                 409,
                                 "AlreadyExistsException",
                                 f"table {key} already exists",
                             )
                     elif req["type"] == "assert-current-version":
-                        if key not in tables:
-                            # registry bootstrap: accept a table created
-                            # outside this catalog iff the asserted prior
-                            # artifact is actually on storage
-                            import os
-
-                            loc = pub["metadata-location"] if pub else ""
-                            prior = _prior_artifact(loc, req["version"])
-                            if prior and os.path.exists(prior):
-                                tables[key] = req["version"]
-                            else:
-                                return self._error(
-                                    404,
-                                    "NoSuchTableException",
-                                    f"unknown table {key}",
-                                )
-                        if tables[key] != req["version"]:
+                        if state["version"] != req["version"]:
                             return self._error(
                                 409,
                                 "CommitFailedException",
                                 f"requirement failed: current version is "
-                                f"{tables[key]}, not {req['version']}",
+                                f"{state['version']}, not {req['version']}",
+                            )
+                    elif req["type"] == "assert-table-uuid":
+                        known = (state.get("meta") or {}).get("table-uuid")
+                        if known is not None and known != req["uuid"]:
+                            return self._error(
+                                409,
+                                "CommitFailedException",
+                                f"table uuid is {known}, not {req['uuid']}",
+                            )
+                    elif req["type"] == "assert-ref-snapshot-id":
+                        from mysoftware_nocnetintel_spark.sources.rest_spec import (  # noqa: E501
+                            _refs_view,
+                        )
+
+                        have = _refs_view(state.get("meta")) if state else {}
+                        cur = have.get(req["ref"])
+                        cur_id = cur["snapshot-id"] if cur else None
+                        if cur_id != req["snapshot-id"]:
+                            return self._error(
+                                409,
+                                "CommitFailedException",
+                                f"ref {req['ref']} is at {cur_id}, "
+                                f"not {req['snapshot-id']}",
                             )
                     else:
                         return self._error(
@@ -144,10 +203,36 @@ def _make_handler(stats: dict, token: str | None, prefix: str):
                             "BadRequestException",
                             f"unsupported requirement {req['type']}",
                         )
-                if pub is None:
-                    return self._error(
-                        400, "BadRequestException", "no publish-metadata"
+                # SPEC-NATIVE conformance: replay the update actions onto
+                # the server's prior state and require the result to be
+                # congruent with the published artifact — the property a
+                # catalog that materializes metadata itself depends on
+                derived = None
+                prior_meta = state.get("meta") if state else None
+                if spec_upds and (
+                    published_meta is not None
+                    and (state is None or prior_meta is not None)
+                ):
+                    from mysoftware_nocnetintel_spark.sources.rest_spec import (  # noqa: E501
+                        apply_table_updates,
+                        congruence_mismatches,
                     )
+
+                    try:
+                        derived = apply_table_updates(prior_meta, spec_upds)
+                    except ValueError as e:
+                        return self._error(
+                            400, "ValidationException", str(e)
+                        )
+                    mism = congruence_mismatches(derived, published_meta)
+                    if mism:
+                        return self._error(
+                            400,
+                            "BadRequestException",
+                            "updates do not describe the published "
+                            f"transition (mismatched: {mism})",
+                        )
+                    stats["spec_commits"] = stats.get("spec_commits", 0) + 1
                 try:
                     fs.put_if_absent(
                         pub["metadata-location"],
@@ -162,7 +247,10 @@ def _make_handler(stats: dict, token: str | None, prefix: str):
                         "CommitFailedException",
                         f"version {pub['version']} already on storage",
                     )
-                tables[key] = pub["version"]
+                tables[key] = {
+                    "version": pub["version"],
+                    "meta": published_meta,
+                }
                 stats["commits"] = stats.get("commits", 0) + 1
             self._reply(
                 200, {"metadata-location": pub["metadata-location"]}

@@ -1,0 +1,379 @@
+"""Spec-native Iceberg REST commits (round 9, closing the r8 verdict's
+"remaining vs a real service" note): when the staged artifact parses as
+Iceberg metadata, the committer generates the REAL CommitTableRequest —
+assert-table-uuid + assert-ref-snapshot-id requirements from the prior
+artifact, and spec update actions (add-snapshot, set-snapshot-ref,
+remove-snapshots, add-schema, set-properties, ...) describing the
+transition. The in-process server REPLAYS the update actions onto its
+own copy of the prior state and rejects (400) any commit whose replayed
+result is not congruent with the published artifact — so every engine
+verb is proved to fully describe its transition in spec actions, the
+property a catalog that materializes metadata itself depends on.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysoftware_nocnetintel_spark.sources import iceberg as ice
+from mysoftware_nocnetintel_spark.sources.catalog import (
+    IcebergRestCatalogCommitter,
+    use_committer,
+)
+from mysoftware_nocnetintel_spark.sources.iceberg import (
+    drop_iceberg_ref,
+    expire_iceberg_snapshots,
+    merge_iceberg_rows,
+    publish_iceberg_branch,
+    rename_iceberg_column,
+    rewrite_iceberg_manifests,
+    rewrite_iceberg_table,
+    tag_iceberg_snapshot,
+    update_iceberg_partition_spec,
+    write_iceberg_append,
+    write_iceberg_equality_deletes,
+    write_iceberg_position_deletes,
+)
+from mysoftware_nocnetintel_spark.sources.readers import read_iceberg_snapshot
+from mysoftware_nocnetintel_spark.sources.rest_spec import (
+    apply_table_updates,
+    congruence_mismatches,
+    diff_iceberg_metadata,
+)
+
+from .rest_catalog_server import rest_catalog_server
+
+
+def _df(spark, lo, hi, extra=None):
+    rows = [(i, f"v{i}") for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "id bigint, val string")
+
+
+# ------------------------------------------------------------- pure units
+
+
+def test_diff_create_and_append_shapes():
+    new1 = {
+        "format-version": 2,
+        "table-uuid": "u-1",
+        "location": "/t",
+        "snapshots": [{"snapshot-id": 7, "sequence-number": 1}],
+        "current-snapshot-id": 7,
+        "schemas": [{"type": "struct", "schema-id": 0,
+                     "fields": [{"id": 1, "name": "id", "type": "long",
+                                 "required": False}]}],
+        "current-schema-id": 0,
+        "properties": {"writer": "w"},
+    }
+    reqs, upds = diff_iceberg_metadata(None, new1)
+    assert {"type": "assert-create"} in reqs
+    acts = [u["action"] for u in upds]
+    assert "assign-uuid" in acts and "add-snapshot" in acts
+    assert {"action": "set-snapshot-ref", "ref-name": "main",
+            "type": "branch", "snapshot-id": 7} in upds
+    # replay reproduces the artifact
+    derived = apply_table_updates(None, upds)
+    assert congruence_mismatches(derived, new1) == []
+
+    new2 = dict(
+        new1,
+        snapshots=new1["snapshots"] + [{"snapshot-id": 9,
+                                        "sequence-number": 2}],
+        **{"current-snapshot-id": 9},
+    )
+    reqs2, upds2 = diff_iceberg_metadata(new1, new2)
+    assert {"type": "assert-table-uuid", "uuid": "u-1"} in reqs2
+    assert {"type": "assert-ref-snapshot-id", "ref": "main",
+            "snapshot-id": 7} in reqs2
+    derived2 = apply_table_updates(new1, upds2)
+    assert congruence_mismatches(derived2, new2) == []
+
+
+def test_diff_expiration_and_refs():
+    base = {
+        "format-version": 2,
+        "table-uuid": "u-2",
+        "location": "/t",
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1},
+            {"snapshot-id": 2, "sequence-number": 2},
+        ],
+        "current-snapshot-id": 2,
+        "properties": {},
+    }
+    expired = dict(
+        base, snapshots=[{"snapshot-id": 2, "sequence-number": 2}]
+    )
+    reqs, upds = diff_iceberg_metadata(base, expired)
+    assert {"action": "remove-snapshots", "snapshot-ids": [1]} in upds
+    assert congruence_mismatches(
+        apply_table_updates(base, upds), expired
+    ) == []
+    tagged = dict(
+        base,
+        refs={"rel": {"snapshot-id": 1, "type": "tag"}},
+    )
+    reqs_t, upds_t = diff_iceberg_metadata(base, tagged)
+    # creating a ref asserts it did not exist (snapshot-id null)
+    assert {"type": "assert-ref-snapshot-id", "ref": "rel",
+            "snapshot-id": None} in reqs_t
+    assert {"action": "set-snapshot-ref", "ref-name": "rel",
+            "type": "tag", "snapshot-id": 1} in upds_t
+    assert congruence_mismatches(
+        apply_table_updates(base, upds_t), tagged
+    ) == []
+
+
+def test_replay_rejects_contradictory_updates():
+    base = {
+        "format-version": 2, "table-uuid": "u", "location": "/t",
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1}],
+        "current-snapshot-id": 1, "properties": {},
+    }
+    with pytest.raises(ValueError, match="already exists"):
+        apply_table_updates(
+            base,
+            [{"action": "add-snapshot",
+              "snapshot": {"snapshot-id": 1, "sequence-number": 1}}],
+        )
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        apply_table_updates(
+            base,
+            [{"action": "set-snapshot-ref", "ref-name": "main",
+              "type": "branch", "snapshot-id": 99}],
+        )
+    with pytest.raises(ValueError, match="removing unknown"):
+        apply_table_updates(
+            base, [{"action": "remove-snapshots", "snapshot-ids": [42]}]
+        )
+
+
+# ----------------------------------------- the verb-matrix conformance
+
+
+def test_full_verb_matrix_is_spec_conformant(spark, tmp_path):
+    """Every Iceberg verb the engine ships commits through the
+    spec-native path, and the server's replay+congruence gate accepts
+    every one — proving the generated update actions fully describe
+    each verb's transition. The server counts spec-validated commits so
+    a silent fallback to the version-addressed dialect would fail the
+    final assertion."""
+    with rest_catalog_server() as (endpoint, stats):
+        root = str(tmp_path / "conf")
+        with use_committer(IcebergRestCatalogCommitter(endpoint)):
+            write_iceberg_append(_df(spark, 0, 4).coalesce(1), root)
+            write_iceberg_append(_df(spark, 4, 8).coalesce(1), root)
+            # schema-evolving append (additive column)
+            evolved = spark.createDataFrame(
+                [(100, "v100", 1.5)], "id bigint, val string, score double"
+            )
+            write_iceberg_append(evolved.coalesce(1), root)
+            # MOR deletes, both kinds
+            write_iceberg_position_deletes(spark, root, F.col("id") == 0)
+            write_iceberg_equality_deletes(
+                spark, root, spark.createDataFrame([(1,)], "id bigint")
+            )
+            # upsert merge
+            merge_iceberg_rows(
+                spark,
+                root,
+                spark.createDataFrame(
+                    [(2, "patched", None)],
+                    "id bigint, val string, score double",
+                ),
+                on=["id"],
+            )
+            # maintenance: compaction + manifest consolidation
+            rewrite_iceberg_table(spark, root)
+            rewrite_iceberg_manifests(root)
+            # refs: tag, WAP branch, publish, drop
+            tag_iceberg_snapshot(root, "release-1")
+            write_iceberg_append(
+                spark.createDataFrame(
+                    [(200, "v200", None), (201, "v201", None)],
+                    "id bigint, val string, score double",
+                ).coalesce(1),
+                root,
+                branch="audit",
+            )
+            publish_iceberg_branch(root, "audit")
+            drop_iceberg_ref(root, "release-1")
+            # snapshot expiration (ref-pinned snapshots kept)
+            expire_iceberg_snapshots(root, keep_last=2)
+            # metadata-only schema + spec changes
+            rename_iceberg_column(root, "val", "label")
+            update_iceberg_partition_spec(root, ("bucket(4, id)",))
+            write_iceberg_append(
+                spark.createDataFrame(
+                    [(300, "v300", None)],
+                    "id bigint, label string, score double",
+                ).coalesce(1),
+                root,
+            )
+        # every version swap above went through the spec-native gate
+        assert stats.get("spec_commits", 0) >= 14, stats.get("spec_commits")
+        assert stats["spec_commits"] == stats["commits"], (
+            "some commit fell back to the version-addressed dialect: "
+            f"{stats['spec_commits']} of {stats['commits']}"
+        )
+        # and the table still reads correctly end-to-end
+        got = sorted(
+            (r.id, r.label)
+            for r in read_iceberg_snapshot(spark, root).collect()
+        )
+        ids = [i for i, _ in got]
+        assert 0 not in ids and 1 not in ids  # deletes held
+        assert (2, "patched") in got  # merge held
+        assert {200, 201} <= set(ids)  # published branch rows visible
+        assert 300 in ids  # post-evolution append
+
+
+def test_spec_native_conflict_is_ref_based(spark, tmp_path):
+    """Two commits staged from the same prior: the loser is rejected by
+    the assert-ref-snapshot-id requirement (spec semantics), not just
+    the storage backstop — the server's ref state moved."""
+    import base64
+    import json
+
+    with rest_catalog_server() as (endpoint, stats):
+        root = str(tmp_path / "race")
+        c = IcebergRestCatalogCommitter(endpoint)
+        with use_committer(c):
+            write_iceberg_append(_df(spark, 0, 3).coalesce(1), root)
+            write_iceberg_append(_df(spark, 3, 6).coalesce(1), root)
+        # replay the LAST commit's exact body at the next version: same
+        # prior assertions, but the server's main ref has moved on
+        last = [
+            r["body"]
+            for r in stats["requests"]
+            if any(
+                u.get("action") == "publish-metadata"
+                for u in r.get("body", {}).get("updates", [])
+            )
+        ][-1]
+        (pub,) = [
+            u
+            for u in last["updates"]
+            if u["action"] == "publish-metadata"
+        ]
+        meta = json.loads(base64.b64decode(pub["metadata-b64"]))
+        stale_req = [
+            r
+            for r in last["requirements"]
+            if r["type"] == "assert-ref-snapshot-id"
+        ]
+        assert stale_req, "spec-native commit carried no ref assertion"
+        # bump ids so storage cannot be the thing that rejects
+        meta2 = dict(meta)
+        meta2["snapshots"] = meta["snapshots"] + [
+            {
+                **meta["snapshots"][-1],
+                "snapshot-id": 424242,
+                "sequence-number": meta["snapshots"][-1].get(
+                    "sequence-number", 0
+                )
+                + 1,
+            }
+        ]
+        meta2["current-snapshot-id"] = 424242
+        import os
+
+        v3 = os.path.join(root, "metadata", "v9.metadata.json")
+        from mysoftware_nocnetintel_spark.sources.catalog import (
+            CatalogCommitConflict,
+        )
+        from mysoftware_nocnetintel_spark.sources.rest_spec import (
+            diff_iceberg_metadata,
+        )
+
+        # requirements derived from the STALE prior (v1's metadata)
+        first_pub = [
+            u
+            for u in stats["requests"][0]["body"]["updates"]
+            if u["action"] == "publish-metadata"
+        ][0]
+        stale_prior = json.loads(base64.b64decode(first_pub["metadata-b64"]))
+        reqs, upds = diff_iceberg_metadata(stale_prior, meta2)
+        body = {
+            "identifier": {
+                "namespace": ["nocnetintel"],
+                "name": os.path.basename(root),
+            },
+            "requirements": reqs,
+            "updates": upds
+            + [
+                {
+                    "action": "publish-metadata",
+                    "format": "iceberg",
+                    "version": 9,
+                    "metadata-location": v3,
+                    "metadata-b64": base64.b64encode(
+                        json.dumps(meta2).encode()
+                    ).decode(),
+                }
+            ],
+        }
+        status, err = c._post(c._table_route(os.path.basename(root)), body)
+        assert status == 409 and err["type"] == "CommitFailedException"
+        assert "ref main" in err["message"]
+        assert not os.path.exists(v3)  # nothing landed
+
+
+def test_incongruent_updates_are_rejected(spark, tmp_path):
+    """A commit whose update actions do NOT describe the published
+    artifact (here: the add-snapshot action is omitted) is rejected 400
+    before anything lands — the conformance gate itself."""
+    import base64
+    import json
+    import os
+
+    with rest_catalog_server() as (endpoint, stats):
+        root = str(tmp_path / "gap")
+        c = IcebergRestCatalogCommitter(endpoint)
+        with use_committer(c):
+            write_iceberg_append(_df(spark, 0, 3).coalesce(1), root)
+        last_pub = [
+            u
+            for r in stats["requests"]
+            for u in r.get("body", {}).get("updates", [])
+            if u.get("action") == "publish-metadata"
+        ][-1]
+        prior = json.loads(base64.b64decode(last_pub["metadata-b64"]))
+        new = dict(prior)
+        new["snapshots"] = prior["snapshots"] + [
+            {
+                **prior["snapshots"][-1],
+                "snapshot-id": 777,
+                "sequence-number": 2,
+            }
+        ]
+        new["current-snapshot-id"] = 777
+        reqs, upds = diff_iceberg_metadata(prior, new)
+        gapped = [u for u in upds if u["action"] != "add-snapshot"]
+        v2 = os.path.join(root, "metadata", "v2.metadata.json")
+        body = {
+            "identifier": {
+                "namespace": ["nocnetintel"],
+                "name": os.path.basename(root),
+            },
+            "requirements": reqs,
+            "updates": gapped
+            + [
+                {
+                    "action": "publish-metadata",
+                    "format": "iceberg",
+                    "version": 2,
+                    "metadata-location": v2,
+                    "metadata-b64": base64.b64encode(
+                        json.dumps(new).encode()
+                    ).decode(),
+                }
+            ],
+        }
+        status, err = c._post(c._table_route(os.path.basename(root)), body)
+        assert status == 400, (status, err)
+        assert "do not describe" in err["message"] or err["type"] in (
+            "ValidationException",
+        )
+        assert not os.path.exists(v2)
