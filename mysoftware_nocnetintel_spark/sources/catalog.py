@@ -490,6 +490,41 @@ class IcebergRestCatalogCommitter(CatalogCommitter):
             "table head before retrying"
         )
 
+    def load_table(self, name: str) -> dict:
+        """Table DISCOVERY — the read half of the catalog protocol:
+        ``GET /v1[/{prefix}]/namespaces/{ns}/tables/{table}`` returns the
+        spec's LoadTableResult; the caller hands
+        ``metadata-location``'s table root to ``read_iceberg_snapshot``
+        (or any reader) and never needs to know storage layout a
+        priori. 404 → ``KeyError`` (no such table), auth/availability
+        errors surface as ``RuntimeError``."""
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        headers = {}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        req = urllib.request.Request(
+            self._table_route(name), headers=headers, method="GET"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                return _json.loads(r.read().decode())
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise KeyError(
+                    f"no table {name!r} in namespace "
+                    f"{'.'.join(self.namespace)}"
+                ) from None
+            raise RuntimeError(
+                f"REST catalog loadTable error HTTP {e.code} for {name!r}"
+            ) from None
+        except urllib.error.URLError as e:
+            raise RuntimeError(
+                f"REST catalog unreachable ({e.reason}) for loadTable"
+            ) from None
+
     def publish_hint(self, hint_path: str, value: str) -> None:
         # hints are a HadoopCatalog convenience with no spec twin; ship
         # them as a best-effort update action and swallow every failure

@@ -250,11 +250,47 @@ def _make_handler(stats: dict, token: str | None, prefix: str):
                 tables[key] = {
                     "version": pub["version"],
                     "meta": published_meta,
+                    "location": pub["metadata-location"],
                 }
                 stats["commits"] = stats.get("commits", 0) + 1
             self._reply(
                 200, {"metadata-location": pub["metadata-location"]}
             )
+
+        def do_GET(self):  # noqa: N802 — loadTable (spec LoadTableResult)
+            stats.setdefault("requests", []).append(
+                {
+                    "path": self.path,
+                    "auth": self.headers.get("Authorization"),
+                    "method": "GET",
+                }
+            )
+            if token is not None and (
+                self.headers.get("Authorization") != f"Bearer {token}"
+            ):
+                return self._error(
+                    401, "NotAuthorizedException", "missing/invalid token"
+                )
+            parts = [unquote(p) for p in self.path.strip("/").split("/")]
+            want = ["v1"] + ([prefix] if prefix else [])
+            if (
+                parts[: len(want)] != want
+                or len(parts) != len(want) + 4
+                or parts[len(want)] != "namespaces"
+                or parts[len(want) + 2] != "tables"
+            ):
+                return self._error(404, "NoSuchRouteException", self.path)
+            key = (parts[len(want) + 1], parts[len(want) + 3])
+            with lock:
+                state = tables.get(key)
+            if state is None or not state.get("location"):
+                return self._error(
+                    404, "NoSuchTableException", f"unknown table {key}"
+                )
+            out = {"metadata-location": state["location"]}
+            if state.get("meta") is not None:
+                out["metadata"] = state["meta"]
+            self._reply(200, out)
 
         def log_message(self, *a):  # quiet
             pass

@@ -377,3 +377,38 @@ def test_incongruent_updates_are_rejected(spark, tmp_path):
             "ValidationException",
         )
         assert not os.path.exists(v2)
+
+
+# ------------------------------------------------- read path: loadTable
+
+
+def test_load_table_discovery_round_trip(spark, tmp_path):
+    """Table DISCOVERY through the catalog: commit via REST, then
+    resolve the table by NAME (GET LoadTableResult) and read it from the
+    returned metadata-location — the reader never needs the storage
+    layout a priori."""
+    import os
+
+    with rest_catalog_server(token="tok") as (endpoint, _stats):
+        root = str(tmp_path / "disco")
+        c = IcebergRestCatalogCommitter(endpoint, token="tok")
+        with use_committer(c):
+            write_iceberg_append(_df(spark, 0, 5).coalesce(1), root)
+            write_iceberg_position_deletes(spark, root, F.col("id") == 4)
+        loaded = c.load_table("disco")
+        meta_loc = loaded["metadata-location"]
+        assert meta_loc.endswith(".metadata.json")
+        # the returned location IS the latest committed version
+        assert os.path.exists(meta_loc)
+        table_root = os.path.dirname(os.path.dirname(meta_loc))
+        got = sorted(
+            r.id for r in read_iceberg_snapshot(spark, table_root).collect()
+        )
+        assert got == [0, 1, 2, 3]
+        # spec LoadTableResult carries the metadata body too
+        assert loaded["metadata"]["table-uuid"]
+        with pytest.raises(KeyError, match="no table"):
+            c.load_table("never-committed")
+        bad = IcebergRestCatalogCommitter(endpoint, token="wrong")
+        with pytest.raises(RuntimeError, match="HTTP 401"):
+            bad.load_table("disco")
