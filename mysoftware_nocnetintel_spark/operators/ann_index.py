@@ -142,7 +142,7 @@ def append_to_ivf_index(
     rebuilding). ``txn`` passes through to the format's idempotent-commit
     support for exactly-once batch registration."""
     p = read_ann_params(path)
-    cents = [(i, c) for i, c in enumerate(p["centroids"])]
+    cents = _live_centroids(p)  # retired slots never take new vectors
     assigned = ivf_assign(df, cents, vec_col).select(
         "cell",
         F.col(id_col).alias("vec_id"),
@@ -153,18 +153,31 @@ def append_to_ivf_index(
     )
 
 
+def _live_centroids(params: dict) -> list[tuple[int, list[float]]]:
+    """(cell_id, centroid) pairs, skipping RETIRED slots (``None`` —
+    written by :func:`rebalance_ivf_index` when it splits a hot cell;
+    the list index stays the cell id forever, so splits never shift
+    other cells' identities)."""
+    return [
+        (i, c) for i, c in enumerate(params["centroids"]) if c is not None
+    ]
+
+
 def _probe_cells_np(
     qrows: list, centroids: list[list[float]], nprobe: int
 ) -> dict:
-    """qid -> nprobe nearest cell ids (ascending L2, ties to lower cell) —
-    numpy over driver-side metadata, the serving-path analogue of
-    similarity._probe_cells_literal (same tie-break). Distances accumulate
+    """qid -> nprobe nearest LIVE cell ids (ascending L2, ties to lower
+    cell) — numpy over driver-side metadata, the serving-path analogue
+    of similarity._probe_cells_literal (same tie-break; retired ``None``
+    slots are never probed). Distances accumulate
     component-by-component in ELEMENT ORDER (not numpy pairwise
     summation), reproducing the SQL aggregate fold's rounding exactly —
     near-tie centroid distances must not rank differently here than in
     the batch operator, or the parity guarantee breaks on adversarial
     inputs."""
-    C = np.asarray(centroids, dtype=np.float64)
+    live = [(i, c) for i, c in enumerate(centroids) if c is not None]
+    ids = np.asarray([i for i, _ in live], dtype=np.int64)
+    C = np.asarray([c for _, c in live], dtype=np.float64)
     out: dict = {}
     for qid, qv in qrows:
         q = np.asarray(qv, dtype=np.float64)
@@ -172,8 +185,8 @@ def _probe_cells_np(
         for j in range(C.shape[1]):
             diff = q[j] - C[:, j]
             acc = acc + diff * diff  # left-to-right fold per cell
-        order = np.lexsort((np.arange(len(C)), acc))
-        out[qid] = [int(c) for c in order[:nprobe]]
+        order = np.lexsort((ids, acc))
+        out[qid] = [int(ids[c]) for c in order[:nprobe]]
     return out
 
 
@@ -279,3 +292,172 @@ def query_ivf_index(
         .filter(F.col("rn") <= k)
         .select(query_id, "vec_id", "score", "rn")
     )
+
+
+def _delete_cells(spark, path: str, fmt: str, cells: list[int]) -> None:
+    """GC the rows of retired cells through the format's ordinary
+    delete verbs (the index is a table; no index-specific machinery)."""
+    if not cells:
+        return
+    ids = ",".join(str(int(c)) for c in sorted(cells))
+    if fmt == "delta":
+        from ..sources.delta import delete_delta_rows
+
+        delete_delta_rows(spark, path, f"cell IN ({ids})")
+    elif fmt == "iceberg":
+        from ..sources.iceberg import write_iceberg_position_deletes
+
+        write_iceberg_position_deletes(
+            spark, path, F.col("cell").isin([int(c) for c in cells])
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown table_format {fmt!r}")
+
+
+def rebalance_ivf_index(
+    spark: SparkSession,
+    path: str,
+    max_rows_per_cell: int | None = None,
+    split_factor: int = 2,
+) -> dict:
+    """SPLIT HOT CELLS — the skew-maintenance verb a 100 TB IVF index
+    needs: real embedding distributions are lumpy, and one hot cell
+    breaks the ``nprobe/n_cells`` cost model (every query probing it
+    scans a large fraction of the corpus). This verb re-clusters ONLY
+    the oversized cells (seeded k-means within each, ``split_factor``
+    sub-centroids), moves only their vectors, and leaves every other
+    cell's files untouched — the per-group incremental-maintenance
+    posture of the lakehouse rewrites.
+
+    ZERO-DOWNTIME ordering — the SIDECAR SWAP is the atomic visibility
+    switch (``os.replace``), so serving is correct at every instant:
+
+    1. GC sweep: rows of already-retired cells (a prior run's crash
+       window 3) are deleted first — they are invisible to probes either
+       way.
+    2. For each oversized cell, append its vectors re-assigned under NEW
+       cell ids (appended to the centroid list; parent ids are never
+       reused) with an idempotent txn — a crashed run's replay skips
+       completed appends. The new cells are NOT in the sidecar yet, so
+       partition pruning keeps them invisible; a concurrent reader still
+       probes the parent and sees every vector exactly once.
+    3. Swap the sidecar: parent slots become ``None`` (retired — list
+       indexes stay cell ids forever), sub-centroids appended. From this
+       instant probes route to the sub-cells, whose rows are already
+       committed; parent rows become unreachable (pruned).
+    4. GC the parent rows through the format's ordinary delete verb. A
+       crash before this leaves dead-but-unprobeable rows that the next
+       run's sweep (step 1) removes.
+
+    ``max_rows_per_cell`` defaults to 2x the mean live-cell population.
+    Returns ``{"split": {parent: [new ids]}, "moved": n, "gc_cells":
+    [...]}. Counting is a full-column scan of (cell) here; a deployment
+    can read the same counts from add.stats / manifest row counts
+    without touching data."""
+    import math
+
+    p = read_ann_params(path)
+    fmt = p.get("table_format", "delta")
+    if fmt == "delta":
+        from ..sources.readers import read_delta_snapshot as _rdr
+    else:
+        from ..sources.readers import read_iceberg_snapshot as _rdr
+
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in _rdr(spark, path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    retired = [
+        i for i, c in enumerate(p["centroids"]) if c is None
+    ]
+    sweep = [c for c in retired if counts.get(c)]
+    _delete_cells(spark, path, fmt, sweep)  # step 1: GC prior crashes
+
+    live = _live_centroids(p)
+    live_counts = [counts.get(i, 0) for i, _ in live]
+    if max_rows_per_cell is None:
+        mean = (sum(live_counts) / max(len(live), 1)) if live else 0
+        max_rows_per_cell = max(1, math.ceil(2 * mean))
+    oversized = sorted(
+        i
+        for i, _ in live
+        if counts.get(i, 0) > max_rows_per_cell
+    )
+    if not oversized:
+        return {"split": {}, "moved": 0, "gc_cells": sweep,
+                "unsplittable": []}
+
+    base = len(p["centroids"])  # new ids start here; generation marker
+    centroids = [list(c) if c is not None else None for c in p["centroids"]]
+    split: dict[int, list[int]] = {}
+    unsplittable: list[int] = []
+    moved = 0
+    next_id = base
+    for parent in oversized:
+        cell_df = _read_cell(spark, path, fmt, parent).select(
+            "vec_id", "embedding"
+        )
+        subs = ivf_centroids(
+            cell_df,
+            "embedding",
+            split_factor,
+            seed=int(p.get("seed", 42)) + 7919 * (parent + 1),
+            as_list=True,
+        )
+        pairs = [
+            (next_id + j, list(vec)) for j, (_, vec) in enumerate(subs)
+        ]
+        assigned = ivf_assign(cell_df, pairs, "embedding").select(
+            "cell",
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        # unsplittable guard: if every vector lands in ONE sub (a blob
+        # denser than k-means can separate), splitting would retire the
+        # parent for an identically-hot child — and the next run would
+        # split THAT, growing the centroid list forever. Leave the cell
+        # alone; a blob of near-identical vectors needs dedup, not cells.
+        sub_counts = {
+            int(r["cell"]): int(r["n"])
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if len(sub_counts) < 2:
+            unsplittable.append(parent)
+            continue
+        # step 2: idempotent append — app id pinned to this generation,
+        # version to the parent, so a crash-replay skips completed cells
+        _write_table(
+            assigned, path, fmt, txn=(f"ann-rebalance-{base}", parent)
+        )
+        split[parent] = [i for i, _ in pairs]
+        moved += counts.get(parent, 0)
+        for cid, vec in pairs:
+            assert cid == len(centroids)
+            centroids.append([float(x) for x in vec])
+        centroids[parent] = None  # retire (visibility flips at swap)
+        next_id += len(pairs)
+
+    if not split:
+        return {"split": {}, "moved": 0, "gc_cells": sweep,
+                "unsplittable": unsplittable}
+
+    # step 3: ATOMIC sidecar swap — the visibility switch
+    new_params = dict(
+        p,
+        centroids=centroids,
+        rebalance_generation=base,
+    )
+    tmp = _params_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(new_params, f)
+    os.replace(tmp, _params_path(path))
+
+    # step 4: GC the parents (idempotent; next run sweeps on crash)
+    _delete_cells(spark, path, fmt, sorted(split))
+    return {"split": split, "moved": moved, "gc_cells": sweep,
+            "unsplittable": unsplittable}

@@ -1,0 +1,251 @@
+"""IVF index REBALANCE (round 9): hot-cell splits with the sidecar swap
+as the atomic visibility switch. Real embedding distributions are
+lumpy; one hot cell breaks the nprobe/n_cells cost model, and the fix
+must move ONLY the hot cell's vectors (incremental maintenance) while
+serving stays correct at every instant of the operation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysoftware_nocnetintel_spark.operators import ann_index as AI
+from mysoftware_nocnetintel_spark.sources.readers import (
+    read_delta_snapshot,
+    read_iceberg_snapshot,
+)
+
+DIM = 8
+
+
+def _corpus_rows():
+    """Deterministic lumpy corpus: 150 vectors in one tight blob (the
+    hot cell), 50 spread far apart — k-means puts one centroid on the
+    blob and the rest among the spread."""
+    rows = []
+    for i in range(150):  # tight blob around (10, 10, ...)
+        eps = (i % 7) * 1e-3
+        rows.append((i, [10.0 + eps, 10.0 - eps] + [0.5] * (DIM - 2)))
+    for i in range(150, 200):  # well-separated spread
+        j = i - 150
+        rows.append(
+            (
+                i,
+                [float(5 * (j % 8)) - 20.0, float(5 * (j // 8)) + 20.0]
+                + [float((j * 3) % 11) - 5.0] * (DIM - 2),
+            )
+        )
+    return rows
+
+
+def _build(spark, tmp_path, fmt):
+    df = spark.createDataFrame(
+        _corpus_rows(), "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / f"ann_{fmt}")
+    AI.build_ivf_index(df, path, n_cells=4, table_format=fmt)
+    return df, path
+
+
+def _queries(spark, n=6):
+    rows = [(qid, vec) for qid, vec in _corpus_rows()[:n]]
+    return spark.createDataFrame(
+        rows, "qid bigint, qv array<double>"
+    )
+
+
+def _topk(spark, path, k=3):
+    """Exhaustive serving (nprobe = all live cells) — exact results, so
+    pre/post-rebalance outputs must be IDENTICAL row-for-row."""
+    p = AI.read_ann_params(path)
+    nprobe = len(AI._live_centroids(p))
+    return sorted(
+        (r.qid, r.rn, r.vec_id, round(r.score, 9))
+        for r in AI.query_ivf_index(
+            spark, _queries(spark), path, k=k, nprobe=nprobe
+        ).collect()
+    )
+
+
+def _cell_counts(spark, path, fmt):
+    rdr = read_delta_snapshot if fmt == "delta" else read_iceberg_snapshot
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in rdr(spark, path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_rebalance_splits_hot_cell_and_serving_is_identical(
+    spark, tmp_path, fmt
+):
+    _df, path = _build(spark, tmp_path, fmt)
+    before_counts = _cell_counts(spark, path, fmt)
+    hot = max(before_counts, key=before_counts.get)
+    hot_n = before_counts[hot]
+    assert hot_n >= 150, before_counts  # the blob (plus strays) is one cell
+    before = _topk(spark, path)
+
+    report = AI.rebalance_ivf_index(spark, path)  # default 2x-mean gate
+    assert list(report["split"].keys()) == [hot]
+    new_ids = report["split"][hot]
+    assert len(new_ids) == 2 and report["moved"] == hot_n
+
+    p = AI.read_ann_params(path)
+    assert p["centroids"][hot] is None  # retired, identity preserved
+    assert len(p["centroids"]) == 4 + 2
+    after_counts = _cell_counts(spark, path, fmt)
+    assert hot not in after_counts  # parent rows GC'd
+    assert sum(after_counts.get(c, 0) for c in new_ids) == hot_n
+    assert all(after_counts.get(c, 0) < hot_n for c in new_ids)
+    assert sum(after_counts.values()) == 200  # nothing lost, nothing duped
+
+    # exhaustive serving before == after (the index is the same corpus)
+    assert _topk(spark, path) == before
+
+    # untouched cells kept their files: only the hot partition changed
+    quiet = [c for c in before_counts if c != hot]
+    for c in quiet:
+        assert after_counts.get(c) == before_counts[c]
+
+
+def test_append_after_rebalance_never_targets_retired_cell(
+    spark, tmp_path
+):
+    _df, path = _build(spark, tmp_path, "delta")
+    hot = max(_cell_counts(spark, path, "delta").items(), key=lambda kv: kv[1])[0]
+    AI.rebalance_ivf_index(spark, path)
+    fresh = spark.createDataFrame(
+        [(1000 + i, [10.0 + i * 1e-4, 10.0] + [0.5] * (DIM - 2))
+         for i in range(5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    AI.append_to_ivf_index(fresh, path)
+    counts = _cell_counts(spark, path, "delta")
+    assert hot not in counts, "append routed vectors into a retired cell"
+    assert sum(counts.values()) == 205
+    # and the appended vectors are servable (self-hit at rank 1)
+    q = spark.createDataFrame(
+        [(1000, [10.0, 10.0] + [0.5] * (DIM - 2))],
+        "qid bigint, qv array<double>",
+    )
+    got = AI.query_ivf_index(spark, q, path, k=3, nprobe=2).collect()
+    assert got and got[0].rn == 1
+
+
+def test_crash_before_sidecar_swap_is_invisible_then_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window 2->3: vectors were appended under new cell ids but
+    the sidecar never swapped. Serving MUST be byte-identical to
+    pre-rebalance (the new cells are not in the sidecar, so partition
+    pruning never opens them — no duplicates), and a rerun converges
+    without double-appending (idempotent txns)."""
+    _df, path = _build(spark, tmp_path, "delta")
+    before = _topk(spark, path)
+
+    real_replace = AI.os.replace
+
+    def exploding_replace(src, dst):
+        if dst.endswith(AI._PARAMS_FILE):
+            raise RuntimeError("injected crash before sidecar swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(AI.os, "replace", exploding_replace)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AI.rebalance_ivf_index(spark, path)
+    monkeypatch.setattr(AI.os, "replace", real_replace)
+
+    # duplicates exist ON DISK (parent + new cells)...
+    hot_n = max(_cell_counts(spark, path, "delta").values())
+    assert sum(_cell_counts(spark, path, "delta").values()) == 200 + hot_n
+    # ...but serving is unchanged and duplicate-free
+    mid = _topk(spark, path)
+    assert mid == before
+    seen = [(q, v) for q, _, v, _ in mid]
+    assert len(seen) == len(set(seen)), "duplicate vec_id served"
+
+    # rerun: txn-skip on the completed append, swap + GC complete
+    report = AI.rebalance_ivf_index(spark, path)
+    assert report["moved"] == hot_n
+    assert sum(_cell_counts(spark, path, "delta").values()) == 200
+    assert _topk(spark, path) == before
+
+
+def test_crash_before_parent_gc_is_swept_by_next_run(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window 3->4: sidecar swapped but parent rows not deleted.
+    The dead rows are unprobeable (retired cells are never probed), and
+    the NEXT run's sweep removes them."""
+    _df, path = _build(spark, tmp_path, "delta")
+    before = _topk(spark, path)
+    hot, hot_n = max(
+        _cell_counts(spark, path, "delta").items(), key=lambda kv: kv[1]
+    )
+
+    real_delete = AI._delete_cells
+    calls = {"n": 0}
+
+    def crashing_delete(spark_, path_, fmt_, cells_):
+        if cells_ == [hot] or cells_ == sorted([hot]):
+            calls["n"] += 1
+            raise RuntimeError("injected crash before parent GC")
+        return real_delete(spark_, path_, fmt_, cells_)
+
+    monkeypatch.setattr(AI, "_delete_cells", crashing_delete)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AI.rebalance_ivf_index(spark, path)
+    monkeypatch.setattr(AI, "_delete_cells", real_delete)
+    assert calls["n"] == 1
+
+    # sidecar DID swap: serving routes to the sub-cells, dead parent
+    # rows are unreachable, results unchanged and duplicate-free
+    assert AI.read_ann_params(path)["centroids"][hot] is None
+    assert sum(_cell_counts(spark, path, "delta").values()) == 200 + hot_n
+    assert _topk(spark, path) == before
+
+    # next run (threshold high enough that nothing re-splits): the
+    # sweep GCs the dead parent rows first
+    report = AI.rebalance_ivf_index(spark, path, max_rows_per_cell=10_000)
+    assert report["split"] == {} and report["gc_cells"] == [hot]
+    assert sum(_cell_counts(spark, path, "delta").values()) == 200
+    assert _topk(spark, path) == before
+
+
+def test_rebalance_noop_below_threshold(spark, tmp_path):
+    _df, path = _build(spark, tmp_path, "delta")
+    report = AI.rebalance_ivf_index(spark, path, max_rows_per_cell=10_000)
+    assert report == {
+        "split": {}, "moved": 0, "gc_cells": [], "unsplittable": []
+    }
+    assert len(AI.read_ann_params(path)["centroids"]) == 4
+
+
+def test_unsplittable_blob_is_left_alone(spark, tmp_path):
+    """A cell of IDENTICAL vectors cannot be improved by splitting —
+    k-means routes every vector to one sub. The verb must refuse the
+    split (or it would retire the parent for an identically-hot child
+    and grow the centroid list forever across runs)."""
+    rows = [(i, [3.0, 4.0] + [1.0] * (DIM - 2)) for i in range(80)]
+    rows += [
+        (100 + j, [-50.0, 60.0] + [7.0] * (DIM - 2)) for j in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "blob")
+    AI.build_ivf_index(df, path, n_cells=2, table_format="delta")
+    counts = _cell_counts(spark, path, "delta")
+    hot = max(counts, key=counts.get)
+    assert counts[hot] == 80  # the identical blob, pure
+    report = AI.rebalance_ivf_index(spark, path, max_rows_per_cell=50)
+    assert report["split"] == {} and hot in report["unsplittable"]
+    p = AI.read_ann_params(path)
+    assert p["centroids"][hot] is not None  # NOT retired
+    assert len(p["centroids"]) == 2  # centroid list did not grow
+    assert _cell_counts(spark, path, "delta") == counts  # nothing moved
