@@ -13,6 +13,8 @@ property a catalog that materializes metadata itself depends on.
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -412,3 +414,127 @@ def test_load_table_discovery_round_trip(spark, tmp_path):
         bad = IcebergRestCatalogCommitter(endpoint, token="wrong")
         with pytest.raises(RuntimeError, match="HTTP 401"):
             bad.load_table("disco")
+
+
+# ------------------------------------------- property fuzz: diff∘replay
+
+
+def test_diff_replay_congruence_fuzz():
+    """Property: for ANY engine-shaped metadata transition, replaying
+    diff_iceberg_metadata's update actions onto the prior reproduces the
+    new artifact (congruence == []). Randomized over snapshot adds/
+    removals, main moves, named-ref create/move/drop, property set/
+    remove, schema widening, spec addition — seeded, 200 cases."""
+    import random
+
+    from mysoftware_nocnetintel_spark.sources.rest_spec import (
+        _refs_view,
+    )
+
+    rng = random.Random(20260816)
+
+    def mk_schema(sid, n_fields):
+        return {
+            "type": "struct",
+            "schema-id": sid,
+            "fields": [
+                {"id": i + 1, "name": f"c{i}", "type": "long",
+                 "required": False}
+                for i in range(n_fields)
+            ],
+        }
+
+    for case in range(200):
+        n_snaps = rng.randint(1, 5)
+        snaps = [
+            {"snapshot-id": 100 + i, "sequence-number": i + 1}
+            for i in range(n_snaps)
+        ]
+        prior = {
+            "format-version": 2,
+            "table-uuid": f"u-{case}",
+            "location": "/t",
+            "snapshots": snaps,
+            "current-snapshot-id": snaps[-1]["snapshot-id"],
+            "schemas": [mk_schema(0, rng.randint(1, 3))],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "properties": {
+                k: f"v{rng.randint(0, 3)}"
+                for k in rng.sample(["a", "b", "c", "d"], rng.randint(0, 3))
+            },
+        }
+        if rng.random() < 0.4:
+            prior["refs"] = {
+                "pin": {"snapshot-id": snaps[0]["snapshot-id"],
+                        "type": "tag"}
+            }
+
+        new = json.loads(json.dumps(prior))  # deep copy
+        # mutate: maybe add a snapshot (and usually move main to it)
+        if rng.random() < 0.8:
+            sid = 1000 + case
+            new["snapshots"] = new["snapshots"] + [
+                {"snapshot-id": sid,
+                 "sequence-number": n_snaps + 1}
+            ]
+            if rng.random() < 0.9:
+                new["current-snapshot-id"] = sid
+        # maybe expire the oldest non-current snapshot
+        if rng.random() < 0.4 and len(new["snapshots"]) > 2:
+            keep_ids = {new["current-snapshot-id"]} | {
+                r["snapshot-id"] for r in _refs_view(new).values()
+                if isinstance(r, dict) and "snapshot-id" in r
+            }
+            victims = [s for s in new["snapshots"]
+                       if s["snapshot-id"] not in keep_ids]
+            if victims:
+                new["snapshots"] = [
+                    s for s in new["snapshots"] if s != victims[0]
+                ]
+        # maybe create/move/drop a named ref (to a live snapshot)
+        r = rng.random()
+        live_ids = [s["snapshot-id"] for s in new["snapshots"]]
+        if r < 0.3:
+            new.setdefault("refs", {})["aux"] = {
+                "snapshot-id": rng.choice(live_ids), "type": "branch"
+            }
+        elif r < 0.4 and new.get("refs"):
+            new["refs"] = {}
+        # maybe touch properties
+        if rng.random() < 0.5:
+            props = dict(new.get("properties") or {})
+            if props and rng.random() < 0.5:
+                props.pop(sorted(props)[0])
+            else:
+                props[f"k{case % 5}"] = "x"
+            new["properties"] = props
+        # maybe widen the current schema in place (engine convention)
+        if rng.random() < 0.3:
+            cur = new["schemas"][0]
+            new["schemas"] = [mk_schema(0, len(cur["fields"]) + 1)]
+        # maybe evolve the partition spec
+        if rng.random() < 0.2:
+            new["partition-specs"] = new["partition-specs"] + [
+                {"spec-id": 1,
+                 "fields": [{"name": "c0_bucket", "transform": "bucket[4]",
+                             "source-id": 1, "field-id": 1000}]}
+            ]
+            new["default-spec-id"] = 1
+
+        reqs, upds = diff_iceberg_metadata(prior, new)
+        derived = apply_table_updates(prior, upds)
+        mism = congruence_mismatches(derived, new)
+        assert mism == [], (case, mism, upds)
+        # requirements always carry the uuid; every modified ref asserted
+        assert {"type": "assert-table-uuid",
+                "uuid": prior["table-uuid"]} in reqs
+        before_refs, after_refs = _refs_view(prior), _refs_view(new)
+        for name in set(before_refs) | set(after_refs):
+            if before_refs.get(name) != after_refs.get(name):
+                assert any(
+                    q["type"] == "assert-ref-snapshot-id"
+                    and q["ref"] == name
+                    for q in reqs
+                ), (case, name, reqs)
