@@ -345,13 +345,18 @@ def rebalance_ivf_index(
        indexes stay cell ids forever), sub-centroids appended. From this
        instant probes route to the sub-cells, whose rows are already
        committed; parent rows become unreachable (pruned).
+    3b. RESCUE: a concurrent append landing between the parent read
+       and the swap sits unmoved in the (now frozen) parent cell; an
+       anti-join against the sub-cells identifies those late arrivals
+       exactly and reassigns them under an idempotent rescue txn —
+       without this, step 4 would lose them.
     4. GC the parent rows through the format's ordinary delete verb. A
        crash before this leaves dead-but-unprobeable rows that the next
        run's sweep (step 1) removes.
 
     ``max_rows_per_cell`` defaults to 2x the mean live-cell population.
-    Returns ``{"split": {parent: [new ids]}, "moved": n, "gc_cells":
-    [...]}. Counting is a full-column scan of (cell) here; a deployment
+    Returns ``{"split": {parent: [new ids]}, "moved": n, "rescued": n,
+    "gc_cells": [...]}. Counting is a full-column scan of (cell) here; a deployment
     can read the same counts from add.stats / manifest row counts
     without touching data."""
     import math
@@ -387,7 +392,7 @@ def rebalance_ivf_index(
         if counts.get(i, 0) > max_rows_per_cell
     )
     if not oversized:
-        return {"split": {}, "moved": 0, "gc_cells": sweep,
+        return {"split": {}, "moved": 0, "rescued": 0, "gc_cells": sweep,
                 "unsplittable": []}
 
     base = len(p["centroids"])  # new ids start here; generation marker
@@ -443,7 +448,7 @@ def rebalance_ivf_index(
         next_id += len(pairs)
 
     if not split:
-        return {"split": {}, "moved": 0, "gc_cells": sweep,
+        return {"split": {}, "moved": 0, "rescued": 0, "gc_cells": sweep,
                 "unsplittable": unsplittable}
 
     # step 3: ATOMIC sidecar swap — the visibility switch
@@ -457,7 +462,41 @@ def rebalance_ivf_index(
         json.dump(new_params, f)
     os.replace(tmp, _params_path(path))
 
+    # step 3b: RESCUE the race window. A concurrent append that landed
+    # between this run's parent read (step 2) and the sidecar swap
+    # (step 3) sits in the parent cell, unmoved — and step 4's delete
+    # would LOSE it. Post-swap the parent set is FROZEN (appenders
+    # re-read the sidecar per batch, and retired cells never take new
+    # vectors), so an anti-join of the parent's current rows against
+    # the sub-cells' ids identifies the late arrivals exactly; they are
+    # reassigned under an idempotent rescue txn before the delete. The
+    # join is bounded by the hot cell's size — distributed, no driver
+    # materialization.
+    rescued = 0
+    for parent, new_ids in split.items():
+        cur = _read_cell(spark, path, fmt, parent).select(
+            "vec_id", "embedding"
+        )
+        moved_ids = None
+        for c in new_ids:
+            s = _read_cell(spark, path, fmt, c).select("vec_id")
+            moved_ids = s if moved_ids is None else moved_ids.unionByName(s)
+        late = cur.join(moved_ids, "vec_id", "left_anti")
+        pairs = [(c, centroids[c]) for c in new_ids]
+        late_assigned = ivf_assign(late, pairs, "embedding").select(
+            "cell",
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        n_late = late_assigned.count()
+        if n_late:
+            _write_table(
+                late_assigned, path, fmt,
+                txn=(f"ann-rebalance-rescue-{base}", parent),
+            )
+            rescued += n_late
+
     # step 4: GC the parents (idempotent; next run sweeps on crash)
     _delete_cells(spark, path, fmt, sorted(split))
-    return {"split": split, "moved": moved, "gc_cells": sweep,
-            "unsplittable": unsplittable}
+    return {"split": split, "moved": moved, "rescued": rescued,
+            "gc_cells": sweep, "unsplittable": unsplittable}

@@ -221,7 +221,8 @@ def test_rebalance_noop_below_threshold(spark, tmp_path):
     _df, path = _build(spark, tmp_path, "delta")
     report = AI.rebalance_ivf_index(spark, path, max_rows_per_cell=10_000)
     assert report == {
-        "split": {}, "moved": 0, "gc_cells": [], "unsplittable": []
+        "split": {}, "moved": 0, "rescued": 0, "gc_cells": [],
+        "unsplittable": [],
     }
     assert len(AI.read_ann_params(path)["centroids"]) == 4
 
@@ -249,3 +250,53 @@ def test_unsplittable_blob_is_left_alone(spark, tmp_path):
     assert p["centroids"][hot] is not None  # NOT retired
     assert len(p["centroids"]) == 2  # centroid list did not grow
     assert _cell_counts(spark, path, "delta") == counts  # nothing moved
+
+
+def test_concurrent_append_in_swap_window_is_rescued(
+    spark, tmp_path, monkeypatch
+):
+    """The race the rescue pass exists for: an append commits INTO the
+    parent cell between the rebalance's parent read and the sidecar
+    swap (it was assigned under the old sidecar, where the parent was
+    still live). Without the rescue, the parent GC would delete those
+    vectors. Simulated by hooking the sidecar swap to inject the late
+    rows first."""
+    _df, path = _build(spark, tmp_path, "delta")
+    counts0 = _cell_counts(spark, path, "delta")
+    hot = max(counts0, key=counts0.get)
+
+    late = spark.createDataFrame(
+        [(9000 + i, [10.0 + i * 1e-4, 10.0] + [0.5] * (DIM - 2))
+         for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    ).withColumn("cell", AI.F.lit(hot).cast("int")).select(
+        "cell", "vec_id", "embedding"
+    )
+
+    real_replace = AI.os.replace
+    fired = {"n": 0}
+
+    def racing_replace(src, dst):
+        if dst.endswith(AI._PARAMS_FILE) and fired["n"] == 0:
+            fired["n"] = 1
+            # the concurrent appender's commit, assigned under the OLD
+            # sidecar (parent still live), landing just before the swap
+            AI._write_table(late, path, "delta")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(AI.os, "replace", racing_replace)
+    report = AI.rebalance_ivf_index(spark, path)
+    monkeypatch.setattr(AI.os, "replace", real_replace)
+    assert fired["n"] == 1
+    assert report["rescued"] == 4, report
+
+    counts = _cell_counts(spark, path, "delta")
+    assert hot not in counts  # parent fully GC'd
+    assert sum(counts.values()) == 204  # nothing lost, nothing duped
+    # the late vectors are servable from the sub-cells
+    q = spark.createDataFrame(
+        [(9000, [10.0, 10.0] + [0.5] * (DIM - 2))],
+        "qid bigint, qv array<double>",
+    )
+    got = AI.query_ivf_index(spark, q, path, k=204, nprobe=2).collect()
+    assert {9000, 9001, 9002, 9003} <= {r.vec_id for r in got}
