@@ -314,6 +314,64 @@ def _delete_cells(spark, path: str, fmt: str, cells: list[int]) -> None:
         raise ValueError(f"unknown table_format {fmt!r}")
 
 
+def _read_cell_or_none(spark, path, fmt, cell: int):
+    """A cell's rows, or None when the cell has no files (legal: an
+    empty sub-cell, or a partition fully GC'd)."""
+    try:
+        return _read_cell(spark, path, fmt, cell)
+    except ValueError:
+        return None
+
+
+def _rescue_then_gc(
+    spark, path: str, fmt: str, parent: int, sub_ids: list[int],
+    centroids: list,
+) -> int:
+    """Move any rows still sitting in RETIRED cell ``parent`` to its
+    sub-cells, then delete the parent's rows. The anti-join against the
+    sub-cells' ids is the idempotency mechanism (no txn needed: a
+    replayed rescue finds its previously committed rows in the
+    sub-cells and computes an empty late set), and it is what makes the
+    whole rebalance loss-free: ANY row that escapes one pass — a
+    concurrent append that read the pre-swap sidecar and committed
+    after the anti-join materialized survives the MOR delete (position/
+    DV deletes only mask rows of files their snapshot READ; later files
+    are untouched) — is still in the retired cell next run, and this
+    same function rescues it then. Returns the number rescued."""
+    cur = _read_cell_or_none(spark, path, fmt, parent)
+    if cur is None:
+        return 0
+    cur = cur.select("vec_id", "embedding")
+    moved_ids = None
+    for c in sub_ids:
+        s = _read_cell_or_none(spark, path, fmt, c)
+        if s is None:
+            continue
+        s = s.select("vec_id")
+        moved_ids = s if moved_ids is None else moved_ids.unionByName(s)
+    late = cur if moved_ids is None else cur.join(
+        moved_ids, "vec_id", "left_anti"
+    )
+    pairs = [
+        (c, centroids[c]) for c in sub_ids if centroids[c] is not None
+    ]
+    if not pairs:
+        raise RuntimeError(
+            f"retired cell {parent} has rows but no live sub-cells "
+            f"recorded — index metadata is inconsistent; rebuild"
+        )
+    late_assigned = ivf_assign(late, pairs, "embedding").select(
+        "cell",
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    ).localCheckpoint(eager=False)  # feeds count AND write: one compute
+    n_late = late_assigned.count()
+    if n_late:
+        _write_table(late_assigned, path, fmt)
+    _delete_cells(spark, path, fmt, [parent])
+    return n_late
+
+
 def rebalance_ivf_index(
     spark: SparkSession,
     path: str,
@@ -323,42 +381,56 @@ def rebalance_ivf_index(
     """SPLIT HOT CELLS — the skew-maintenance verb a 100 TB IVF index
     needs: real embedding distributions are lumpy, and one hot cell
     breaks the ``nprobe/n_cells`` cost model (every query probing it
-    scans a large fraction of the corpus). This verb re-clusters ONLY
-    the oversized cells (seeded k-means within each, ``split_factor``
-    sub-centroids), moves only their vectors, and leaves every other
-    cell's files untouched — the per-group incremental-maintenance
-    posture of the lakehouse rewrites.
+    scans a large fraction of the corpus). Only the oversized cells'
+    vectors move (seeded k-means within each, ``split_factor``
+    sub-centroids); every other cell's files are untouched — the
+    per-group incremental-maintenance posture of the lakehouse rewrites.
 
-    ZERO-DOWNTIME ordering — the SIDECAR SWAP is the atomic visibility
-    switch (``os.replace``), so serving is correct at every instant:
+    Each hot cell is its own GENERATION, processed to completion before
+    the next (sub-cell ids are allocated from the sidecar as it stands
+    at that cell's turn, so a crash-replay with a DIFFERENT oversized
+    set can never collide ids across parents). Per parent, the SIDECAR
+    SWAP is the atomic visibility switch (``os.replace``) and serving
+    is correct at every instant:
 
-    1. GC sweep: rows of already-retired cells (a prior run's crash
-       window 3) are deleted first — they are invisible to probes either
-       way.
-    2. For each oversized cell, append its vectors re-assigned under NEW
-       cell ids (appended to the centroid list; parent ids are never
-       reused) with an idempotent txn — a crashed run's replay skips
-       completed appends. The new cells are NOT in the sidecar yet, so
-       partition pruning keeps them invisible; a concurrent reader still
-       probes the parent and sees every vector exactly once.
-    3. Swap the sidecar: parent slots become ``None`` (retired — list
-       indexes stay cell ids forever), sub-centroids appended. From this
-       instant probes route to the sub-cells, whose rows are already
-       committed; parent rows become unreachable (pruned).
-    3b. RESCUE: a concurrent append landing between the parent read
-       and the swap sits unmoved in the (now frozen) parent cell; an
-       anti-join against the sub-cells identifies those late arrivals
-       exactly and reassigns them under an idempotent rescue txn —
-       without this, step 4 would lose them.
-    4. GC the parent rows through the format's ordinary delete verb. A
-       crash before this leaves dead-but-unprobeable rows that the next
-       run's sweep (step 1) removes.
+    0. GHOST sweep: rows in cells the sidecar does not know (a prior
+       run crashed after its append but before its swap) are deleted —
+       their vectors still live in the unswapped parent, and the cell
+       ids are about to be reallocated.
+    1. RETIRED sweep: retired cells that still hold rows (a prior run
+       crashed between swap and GC) are rescue-then-GC'd using the
+       sidecar's recorded ``retired`` map — late arrivals move to the
+       sub-cells before the delete, so nothing is ever lost.
+    2. Append the parent's vectors re-assigned under NEW cell ids with
+       an idempotent txn (app per parent, version = first sub id —
+       monotone, and the high-water-mark skip can only fire for THIS
+       parent's own completed append). Not yet in the sidecar → pruned
+       → invisible; a concurrent reader still probes the parent.
+    3. Swap the sidecar: the parent slot becomes ``None`` (retired —
+       list indexes stay cell ids forever), sub-centroids appended,
+       ``retired[parent] = sub ids`` recorded for future sweeps.
+    4. Rescue-then-GC the parent (:func:`_rescue_then_gc`): the
+       anti-join moves any append that raced the swap window; the MOR
+       delete masks only files its snapshot read, so even an append
+       committing mid-rescue survives into the next run's sweep.
+
+    If the txn skip fires on an append whose rows the ghost sweep
+    deleted (same parent, same first-sub-id, rows gone), the rescue
+    pass re-moves the ENTIRE parent — the anti-join sees empty
+    sub-cells — so the skip can never strand vectors.
+
+    An UNSPLITTABLE guard refuses splits where k-means routes every
+    vector to one sub (a blob of near-identical vectors needs dedup,
+    not more cells — splitting would grow the centroid list forever
+    across runs). Retired cells are never probed and never take
+    appends.
 
     ``max_rows_per_cell`` defaults to 2x the mean live-cell population.
     Returns ``{"split": {parent: [new ids]}, "moved": n, "rescued": n,
-    "gc_cells": [...]}. Counting is a full-column scan of (cell) here; a deployment
-    can read the same counts from add.stats / manifest row counts
-    without touching data."""
+    "gc_cells": [...], "unsplittable": [...]}``. Counting is a
+    full-column scan of (cell) here; a deployment can read the same
+    counts from add.stats / manifest row counts without touching
+    data."""
     import math
 
     p = read_ann_params(path)
@@ -375,11 +447,27 @@ def rebalance_ivf_index(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    retired = [
-        i for i, c in enumerate(p["centroids"]) if c is None
-    ]
-    sweep = [c for c in retired if counts.get(c)]
-    _delete_cells(spark, path, fmt, sweep)  # step 1: GC prior crashes
+    # step 0: ghost sweep — cells beyond the sidecar were written by a
+    # run that crashed BEFORE its swap; their vectors still live in the
+    # (unswapped) parent, so a plain delete loses nothing and frees the
+    # ids for clean reallocation
+    ghosts = sorted(c for c in counts if c >= len(p["centroids"]))
+    _delete_cells(spark, path, fmt, ghosts)
+
+    # step 1: retired sweep — rescue-then-GC via the recorded map
+    retired_map = {
+        int(k): v for k, v in (p.get("retired") or {}).items()
+    }
+    sweep = sorted(
+        c
+        for c, v in enumerate(p["centroids"])
+        if v is None and counts.get(c)
+    )
+    rescued = 0
+    for c in sweep:
+        rescued += _rescue_then_gc(
+            spark, path, fmt, c, retired_map.get(c) or [], p["centroids"]
+        )
 
     live = _live_centroids(p)
     live_counts = [counts.get(i, 0) for i, _ in live]
@@ -387,21 +475,19 @@ def rebalance_ivf_index(
         mean = (sum(live_counts) / max(len(live), 1)) if live else 0
         max_rows_per_cell = max(1, math.ceil(2 * mean))
     oversized = sorted(
-        i
-        for i, _ in live
-        if counts.get(i, 0) > max_rows_per_cell
+        i for i, _ in live if counts.get(i, 0) > max_rows_per_cell
     )
-    if not oversized:
-        return {"split": {}, "moved": 0, "rescued": 0, "gc_cells": sweep,
-                "unsplittable": []}
-
-    base = len(p["centroids"])  # new ids start here; generation marker
-    centroids = [list(c) if c is not None else None for c in p["centroids"]]
     split: dict[int, list[int]] = {}
     unsplittable: list[int] = []
     moved = 0
-    next_id = base
     for parent in oversized:
+        # fresh sidecar each turn: per-parent generations — ids allocate
+        # from the CURRENT list, and earlier parents are already final
+        p = read_ann_params(path)
+        centroids = [
+            list(c) if c is not None else None for c in p["centroids"]
+        ]
+        base = len(centroids)
         cell_df = _read_cell(spark, path, fmt, parent).select(
             "vec_id", "embedding"
         )
@@ -412,19 +498,13 @@ def rebalance_ivf_index(
             seed=int(p.get("seed", 42)) + 7919 * (parent + 1),
             as_list=True,
         )
-        pairs = [
-            (next_id + j, list(vec)) for j, (_, vec) in enumerate(subs)
-        ]
+        pairs = [(base + j, list(vec)) for j, (_, vec) in enumerate(subs)]
         assigned = ivf_assign(cell_df, pairs, "embedding").select(
             "cell",
             "vec_id",
             F.col("embedding").cast("array<double>").alias("embedding"),
-        )
-        # unsplittable guard: if every vector lands in ONE sub (a blob
-        # denser than k-means can separate), splitting would retire the
-        # parent for an identically-hot child — and the next run would
-        # split THAT, growing the centroid list forever. Leave the cell
-        # alone; a blob of near-identical vectors needs dedup, not cells.
+        ).localCheckpoint(eager=False)  # feeds guard AND write once
+        # unsplittable guard: one-sub splits can never converge
         sub_counts = {
             int(r["cell"]): int(r["n"])
             for r in assigned.groupBy("cell")
@@ -434,69 +514,38 @@ def rebalance_ivf_index(
         if len(sub_counts) < 2:
             unsplittable.append(parent)
             continue
-        # step 2: idempotent append — app id pinned to this generation,
-        # version to the parent, so a crash-replay skips completed cells
+        # step 2: idempotent append — app per PARENT, version = first
+        # sub id (monotone across generations, collision-free across
+        # parents; see the skip-vs-ghost note in the docstring)
         _write_table(
-            assigned, path, fmt, txn=(f"ann-rebalance-{base}", parent)
+            assigned, path, fmt, txn=(f"ann-rebalance-{parent}", base)
         )
-        split[parent] = [i for i, _ in pairs]
-        moved += counts.get(parent, 0)
+        new_ids = [i for i, _ in pairs]
         for cid, vec in pairs:
             assert cid == len(centroids)
             centroids.append([float(x) for x in vec])
         centroids[parent] = None  # retire (visibility flips at swap)
-        next_id += len(pairs)
 
-    if not split:
-        return {"split": {}, "moved": 0, "rescued": 0, "gc_cells": sweep,
-                "unsplittable": unsplittable}
-
-    # step 3: ATOMIC sidecar swap — the visibility switch
-    new_params = dict(
-        p,
-        centroids=centroids,
-        rebalance_generation=base,
-    )
-    tmp = _params_path(path) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(new_params, f)
-    os.replace(tmp, _params_path(path))
-
-    # step 3b: RESCUE the race window. A concurrent append that landed
-    # between this run's parent read (step 2) and the sidecar swap
-    # (step 3) sits in the parent cell, unmoved — and step 4's delete
-    # would LOSE it. Post-swap the parent set is FROZEN (appenders
-    # re-read the sidecar per batch, and retired cells never take new
-    # vectors), so an anti-join of the parent's current rows against
-    # the sub-cells' ids identifies the late arrivals exactly; they are
-    # reassigned under an idempotent rescue txn before the delete. The
-    # join is bounded by the hot cell's size — distributed, no driver
-    # materialization.
-    rescued = 0
-    for parent, new_ids in split.items():
-        cur = _read_cell(spark, path, fmt, parent).select(
-            "vec_id", "embedding"
+        # step 3: ATOMIC sidecar swap — the visibility switch
+        retired_rec = dict(p.get("retired") or {})
+        retired_rec[str(parent)] = new_ids
+        new_params = dict(
+            p,
+            centroids=centroids,
+            retired=retired_rec,
+            rebalance_generation=base,
         )
-        moved_ids = None
-        for c in new_ids:
-            s = _read_cell(spark, path, fmt, c).select("vec_id")
-            moved_ids = s if moved_ids is None else moved_ids.unionByName(s)
-        late = cur.join(moved_ids, "vec_id", "left_anti")
-        pairs = [(c, centroids[c]) for c in new_ids]
-        late_assigned = ivf_assign(late, pairs, "embedding").select(
-            "cell",
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
-        )
-        n_late = late_assigned.count()
-        if n_late:
-            _write_table(
-                late_assigned, path, fmt,
-                txn=(f"ann-rebalance-rescue-{base}", parent),
-            )
-            rescued += n_late
+        tmp = _params_path(path) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(new_params, f)
+        os.replace(tmp, _params_path(path))
 
-    # step 4: GC the parents (idempotent; next run sweeps on crash)
-    _delete_cells(spark, path, fmt, sorted(split))
+        # step 4: rescue the swap-window racers, then GC the parent
+        rescued += _rescue_then_gc(
+            spark, path, fmt, parent, new_ids, centroids
+        )
+        split[parent] = new_ids
+        moved += counts.get(parent, 0)
+
     return {"split": split, "moved": moved, "rescued": rescued,
             "gc_cells": sweep, "unsplittable": unsplittable}

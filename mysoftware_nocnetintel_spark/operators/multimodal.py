@@ -249,8 +249,13 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray | None:
     if payload[:8] == _PNG_SIG:
         try:
             return png_decode(payload)
-        except NotImplementedError:
-            pass  # exotic PNG → PIL if present
+        except Exception:
+            # exotic PNG (NotImplementedError) → PIL if present; CORRUPT
+            # PNG-signed bytes (truncated IDAT, zlib garbage, missing
+            # IHDR) must degrade to the stub/NULL path per this
+            # function's contract, never kill the Arrow batch — one bad
+            # crawl document must not fail a whole ingestion stream
+            pass
     if _PIL_PRESENT:
         import io
 

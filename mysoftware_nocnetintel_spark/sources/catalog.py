@@ -604,21 +604,28 @@ def committer_from_spec(spec: str) -> CatalogCommitter:
 _DEFAULT = FilesystemCommitter()
 _current: CatalogCommitter = _DEFAULT
 _env_applied = False
+_env_committer: CatalogCommitter | None = None
 
 
 def get_committer() -> CatalogCommitter:
-    """The process-wide commit endpoint. On first use, honors the
-    ``SPARK_GRAFT_CATALOG`` environment spec (see
-    :func:`committer_from_spec`) so a deployment points every writer at
-    its catalog without touching code; ``set_committer`` always wins
-    over the environment."""
-    global _current, _env_applied
+    """The process-wide commit endpoint. Honors the
+    ``SPARK_GRAFT_CATALOG`` environment spec (resolved once, on first
+    use — see :func:`committer_from_spec`) so a deployment points every
+    writer at its catalog without touching code. An explicit
+    ``set_committer``/``use_committer`` override always wins while
+    active; restoring the default restores the ENVIRONMENT's committer,
+    not the filesystem fallback — a first call that happens to land
+    inside a test's override window must not permanently discard the
+    deployment's catalog."""
+    global _env_applied, _env_committer
     if not _env_applied:
         _env_applied = True
         spec = os.environ.get("SPARK_GRAFT_CATALOG")
-        if spec and _current is _DEFAULT:
-            _current = committer_from_spec(spec)
-    return _current
+        if spec:
+            _env_committer = committer_from_spec(spec)
+    if _current is not _DEFAULT:
+        return _current
+    return _env_committer if _env_committer is not None else _DEFAULT
 
 
 def set_committer(c: CatalogCommitter | None) -> CatalogCommitter:

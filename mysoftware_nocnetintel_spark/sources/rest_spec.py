@@ -61,7 +61,6 @@ def _refs_view(meta: dict | None) -> dict:
     refs = dict(meta.get("refs") or {})
     cur = meta.get("current-snapshot-id")
     if cur is not None and cur != -1:
-        refs.setdefault("main", {"snapshot-id": cur, "type": "branch"})
         # the engine tracks main in current-snapshot-id; a stored "main"
         # entry (foreign writers) is normalized to the head
         refs["main"] = {"snapshot-id": cur, "type": "branch"}

@@ -169,9 +169,14 @@ def test_crash_before_sidecar_swap_is_invisible_then_converges(
     seen = [(q, v) for q, _, v, _ in mid]
     assert len(seen) == len(set(seen)), "duplicate vec_id served"
 
-    # rerun: txn-skip on the completed append, swap + GC complete
+    # rerun: the GHOST sweep deletes the crashed run's rows first, the
+    # txn HIGH-WATER skip then fires on the re-append (same app, same
+    # first-sub-id version) — and the rescue pass re-moves the ENTIRE
+    # parent because the sub-cells are empty. The skip can never strand
+    # vectors (round-9 review finding 1).
     report = AI.rebalance_ivf_index(spark, path)
     assert report["moved"] == hot_n
+    assert report["rescued"] == hot_n, report  # rescue-all after skip
     assert sum(_cell_counts(spark, path, "delta").values()) == 200
     assert _topk(spark, path) == before
 
@@ -300,3 +305,60 @@ def test_concurrent_append_in_swap_window_is_rescued(
     )
     got = AI.query_ivf_index(spark, q, path, k=204, nprobe=2).collect()
     assert {9000, 9001, 9002, 9003} <= {r.vec_id for r in got}
+
+
+def test_crash_between_swap_and_rescue_is_rescued_by_sweep(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 review finding 2: late arrivals that raced the swap, with
+    the process crashing BEFORE the rescue pass, sit in the retired
+    parent. The next run's sweep must RESCUE them (anti-join against the
+    recorded sub-cells) before deleting — a blind delete would lose
+    them."""
+    _df, path = _build(spark, tmp_path, "delta")
+    counts0 = _cell_counts(spark, path, "delta")
+    hot = max(counts0, key=counts0.get)
+
+    late = spark.createDataFrame(
+        [(9100 + i, [10.0 + i * 1e-4, 10.0] + [0.5] * (DIM - 2))
+         for i in range(3)],
+        "vec_id bigint, embedding array<double>",
+    ).withColumn("cell", AI.F.lit(hot).cast("int")).select(
+        "cell", "vec_id", "embedding"
+    )
+
+    real_replace = AI.os.replace
+    real_rescue = AI._rescue_then_gc
+    state = {"swapped": 0}
+
+    def racing_replace(src, dst):
+        if dst.endswith(AI._PARAMS_FILE) and state["swapped"] == 0:
+            state["swapped"] = 1
+            AI._write_table(late, path, "delta")  # the in-window racer
+        return real_replace(src, dst)
+
+    def crashing_rescue(*a, **kw):
+        raise RuntimeError("injected crash before rescue")
+
+    monkeypatch.setattr(AI.os, "replace", racing_replace)
+    monkeypatch.setattr(AI, "_rescue_then_gc", crashing_rescue)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AI.rebalance_ivf_index(spark, path)
+    monkeypatch.setattr(AI.os, "replace", real_replace)
+    monkeypatch.setattr(AI, "_rescue_then_gc", real_rescue)
+
+    # sidecar swapped; parent retired with original + late rows on disk
+    assert AI.read_ann_params(path)["centroids"][hot] is None
+    # next run: the sweep rescues the 3 late vectors, then GCs the cell
+    report = AI.rebalance_ivf_index(spark, path, max_rows_per_cell=10_000)
+    assert report["gc_cells"] == [hot]
+    assert report["rescued"] == 3, report
+    counts = _cell_counts(spark, path, "delta")
+    assert hot not in counts
+    assert sum(counts.values()) == 203  # nothing lost, nothing duped
+    q = spark.createDataFrame(
+        [(9100, [10.0, 10.0] + [0.5] * (DIM - 2))],
+        "qid bigint, qv array<double>",
+    )
+    got = AI.query_ivf_index(spark, q, path, k=203, nprobe=2).collect()
+    assert {9100, 9101, 9102} <= {r.vec_id for r in got}

@@ -251,3 +251,22 @@ def test_real_jpeg_planted_recall(spark):
     expected = {(i, 100 + i) for i in range(4)}
     assert expected <= pairs, f"planted JPEG pairs missed: {expected - pairs}"
     assert not (pairs - expected), f"false pairs: {pairs - expected}"
+
+
+def test_corrupt_png_signed_payload_degrades_to_null(monkeypatch):
+    """Round-9 review fix: a payload carrying the PNG signature but
+    corrupt bytes after it (truncated, zlib garbage, missing IHDR) must
+    take the documented None/NULL-hash path — one bad crawl document
+    must not kill the Arrow batch or the ingestion stream."""
+    monkeypatch.setattr(MM, "_PIL_PRESENT", False)
+    good = MM.png_encode(_grad())
+    for bad in (
+        good[:12],                      # truncated before IHDR payload
+        good[:30] + b"\x00" * 20,       # mangled mid-structure
+        MM._PNG_SIG + b"not a png at all",
+        good[:40] + b"\xff" * 10 + good[50:],  # garbled IDAT stream
+    ):
+        assert MM.decode_image(bad, "png") is None, bad[:16]
+        assert MM.dhash64_bytes(bad, "png") is None
+        vec, decoded = MM.decode_media(bad, "png")
+        assert decoded is False and vec.shape == (16,)

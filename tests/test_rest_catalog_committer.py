@@ -300,6 +300,7 @@ def test_env_spec_installs_rest_committer_end_to_end(
         monkeypatch.setenv("SPARK_GRAFT_CATALOG", f"rest+{endpoint}")
         monkeypatch.setenv("SPARK_GRAFT_CATALOG_TOKEN", "envtok")
         monkeypatch.setattr(C, "_env_applied", False)
+        monkeypatch.setattr(C, "_env_committer", None)
         monkeypatch.setattr(C, "_current", C._DEFAULT)
         try:
             root = str(tmp_path / "env_d")
@@ -319,9 +320,18 @@ def test_explicit_set_committer_wins_over_env(monkeypatch, tmp_path):
 
     monkeypatch.setenv("SPARK_GRAFT_CATALOG", "rest+http://127.0.0.1:1")
     monkeypatch.setattr(C, "_env_applied", False)
+    monkeypatch.setattr(C, "_env_committer", None)
     explicit = C.FilesystemCommitter()
     prev = C.set_committer(explicit)
     try:
-        assert C.get_committer() is explicit  # env never consulted
+        assert C.get_committer() is explicit  # override wins while active
     finally:
         C.set_committer(prev)
+    # round-9 review fix: a first get_committer() landing INSIDE an
+    # override window must not permanently discard the env spec — once
+    # the override lifts, the ENVIRONMENT's committer applies
+    monkeypatch.setattr(C, "_current", C._DEFAULT)
+    got = C.get_committer()
+    assert isinstance(got, C.IcebergRestCatalogCommitter)
+    monkeypatch.setattr(C, "_env_applied", False)
+    monkeypatch.setattr(C, "_env_committer", None)
