@@ -296,7 +296,17 @@ def query_ivf_index(
 
 def _delete_cells(spark, path: str, fmt: str, cells: list[int]) -> None:
     """GC the rows of retired cells through the format's ordinary
-    delete verbs (the index is a table; no index-specific machinery)."""
+    delete verbs (the index is a table; no index-specific machinery).
+
+    KNOWN BOUND: the row-level delete verbs cap at 5M positions (Delta
+    DV build) / 1M rows (Iceberg position deletes), so a single cell
+    larger than that fails FAST here — post-swap, so serving is already
+    correct and the sweep converges once the cap is addressed. The
+    scale-correct fix is a metadata-only partition drop (Delta:
+    remove actions for the partition's adds; Iceberg: a REPLACE
+    snapshot excluding the partition's files) — a round-10 candidate;
+    until then, rebalance earlier (lower ``max_rows_per_cell``) so no
+    cell outgrows the cap."""
     if not cells:
         return
     ids = ",".join(str(int(c)) for c in sorted(cells))
