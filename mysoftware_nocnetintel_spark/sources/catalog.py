@@ -315,6 +315,13 @@ class IcebergRestCatalogCommitter(CatalogCommitter):
         self.token = token
         self.timeout_s = float(timeout_s)
         self.spec_native = spec_native
+        # OBSERVABILITY (round-10 verdict task 3): a deployment must be
+        # able to see which conflict-detection mode it is actually
+        # getting — every commit that wanted spec-native requirements but
+        # fell back to the version-addressed dialect increments this, and
+        # the first fallback logs a warning with the reason.
+        self.stats: dict[str, int] = {"spec_native_fallbacks": 0}
+        self._fallback_warned = False
         self._table_name_for = table_name_for or (
             lambda table_location: os.path.basename(
                 table_location.rstrip("/")
@@ -401,9 +408,11 @@ class IcebergRestCatalogCommitter(CatalogCommitter):
         try:
             new_meta = _json.loads(payload)
         except Exception:
-            return None, None
+            return self._fallback("staged artifact is not JSON")
         if not isinstance(new_meta, dict) or "table-uuid" not in new_meta:
-            return None, None
+            return self._fallback(
+                "staged artifact is not Iceberg table metadata"
+            )
         prior = None
         if not first:
             prior_path = re.sub(
@@ -415,13 +424,32 @@ class IcebergRestCatalogCommitter(CatalogCommitter):
                 with open(prior_path, "rb") as fh:
                     prior = _json.loads(fh.read())
             except Exception:
-                return None, None
+                return self._fallback(
+                    f"prior artifact unreadable ({prior_path})"
+                )
         from .rest_spec import diff_iceberg_metadata
 
         try:
             return diff_iceberg_metadata(prior, new_meta)
-        except Exception:
-            return None, None
+        except Exception as e:
+            return self._fallback(f"diff_iceberg_metadata failed ({e})")
+
+    def _fallback(self, reason: str):
+        """Record a spec-native → version-addressed fallback so the
+        weaker conflict-detection mode is observable, not silent."""
+        self.stats["spec_native_fallbacks"] += 1
+        if not self._fallback_warned:
+            self._fallback_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "REST catalog commit fell back from spec-native "
+                "requirements to the version-addressed dialect: %s "
+                "(further fallbacks counted in "
+                "stats['spec_native_fallbacks'] without logging)",
+                reason,
+            )
+        return None, None
 
     def put_if_absent(self, final_path: str, payload: bytes) -> None:
         import base64
@@ -619,10 +647,15 @@ def get_committer() -> CatalogCommitter:
     deployment's catalog."""
     global _env_applied, _env_committer
     if not _env_applied:
-        _env_applied = True
         spec = os.environ.get("SPARK_GRAFT_CATALOG")
         if spec:
+            # build BEFORE latching: a malformed spec must fail CLOSED on
+            # every call (writers must never silently fall back to the
+            # filesystem committer and bypass the deployment catalog after
+            # one swallowed error — round-10 advisor). A raise here leaves
+            # _env_applied False so the next call re-raises.
             _env_committer = committer_from_spec(spec)
+        _env_applied = True
     if _current is not _DEFAULT:
         return _current
     return _env_committer if _env_committer is not None else _DEFAULT

@@ -306,7 +306,15 @@ def congruence_mismatches(derived: dict, published: dict) -> list[str]:
     for f in _CONGRUENT_FIELDS:
         d, p = derived.get(f), published.get(f)
         if f == "refs":
-            if _norm_refs(d) != _norm_refs(p):
+            # compare through _refs_view on BOTH sides: apply_table_updates
+            # routes "main" into current-snapshot-id and never stores it in
+            # refs, while a foreign-writer artifact may carry an explicit
+            # refs["main"] entry — raw-field comparison would spuriously
+            # reject that commit (round-10 advisor). The view folds main
+            # into the refs map identically for derived and published.
+            if _norm_refs(_refs_view(derived)) != _norm_refs(
+                _refs_view(published)
+            ):
                 bad.append(f)
         elif f == "schemas":
             # the engine's artifact keeps only the CURRENT schema (the

@@ -335,3 +335,23 @@ def test_explicit_set_committer_wins_over_env(monkeypatch, tmp_path):
     assert isinstance(got, C.IcebergRestCatalogCommitter)
     monkeypatch.setattr(C, "_env_applied", False)
     monkeypatch.setattr(C, "_env_committer", None)
+
+
+def test_malformed_env_spec_fails_closed_on_every_call(monkeypatch):
+    """Round-10 advisor: a malformed SPARK_GRAFT_CATALOG must raise on
+    EVERY get_committer() call — never latch and silently hand writers
+    the filesystem committer, which would bypass the deployment catalog
+    after one swallowed error."""
+    from mysoftware_nocnetintel_spark.sources import catalog as C
+
+    monkeypatch.setenv("SPARK_GRAFT_CATALOG", "glue+http://h:9")
+    monkeypatch.setattr(C, "_env_applied", False)
+    monkeypatch.setattr(C, "_env_committer", None)
+    monkeypatch.setattr(C, "_current", C._DEFAULT)
+    with pytest.raises(ValueError, match="unknown catalog kind"):
+        C.get_committer()
+    with pytest.raises(ValueError, match="unknown catalog kind"):
+        C.get_committer()  # second call: still closed, not filesystem
+    # fixing the env heals the process without a restart
+    monkeypatch.delenv("SPARK_GRAFT_CATALOG")
+    assert C.get_committer() is C._DEFAULT

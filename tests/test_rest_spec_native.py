@@ -163,7 +163,8 @@ def test_full_verb_matrix_is_spec_conformant(spark, tmp_path):
     final assertion."""
     with rest_catalog_server() as (endpoint, stats):
         root = str(tmp_path / "conf")
-        with use_committer(IcebergRestCatalogCommitter(endpoint)):
+        committer = IcebergRestCatalogCommitter(endpoint)
+        with use_committer(committer):
             write_iceberg_append(_df(spark, 0, 4).coalesce(1), root)
             write_iceberg_append(_df(spark, 4, 8).coalesce(1), root)
             # schema-evolving append (additive column)
@@ -219,6 +220,9 @@ def test_full_verb_matrix_is_spec_conformant(spark, tmp_path):
             "some commit fell back to the version-addressed dialect: "
             f"{stats['spec_commits']} of {stats['commits']}"
         )
+        # ... and the CLIENT observed zero fallbacks too (round-10 task:
+        # the deployment-visible counter, not just the server's tally)
+        assert committer.stats["spec_native_fallbacks"] == 0
         # and the table still reads correctly end-to-end
         got = sorted(
             (r.id, r.label)
@@ -538,3 +542,58 @@ def test_diff_replay_congruence_fuzz():
                     and q["ref"] == name
                     for q in reqs
                 ), (case, name, reqs)
+
+
+# --------------------------------------- round-10 advisor/verdict units
+
+
+def test_congruence_accepts_foreign_main_as_explicit_ref():
+    """A published artifact carrying an explicit refs["main"] entry (the
+    foreign-writer shape _refs_view normalizes) must be CONGRUENT with a
+    replayed state that tracks main only in current-snapshot-id —
+    round-10 advisor: the raw-field comparison spuriously rejected it."""
+    base = {
+        "format-version": 2,
+        "table-uuid": "u-main",
+        "location": "/t",
+        "snapshots": [{"snapshot-id": 7, "sequence-number": 1}],
+        "current-snapshot-id": 7,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": []}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+    }
+    derived = json.loads(json.dumps(base))  # engine shape: no refs map
+    published = json.loads(json.dumps(base))
+    published["refs"] = {"main": {"snapshot-id": 7, "type": "branch"}}
+    assert congruence_mismatches(derived, published) == []
+    # and a REAL ref disagreement is still caught through the view
+    published["refs"]["pin"] = {"snapshot-id": 7, "type": "tag"}
+    assert congruence_mismatches(derived, published) == ["refs"]
+
+
+def test_spec_native_fallback_counter_and_warning(tmp_path, caplog):
+    """Each spec-native → version-addressed fallback increments the
+    committer's stats counter; the first one logs a warning (round-10
+    verdict task 3: the conflict-detection mode must be observable)."""
+    import logging
+
+    c = IcebergRestCatalogCommitter("http://127.0.0.1:1")
+    fake = str(tmp_path / "t" / "metadata" / "v3.metadata.json")
+    with caplog.at_level(
+        logging.WARNING, logger="mysoftware_nocnetintel_spark.sources.catalog"
+    ):
+        # not JSON at all
+        assert c._spec_native_request(fake, b"\x00notjson", 3, False) == (
+            None,
+            None,
+        )
+        # JSON but not Iceberg metadata
+        assert c._spec_native_request(fake, b"{}", 3, False) == (None, None)
+        # Iceberg-shaped but the prior artifact is unreadable
+        meta = json.dumps({"table-uuid": "u", "location": "/t"}).encode()
+        assert c._spec_native_request(fake, meta, 3, False) == (None, None)
+    assert c.stats["spec_native_fallbacks"] == 3
+    warned = [r for r in caplog.records if "fell back" in r.getMessage()]
+    assert len(warned) == 1  # first fallback only
