@@ -294,34 +294,42 @@ def query_ivf_index(
     )
 
 
-def _delete_cells(spark, path: str, fmt: str, cells: list[int]) -> None:
-    """GC the rows of retired cells through the format's ordinary
-    delete verbs (the index is a table; no index-specific machinery).
+def _delete_cells(
+    spark,
+    path: str,
+    fmt: str,
+    cells: list[int],
+    files_by_cell: "dict[int, list[str]] | None" = None,
+) -> None:
+    """GC retired/ghost cells through the formats' METADATA-ONLY
+    partition drop (round 10 — ``cell`` IS the table's partition
+    column): one commit tombstones (Delta) / excludes from the manifest
+    list (Iceberg) the partition's files. No data file is read or
+    rewritten, and the old row-level delete caps (5M Delta DV
+    positions / 1M Iceberg delete rows) are gone — a cell of ANY size
+    GCs in O(its file count) driver-side metadata.
 
-    KNOWN BOUND: the row-level delete verbs cap at 5M positions (Delta
-    DV build) / 1M rows (Iceberg position deletes), so a single cell
-    larger than that fails FAST here — post-swap, so serving is already
-    correct and the sweep converges once the cap is addressed. The
-    scale-correct fix is a metadata-only partition drop (Delta:
-    remove actions for the partition's adds; Iceberg: a REPLACE
-    snapshot excluding the partition's files) — a round-10 candidate;
-    until then, rebalance earlier (lower ``max_rows_per_cell``) so no
-    cell outgrows the cap."""
-    if not cells:
-        return
-    ids = ",".join(str(int(c)) for c in sorted(cells))
-    if fmt == "delta":
-        from ..sources.delta import delete_delta_rows
-
-        delete_delta_rows(spark, path, f"cell IN ({ids})")
-    elif fmt == "iceberg":
-        from ..sources.iceberg import write_iceberg_position_deletes
-
-        write_iceberg_position_deletes(
-            spark, path, F.col("cell").isin([int(c) for c in cells])
-        )
-    else:  # pragma: no cover
+    ``files_by_cell`` PINS each cell's drop to the exact file list a
+    rescue read (:func:`_pin_cell`): files appended to the cell after
+    that snapshot are provably untouched and survive into the next
+    run's sweep. Unpinned (``None``) drops take the cell's current
+    files — correct only where no concurrent writer can target the
+    cell (the ghost sweep: ghost ids lie beyond every published
+    sidecar, so no appender assigns into them)."""
+    if fmt not in ("delta", "iceberg"):  # pragma: no cover
         raise ValueError(f"unknown table_format {fmt!r}")
+    for c in sorted(int(c) for c in cells):
+        fl = None if files_by_cell is None else files_by_cell.get(c)
+        if files_by_cell is not None and not fl:
+            continue  # pinned mode with nothing pinned: nothing to drop
+        if fmt == "delta":
+            from ..sources.delta import drop_delta_partition
+
+            drop_delta_partition(spark, path, {"cell": str(c)}, files=fl)
+        else:
+            from ..sources.iceberg import drop_iceberg_partition
+
+            drop_iceberg_partition(path, {"cell": c}, files=fl)
 
 
 def _read_cell_or_none(spark, path, fmt, cell: int):
@@ -333,22 +341,77 @@ def _read_cell_or_none(spark, path, fmt, cell: int):
         return None
 
 
+def _pin_cell(spark, path: str, fmt: str, cell: int):
+    """One cell's rows AND file list at a SINGLE pinned snapshot —
+    ``(DataFrame | None, files)``. The rescue read and the GC drop must
+    see the SAME file set: pinning both to one snapshot makes an append
+    committing at ANY later point provably untouched by the drop (it
+    adds a file the pin never saw), closing the lost-append window a
+    fresh-scan delete had between the rescue read and its own scan
+    (round-10 advisor). Driver-side metadata walk only."""
+    if fmt == "delta":
+        from ..sources.delta import _replay_state
+        from ..sources.readers import read_delta_snapshot
+
+        st = _replay_state(os.path.join(path, "_delta_log"))
+        files = sorted(
+            rel
+            for rel, add in st["live"].items()
+            if (add.get("partitionValues") or {}).get("cell") == str(cell)
+        )
+        if not files:
+            return None, []
+        return (
+            read_delta_snapshot(
+                spark,
+                path,
+                version=st["version"],
+                partition_filter={"cell": str(cell)},
+            ),
+            files,
+        )
+    from ..sources.readers import (
+        _iceberg_snapshot_files,
+        read_iceberg_snapshot,
+    )
+
+    data_files, _, _, snap = _iceberg_snapshot_files(path)
+    files = sorted(
+        e.path
+        for e in data_files
+        if (e.partition or {}).get("cell") == int(cell)
+    )
+    if not files:
+        return None, []
+    return (
+        read_iceberg_snapshot(
+            spark,
+            path,
+            snapshot_id=snap["snapshot-id"],
+            partition_filter={"cell": int(cell)},
+        ),
+        files,
+    )
+
+
 def _rescue_then_gc(
     spark, path: str, fmt: str, parent: int, sub_ids: list[int],
     centroids: list,
 ) -> int:
     """Move any rows still sitting in RETIRED cell ``parent`` to its
-    sub-cells, then delete the parent's rows. The anti-join against the
+    sub-cells, then drop the parent's files. The anti-join against the
     sub-cells' ids is the idempotency mechanism (no txn needed: a
     replayed rescue finds its previously committed rows in the
-    sub-cells and computes an empty late set), and it is what makes the
-    whole rebalance loss-free: ANY row that escapes one pass — a
-    concurrent append that read the pre-swap sidecar and committed
-    after the anti-join materialized survives the MOR delete (position/
-    DV deletes only mask rows of files their snapshot READ; later files
-    are untouched) — is still in the retired cell next run, and this
-    same function rescues it then. Returns the number rescued."""
-    cur = _read_cell_or_none(spark, path, fmt, parent)
+    sub-cells and computes an empty late set). Loss-freedom is now
+    PINNED, not probabilistic (round 10): the rescue read and the GC
+    drop share ONE snapshot's file list (:func:`_pin_cell` →
+    :func:`_delete_cells` ``files_by_cell``), so an append committing
+    at ANY point after the pin lands in a file the drop never touches
+    and is rescued by the next run's sweep — including the old
+    lost-append window between the rescue read and a fresh-scan
+    delete's own scan (round-10 advisor HIGH). Returns the number
+    rescued."""
+    cur, pinned_files = _pin_cell(spark, path, fmt, parent)
     if cur is None:
         return 0
     cur = cur.select("vec_id", "embedding")
@@ -378,7 +441,10 @@ def _rescue_then_gc(
     n_late = late_assigned.count()
     if n_late:
         _write_table(late_assigned, path, fmt)
-    _delete_cells(spark, path, fmt, [parent])
+    _delete_cells(
+        spark, path, fmt, [parent],
+        files_by_cell={int(parent): pinned_files},
+    )
     return n_late
 
 
@@ -420,9 +486,12 @@ def rebalance_ivf_index(
        list indexes stay cell ids forever), sub-centroids appended,
        ``retired[parent] = sub ids`` recorded for future sweeps.
     4. Rescue-then-GC the parent (:func:`_rescue_then_gc`): the
-       anti-join moves any append that raced the swap window; the MOR
-       delete masks only files its snapshot read, so even an append
-       committing mid-rescue survives into the next run's sweep.
+       anti-join moves any append that raced the swap window; the GC is
+       a METADATA-ONLY partition drop PINNED to the file list the
+       rescue read (round 10), so an append committing at any later
+       point lands in an unpinned file, survives the drop, and is
+       rescued by the next run's sweep — no cell-size cap, no data file
+       rewritten.
 
     If the txn skip fires on an append whose rows the ghost sweep
     deleted (same parent, same first-sub-id, rows gone), the rescue
@@ -450,13 +519,16 @@ def rebalance_ivf_index(
     else:
         from ..sources.readers import read_iceberg_snapshot as _rdr
 
-    counts = {
-        int(r["cell"]): int(r["n"])
-        for r in _rdr(spark, path)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    def _counts() -> dict[int, int]:
+        return {
+            int(r["cell"]): int(r["n"])
+            for r in _rdr(spark, path)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    counts = _counts()
     # step 0: ghost sweep — cells beyond the sidecar were written by a
     # run that crashed BEFORE its swap; their vectors still live in the
     # (unswapped) parent, so a plain delete loses nothing and frees the
@@ -478,6 +550,12 @@ def rebalance_ivf_index(
         rescued += _rescue_then_gc(
             spark, path, fmt, c, retired_map.get(c) or [], p["centroids"]
         )
+    if ghosts or sweep:
+        # RECOUNT after the sweeps (round-10 advisor): rows rescued into
+        # sub-cells can push one past the threshold — a stale count would
+        # defer its split a full run (convergence delay), and the ghost
+        # deletes changed the live population the mean derives from.
+        counts = _counts()
 
     live = _live_centroids(p)
     live_counts = [counts.get(i, 0) for i, _ in live]

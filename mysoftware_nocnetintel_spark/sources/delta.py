@@ -838,6 +838,101 @@ def write_delta_overwrite(df: DataFrame, path: str) -> int:
     return version
 
 
+def drop_delta_partition(
+    spark,
+    path: str,
+    partition_values: "dict[str, str]",
+    files: "list[str] | None" = None,
+) -> "int | None":
+    """METADATA-ONLY partition drop (round 10): commit ``remove``
+    tombstones for the live adds whose ``partitionValues`` equal
+    ``partition_values`` — no data file is read, rewritten, or DV'd, so
+    the verb is O(partition's file count) driver-side JSON regardless of
+    row count (the scale path the row-level
+    :func:`delete_delta_rows` DV cap points at). Dropped files stay on
+    disk as tombstoned history for time travel until a vacuum.
+
+    ``files`` (optional) PINS the drop to an explicit relative-path set —
+    the snapshot-pinned GC primitive for rescue-then-drop maintenance
+    loops (``operators.ann_index``): only pinned paths still live are
+    removed, a pinned path now live OUTSIDE the partition is refused
+    (safety), and files appended to the partition AFTER the caller's
+    pinning snapshot are NOT touched — a concurrent append racing the
+    drop provably survives into the next maintenance pass instead of
+    being masked unrescued.
+
+    Returns the committed version, or None when nothing matched (an
+    idempotent re-drop). Same validated-retry scope as the other data
+    verbs: a lost CAS re-commits on top of the winner iff the winner
+    provably didn't touch the removed entries (appends pass; a
+    compaction/rewrite of a matched file surfaces
+    :class:`DeltaCommitConflict`)."""
+    log_dir = os.path.join(path, "_delta_log")
+    state = _replay_state(log_dir)
+    if state["version"] is None:
+        raise FileNotFoundError(f"no Delta table at {path}")
+    meta = state["meta"]
+    if not meta or (meta.get("configuration") or {}).get(
+        "writer"
+    ) != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to modify a Delta table created by another writer: "
+            "use the delta-spark connector"
+        )
+    part_cols = meta.get("partitionColumns") or []
+    bad = [k for k in partition_values if k not in part_cols]
+    if bad:
+        raise ValueError(
+            f"partition keys {bad} are not partition columns of this "
+            f"table (partitioned by {part_cols})"
+        )
+    if not partition_values:
+        raise ValueError(
+            "empty partition_values would drop the whole table: use "
+            "write_delta_overwrite for that"
+        )
+    # column-mapped tables key add.partitionValues by PHYSICAL name —
+    # same translation the reader's partition_filter does
+    phys = _physical_names(meta)
+    want = {phys.get(k, k): str(v) for k, v in partition_values.items()}
+    matched = {
+        rel
+        for rel, add in state["live"].items()
+        if all(
+            (add.get("partitionValues") or {}).get(k) == v
+            for k, v in want.items()
+        )
+    }
+    if files is not None:
+        pinned = set(files)
+        stray = sorted(
+            f for f in pinned if f in state["live"] and f not in matched
+        )
+        if stray:
+            raise ValueError(
+                f"pinned files {stray[:3]}{'...' if len(stray) > 3 else ''} "
+                f"are live but not in partition {partition_values} — "
+                "refusing a drop outside the declared partition"
+            )
+        matched &= pinned  # un-pinned (post-snapshot) files survive
+    if not matched:
+        return None  # nothing live matches: idempotent no-op, no commit
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for rel in sorted(matched)
+    ]
+    return _commit_data_version(
+        log_dir, state["version"] + 1, removes, state, sorted(matched)
+    )
+
+
 _MAX_DELETE_POSITIONS = 5_000_000  # driver-side DV build cap (see below)
 
 

@@ -3024,6 +3024,230 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
     raise last_err
 
 
+def _entry_schema_for_spec(meta: dict, spec_id: int) -> dict:
+    """Manifest-entry Avro schema carrying ``spec_id``'s partition record
+    shape (the plain schema when that spec is unpartitioned) — shared by
+    the metadata-only verbs that COPY entries between manifests without
+    re-partitioning them."""
+    specs = meta.get("partition-specs") or []
+    spec = next(
+        (s for i, s in enumerate(specs) if s.get("spec-id", i) == spec_id),
+        None,
+    )
+    if not spec or not spec.get("fields"):
+        return MANIFEST_ENTRY_SCHEMA
+    from .iceberg_transforms import spec_field_to_part_field
+
+    schema_fields = (meta.get("schemas") or [{}])[0].get("fields", [])
+    pfs = [
+        spec_field_to_part_field(f, schema_fields) for f in spec["fields"]
+    ]
+    return _partition_manifest_schema(
+        [(pf.name, pf.value_type) for pf in pfs]
+    )
+
+
+def drop_iceberg_partition(
+    path: str,
+    partition_values: dict,
+    files: "list[str] | None" = None,
+) -> "int | None":
+    """METADATA-ONLY partition drop (round 10): commit a ``delete``
+    snapshot whose manifest list EXCLUDES the dropped partition's data
+    files — untouched manifests travel verbatim, manifests containing a
+    matched entry are rewritten without it (surviving entries keep their
+    EFFECTIVE data sequence numbers explicitly, the same inheritance
+    argument as :func:`rewrite_iceberg_manifests`), and no data file is
+    read or rewritten, so the verb is O(partition's manifest entries)
+    driver-side Avro regardless of row count — the scale path past
+    :func:`write_iceberg_position_deletes`' row cap. Dropped files stay
+    reachable through older snapshots for time travel;
+    :func:`expire_iceberg_snapshots` reclaims them.
+
+    ``partition_values`` matches the entries' TYPED partition records
+    exactly (identity values as stored in manifests, e.g. ``{"cell": 3}``);
+    files written under a spec that predates a filtered field never match
+    (a drop must be exact, never a superset). ``files`` (optional) PINS
+    the drop to an explicit path set — only pinned paths are excluded, a
+    pinned path live OUTSIDE the partition is refused, and files appended
+    to the partition after the caller's pinning snapshot survive (the
+    rescue-then-drop loss-free GC primitive; see
+    ``operators.ann_index``). Delete manifests are kept verbatim:
+    position/equality deletes whose targets left the live set mask
+    nothing. Returns the new snapshot id, or None when nothing matched
+    (idempotent no-op). Same single-writer / CAS-retry scope as the
+    other metadata verbs."""
+    from .avro_lite import read_avro_file
+    from .readers import _iceberg_local_path
+
+    if not partition_values:
+        raise ValueError(
+            "empty partition_values would drop the whole table: use "
+            "rollback/expire or a full overwrite for that"
+        )
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to modify an Iceberg table created by another "
+            "writer: use the iceberg-spark-runtime connector"
+        )
+    spec_keys: set = set()
+    for s in meta.get("partition-specs") or []:
+        for f in s.get("fields", []):
+            spec_keys.add(f.get("name"))
+    bad = [k for k in partition_values if k not in spec_keys]
+    if bad:
+        raise ValueError(
+            f"partition keys {bad} are not partition fields of any spec "
+            f"of this table (specs carry {sorted(spec_keys)})"
+        )
+    pinned = (
+        None
+        if files is None
+        else {_iceberg_local_path(f) for f in files}
+    )
+
+    def _matches(entry: dict) -> bool:
+        pv = entry["data_file"].get("partition") or {}
+        return all(
+            k in pv and pv[k] == v for k, v in partition_values.items()
+        )
+
+    last_err: IcebergCommitConflict | None = None
+    for _attempt in range(3):
+        if _attempt:
+            meta, ver = _load_meta(meta_dir)
+        if meta.get("current-snapshot-id") in (None, -1):
+            return None  # no snapshot: nothing to drop
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifests = read_avro_file(cur["manifest-list"])
+        now_ms = int(time.time() * 1000)
+        snap_id = now_ms * 1000 + (ver + 1)
+        seq = meta.get("last-sequence-number", 0) + 1
+        keep_rows: list[dict] = []  # original list rows, verbatim
+        new_rows: list[tuple[str, int, int]] = []
+        staged: list[str] = []
+        dropped: list[str] = []
+        stray: list[str] = []
+        for m in manifests:
+            if m.get("content", 0) != 0:
+                keep_rows.append(m)  # delete manifests travel untouched
+                continue
+            m_seq = m.get("sequence_number", 0)
+            m_spec = m.get("partition_spec_id", 0)
+            _, entries = read_avro_file(m["manifest_path"])
+            live = [e for e in entries if e.get("status") != 2]
+            hit, kept = [], []
+            for e in live:
+                fp = _iceberg_local_path(e["data_file"]["file_path"])
+                if _matches(e):
+                    if pinned is None or fp in pinned:
+                        hit.append(fp)
+                        continue
+                elif pinned is not None and fp in pinned:
+                    stray.append(fp)
+                kept.append(e)
+            if not hit:
+                keep_rows.append(m)
+                continue
+            dropped += hit
+            if kept:
+                # surviving entries move to a fresh manifest with their
+                # effective sequence numbers written EXPLICITLY
+                recs = [
+                    {
+                        "status": 1,
+                        "snapshot_id": e.get("snapshot_id"),
+                        "sequence_number": (
+                            m_seq
+                            if e.get("sequence_number") is None
+                            else e["sequence_number"]
+                        ),
+                        "data_file": e["data_file"],
+                    }
+                    for e in kept
+                ]
+                mpath = os.path.join(
+                    meta_dir, f"m-{snap_id}-drop{len(new_rows)}.avro"
+                )
+                write_avro_file(
+                    mpath, _entry_schema_for_spec(meta, m_spec), recs
+                )
+                staged.append(mpath)
+                new_rows.append((mpath, 0, m_spec))
+            # else: every live entry dropped — the manifest leaves the list
+        if stray:
+            for f in staged:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            stray = sorted(set(stray))
+            raise ValueError(
+                f"pinned files {stray[:3]}{'...' if len(stray) > 3 else ''} "
+                f"are live but not in partition {partition_values} — "
+                "refusing a drop outside the declared partition"
+            )
+        if not dropped:
+            return None  # nothing live matches: idempotent no-op
+        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        write_avro_file(
+            mlist,
+            MANIFEST_FILE_SCHEMA,
+            keep_rows
+            + [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": mspec,
+                    "content": mcontent,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+                for mpath, mcontent, mspec in new_rows
+            ],
+        )
+        staged.append(mlist)
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "summary": {
+                "operation": "delete",
+                "deleted-data-files": str(len(dropped)),
+            },
+        }
+        new_meta = dict(
+            meta,
+            **{
+                "last-sequence-number": seq,
+                "last-updated-ms": now_ms,
+                "snapshots": meta.get("snapshots", []) + [snapshot],
+                "current-snapshot-id": snap_id,
+            },
+        )
+        try:
+            _commit_metadata(meta_dir, ver, new_meta)
+            return snap_id
+        except IcebergCommitConflict as e:
+            for f in staged:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            last_err = e
+    raise last_err
+
+
 @_retry_on_conflict
 def expire_iceberg_snapshots(path: str, keep_last: int = 3) -> int:
     """Snapshot EXPIRATION (the other half of table maintenance next to

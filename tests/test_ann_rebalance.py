@@ -196,11 +196,11 @@ def test_crash_before_parent_gc_is_swept_by_next_run(
     real_delete = AI._delete_cells
     calls = {"n": 0}
 
-    def crashing_delete(spark_, path_, fmt_, cells_):
+    def crashing_delete(spark_, path_, fmt_, cells_, **kw):
         if cells_ == [hot] or cells_ == sorted([hot]):
             calls["n"] += 1
             raise RuntimeError("injected crash before parent GC")
-        return real_delete(spark_, path_, fmt_, cells_)
+        return real_delete(spark_, path_, fmt_, cells_, **kw)
 
     monkeypatch.setattr(AI, "_delete_cells", crashing_delete)
     with pytest.raises(RuntimeError, match="injected crash"):
@@ -362,3 +362,112 @@ def test_crash_between_swap_and_rescue_is_rescued_by_sweep(
     )
     got = AI.query_ivf_index(spark, q, path, k=203, nprobe=2).collect()
     assert {9100, 9101, 9102} <= {r.vec_id for r in got}
+
+
+# ------------------------------------ round 10: metadata-only pinned GC
+
+
+def _table_data_files(path):
+    import glob as g
+    import os
+
+    return {
+        p
+        for p in g.glob(os.path.join(path, "**", "*.parquet"),
+                        recursive=True)
+        if "_delta_log" not in p
+        and os.sep + "metadata" + os.sep not in p
+    }
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_gc_over_row_cap_is_metadata_only(spark, tmp_path, monkeypatch, fmt):
+    """Round-10 verdict task 1: the rebalance GC is a METADATA-ONLY
+    partition drop, so a cell FAR larger than the row-level delete caps
+    GCs fine. The caps are injected test-scale (2 rows << the 150-row
+    hot cell) — if the GC still routed through delete_delta_rows /
+    write_iceberg_position_deletes it would refuse — and the drop must
+    rewrite or delete no data file (every pre-rebalance file survives
+    on disk as history until expire/vacuum)."""
+    from mysoftware_nocnetintel_spark.sources import delta as D
+    from mysoftware_nocnetintel_spark.sources import iceberg as I
+
+    monkeypatch.setattr(D, "_MAX_DELETE_POSITIONS", 2)
+    monkeypatch.setattr(I, "_MAX_DELETE_ROWS", 2)
+
+    _df, path = _build(spark, tmp_path, fmt)
+    before_files = _table_data_files(path)
+    before_serving = _topk(spark, path)
+    counts0 = _cell_counts(spark, path, fmt)
+    hot = max(counts0, key=counts0.get)
+    assert counts0[hot] > 2  # the planted cell exceeds the injected cap
+
+    report = AI.rebalance_ivf_index(spark, path)
+    assert hot in report["split"]
+    counts = _cell_counts(spark, path, fmt)
+    assert hot not in counts and sum(counts.values()) == 200
+    # METADATA-ONLY: every pre-rebalance data file is still on disk
+    assert before_files <= _table_data_files(path)
+    # serving identical (exhaustive probe pre/post)
+    assert _topk(spark, path) == before_serving
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_append_racing_rescue_read_survives_pinned_gc(
+    spark, tmp_path, monkeypatch, fmt
+):
+    """Round-10 advisor HIGH: an append committing BETWEEN the rescue
+    read and the GC delete used to be masked un-rescued (the fresh-scan
+    delete saw files the rescue's snapshot never read). The GC is now
+    PINNED to the rescue read's file list, so the racer's file is
+    untouched, its rows survive in the retired parent, and the NEXT
+    run's sweep rescues them — loss-free at every commit point."""
+    _df, path = _build(spark, tmp_path, fmt)
+    before_serving = _topk(spark, path)
+    counts0 = _cell_counts(spark, path, fmt)
+    hot = max(counts0, key=counts0.get)
+
+    racer = spark.createDataFrame(
+        [(9500 + i, [10.0 + i * 1e-4, 10.0] + [0.5] * (DIM - 2))
+         for i in range(3)],
+        "vec_id bigint, embedding array<double>",
+    ).withColumn("cell", AI.F.lit(hot).cast("int")).select(
+        "cell", "vec_id", "embedding"
+    )
+
+    real_delete = AI._delete_cells
+    fired = {"n": 0}
+
+    def racing_delete(spark_, path_, fmt_, cells_, files_by_cell=None):
+        # the EXACT advisory window: the rescue read's anti-join has
+        # materialized (pinned file list in hand), the drop has not run
+        if files_by_cell and fired["n"] == 0 and hot in files_by_cell:
+            fired["n"] = 1
+            AI._write_table(racer, path_, fmt_)
+        return real_delete(
+            spark_, path_, fmt_, cells_, files_by_cell=files_by_cell
+        )
+
+    monkeypatch.setattr(AI, "_delete_cells", racing_delete)
+    AI.rebalance_ivf_index(spark, path)
+    monkeypatch.setattr(AI, "_delete_cells", real_delete)
+    assert fired["n"] == 1
+
+    # the racer's rows SURVIVED the pinned drop, parked in the retired
+    # parent (unprobeable — serving is still the pre-race corpus)
+    counts = _cell_counts(spark, path, fmt)
+    assert counts.get(hot) == 3, counts
+    assert sum(counts.values()) == 203  # nothing lost
+    assert _topk(spark, path) == before_serving
+
+    # next run's sweep rescues them into the live sub-cells
+    report = AI.rebalance_ivf_index(spark, path, max_rows_per_cell=10_000)
+    assert report["rescued"] == 3 and report["gc_cells"] == [hot]
+    counts = _cell_counts(spark, path, fmt)
+    assert hot not in counts and sum(counts.values()) == 203
+    q = spark.createDataFrame(
+        [(9500, [10.0, 10.0] + [0.5] * (DIM - 2))],
+        "qid bigint, qv array<double>",
+    )
+    got = AI.query_ivf_index(spark, q, path, k=203, nprobe=3).collect()
+    assert {9500, 9501, 9502} <= {r.vec_id for r in got}
