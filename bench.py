@@ -64,7 +64,8 @@ def shrink_final_line(line: str, limit: int = 1800) -> str:
     if len(line) < limit:
         return line
     obj = json.loads(line)
-    for k in ("queries", "pipeline", "pipeline_duckdb", "media_stored"):
+    for k in ("queries", "pipeline", "pipeline_duckdb", "media_stored",
+              "med", "draws"):
         obj.pop(k, None)
     if isinstance(obj.get("sf1"), dict):
         obj["sf1"] = {
@@ -72,6 +73,12 @@ def shrink_final_line(line: str, limit: int = 1800) -> str:
         }
     obj["truncated"] = True
     return json.dumps(obj, separators=(",", ":"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def materialize(df) -> None:
@@ -150,13 +157,15 @@ def main() -> None:
     # shows real run-to-run variance, see BASELINE.md round-5 note) for
     # the breakdown list
     timings: dict[str, float] = {}
+    seq_total_median = 0.0
     for name in HEADLINE:
-        best = float("inf")
+        draws = []
         for _ in range(5):
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name.split("_")[0]] = round(best, 4)
+            draws.append(time.perf_counter() - t0)
+        timings[name.split("_")[0]] = round(min(draws), 4)
+        seq_total_median += _median(draws)
 
     # headline value: wall-clock for the WHOLE 10-query batch submitted
     # concurrently against the shared session (best-of-5). Spark's scheduler
@@ -168,12 +177,13 @@ def main() -> None:
     def run_one(name: str) -> None:
         materialize(QUERIES[name](spark, sf_dir))
 
-    batch_wall = float("inf")
+    batch_draws = []
     for _ in range(5):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(HEADLINE)) as ex:
             list(ex.map(run_one, HEADLINE))
-        batch_wall = min(batch_wall, time.perf_counter() - t0)
+        batch_draws.append(time.perf_counter() - t0)
+    batch_wall = min(batch_draws)
 
     # Like-for-like counterpart for `value` (round-2 advisor): the SAME
     # 10 queries submitted concurrently to DuckDB (one connection per
@@ -254,14 +264,16 @@ def main() -> None:
     # draw when idle draws measure 0.91 s — model-fit queries are
     # _NO_PLAN_CACHE and have the highest variance, so they need the
     # most samples, not the fewest)
+    pipeline_total_median = 0.0
     for name in PIPELINE:
         materialize(QUERIES[name](spark, sf_dir))  # warm
-        best = float("inf")
+        draws = []
         for _ in range(5):
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        pipeline[name] = round(best, 4)
+            draws.append(time.perf_counter() - t0)
+        pipeline[name] = round(min(draws), 4)
+        pipeline_total_median += _median(draws)
         if name in ORACLES:
             import duckdb
 
@@ -295,6 +307,7 @@ def main() -> None:
     # decode must happen on the scan partitions, the hash-then-shed
     # posture).
     media_stored: dict[str, float] = {}
+    media_stored_median: dict[str, float] = {}
     import shutil as _sh
     import tempfile as _tf
 
@@ -369,12 +382,13 @@ def main() -> None:
     try:
         for fam in _pairs_fn:
             _media_prod(fam)  # warm
-            best = float("inf")
+            draws = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 _media_prod(fam)
-                best = min(best, time.perf_counter() - t0)
-            media_stored[fam] = round(best, 4)
+                draws.append(time.perf_counter() - t0)
+            media_stored[fam] = round(min(draws), 4)
+            media_stored_median[fam] = round(_median(draws), 4)
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", _mpb_before)
         _sh.rmtree(media_root, ignore_errors=True)
@@ -498,14 +512,16 @@ def main() -> None:
         # ~1 min and keep the scale-proof section from being graded on a
         # noise spike
         sf1_spark: dict[str, float] = {}
+        sf1_med: dict[str, float] = {}
         for name in SF1_QUERIES:
             materialize(QUERIES[name](spark, sf1_dir))  # warm
-            best = float("inf")
+            draws = []
             for _ in range(5):
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, sf1_dir))
-                best = min(best, time.perf_counter() - t0)
-            sf1_spark[name.split("_")[0]] = round(best, 4)
+                draws.append(time.perf_counter() - t0)
+            sf1_spark[name.split("_")[0]] = round(min(draws), 4)
+            sf1_med[name.split("_")[0]] = _median(draws)
 
         sf1_duck: dict[str, float] = {}
         con = duckdb.connect()
@@ -535,6 +551,9 @@ def main() -> None:
             "queries": sf1_spark,
             "duckdb": sf1_duck,
             "headline_seq_total": sf1_seq,
+            "headline_seq_total_median": round(
+                sum(sf1_med[k] for k in _head_keys), 4
+            ),
             "headline_duckdb_seq_total": sf1_duck_seq,
             "headline_seq_ratio": round(sf1_seq / sf1_duck_seq, 3),
             "note": (
@@ -637,6 +656,25 @@ def main() -> None:
             "sf1": sf1_obj,
             "spark_statement_floor": round(spark_floor, 4),
             "duckdb_statement_floor": round(duck_floor, 4),
+            # Round-10 verdict task 4: medians-of-the-same-draws next to
+            # every section's min, plus the draw counts and the
+            # floor-normalized headline total — a reader separates draw
+            # noise (min-vs-median gap) from real drift (both move)
+            # without re-running forensics. seq_net_of_floor subtracts
+            # the measured per-statement floor x10 from seq_total: the
+            # data-dependent work term the sf1 section's scale-up
+            # argument rides on.
+            "med": {
+                "value": round(_median(batch_draws), 4),
+                "seq_total": round(seq_total_median, 4),
+                "pipeline_total": round(pipeline_total_median, 4),
+                "media": media_stored_median,
+            },
+            "draws": {"head": 5, "batch": 5, "pipe": 5, "media": 3,
+                      "sf1": 5},
+            "seq_net_of_floor": round(
+                sum(timings.values()) - len(HEADLINE) * spark_floor, 4
+            ),
             "sf": sf,
         },
         separators=(",", ":"),
