@@ -105,6 +105,65 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int] | None:
 
 
 # --------------------------------------------------------------------------
+# MPEG-audio tier (round 10 — the audio twin of the image PIL gate):
+# payloads sniffed as MPEG audio (ID3v2 tag or an 0xFFEx frame sync)
+# route through the PUBLIC `miniaudio` decoder when it is importable;
+# without it they are a DOCUMENTED PASSTHROUGH — decode returns None, so
+# fingerprints/features go NULL and ingestion gates pass the rows
+# un-gated, exactly the image path's no-codec contract. The gate is
+# evaluated ONCE at import, never probed inside the Arrow batch loop,
+# and the engine never hand-rolls an MPEG decoder.
+# --------------------------------------------------------------------------
+try:
+    import miniaudio as _miniaudio  # public pip package, decodes MP3 to PCM
+
+    _MINIAUDIO_PRESENT = True
+except ImportError:
+    _miniaudio = None
+    _MINIAUDIO_PRESENT = False
+
+
+def sniff_mpeg_audio(data: bytes) -> bool:
+    """True when the payload looks like MPEG audio: an ID3v2 tag or an
+    MPEG frame sync (11 set bits: 0xFF then top-3 bits of the next byte,
+    the 0xFFFB shape of common MP3s included). A sniff, not a parse —
+    the decode attempt is what settles it."""
+    if data[:3] == b"ID3":
+        return True
+    return len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+
+
+def mp3_decode(data: bytes) -> "tuple[np.ndarray, int] | None":
+    """Decode MPEG audio to (int16 samples shaped (n, channels), rate)
+    via the miniaudio gate; None without the decoder (documented
+    passthrough) or for payloads it rejects — same fail-closed contract
+    as :func:`wav_decode`, so one bad crawl payload never kills an
+    Arrow batch."""
+    if not _MINIAUDIO_PRESENT:
+        return None
+    try:
+        dec = _miniaudio.decode(data)
+        arr = np.asarray(dec.samples, dtype=np.int16).reshape(
+            -1, int(dec.nchannels)
+        )
+        return arr, int(dec.sample_rate)
+    except Exception:
+        return None
+
+
+def audio_decode(data: bytes) -> "tuple[np.ndarray, int] | None":
+    """Container-sniffed decode — the single entry every fingerprint/
+    feature stage uses: RIFF/WAVE through the stdlib codec, MPEG audio
+    through the miniaudio gate, anything else tried as WAV (which fails
+    closed to None)."""
+    if data[:4] == b"RIFF":
+        return wav_decode(data)
+    if sniff_mpeg_audio(data):
+        return mp3_decode(data)
+    return wav_decode(data)
+
+
+# --------------------------------------------------------------------------
 # Deterministic synthesized corpus (the audio analogue of attach_png_media).
 # --------------------------------------------------------------------------
 def _synth_samples(key: str, rate: int, seconds: float) -> np.ndarray:
@@ -215,7 +274,7 @@ def _mono(arr: np.ndarray) -> np.ndarray:
 
 
 def _clip_features(data: bytes) -> tuple | None:
-    dec = wav_decode(data)
+    dec = audio_decode(data)
     if dec is None:
         return None
     arr, rate = dec
@@ -295,8 +354,9 @@ def afp64_samples(x: np.ndarray) -> int:
 
 
 def afp64_bytes(payload: bytes) -> int | None:
-    """Fingerprint a WAV payload; None when the codec can't decode it."""
-    dec = wav_decode(payload)
+    """Fingerprint an audio payload (WAV via the stdlib codec, MPEG
+    audio via the miniaudio gate); None when no codec decodes it."""
+    dec = audio_decode(payload)
     if dec is None:
         return None
     x = _mono(dec[0])
