@@ -32,76 +32,73 @@ _ALL = {
 # (1) every registry query with no driver signal yet goes in first; (2) then
 # every query whose implementation or oracle changed this round (space
 # permitting); (3) fill the remainder with the queries whose last green
-# signal is oldest. ROUND 9 (per VERDICT r8 task 1, derived from merged
-# CORRECTNESS_r01-r08 latest signals — r8:50 / r7:49 / r6:50 / r5:8 /
-# never:1): rule (1) admits q156_media_index (the only never-graded
-# entry — the persisted Hamming media index + ingestion gate, displaced
-# from the r8 window by its nine rule-1 siblings); rule (3)-first
-# admits q138-q145 (the eight r5-signal holdovers, now the oldest
-# signals in the registry); rule (2) admits q147/q152/q153/q154 (their
-# index scratch paths moved to the atexit-cleaned `_scratch_index_path`
-# helper this round, and q147 additionally gained the PIL/JPEG
-# capability gate in operators/multimodal.py); rule (3) fills the
-# remaining 37 slots with the head of the r6-signal block in numeric
-# order (q46-q49, q51-q83). The r6-signal tail (q84-q90, q93,
-# q100-q102, q106, q146 — 13 queries) keeps its r6 signal and is due
-# first in the round-10 window. Outside the window: everything graded
-# green in r7/r8.
+# signal is oldest. ROUND 10 (per VERDICT r9 task 2, derived from merged
+# CORRECTNESS_r01-r09 latest signals — r9:50 / r8:46 / r7:49 / r6:13):
+# rule (1) admits nothing (all 158 registry queries carry a green
+# signal); rule (3)-first admits the 13 r6-signal holdovers (q84-q90,
+# q93, q100-q102, q106, q146 — the oldest signals in the registry, the
+# standing round-10 debt); rule (2) admits q148/q149 (their fingerprint
+# and feature stages now route through operators/audio.audio_decode —
+# the round-10 MPEG capability gate) and q153 (operators/ann_index.py
+# gained the pinned metadata-only partition-drop GC this round; the
+# build/serve path q153 exercises is unchanged but the module is not);
+# rule (3) fills the remaining 34 slots with the head of the r7-signal
+# block in numeric order (q0-q10, q25, q28, q34, q36-q39, q41, q45,
+# q50, q91, q92, q95-q99, q103-q105, q107-q109). The r7-signal tail
+# (q110-q125: 15 queries) keeps its r7 signal and is due first in the
+# round-11 window, followed by the r8 block. Outside the window:
+# everything graded green in r8/r9.
 _WINDOW = [
-    # --- rule 1: never graded ---
-    "q156_media_index",
-    # --- rule 3 (first): the eight oldest signals (r5) ---
-    "q138_regression_aggs",
-    "q139_exact_percentiles",
-    "q140_psi_drift",
-    "q141_doc_lm_score",
-    "q142_embedding_cohesion",
-    "q143_snapshot_diff",
-    "q144_span_scrub",
-    "q145_embedding_decontam",
-    # --- rule 2: implementation changed this round ---
-    "q147_image_neardup",
-    "q152_incremental_neardup",
+    "q84_maintenance_suppression",
+    "q85_flap_suppression",
+    "q86_correlated_subquery",
+    "q87_window_distinct",
+    "q88_entropy",
+    "q89_mad_outliers",
+    "q90_ann_ivfpq",
+    "q93_dedup_keep_one",
+    "q100_gapfill",
+    "q101_cusum",
+    "q102_snapshot_diff",
+    "q106_transition_matrix",
+    "q146_bpe_pipeline",
+    "q148_audio_features",
+    "q149_audio_neardup",
     "q153_ann_index",
-    "q154_text_semantic_search",
-    # --- rule 3: the 37 oldest r6-signal queries (q84+ due round 10) ---
-    "q46_sliding_window",
-    "q47_session_window",
-    "q48_ann_ivf",
-    "q49_forecast_score",
-    "q51_dispatch_plan",
-    "q52_model_metrics",
-    "q53_multimodal_features",
-    "q54_scalar_subquery",
-    "q55_in_subquery",
-    "q56_lead_window",
-    "q57_first_last_value",
-    "q58_ntile_percent_rank",
-    "q59_time_range_frame",
-    "q60_union_distinct",
-    "q61_except_all",
-    "q62_like_filter",
-    "q63_date_arithmetic",
-    "q64_resample_asof",
-    "q65_conditional_agg",
-    "q66_salted_agg",
-    "q67_tfidf",
-    "q68_variance_corr",
-    "q69_array_ops",
-    "q70_null_handling",
-    "q71_pandas_udf_score",
-    "q72_variant_json",
-    "q73_rmse",
-    "q74_auc",
-    "q75_sequence_assembly",
-    "q76_ann_pq",
-    "q77_funnel",
-    "q78_hll_rollup",
-    "q79_repetition_signals",
-    "q80_scrub_sample",
-    "q81_root_cause_lift",
-    "q82_burst_detection",
-    "q83_chunking",
+    "q0_flagship_risk",
+    "q1_pricing_summary",
+    "q2_join_topn",
+    "q3_window_rank",
+    "q4_rolling_avg",
+    "q5_sessionize",
+    "q6_json_extract",
+    "q7_distinct",
+    "q8_dedup_docs",
+    "q9_knn",
+    "q10_setops",
+    "q25_pivot",
+    "q28_asof_join",
+    "q34_running_total",
+    "q36_knn_batch",
+    "q37_minhash_neardup",
+    "q38_simhash_neardup",
+    "q39_fingerprint_dedup",
+    "q41_ngram_jaccard",
+    "q45_tumbling_window",
+    "q50_per_entity_ols",
+    "q91_dedup_clusters",
+    "q92_ann_opq",
+    "q95_unpivot",
+    "q96_regr_native",
+    "q97_corpus_split",
+    "q98_corpus_mixture",
+    "q99_neardup_clusters",
+    "q103_bloom_prune",
+    "q104_histogram_quantiles",
+    "q105_seasonal_outliers",
+    "q107_decontamination",
+    "q108_sequence_packing",
+    "q109_pmi_bigrams",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
