@@ -18,7 +18,7 @@ note".
 concurrently (best-of-5): sub-second queries at this SF are dominated by a
 fixed per-statement floor that a shared Spark session amortizes across
 concurrent jobs — the serving pattern this engine targets. The ``queries``
-map reports each query's individual sequential latency (best-of-3).
+map reports each query's individual sequential latency (best-of-5).
 ``spark_statement_floor`` / ``duckdb_statement_floor`` report the measured
 cost of a TRIVIAL fresh statement (count over the 5-row region table) on
 each engine — the fixed overhead any per-query ratio at this SF should be
@@ -604,7 +604,7 @@ def main() -> None:
     # stderr, and a hard assert keeps the line from regressing past the
     # capture window again.
     print(
-        "NOTES: seq_total = sum of per-query sequential best-of-3 "
+        "NOTES: seq_total = sum of per-query sequential best-of-5 "
         "latencies (like-for-like vs BASELINE.md's sequential DuckDB "
         "table); value = 10-query concurrent batch wall, best-of-5 (the "
         "amortized serving mode). pipeline_duckdb covers the oracle-paired "

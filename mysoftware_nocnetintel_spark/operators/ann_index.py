@@ -318,9 +318,28 @@ def _delete_cells(
     sidecar, so no appender assigns into them)."""
     if fmt not in ("delta", "iceberg"):  # pragma: no cover
         raise ValueError(f"unknown table_format {fmt!r}")
-    for c in sorted(int(c) for c in cells):
-        fl = None if files_by_cell is None else files_by_cell.get(c)
-        if files_by_cell is not None and not fl:
+    if not cells:
+        return
+    ids = sorted(int(c) for c in cells)
+    if files_by_cell is None:
+        # unpinned sweep (ghost cells): ONE commit drops every cell —
+        # a crashed run leaves split_factor ghosts per parent, and the
+        # sweep must not pay one CAS + manifest rewrite per ghost
+        # (round-10 review)
+        if fmt == "delta":
+            from ..sources.delta import drop_delta_partition
+
+            drop_delta_partition(
+                spark, path, [{"cell": str(c)} for c in ids]
+            )
+        else:
+            from ..sources.iceberg import drop_iceberg_partition
+
+            drop_iceberg_partition(path, [{"cell": c} for c in ids])
+        return
+    for c in ids:
+        fl = files_by_cell.get(c)
+        if not fl:
             continue  # pinned mode with nothing pinned: nothing to drop
         if fmt == "delta":
             from ..sources.delta import drop_delta_partition

@@ -841,7 +841,7 @@ def write_delta_overwrite(df: DataFrame, path: str) -> int:
 def drop_delta_partition(
     spark,
     path: str,
-    partition_values: "dict[str, str]",
+    partition_values: "dict[str, str] | list[dict[str, str]]",
     files: "list[str] | None" = None,
 ) -> "int | None":
     """METADATA-ONLY partition drop (round 10): commit ``remove``
@@ -849,7 +849,10 @@ def drop_delta_partition(
     ``partition_values`` — no data file is read, rewritten, or DV'd, so
     the verb is O(partition's file count) driver-side JSON regardless of
     row count (the scale path the row-level
-    :func:`delete_delta_rows` DV cap points at). Dropped files stay on
+    :func:`delete_delta_rows` DV cap points at). A LIST of partition
+    dicts drops every matching partition in ONE commit (a file matching
+    any entry drops) — batch maintenance sweeps pay one CAS, not one
+    per partition. Dropped files stay on
     disk as tombstoned history for time travel until a vacuum.
 
     ``files`` (optional) PINS the drop to an explicit relative-path set —
@@ -879,28 +882,41 @@ def drop_delta_partition(
             "refusing to modify a Delta table created by another writer: "
             "use the delta-spark connector"
         )
+    parts = (
+        partition_values
+        if isinstance(partition_values, list)
+        else [partition_values]
+    )
     part_cols = meta.get("partitionColumns") or []
-    bad = [k for k in partition_values if k not in part_cols]
-    if bad:
-        raise ValueError(
-            f"partition keys {bad} are not partition columns of this "
-            f"table (partitioned by {part_cols})"
-        )
-    if not partition_values:
-        raise ValueError(
-            "empty partition_values would drop the whole table: use "
-            "write_delta_overwrite for that"
-        )
+    for pv in parts:
+        bad = [k for k in pv if k not in part_cols]
+        if bad:
+            raise ValueError(
+                f"partition keys {bad} are not partition columns of this "
+                f"table (partitioned by {part_cols})"
+            )
+        if not pv:
+            raise ValueError(
+                "empty partition_values would drop the whole table: use "
+                "write_delta_overwrite for that"
+            )
+    if not parts:
+        return None
     # column-mapped tables key add.partitionValues by PHYSICAL name —
     # same translation the reader's partition_filter does
     phys = _physical_names(meta)
-    want = {phys.get(k, k): str(v) for k, v in partition_values.items()}
+    wants = [
+        {phys.get(k, k): str(v) for k, v in pv.items()} for pv in parts
+    ]
     matched = {
         rel
         for rel, add in state["live"].items()
-        if all(
-            (add.get("partitionValues") or {}).get(k) == v
-            for k, v in want.items()
+        if any(
+            all(
+                (add.get("partitionValues") or {}).get(k) == v
+                for k, v in want.items()
+            )
+            for want in wants
         )
     }
     if files is not None:

@@ -2929,35 +2929,6 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
                 else:
                     del_entries.append(rec)
 
-        def _entry_schema_for(spec_id: int) -> dict:
-            # the data manifest needs the partition record schema when
-            # that SPEC is partitioned (delete manifests never carry
-            # partitions in this writer) — the SOURCE spec's shape:
-            # consolidation moves entries, it doesn't re-partition them
-            specs = meta.get("partition-specs") or []
-            spec = next(
-                (
-                    s
-                    for i, s in enumerate(specs)
-                    if s.get("spec-id", i) == spec_id
-                ),
-                None,
-            )
-            if not spec or not spec.get("fields"):
-                return MANIFEST_ENTRY_SCHEMA
-            from .iceberg_transforms import spec_field_to_part_field
-
-            schema_fields = (meta.get("schemas") or [{}])[0].get(
-                "fields", []
-            )
-            pfs = [
-                spec_field_to_part_field(f, schema_fields)
-                for f in spec["fields"]
-            ]
-            return _partition_manifest_schema(
-                [(pf.name, pf.value_type) for pf in pfs]
-            )
-
         now_ms = int(time.time() * 1000)
         snap_id = now_ms * 1000 + (ver + 1)
         seq = meta.get("last-sequence-number", 0) + 1
@@ -2965,7 +2936,9 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
         for spec_id in sorted(data_by_spec):
             mpath = os.path.join(meta_dir, f"m-{snap_id}-s{spec_id}.avro")
             write_avro_file(
-                mpath, _entry_schema_for(spec_id), data_by_spec[spec_id]
+                mpath,
+                _entry_schema_for_spec(meta, spec_id),
+                data_by_spec[spec_id],
             )
             new_rows.append((mpath, 0, spec_id))
         if del_entries:
@@ -3049,7 +3022,7 @@ def _entry_schema_for_spec(meta: dict, spec_id: int) -> dict:
 
 def drop_iceberg_partition(
     path: str,
-    partition_values: dict,
+    partition_values: "dict | list[dict]",
     files: "list[str] | None" = None,
 ) -> "int | None":
     """METADATA-ONLY partition drop (round 10): commit a ``delete``
@@ -3066,8 +3039,10 @@ def drop_iceberg_partition(
 
     ``partition_values`` matches the entries' TYPED partition records
     exactly (identity values as stored in manifests, e.g. ``{"cell": 3}``);
-    files written under a spec that predates a filtered field never match
-    (a drop must be exact, never a superset). ``files`` (optional) PINS
+    a LIST of dicts drops every matching partition in ONE snapshot
+    (batch maintenance sweeps pay one CAS and one manifest-list rewrite,
+    not one per partition); files written under a spec that predates a
+    filtered field never match (a drop must be exact, never a superset). ``files`` (optional) PINS
     the drop to an explicit path set — only pinned paths are excluded, a
     pinned path live OUTSIDE the partition is refused, and files appended
     to the partition after the caller's pinning snapshot survive (the
@@ -3080,11 +3055,18 @@ def drop_iceberg_partition(
     from .avro_lite import read_avro_file
     from .readers import _iceberg_local_path
 
-    if not partition_values:
+    parts = (
+        partition_values
+        if isinstance(partition_values, list)
+        else [partition_values]
+    )
+    if any(not pv for pv in parts):
         raise ValueError(
             "empty partition_values would drop the whole table: use "
             "rollback/expire or a full overwrite for that"
         )
+    if not parts:
+        return None  # nothing requested: idempotent no-op
     meta_dir = os.path.join(path, "metadata")
     meta, ver = _load_meta(meta_dir)
     if meta is None:
@@ -3098,12 +3080,13 @@ def drop_iceberg_partition(
     for s in meta.get("partition-specs") or []:
         for f in s.get("fields", []):
             spec_keys.add(f.get("name"))
-    bad = [k for k in partition_values if k not in spec_keys]
-    if bad:
-        raise ValueError(
-            f"partition keys {bad} are not partition fields of any spec "
-            f"of this table (specs carry {sorted(spec_keys)})"
-        )
+    for pv in parts:
+        bad = [k for k in pv if k not in spec_keys]
+        if bad:
+            raise ValueError(
+                f"partition keys {bad} are not partition fields of any "
+                f"spec of this table (specs carry {sorted(spec_keys)})"
+            )
     pinned = (
         None
         if files is None
@@ -3112,8 +3095,9 @@ def drop_iceberg_partition(
 
     def _matches(entry: dict) -> bool:
         pv = entry["data_file"].get("partition") or {}
-        return all(
-            k in pv and pv[k] == v for k, v in partition_values.items()
+        return any(
+            all(k in pv and pv[k] == v for k, v in want.items())
+            for want in parts
         )
 
     last_err: IcebergCommitConflict | None = None

@@ -311,8 +311,16 @@ def congruence_mismatches(derived: dict, published: dict) -> list[str]:
             # refs, while a foreign-writer artifact may carry an explicit
             # refs["main"] entry — raw-field comparison would spuriously
             # reject that commit (round-10 advisor). The view folds main
-            # into the refs map identically for derived and published.
-            if _norm_refs(_refs_view(derived)) != _norm_refs(
+            # into the refs map identically for derived and published —
+            # but only for internally CONSISTENT artifacts: an explicit
+            # refs["main"] disagreeing with its own document's
+            # current-snapshot-id would be silently overwritten by the
+            # view (round-10 review), so it is checked first.
+            if _main_ref_inconsistent(derived) or _main_ref_inconsistent(
+                published
+            ):
+                bad.append(f)
+            elif _norm_refs(_refs_view(derived)) != _norm_refs(
                 _refs_view(published)
             ):
                 bad.append(f)
@@ -343,6 +351,19 @@ def congruence_mismatches(derived: dict, published: dict) -> list[str]:
     if ds != ps:
         bad.append("snapshots")
     return bad
+
+
+def _main_ref_inconsistent(meta: dict) -> bool:
+    """True when the artifact stores an explicit ``refs["main"]`` that
+    contradicts its own ``current-snapshot-id`` — _refs_view would mask
+    the disagreement by overwriting main with the head."""
+    stored = (meta.get("refs") or {}).get("main")
+    if stored is None:
+        return False
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur == -1:
+        return True  # a main ref with no head to agree with
+    return stored.get("snapshot-id") != cur
 
 
 def _norm_refs(refs: dict | None) -> dict:

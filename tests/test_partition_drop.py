@@ -223,3 +223,48 @@ def test_iceberg_pinned_drop_spares_late_appends(spark, tmp_path):
     assert (
         drop_iceberg_partition(root, {"day": "d1"}, files=pinned) is None
     )
+
+
+def test_delta_multi_partition_drop_is_one_commit(spark, tmp_path):
+    """Round-10 review finding 3: a LIST of partition dicts drops every
+    matching partition in ONE commit (batch sweeps pay one CAS)."""
+    root = str(tmp_path / "dm")
+    write_delta_append(_df(spark, "d1", 0, 2), root, partition_by=("day",))
+    write_delta_append(_df(spark, "d2", 2, 4), root)
+    write_delta_append(_df(spark, "d3", 4, 6), root)
+    v_before = max(
+        int(os.path.basename(p).split(".")[0])
+        for p in glob.glob(os.path.join(root, "_delta_log", "*.json"))
+    )
+    v = drop_delta_partition(
+        spark, root, [{"day": "d1"}, {"day": "d3"}]
+    )
+    assert v == v_before + 1  # exactly one commit for both partitions
+    assert _rows(read_delta_snapshot(spark, root)) == {("d2", 2), ("d2", 3)}
+
+
+def test_iceberg_multi_partition_drop_is_one_snapshot(spark, tmp_path):
+    root = str(tmp_path / "im")
+    write_iceberg_append(
+        _df(spark, "d1", 0, 2), root, partition_by=("day",)
+    )
+    write_iceberg_append(_df(spark, "d2", 2, 4), root)
+    write_iceberg_append(_df(spark, "d3", 4, 6), root)
+    import json as _json
+    from glob import glob as _g
+
+    meta_files = sorted(
+        _g(os.path.join(root, "metadata", "v*.metadata.json"))
+    )
+    n_snaps = len(
+        _json.load(open(meta_files[-1]))["snapshots"]
+    )
+    snap = drop_iceberg_partition(root, [{"day": "d1"}, {"day": "d3"}])
+    assert isinstance(snap, int)
+    meta_files = sorted(
+        _g(os.path.join(root, "metadata", "v*.metadata.json"))
+    )
+    assert len(_json.load(open(meta_files[-1]))["snapshots"]) == n_snaps + 1
+    assert _rows(read_iceberg_snapshot(spark, root)) == {
+        ("d2", 2), ("d2", 3),
+    }

@@ -597,3 +597,33 @@ def test_spec_native_fallback_counter_and_warning(tmp_path, caplog):
     assert c.stats["spec_native_fallbacks"] == 3
     warned = [r for r in caplog.records if "fell back" in r.getMessage()]
     assert len(warned) == 1  # first fallback only
+
+
+def test_congruence_rejects_inconsistent_explicit_main():
+    """Round-10 review finding 1: an artifact whose explicit
+    refs["main"] disagrees with its OWN current-snapshot-id must be
+    flagged — the view would silently overwrite main with the head,
+    and a foreign reader honoring refs.main would diverge from one
+    honoring the head."""
+    base = {
+        "format-version": 2,
+        "table-uuid": "u-im",
+        "location": "/t",
+        "snapshots": [
+            {"snapshot-id": 7, "sequence-number": 1},
+            {"snapshot-id": 9, "sequence-number": 2},
+        ],
+        "current-snapshot-id": 9,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": []}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+    }
+    derived = json.loads(json.dumps(base))
+    published = json.loads(json.dumps(base))
+    published["refs"] = {"main": {"snapshot-id": 7, "type": "branch"}}
+    assert "refs" in congruence_mismatches(derived, published)
+    # a CONSISTENT explicit main still normalizes (the advisor fix holds)
+    published["refs"]["main"]["snapshot-id"] = 9
+    assert congruence_mismatches(derived, published) == []
