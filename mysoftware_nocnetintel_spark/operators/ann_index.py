@@ -360,6 +360,25 @@ def _read_cell_or_none(spark, path, fmt, cell: int):
         return None
 
 
+def _metadata_cell_counts(path: str, fmt: str) -> "dict[int, int] | None":
+    """EXACT per-cell populations from table METADATA alone (Delta
+    add.stats minus DV cardinality / Iceberg manifest record counts) —
+    the zero-I/O count path the rebalance sizes its work by. None when
+    the format can't guarantee exactness (missing stats, live delete
+    files after a retraction); callers fall back to the scan."""
+    if fmt == "delta":
+        from ..sources.delta import partition_row_counts
+
+        raw = partition_row_counts(path, "cell")
+    else:
+        from ..sources.iceberg import partition_row_counts
+
+        raw = partition_row_counts(path, "cell")
+    if raw is None:
+        return None
+    return {int(k): int(v) for k, v in raw.items()}
+
+
 def _pin_cell(spark, path: str, fmt: str, cell: int):
     """One cell's rows AND file list at a SINGLE pinned snapshot —
     ``(DataFrame | None, files)``. The rescue read and the GC drop must
@@ -525,10 +544,11 @@ def rebalance_ivf_index(
 
     ``max_rows_per_cell`` defaults to 2x the mean live-cell population.
     Returns ``{"split": {parent: [new ids]}, "moved": n, "rescued": n,
-    "gc_cells": [...], "unsplittable": [...]}``. Counting is a
-    full-column scan of (cell) here; a deployment can read the same
-    counts from add.stats / manifest row counts without touching
-    data."""
+    "gc_cells": [...], "unsplittable": [...]}``. Counting reads table
+    METADATA (round 10 — Delta add.stats minus DV cardinality / Iceberg
+    manifest record counts: KB of log/Avro, zero data I/O) and falls
+    back to a full-column scan only when metadata can't be exact
+    (:func:`_metadata_cell_counts`)."""
     import math
 
     p = read_ann_params(path)
@@ -539,6 +559,14 @@ def rebalance_ivf_index(
         from ..sources.readers import read_iceberg_snapshot as _rdr
 
     def _counts() -> dict[int, int]:
+        # metadata first (round 10): KB of log/Avro instead of a
+        # full-column scan — at 100 TB the count pass would otherwise
+        # rival the split itself. Falls back to the scan whenever
+        # metadata can't be exact (e.g. live delete files after a
+        # vec_id retraction).
+        meta_counts = _metadata_cell_counts(path, fmt)
+        if meta_counts is not None:
+            return meta_counts
         return {
             int(r["cell"]): int(r["n"])
             for r in _rdr(spark, path)

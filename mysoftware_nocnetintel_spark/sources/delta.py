@@ -949,6 +949,52 @@ def drop_delta_partition(
     )
 
 
+def partition_row_counts(path: str, col: str) -> "dict[str, int] | None":
+    """EXACT live row count per value of partition column ``col`` from
+    the transaction log ALONE — zero data I/O: each live add's
+    ``stats.numRecords`` minus its deletion-vector ``cardinality``
+    (deletion vectors are Delta's only merge-on-read mask, and the
+    protocol requires the descriptor to carry the exact masked count),
+    summed per partition value. Returns None — callers fall back to a
+    scan — when any live add lacks parseable stats or a DV lacks its
+    cardinality (foreign writers); a table written by this engine
+    always qualifies. The scale rationale: maintenance loops that size
+    work by partition population (e.g. the ANN rebalance threshold)
+    should read KB of log, not scan the table."""
+    log_dir = os.path.join(path, "_delta_log")
+    state = _replay_state(log_dir)
+    if state["version"] is None:
+        raise FileNotFoundError(f"no Delta table at {path}")
+    meta = state["meta"] or {}
+    part_cols = meta.get("partitionColumns") or []
+    if col not in part_cols:
+        raise ValueError(
+            f"{col!r} is not a partition column of this table "
+            f"(partitioned by {part_cols})"
+        )
+    pcol = _physical_names(meta).get(col, col)
+    out: dict[str, int] = {}
+    for add in state["live"].values():
+        raw = add.get("stats")
+        if not raw:
+            return None
+        try:
+            n = json.loads(raw).get("numRecords")
+        except (ValueError, TypeError):
+            return None
+        if n is None:
+            return None
+        dv = add.get("deletionVector")
+        if dv is not None:
+            card = dv.get("cardinality")
+            if card is None:
+                return None
+            n = int(n) - int(card)
+        v = (add.get("partitionValues") or {}).get(pcol)
+        out[v] = out.get(v, 0) + int(n)
+    return out
+
+
 _MAX_DELETE_POSITIONS = 5_000_000  # driver-side DV build cap (see below)
 
 

@@ -3020,6 +3020,61 @@ def _entry_schema_for_spec(meta: dict, spec_id: int) -> dict:
     )
 
 
+def partition_row_counts(path: str, col: str) -> "dict | None":
+    """EXACT live row count per value of partition field ``col`` from
+    the current snapshot's MANIFESTS alone — zero data I/O: live data
+    entries' ``record_count`` summed per typed partition value. Returns
+    None — callers fall back to a scan — when exactness can't be
+    guaranteed from metadata: the snapshot carries any live delete file
+    (position/equality masks would make manifest counts an overcount),
+    a data file predates a spec that carries ``col`` (its rows can't be
+    attributed), or an entry lacks a record count. The scale rationale:
+    maintenance loops that size work by partition population should
+    read KB of Avro, not scan the table."""
+    from .avro_lite import read_avro_file
+
+    meta_dir = os.path.join(path, "metadata")
+    meta, _ver = _load_meta(meta_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    spec_keys = {
+        f.get("name")
+        for s in meta.get("partition-specs") or []
+        for f in s.get("fields", [])
+    }
+    if col not in spec_keys:
+        raise ValueError(
+            f"{col!r} is not a partition field of any spec of this table "
+            f"(specs carry {sorted(spec_keys)})"
+        )
+    if meta.get("current-snapshot-id") in (None, -1):
+        return {}
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = read_avro_file(cur["manifest-list"])
+    out: dict = {}
+    for m in manifests:
+        _, entries = read_avro_file(m["manifest_path"])
+        live = [e for e in entries if e.get("status") != 2]
+        if m.get("content", 0) != 0:
+            if live:
+                return None  # live delete files: counts would overcount
+            continue
+        for e in live:
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                return None
+            rc = df_rec.get("record_count")
+            pv = df_rec.get("partition") or {}
+            if rc is None or col not in pv:
+                return None
+            out[pv[col]] = out.get(pv[col], 0) + int(rc)
+    return out
+
+
 def drop_iceberg_partition(
     path: str,
     partition_values: "dict | list[dict]",
