@@ -387,6 +387,26 @@ def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
                 }
             }
         ] + actions
+    # IN-COMMIT TIMESTAMPS (PROTOCOL.md "In-Commit Timestamps", round
+    # 10): once a commit in the lineage carries ``inCommitTimestamp``,
+    # every later commit must too, STRICTLY MONOTONE — the clamp is
+    # max(wall clock, parent ICT + 1), so timestamp time travel stays
+    # correct under clock skew. The chain check is O(1) (the parent
+    # commit's leading line), re-evaluated on every CAS retry so the
+    # clamp is always against the commit actually preceding this one.
+    prev_ict = _prev_in_commit_ts(log_dir, version)
+    if prev_ict is not None:
+        lead = next(
+            a["commitInfo"] for a in actions if "commitInfo" in a
+        )
+        if lead.get("inCommitTimestamp") is None:
+            lead["inCommitTimestamp"] = max(
+                int(time.time() * 1000), prev_ict + 1
+            )
+        else:
+            lead["inCommitTimestamp"] = max(
+                int(lead["inCommitTimestamp"]), prev_ict + 1
+            )
     payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
     try:
         get_committer().put_if_absent(final, payload)
@@ -395,6 +415,86 @@ def _commit_version(log_dir: str, version: int, actions: list[dict]) -> None:
             f"log version {version} was committed by another writer while "
             f"this commit was staged ({e})"
         ) from None
+
+
+def _prev_in_commit_ts(log_dir: str, version: int) -> "int | None":
+    """The parent commit's ``commitInfo.inCommitTimestamp``, or None
+    when the parent has none (table not ICT-enabled) or its JSON is
+    gone (cleaned prefix — :func:`cleanup_delta_log` keeps the newest
+    ICT-bearing commit precisely so an enabled table's chain survives
+    log cleanup)."""
+    if version <= 0:
+        return None
+    p = os.path.join(log_dir, f"{version - 1:020d}.json")
+    try:
+        with open(p) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci is not None:
+                    t = ci.get("inCommitTimestamp")
+                    return None if t is None else int(t)
+    except OSError:
+        return None
+    return None
+
+
+def enable_delta_in_commit_timestamps(path: str) -> int:
+    """Enable IN-COMMIT TIMESTAMPS (PROTOCOL.md "In-Commit Timestamps")
+    on a table this writer created: one commit upgrades the protocol to
+    writer feature ``inCommitTimestamp``, sets
+    ``delta.enableInCommitTimestamps`` plus the spec's enablement
+    provenance properties (the version and ICT of this very commit —
+    what tells readers which versions' timestamps are file-clock), and
+    carries the chain's FIRST ``inCommitTimestamp``. Every later commit
+    continues the chain automatically with the strictly-monotone clamp
+    in :func:`_commit_version`. Returns the committed version.
+
+    Why a deployment wants it: ``as_of_ms`` time travel already prefers
+    in-commit ``commitInfo.timestamp``; ICT makes the preference a spec
+    GUARANTEE — monotone under clock skew, immune to log trees copied
+    without mtimes, and readable by any Delta engine that understands
+    the feature. docs/delta_coordinated_commits.md scopes the rest of
+    the coordinated-commits surface this feature composes with."""
+    state = _writer_state(path)
+    log_dir = os.path.join(path, "_delta_log")
+    meta = state["meta"]
+    conf = dict(meta.get("configuration") or {})
+    if conf.get("delta.enableInCommitTimestamps") == "true":
+        return state["version"]  # already enabled: idempotent no-op
+    version = state["version"] + 1
+    now_ms = int(time.time() * 1000)
+    proto = state.get("protocol") or {}
+    wf = set(proto.get("writerFeatures") or [])
+    # a pre-features protocol (minWriterVersion < 7) lists its implied
+    # legacy writer features on upgrade, the same convention the DV
+    # upgrade uses
+    wf |= {"appendOnly", "invariants", "inCommitTimestamp"}
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf),
+    }
+    if proto.get("readerFeatures") is not None:
+        new_proto["readerFeatures"] = proto["readerFeatures"]
+    conf["delta.enableInCommitTimestamps"] = "true"
+    conf["delta.inCommitTimestampEnablementVersion"] = str(version)
+    conf["delta.inCommitTimestampEnablementTimestamp"] = str(now_ms)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "inCommitTimestamp": now_ms,  # the chain starts here
+                "engineInfo": "mysoftware-nocnetintel-spark",
+                "operation": "UPGRADE PROTOCOL",
+            }
+        },
+        {"protocol": new_proto},
+        {"metaData": dict(meta, configuration=conf)},
+    ]
+    _commit_version(log_dir, version, actions)
+    return version
 
 
 def latest_txn_version(path: str, app_id: str) -> int | None:
@@ -2593,11 +2693,18 @@ def cleanup_delta_log(path: str) -> list[int]:
         raise ValueError(
             f"no checkpoint at {path}: run checkpoint_delta_table first"
         )
+    removable = [v for v in _log_versions(log_dir) if v <= cp_v]
+    # IN-COMMIT TIMESTAMPS: the monotone chain clamps against the PARENT
+    # commit's ICT (O(1) file read in _commit_version), so an enabled
+    # table must keep its newest at-or-below-checkpoint commit — one
+    # KB-scale file preserves the chain across cleanup; everything
+    # below it still goes
+    if removable and _prev_in_commit_ts(log_dir, removable[-1] + 1) is not None:
+        removable = removable[:-1]
     removed = []
-    for v in _log_versions(log_dir):
-        if v <= cp_v:
-            os.remove(os.path.join(log_dir, f"{v:020d}.json"))
-            removed.append(v)
+    for v in removable:
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+        removed.append(v)
     return removed
 
 
@@ -2607,10 +2714,11 @@ def delta_history(spark, path: str) -> DataFrame:
     any transaction identifier — the operational surface delta-spark
     exposes as ``DESCRIBE HISTORY`` (PROTOCOL.md actions; commitInfo is
     optional in the protocol, so the operation is derived from the
-    action mix). ``commit_ts_ms`` is the in-commit ``commitInfo.
-    timestamp`` when present (every commit this writer makes since
-    round 8), else the commit file's mtime — the same preference
-    ``as_of_ms`` time travel uses. Driver-side JSON walk — one KB-scale
+    action mix). ``commit_ts_ms`` prefers the spec's
+    ``inCommitTimestamp`` (ICT-enabled tables, round 10), then the
+    informational ``commitInfo.timestamp`` (every commit this writer
+    makes since round 8), else the commit file's mtime — the same
+    preference ``as_of_ms`` time travel uses. Driver-side JSON walk — one KB-scale
     row per commit — then a bounded createDataFrame."""
     log_dir = os.path.join(path, "_delta_log")
     versions = _log_versions(log_dir)
@@ -2647,7 +2755,9 @@ def delta_history(spark, path: str) -> DataFrame:
                     continue
                 act = json.loads(line)
                 if "commitInfo" in act:
-                    t = act["commitInfo"].get("timestamp")
+                    t = act["commitInfo"].get(
+                        "inCommitTimestamp"
+                    ) or act["commitInfo"].get("timestamp")
                     if t is not None:
                         ts_ms = int(t)
                 if "add" in act:

@@ -501,7 +501,13 @@ def read_delta_snapshot(
                             continue
                         act = json.loads(line)
                         if "commitInfo" in act:
-                            t = act["commitInfo"].get("timestamp")
+                            # the spec's IN-COMMIT TIMESTAMP is the
+                            # authoritative commit time when present
+                            # (monotone by construction); the informational
+                            # timestamp is the round-8 fallback
+                            t = act["commitInfo"].get(
+                                "inCommitTimestamp"
+                            ) or act["commitInfo"].get("timestamp")
                             if t is not None:
                                 ts = int(t)
                         break  # commitInfo leads; one line decides
