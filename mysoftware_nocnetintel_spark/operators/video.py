@@ -224,10 +224,11 @@ def sampled_frame_features(
     df: DataFrame, payload_col: str = "media", every_n: int = 4
 ) -> DataFrame:
     """One Arrow pass: parse the container header, seek to every
-    ``every_n``-th frame, decode ONLY those (real PNG decode), emit one row
-    per sampled frame with brightness / contrast / edge-energy features.
-    Payload bytes never leave the stage; undecodable payloads emit zero
-    rows (count them upstream via vpng_header if needed)."""
+    ``every_n``-th frame, decode ONLY those (real PNG decode; ISO-BMFF
+    payloads via the PyAV gate — :func:`video_sampled_frames`), emit one
+    row per sampled frame with brightness / contrast / edge-energy
+    features. Payload bytes never leave the stage; undecodable payloads
+    emit zero rows (count them upstream via vpng_header if needed)."""
     fields = [f for f in df.schema.fields if f.name != payload_col]
     out_schema = T.StructType(
         fields
@@ -247,12 +248,11 @@ def sampled_frame_features(
             for _, rec in pdf.iterrows():
                 payload = rec[payload_col]
                 data = bytes(payload) if payload is not None else None
-                head = vpng_header(data) if data else None
-                if head is None:
+                dec = video_sampled_frames(data, every_n) if data else None
+                if dec is None:
                     continue
-                n_frames, fps = head
-                for idx in range(0, n_frames, every_n):
-                    img = vpng_decode_frame(data, idx)
+                frames, _n_frames, fps = dec
+                for idx, img in frames:
                     if img is None:
                         continue
                     g = _to_gray(img).astype(np.float64)
@@ -278,18 +278,100 @@ def sampled_frame_features(
 # --------------------------------------------------------------------------
 # Video signature + near-dup pairs (shared Hamming-band machinery).
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# ISO-BMFF tier (round 10 — the video twin of the image PIL gate and the
+# audio miniaudio gate): payloads sniffed as an ISO base-media container
+# (MP4/MOV/M4V — a size-prefixed ``ftyp`` box leads the file) route
+# through the PUBLIC PyAV decoder when it is importable; without it they
+# are a DOCUMENTED PASSTHROUGH — sampled decode returns None, so
+# signatures/features go NULL/zero-rows and ingestion gates pass the
+# rows un-gated, exactly the image/audio no-codec contract. The gate is
+# evaluated ONCE at import, never probed inside the Arrow batch loop,
+# and the engine never hand-rolls an MPEG-4 decoder.
+# --------------------------------------------------------------------------
+try:
+    import av as _av  # public pip package (PyAV), decodes MP4 to frames
+
+    _AV_PRESENT = True
+except ImportError:
+    _av = None
+    _AV_PRESENT = False
+
+
+def sniff_isobmff(data: bytes) -> bool:
+    """True when the payload looks like an ISO base-media file: a
+    size-prefixed ``ftyp`` box at offset 4. A sniff, not a parse — the
+    decode attempt is what settles it."""
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def mp4_sampled_frames(data: bytes, every_n: int):
+    """``([(idx, rgb_frame|None)...], n_frames, fps)`` for every
+    ``every_n``-th frame of an ISO-BMFF payload via the PyAV gate — ONE
+    sequential decode pass (never per-index re-decodes); None without
+    the decoder (documented passthrough) or for payloads it rejects —
+    the same fail-closed contract as the other media codecs."""
+    if not _AV_PRESENT:
+        return None
+    import io
+
+    try:
+        with _av.open(io.BytesIO(data)) as c:
+            stream = c.streams.video[0]
+            fps = (
+                float(stream.average_rate)
+                if stream.average_rate
+                else 0.0
+            )
+            sampled, n = [], 0
+            for frame in c.decode(stream):
+                if n % every_n == 0:
+                    sampled.append((n, frame.to_ndarray(format="rgb24")))
+                n += 1
+        if n == 0:
+            return None
+        return sampled, n, fps
+    except Exception:
+        return None
+
+
+def video_sampled_frames(data: bytes, every_n: int):
+    """Container-sniffed sampled decode — the single entry the signature
+    and feature stages use: vpng via the stdlib PNG codec (seek-table
+    random access), ISO-BMFF via the PyAV gate (one sequential pass),
+    anything else None. Both produce the SAME deterministic grid
+    ``range(0, n_frames, every_n)``, so signatures are format-invariant.
+    Per-frame decode failures surface as ``(idx, None)`` entries —
+    consumers choose skip-vs-void semantics."""
+    head = vpng_header(data)
+    if head is not None:
+        n_frames, fps = head
+        return (
+            [
+                (idx, vpng_decode_frame(data, idx))
+                for idx in range(0, n_frames, every_n)
+            ],
+            n_frames,
+            fps,
+        )
+    if sniff_isobmff(data):
+        return mp4_sampled_frames(data, every_n)
+    return None
+
+
 def vhash64_bytes(data: bytes, every_n: int = 4) -> int | None:
     """Video perceptual signature: dHash of the MEAN of sampled decoded
     grayscale frames. Brightness-shift invariant (the mean shifts uniformly
     and dHash compares adjacent pixels); frame-count robust (sampling grid
-    is deterministic given the container)."""
-    head = vpng_header(data)
-    if head is None:
+    is deterministic given the container). Routes through
+    :func:`video_sampled_frames`, so ISO-BMFF payloads sign identically
+    to vpng ones carrying the same pixels when the PyAV gate is up."""
+    dec = video_sampled_frames(data, every_n)
+    if dec is None:
         return None
-    n_frames, _ = head
+    frames, _n_frames, _fps = dec
     acc, n = None, 0
-    for idx in range(0, n_frames, every_n):
-        img = vpng_decode_frame(data, idx)
+    for _idx, img in frames:
         if img is None:
             return None
         g = _to_gray(img).astype(np.float64)
