@@ -53,7 +53,16 @@ class CatalogCommitConflict(RuntimeError):
 
 
 class CatalogCommitter:
-    """Commit endpoint: atomically publish a version artifact."""
+    """Commit endpoint: atomically publish a version artifact.
+
+    ``coordinator_name`` (round 10) is the endpoint's identity for the
+    Delta coordinated-commits handshake: a table whose metadata declares
+    ``delta.coordinatedCommits.commitCoordinator-preview`` is writable
+    only through a committer declaring the SAME name (the writers'
+    fail-closed gate, ``delta._check_commit_coordinator``). None — the
+    filesystem default — means "not a coordinator"."""
+
+    coordinator_name: "str | None" = None
 
     def put_if_absent(self, final_path: str, payload: bytes) -> None:
         """Publish ``payload`` at ``final_path`` iff nothing exists
@@ -617,7 +626,7 @@ def committer_from_spec(spec: str) -> CatalogCommitter:
         token = q.get("token") or os.environ.get(
             "SPARK_GRAFT_CATALOG_TOKEN"
         )
-        return IcebergRestCatalogCommitter(
+        c = IcebergRestCatalogCommitter(
             endpoint,
             namespace=tuple(q["ns"].split(".")) if q.get("ns") else (
                 "nocnetintel",
@@ -626,6 +635,11 @@ def committer_from_spec(spec: str) -> CatalogCommitter:
             token=token,
             timeout_s=float(q.get("timeout", "10")),
         )
+        # `coordinator=<name>` declares this endpoint as a Delta commit
+        # coordinator (the coordinated-commits handshake identity)
+        if q.get("coordinator"):
+            c.coordinator_name = q["coordinator"]
+        return c
     raise ValueError(f"unknown catalog kind {kind!r} in spec {spec!r}")
 
 

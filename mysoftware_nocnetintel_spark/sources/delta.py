@@ -497,6 +497,113 @@ def enable_delta_in_commit_timestamps(path: str) -> int:
     return version
 
 
+def enable_delta_coordinated_commits(
+    path: str, coordinator: str, coordinator_conf: "dict | None" = None
+) -> int:
+    """Enable COORDINATED COMMITS (PROTOCOL.md "Coordinated Commits",
+    the second "do" row of docs/delta_coordinated_commits.md) on a table
+    this writer created: one commit upgrades the protocol to writer
+    feature ``coordinatedCommits-preview`` and declares the coordinator
+    in ``delta.coordinatedCommits.commitCoordinator-preview`` /
+    ``...commitCoordinatorConf-preview``. From then on EVERY
+    version-creating verb refuses unless the process's committer
+    declares the same ``coordinator_name``
+    (:func:`_check_commit_coordinator`) — the table-feature handshake
+    that makes "all writers go through the coordinator" enforceable
+    rather than advisory. The spec requires in-commit timestamps on
+    coordinated tables, so this commit also starts the ICT chain when
+    the table doesn't carry one yet.
+
+    The enabling process must itself already commit through the
+    coordinator (fail-closed from the very first coordinated version);
+    the commit RPC mapping is the existing catalog seam with synchronous
+    backfill semantics — see the scoping doc."""
+    from .catalog import get_committer
+
+    mine = getattr(get_committer(), "coordinator_name", None)
+    if mine != coordinator:
+        raise ValueError(
+            f"enabling coordination for {coordinator!r} requires this "
+            f"process to commit through it (committer declares {mine!r}): "
+            "install the coordinator's committer first"
+        )
+    state = _writer_state(path)
+    meta = state["meta"]
+    conf = dict(meta.get("configuration") or {})
+    if (
+        conf.get("delta.coordinatedCommits.commitCoordinator-preview")
+        == coordinator
+    ):
+        return state["version"]  # already coordinated here: no-op
+    _check_commit_coordinator(meta)  # switching coordinators goes
+    # through the OLD one (or a fresh enable passes: no declaration yet)
+    version = state["version"] + 1
+    now_ms = int(time.time() * 1000)
+    proto = state.get("protocol") or {}
+    wf = set(proto.get("writerFeatures") or [])
+    wf |= {
+        "appendOnly",
+        "invariants",
+        "inCommitTimestamp",
+        "coordinatedCommits-preview",
+    }
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf),
+    }
+    if proto.get("readerFeatures") is not None:
+        new_proto["readerFeatures"] = proto["readerFeatures"]
+    conf["delta.coordinatedCommits.commitCoordinator-preview"] = coordinator
+    conf["delta.coordinatedCommits.commitCoordinatorConf-preview"] = (
+        json.dumps(coordinator_conf or {})
+    )
+    if conf.get("delta.enableInCommitTimestamps") != "true":
+        conf["delta.enableInCommitTimestamps"] = "true"
+        conf["delta.inCommitTimestampEnablementVersion"] = str(version)
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(now_ms)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "inCommitTimestamp": now_ms,
+                "engineInfo": "mysoftware-nocnetintel-spark",
+                "operation": "UPGRADE PROTOCOL",
+            }
+        },
+        {"protocol": new_proto},
+        {"metaData": dict(meta, configuration=conf)},
+    ]
+    _commit_version(os.path.join(path, "_delta_log"), version, actions)
+    return version
+
+
+def _check_commit_coordinator(meta: "dict | None") -> None:
+    """COORDINATED-COMMITS handshake (PROTOCOL.md "Coordinated Commits",
+    scoped in docs/delta_coordinated_commits.md): a table that declares a
+    commit coordinator is writable ONLY through a committer declaring the
+    same ``coordinator_name`` — the fail-closed gate that makes
+    coordination enforceable instead of advisory. Maintenance that
+    creates no commit (vacuum, checkpoint, log cleanup) stays direct, as
+    the spec allows."""
+    conf = ((meta or {}).get("configuration")) or {}
+    coord = conf.get("delta.coordinatedCommits.commitCoordinator-preview")
+    if coord is None:
+        return
+    from .catalog import get_committer
+
+    mine = getattr(get_committer(), "coordinator_name", None)
+    if mine != coord:
+        raise NotImplementedError(
+            f"table declares commit coordinator {coord!r} but this "
+            f"process's committer declares {mine!r}: refusing a "
+            "non-coordinated commit. Point the process at the "
+            "coordinator (catalog.set_committer / SPARK_GRAFT_CATALOG "
+            "with coordinator=<name>) or use an engine registered with "
+            "it."
+        )
+
+
 def latest_txn_version(path: str, app_id: str) -> int | None:
     """The highest ``txn.version`` committed for ``app_id``, or None —
     the Delta protocol's idempotent-writer handshake (PROTOCOL.md
@@ -708,6 +815,7 @@ def _stage_append(
                 "writer (unknown protocol features could be violated): use "
                 "the delta-spark connector"
             )
+        _check_commit_coordinator(meta)
         if partition_by:
             raise ValueError(
                 "partition_by is declared at table CREATE time; later "
@@ -982,6 +1090,7 @@ def drop_delta_partition(
             "refusing to modify a Delta table created by another writer: "
             "use the delta-spark connector"
         )
+    _check_commit_coordinator(meta)
     parts = (
         partition_values
         if isinstance(partition_values, list)
@@ -1161,6 +1270,7 @@ def delete_delta_rows(
             "refusing to delete from a Delta table created by another "
             "writer: use the delta-spark connector"
         )
+    _check_commit_coordinator(meta)
     # the live set INCLUDING current DV descriptors (merge target)
     live = state["live"]
     had_dv_protocol = state["dv_protocol"]
@@ -1392,6 +1502,7 @@ def _writer_state(path: str) -> dict:
             "refusing to rewrite a Delta table created by another writer: "
             "use the delta-spark connector"
         )
+    _check_commit_coordinator(meta)
     if not state["live"]:
         raise ValueError("empty table")
     return state
@@ -1913,6 +2024,7 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
             "refusing to rename a column on a Delta table created by "
             "another writer: use the delta-spark connector"
         )
+    _check_commit_coordinator(meta)
     schema = json.loads(meta["schemaString"])
     names = [f["name"] for f in schema["fields"]]
     if old not in names:
@@ -1990,6 +2102,7 @@ def drop_delta_column(path: str, name: str) -> int:
             "refusing to drop a column on a Delta table created by "
             "another writer: use the delta-spark connector"
         )
+    _check_commit_coordinator(meta)
     schema = json.loads(meta["schemaString"])
     names = [f["name"] for f in schema["fields"]]
     if name not in names:
