@@ -42,10 +42,13 @@ _ALL = {
 # the round-10 MPEG capability gate) and q153 (operators/ann_index.py
 # gained the pinned metadata-only partition-drop GC this round; the
 # build/serve path q153 exercises is unchanged but the module is not);
-# rule (3) fills the remaining 34 slots with the head of the r7-signal
+# rule (2) also admits q150/q151 (the video signature and feature
+# stages now route through video.video_sampled_frames — the round-10
+# ISO-BMFF/PyAV capability gate), displacing the last two rule-3 fills;
+# rule (3) fills the remaining 32 slots with the head of the r7-signal
 # block in numeric order (q0-q10, q25, q28, q34, q36-q39, q41, q45,
-# q50, q91, q92, q95-q99, q103-q105, q107-q109). The r7-signal tail
-# (q110-q125: 15 queries) keeps its r7 signal and is due first in the
+# q50, q91, q92, q95-q99, q103-q105, q107). The r7-signal tail
+# (q108-q125: 17 queries) keeps its r7 signal and is due first in the
 # round-11 window, followed by the r8 block. Outside the window:
 # everything graded green in r8/r9.
 _WINDOW = [
@@ -65,6 +68,8 @@ _WINDOW = [
     "q148_audio_features",
     "q149_audio_neardup",
     "q153_ann_index",
+    "q150_video_frames",
+    "q151_video_neardup",
     "q0_flagship_risk",
     "q1_pricing_summary",
     "q2_join_topn",
@@ -97,8 +102,6 @@ _WINDOW = [
     "q104_histogram_quantiles",
     "q105_seasonal_outliers",
     "q107_decontamination",
-    "q108_sequence_packing",
-    "q109_pmi_bigrams",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
