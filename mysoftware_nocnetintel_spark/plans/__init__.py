@@ -45,13 +45,17 @@ _ALL = {
 # rule (2) also admits q150/q151 (the video signature and feature
 # stages now route through video.video_sampled_frames — the round-10
 # ISO-BMFF/PyAV capability gate), displacing the last two rule-3 fills;
-# rule (3) fills the remaining 32 slots with the head of the r7-signal
+# rule (3) fills the remaining 31 slots with the head of the r7-signal
 # block in numeric order (q0-q10, q25, q28, q34, q36-q39, q41, q45,
-# q50, q91, q92, q95-q99, q103-q105, q107). The r7-signal tail
-# (q108-q125: 17 queries) keeps its r7 signal and is due first in the
-# round-11 window, followed by the r8 block. Outside the window:
+# q50, q91, q92, q95-q99, q103-q105). Rule (1) re-applies late in the
+# round for q157_partition_drop (the new oracle-verified retention
+# query), taking the window head. The r7-signal tail (q107-q125: 18
+# queries) keeps its r7 signal and is due first in the round-11
+# window, followed by the r8 block. Outside the window:
 # everything graded green in r8/r9.
 _WINDOW = [
+    # --- rule 1: never graded (added this round) ---
+    "q157_partition_drop",
     "q84_maintenance_suppression",
     "q85_flap_suppression",
     "q86_correlated_subquery",
@@ -101,7 +105,6 @@ _WINDOW = [
     "q103_bloom_prune",
     "q104_histogram_quantiles",
     "q105_seasonal_outliers",
-    "q107_decontamination",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -158,6 +161,7 @@ _NO_PLAN_CACHE = {
     "q153_ann_index",
     "q154_text_semantic_search",
     "q156_media_index",  # rebuilds the hamming index per call
+    "q157_partition_drop",  # lands + drops a scratch Delta table per call
 }
 
 

@@ -29,3 +29,18 @@ FROM s
 GROUP BY shard
 ORDER BY shard
 """
+
+
+# q157: the post-drop state recomputed from the source parquet — the
+# dropped bucket excluded — so the metadata-only partition drop's
+# semantics are value-hash graded against DuckDB.
+ORACLES_R10["q157_partition_drop"] = """
+SELECT
+  CAST(event_id % 4 AS INTEGER) AS bucket,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM events
+WHERE event_id % 4 <> 2
+GROUP BY 1
+ORDER BY 1
+"""

@@ -575,6 +575,45 @@ def q156_media_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q157_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P4 lakehouse RETENTION end-to-end, ORACLE-VERIFIED: land a
+    bucket-partitioned Delta table (events keyed by ``event_id % 4``),
+    retire one bucket with the round-10 METADATA-ONLY partition drop
+    (``drop_delta_partition`` — remove tombstones, zero data I/O,
+    no row-count cap), and report the survivors' per-bucket aggregates
+    from a fresh snapshot read. The DuckDB twin computes the same
+    post-drop state from the source parquet with the dropped bucket
+    excluded, so the drop verb's semantics are graded by the driver's
+    value-hash — the query-level proof on top of
+    tests/test_partition_drop.py's file-set/unit proofs.
+
+    At 100 TB: retention/GDPR partition retirement is one KB-scale
+    commit regardless of the partition's row count; the physical bytes
+    reclaim later through vacuum. The read after the drop plans only
+    the surviving partitions' files (driver-side pruning)."""
+    from ..sources.delta import drop_delta_partition, write_delta_append
+    from ..sources.readers import read_delta_snapshot
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % F.lit(4)).cast("int").alias("bucket"),
+        "event_id",
+        "value",
+    )
+    path = _scratch_index_path("partition_drop", sf_dir)
+    write_delta_append(ev, path, partition_by=("bucket",))
+    drop_delta_partition(spark, path, {"bucket": "2"})
+    return (
+        read_delta_snapshot(spark, path)
+        .withColumn("bucket", F.col("bucket").cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
 R10_QUERIES = {
     "q147_image_neardup": q147_image_neardup,
     "q148_audio_features": q148_audio_features,
@@ -586,4 +625,5 @@ R10_QUERIES = {
     "q154_text_semantic_search": q154_text_semantic_search,
     "q155_shard_plan": q155_shard_plan,
     "q156_media_index": q156_media_index,
+    "q157_partition_drop": q157_partition_drop,
 }
