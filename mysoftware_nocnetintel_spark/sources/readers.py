@@ -1575,6 +1575,19 @@ def _iceberg_snapshot_files(
         raise FileNotFoundError(f"no Iceberg metadata at {meta_dir}")
     with open(versions[-1]) as fh:
         meta = json.load(fh)
+    fv = meta.get("format-version", 1)
+    if fv > 2:
+        # fail FAST, never misread: v3 deletion vectors (Puffin blobs),
+        # row lineage, and column default values all change row-level
+        # results — ignoring any of them silently resurrects deleted
+        # rows or nulls defaulted columns. docs/iceberg_v3_scope.md
+        # scopes the intake.
+        raise NotImplementedError(
+            f"Iceberg format-version {fv} is not supported by the "
+            "minimal reader (v3 deletion vectors / row lineage / "
+            "default values would be silently misread): use the "
+            "iceberg-spark-runtime connector"
+        )
     snapshots = meta.get("snapshots") or []
     if not snapshots:
         raise ValueError(f"Iceberg table at {path} has no snapshots")
