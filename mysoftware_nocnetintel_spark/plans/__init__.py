@@ -34,8 +34,10 @@ _ALL = {
 # permitting); (3) fill the remainder with the queries whose last green
 # signal is oldest. ROUND 10 (per VERDICT r9 task 2, derived from merged
 # CORRECTNESS_r01-r09 latest signals — r9:50 / r8:46 / r7:49 / r6:13):
-# rule (1) admits nothing (all 158 registry queries carry a green
-# signal); rule (3)-first admits the 13 r6-signal holdovers (q84-q90,
+# rule (1) admits q157/q158 — the retention queries ADDED this round,
+# never graded (at rotation time all 158 pre-existing registry queries
+# carried a green signal); rule (3)-first admits the 13 r6-signal
+# holdovers (q84-q90,
 # q93, q100-q102, q106, q146 — the oldest signals in the registry, the
 # standing round-10 debt); rule (2) admits q148/q149 (their fingerprint
 # and feature stages now route through operators/audio.audio_decode —
@@ -45,17 +47,18 @@ _ALL = {
 # rule (2) also admits q150/q151 (the video signature and feature
 # stages now route through video.video_sampled_frames — the round-10
 # ISO-BMFF/PyAV capability gate), displacing the last two rule-3 fills;
-# rule (3) fills the remaining 31 slots with the head of the r7-signal
+# rule (3) fills the remaining 30 slots with the head of the r7-signal
 # block in numeric order (q0-q10, q25, q28, q34, q36-q39, q41, q45,
-# q50, q91, q92, q95-q99, q103-q105). Rule (1) re-applies late in the
-# round for q157_partition_drop (the new oracle-verified retention
-# query), taking the window head. The r7-signal tail (q107-q125: 18
-# queries) keeps its r7 signal and is due first in the round-11
+# q50, q91, q92, q95-q99, q103, q104). Rule (1) re-applies late in the
+# round for q157/q158 (the new oracle-verified retention queries, one
+# per format), taking the window head. The r7-signal tail (q105-q125:
+# 19 queries) keeps its r7 signal and is due first in the round-11
 # window, followed by the r8 block. Outside the window:
 # everything graded green in r8/r9.
 _WINDOW = [
     # --- rule 1: never graded (added this round) ---
     "q157_partition_drop",
+    "q158_partition_drop_iceberg",
     "q84_maintenance_suppression",
     "q85_flap_suppression",
     "q86_correlated_subquery",
@@ -104,7 +107,6 @@ _WINDOW = [
     "q99_neardup_clusters",
     "q103_bloom_prune",
     "q104_histogram_quantiles",
-    "q105_seasonal_outliers",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -162,6 +164,7 @@ _NO_PLAN_CACHE = {
     "q154_text_semantic_search",
     "q156_media_index",  # rebuilds the hamming index per call
     "q157_partition_drop",  # lands + drops a scratch Delta table per call
+    "q158_partition_drop_iceberg",  # same lifecycle, Iceberg format
 }
 
 

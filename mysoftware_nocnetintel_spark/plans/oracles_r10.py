@@ -44,3 +44,7 @@ WHERE event_id % 4 <> 2
 GROUP BY 1
 ORDER BY 1
 """
+
+ORACLES_R10["q158_partition_drop_iceberg"] = ORACLES_R10[
+    "q157_partition_drop"
+]

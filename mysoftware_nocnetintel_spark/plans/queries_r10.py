@@ -614,6 +614,39 @@ def q157_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_partition_drop_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q157's ICEBERG twin: the same retention lifecycle through the
+    other format's metadata-only drop (``drop_iceberg_partition`` — a
+    delete snapshot whose manifest list excludes the bucket's files) so
+    BOTH formats' drop verbs are value-hash graded by the driver, not
+    just unit-tested. Same oracle shape: DuckDB recomputes the
+    post-drop state from the source parquet with the bucket excluded."""
+    from ..sources.iceberg import (
+        drop_iceberg_partition,
+        write_iceberg_append,
+    )
+    from ..sources.readers import read_iceberg_snapshot
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % F.lit(4)).cast("int").alias("bucket"),
+        "event_id",
+        "value",
+    )
+    path = _scratch_index_path("partition_drop_ice", sf_dir)
+    write_iceberg_append(ev, path, partition_by=("bucket",))
+    drop_iceberg_partition(path, {"bucket": 2})
+    return (
+        read_iceberg_snapshot(spark, path)
+        .withColumn("bucket", F.col("bucket").cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
 R10_QUERIES = {
     "q147_image_neardup": q147_image_neardup,
     "q148_audio_features": q148_audio_features,
@@ -626,4 +659,5 @@ R10_QUERIES = {
     "q155_shard_plan": q155_shard_plan,
     "q156_media_index": q156_media_index,
     "q157_partition_drop": q157_partition_drop,
+    "q158_partition_drop_iceberg": q158_partition_drop_iceberg,
 }
