@@ -268,3 +268,28 @@ def test_iceberg_multi_partition_drop_is_one_snapshot(spark, tmp_path):
     assert _rows(read_iceberg_snapshot(spark, root)) == {
         ("d2", 2), ("d2", 3),
     }
+
+
+def test_iceberg_drop_never_matches_pre_evolution_files(spark, tmp_path):
+    """Exactness under SPEC EVOLUTION: files written before the
+    partition field existed carry no value for it, so a drop must KEEP
+    them (a drop is exact, never a superset) — the evolved era's
+    matching files go, the unpartitioned era's rows all survive."""
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        update_iceberg_partition_spec,
+    )
+
+    root = str(tmp_path / "ev")
+    # unpartitioned era: d1 rows with NO partition record
+    write_iceberg_append(_df(spark, "d1", 0, 3), root)
+    update_iceberg_partition_spec(root, ("day",))
+    # evolved era: d1 and d2 rows under identity(day)
+    write_iceberg_append(_df(spark, "d1", 10, 12), root)
+    write_iceberg_append(_df(spark, "d2", 20, 22), root)
+    snap = drop_iceberg_partition(root, {"day": "d1"})
+    assert isinstance(snap, int)
+    got = _rows(read_iceberg_snapshot(spark, root))
+    # evolved d1 files dropped; pre-evolution d1 rows SURVIVE
+    assert got == {
+        ("d1", 0), ("d1", 1), ("d1", 2), ("d2", 20), ("d2", 21),
+    }, got
