@@ -293,3 +293,24 @@ def test_iceberg_drop_never_matches_pre_evolution_files(spark, tmp_path):
     assert got == {
         ("d1", 0), ("d1", 1), ("d1", 2), ("d2", 20), ("d2", 21),
     }, got
+
+
+def test_delta_drop_translates_mapped_partition_names(spark, tmp_path):
+    """Column mapping: after renaming the partition column, the log's
+    add.partitionValues stay keyed by PHYSICAL name — a drop by the new
+    LOGICAL name must translate (the reader's partition_filter rule)."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        rename_delta_column,
+    )
+
+    root = str(tmp_path / "cm")
+    write_delta_append(_df(spark, "d1", 0, 2), root, partition_by=("day",))
+    write_delta_append(_df(spark, "d2", 2, 4), root)
+    rename_delta_column(root, "day", "dt")
+    v = drop_delta_partition(spark, root, {"dt": "d1"})
+    assert isinstance(v, int)
+    got = {(r.dt, r.id) for r in read_delta_snapshot(spark, root).collect()}
+    assert got == {("d2", 2), ("d2", 3)}, got
+    # the OLD logical name no longer validates
+    with pytest.raises(ValueError, match="not partition columns"):
+        drop_delta_partition(spark, root, {"day": "d2"})
