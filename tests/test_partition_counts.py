@@ -145,3 +145,43 @@ def test_rebalance_counts_from_metadata(spark, tmp_path, monkeypatch):
     finally:
         monkeypatch.undo()
     assert got == meta_counts
+
+
+def test_rebalance_falls_back_to_scan_after_retraction(spark, tmp_path):
+    """The production interplay: a GDPR retraction leaves equality
+    deletes live on an Iceberg ANN index, so metadata counts can't be
+    exact — _metadata_cell_counts returns None and the rebalance's
+    count pass silently takes the scan path with CORRECT post-delete
+    populations (the retracted vector is not counted)."""
+    from mysoftware_nocnetintel_spark.operators import ann_index as AI
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        write_iceberg_equality_deletes,
+    )
+
+    rows = [
+        (i, [10.0 + (i % 7) * 1e-3, 10.0] + [0.5] * 6) for i in range(40)
+    ] + [
+        (100 + j, [float(5 * j) - 20.0, 25.0] + [float(j)] * 6)
+        for j in range(8)
+    ]
+    path = str(tmp_path / "ann_i")
+    AI.build_ivf_index(
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ),
+        path,
+        n_cells=4,
+        table_format="iceberg",
+    )
+    assert sum(AI._metadata_cell_counts(path, "iceberg").values()) == 48
+    write_iceberg_equality_deletes(
+        spark, path, spark.createDataFrame([(0,)], "vec_id bigint")
+    )
+    assert AI._metadata_cell_counts(path, "iceberg") is None  # fall back
+    report = AI.rebalance_ivf_index(spark, path, max_rows_per_cell=10_000)
+    assert report["split"] == {}  # threshold high: counts only
+    from mysoftware_nocnetintel_spark.sources.readers import (
+        read_iceberg_snapshot,
+    )
+
+    assert read_iceberg_snapshot(spark, path).count() == 47
