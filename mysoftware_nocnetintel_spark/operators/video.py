@@ -306,33 +306,43 @@ def sniff_isobmff(data: bytes) -> bool:
 
 
 def mp4_sampled_frames(data: bytes, every_n: int):
-    """``([(idx, rgb_frame|None)...], n_frames, fps)`` for every
-    ``every_n``-th frame of an ISO-BMFF payload via the PyAV gate — ONE
-    sequential decode pass (never per-index re-decodes); None without
-    the decoder (documented passthrough) or for payloads it rejects —
-    the same fail-closed contract as the other media codecs."""
+    """``(frames_iter, n_frames|None, fps)`` for every ``every_n``-th
+    frame of an ISO-BMFF payload via the PyAV gate; None without the
+    decoder (documented passthrough) or for payloads whose container
+    the decoder rejects outright — the same fail-closed contract as the
+    other media codecs. ``frames_iter`` yields ``(idx, rgb_frame)``
+    LAZILY from ONE sequential decode pass (round-11 advisor fix: the
+    materialized list made peak executor memory scale with
+    n_frames/every_n full RGB frames inside the Arrow batch loop —
+    consumers like vhash64_bytes keep only their accumulator now).
+    ``n_frames`` is the container-declared count (``stream.frames``)
+    when the demuxer knows it, else None; a MID-STREAM decode failure
+    surfaces as a final ``(idx, None)`` entry, which every consumer
+    already treats as a void frame."""
     if not _AV_PRESENT:
         return None
     import io
 
     try:
-        with _av.open(io.BytesIO(data)) as c:
-            stream = c.streams.video[0]
-            fps = (
-                float(stream.average_rate)
-                if stream.average_rate
-                else 0.0
-            )
-            sampled, n = [], 0
-            for frame in c.decode(stream):
-                if n % every_n == 0:
-                    sampled.append((n, frame.to_ndarray(format="rgb24")))
-                n += 1
-        if n == 0:
-            return None
-        return sampled, n, fps
+        c = _av.open(io.BytesIO(data))
+        stream = c.streams.video[0]
+        fps = float(stream.average_rate) if stream.average_rate else 0.0
+        n_frames = getattr(stream, "frames", 0) or None
     except Exception:
         return None
+
+    def _gen():
+        n = 0
+        try:
+            with c:
+                for frame in c.decode(stream):
+                    if n % every_n == 0:
+                        yield n, frame.to_ndarray(format="rgb24")
+                    n += 1
+        except Exception:
+            yield n, None  # decode died mid-stream: explicit void frame
+
+    return _gen(), n_frames, fps
 
 
 def video_sampled_frames(data: bytes, every_n: int):
@@ -340,20 +350,21 @@ def video_sampled_frames(data: bytes, every_n: int):
     and feature stages use: vpng via the stdlib PNG codec (seek-table
     random access), ISO-BMFF via the PyAV gate (one sequential pass),
     anything else None. Both produce the SAME deterministic grid
-    ``range(0, n_frames, every_n)``, so signatures are format-invariant.
-    Per-frame decode failures surface as ``(idx, None)`` entries —
-    consumers choose skip-vs-void semantics."""
+    ``range(0, n_frames, every_n)``, so signatures are format-invariant,
+    and both yield ``(idx, frame)`` LAZILY — one decoded frame in
+    flight, so peak memory inside the Arrow loop is O(frame), not
+    O(n_frames/every_n). Per-frame decode failures surface as
+    ``(idx, None)`` entries — consumers choose skip-vs-void semantics.
+    Single-pass: iterate the returned frames once."""
     head = vpng_header(data)
     if head is not None:
         n_frames, fps = head
-        return (
-            [
-                (idx, vpng_decode_frame(data, idx))
-                for idx in range(0, n_frames, every_n)
-            ],
-            n_frames,
-            fps,
-        )
+
+        def _gen():
+            for idx in range(0, n_frames, every_n):
+                yield idx, vpng_decode_frame(data, idx)
+
+        return _gen(), n_frames, fps
     if sniff_isobmff(data):
         return mp4_sampled_frames(data, every_n)
     return None

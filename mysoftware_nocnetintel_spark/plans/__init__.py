@@ -11,12 +11,14 @@ from .queries_r7 import R7_QUERIES as _R7
 from .queries_r8 import R8_QUERIES as _R8
 from .queries_r9 import R9_QUERIES as _R9
 from .queries_r10 import R10_QUERIES as _R10
+from .queries_r11 import R11_QUERIES as _R11
 from .oracles import ORACLES as _O_CORE
 from .oracles_r6 import ORACLES_R6 as _O_R6
 from .oracles_r7 import ORACLES_R7 as _O_R7
 from .oracles_r8 import ORACLES_R8 as _O_R8
 from .oracles_r9 import ORACLES_R9 as _O_R9
 from .oracles_r10 import ORACLES_R10 as _O_R10
+from .oracles_r11 import ORACLES_R11 as _O_R11
 from .oracles_ext import ORACLES_EXT as _O_EXT
 from .oracles_extra import ORACLES_EXTRA as _O_EXTRA
 from .oracles_r4 import ORACLES_R4 as _O_R4
@@ -24,7 +26,7 @@ from .oracles_r5 import ORACLES_R5 as _O_R5
 
 _ALL = {
     **_CORE, **_REL, **_TS, **_TXT, **_ML, **_EXTRA, **_R4, **_R5,
-    **_R6, **_R7, **_R8, **_R9, **_R10,
+    **_R6, **_R7, **_R8, **_R9, **_R10, **_R11,
 }
 
 # The driver's CORRECTNESS gate grades the FIRST 50 dict entries in insertion
@@ -32,81 +34,78 @@ _ALL = {
 # (1) every registry query with no driver signal yet goes in first; (2) then
 # every query whose implementation or oracle changed this round (space
 # permitting); (3) fill the remainder with the queries whose last green
-# signal is oldest. ROUND 10 (per VERDICT r9 task 2, derived from merged
-# CORRECTNESS_r01-r09 latest signals — r9:50 / r8:46 / r7:49 / r6:13):
-# rule (1) admits q157/q158 — the retention queries ADDED this round,
-# never graded (at rotation time all 158 pre-existing registry queries
-# carried a green signal); rule (3)-first admits the 13 r6-signal
-# holdovers (q84-q90,
-# q93, q100-q102, q106, q146 — the oldest signals in the registry, the
-# standing round-10 debt); rule (2) admits q148/q149 (their fingerprint
-# and feature stages now route through operators/audio.audio_decode —
-# the round-10 MPEG capability gate) and q153 (operators/ann_index.py
-# gained the pinned metadata-only partition-drop GC this round; the
-# build/serve path q153 exercises is unchanged but the module is not);
-# rule (2) also admits q150/q151 (the video signature and feature
-# stages now route through video.video_sampled_frames — the round-10
-# ISO-BMFF/PyAV capability gate), displacing the last two rule-3 fills;
-# rule (3) fills the remaining 30 slots with the head of the r7-signal
-# block in numeric order (q0-q10, q25, q28, q34, q36-q39, q41, q45,
-# q50, q91, q92, q95-q99, q103, q104). Rule (1) re-applies late in the
-# round for q157/q158 (the new oracle-verified retention queries, one
-# per format), taking the window head. The r7-signal tail (q105-q125:
-# 19 queries) keeps its r7 signal and is due first in the round-11
-# window, followed by the r8 block. Outside the window:
-# everything graded green in r8/r9.
+# signal is oldest. ROUND 11 (per VERDICT r10 task 1, derived from merged
+# CORRECTNESS_r01-r10 latest signals — r10:50 / r9:49 / r8:42 / r7:19):
+# rule (1) admits q159 — the v3 deletion-vector query ADDED this round,
+# never graded; rule (3)-first clears the ENTIRE r7-signal tail in one
+# window — the 19 holdovers q105, q107-q123, q125 (the registry's
+# largest-ever freshness debt, queued since round 7); rule (2) admits
+# q150/q151 (their sampled-decode stage, video.video_sampled_frames,
+# became a LAZY generator this round — the round-11 advisor fix),
+# q157/q158 (the drop verbs' survivor entries now copy as EXISTING with
+# explicit original snapshot ids; delta protocol upgrades list
+# legacy-implied features), q102/q127 (the Iceberg snapshot walk they
+# ride gained the PUFFIN entry branch + the narrowed v3 gate), and
+# q153 (ann_index rides the same walk through _pin_cell). Rule (3)
+# fills the remaining 23 slots with the head of the r8-signal block in
+# numeric order (q7_approx, q11-q24, q26, q27, q29-q33, q35).
+# Round-12 debt: the r8 tail (q40, q42-q44, q94, q124, q126-q137,
+# q155 — 19 queries), then the r9 block.
 _WINDOW = [
     # --- rule 1: never graded (added this round) ---
-    "q157_partition_drop",
-    "q158_partition_drop_iceberg",
-    "q84_maintenance_suppression",
-    "q85_flap_suppression",
-    "q86_correlated_subquery",
-    "q87_window_distinct",
-    "q88_entropy",
-    "q89_mad_outliers",
-    "q90_ann_ivfpq",
-    "q93_dedup_keep_one",
-    "q100_gapfill",
-    "q101_cusum",
-    "q102_snapshot_diff",
-    "q106_transition_matrix",
-    "q146_bpe_pipeline",
-    "q148_audio_features",
-    "q149_audio_neardup",
-    "q153_ann_index",
+    "q159_dv_read",
+    # --- rule 3 first: the whole r7-signal tail (19) ---
+    "q105_seasonal_outliers",
+    "q107_decontamination",
+    "q108_sequence_packing",
+    "q109_pmi_bigrams",
+    "q110_pagerank",
+    "q111_weighted_sample",
+    "q112_chi2_independence",
+    "q113_countmin",
+    "q114_attribution",
+    "q115_containment",
+    "q116_retention",
+    "q117_bigram_surprisal",
+    "q118_frame_sample",
+    "q119_source_overlap",
+    "q120_ngram_novelty",
+    "q121_ewma",
+    "q122_ar2_sequence",
+    "q123_semdedup",
+    "q125_mllib_pipeline",
+    # --- rule 2: implementation touched this round ---
     "q150_video_frames",
     "q151_video_neardup",
-    "q0_flagship_risk",
-    "q1_pricing_summary",
-    "q2_join_topn",
-    "q3_window_rank",
-    "q4_rolling_avg",
-    "q5_sessionize",
-    "q6_json_extract",
-    "q7_distinct",
-    "q8_dedup_docs",
-    "q9_knn",
-    "q10_setops",
-    "q25_pivot",
-    "q28_asof_join",
-    "q34_running_total",
-    "q36_knn_batch",
-    "q37_minhash_neardup",
-    "q38_simhash_neardup",
-    "q39_fingerprint_dedup",
-    "q41_ngram_jaccard",
-    "q45_tumbling_window",
-    "q50_per_entity_ols",
-    "q91_dedup_clusters",
-    "q92_ann_opq",
-    "q95_unpivot",
-    "q96_regr_native",
-    "q97_corpus_split",
-    "q98_corpus_mixture",
-    "q99_neardup_clusters",
-    "q103_bloom_prune",
-    "q104_histogram_quantiles",
+    "q157_partition_drop",
+    "q158_partition_drop_iceberg",
+    "q102_snapshot_diff",
+    "q127_incremental_ingest",
+    "q153_ann_index",
+    # --- rule 3 fill: r8-signal block head, numeric order ---
+    "q7_approx_distinct",
+    "q11_left_join_agg",
+    "q12_semi_join",
+    "q13_anti_join",
+    "q14_rollup",
+    "q15_cube",
+    "q16_full_outer",
+    "q17_union_all",
+    "q18_except",
+    "q19_exists_subquery",
+    "q20_topk_global",
+    "q21_daily_counts",
+    "q22_hourly_profile",
+    "q23_dow_profile",
+    "q24_string_funcs",
+    "q26_quantiles",
+    "q27_zscore_outliers",
+    "q29_range_join",
+    "q30_interpolate",
+    "q31_token_stats",
+    "q32_term_df",
+    "q33_quality_scores",
+    "q35_embedding_neardup",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -117,7 +116,7 @@ QUERIES = {k: _ALL[k] for k in _WINDOW}
 QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
 ORACLES = {
     **_O_CORE, **_O_EXT, **_O_ML, **_O_EXTRA, **_O_R4, **_O_R5,
-    **_O_R6, **_O_R7, **_O_R8, **_O_R9, **_O_R10,
+    **_O_R6, **_O_R7, **_O_R8, **_O_R9, **_O_R10, **_O_R11,
 }
 
 
@@ -165,6 +164,7 @@ _NO_PLAN_CACHE = {
     "q156_media_index",  # rebuilds the hamming index per call
     "q157_partition_drop",  # lands + drops a scratch Delta table per call
     "q158_partition_drop_iceberg",  # same lifecycle, Iceberg format
+    "q159_dv_read",  # lands + MOR-deletes + v3-converts a scratch table
 }
 
 

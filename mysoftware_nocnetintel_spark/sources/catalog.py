@@ -38,6 +38,7 @@ convenience) to update its table pointer."""
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 import threading
@@ -107,6 +108,135 @@ class FilesystemCommitter(CatalogCommitter):
             os.replace(tmp, hint_path)
         except OSError:
             pass
+
+
+class InProcessCommitCoordinator(CatalogCommitter):
+    """Reference implementation of the Delta COORDINATED-COMMITS
+    coordinator contract (delta.io PROTOCOL.md "Coordinated Commits";
+    the public delta-spark CommitCoordinatorClient shape: ``commit`` /
+    ``getCommits`` / ``backfillToVersion``) — the Delta twin of the
+    role tests/rest_catalog_server.py plays for Iceberg, usable as an
+    in-process coordinator double in conformance tests and as the
+    template a real REST coordinator maps onto.
+
+    Behavior:
+
+    - ``put_if_absent`` on a ``_delta_log/<v>.json`` path IS
+      ``commit(v)``: the version CAS runs against
+      max(backfilled files, un-backfilled tail); an accepted commit
+      lands in the coordinator's UN-BACKFILLED tail (process memory),
+      NOT as a ``<v>.json`` file — plain filesystem readers cannot see
+      it until backfill. Every ``backfill_every``-th version triggers a
+      synchronous backfill of the whole tail (delta-spark's
+      batch-backfill discipline; ``backfill_every=1`` is the
+      synchronous-backfill mode docs/delta_coordinated_commits.md
+      requires of coordinators serving merge-less readers).
+    - ``get_commits(log_dir)`` → ``{version: payload bytes}`` of the
+      un-backfilled tail — what coordinated readers/writers merge over
+      the backfilled prefix (delta.py ``_coordinator_tail``).
+    - ``backfill(log_dir, to_version=None)`` materializes tail commits
+      as ``<v>.json`` through the inner committer's put-if-absent (a
+      race with another backfiller is benign: identical payloads, the
+      loser's conflict is swallowed per the spec's idempotent-backfill
+      rule).
+    - non-Delta-log paths delegate to ``inner`` untouched.
+
+    Process memory is the tail's only home — a crash loses accepted
+    but un-backfilled commits, which is exactly the durability contract
+    a REAL coordinator must improve on (and why this class is the test
+    double, not a production endpoint)."""
+
+    def __init__(
+        self,
+        coordinator_name: str = "in-process",
+        inner: "CatalogCommitter | None" = None,
+        backfill_every: int = 1,
+    ) -> None:
+        if backfill_every < 1:
+            raise ValueError("backfill_every must be >= 1")
+        self.coordinator_name = coordinator_name
+        self.inner = inner or FilesystemCommitter()
+        self.backfill_every = backfill_every
+        # {log_dir: {version: payload}}
+        self._tails: dict[str, dict[int, bytes]] = {}
+        self.stats = {"commits": 0, "backfills": 0}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _parse_commit(final_path: str) -> "tuple[str, int] | None":
+        d, base = os.path.split(os.path.abspath(final_path))
+        if os.path.basename(d) != "_delta_log" or not base.endswith(".json"):
+            return None
+        stem = base[:-5]
+        if not stem.isdigit():
+            return None  # checkpoints/CRCs/hints are not commits
+        return d, int(stem)
+
+    def _backfilled_version(self, log_dir: str) -> int:
+        vs = [
+            int(os.path.basename(p).split(".")[0])
+            for p in glob.glob(os.path.join(log_dir, "[0-9]*.json"))
+            if "checkpoint" not in os.path.basename(p)
+        ]
+        return max(vs) if vs else -1
+
+    def put_if_absent(self, final_path: str, payload: bytes) -> None:
+        parsed = self._parse_commit(final_path)
+        if parsed is None:
+            return self.inner.put_if_absent(final_path, payload)
+        log_dir, v = parsed
+        with self._lock:
+            tail = self._tails.setdefault(log_dir, {})
+            head = max(
+                self._backfilled_version(log_dir),
+                max(tail) if tail else -1,
+            )
+            if v <= head or os.path.exists(final_path):
+                raise CatalogCommitConflict(
+                    f"{os.path.basename(final_path)} was committed by "
+                    "another writer while this commit was staged"
+                )
+            tail[v] = payload
+            self.stats["commits"] += 1
+            do_backfill = v % self.backfill_every == 0
+        if do_backfill:
+            self.backfill(log_dir)
+
+    def get_commits(
+        self, log_dir: str, start_version: int | None = None
+    ) -> dict[int, bytes]:
+        with self._lock:
+            tail = dict(self._tails.get(os.path.abspath(log_dir), {}))
+        if start_version is not None:
+            tail = {v: p for v, p in tail.items() if v >= start_version}
+        return tail
+
+    def backfill(self, log_dir: str, to_version: int | None = None) -> int:
+        """Materialize the tail ≤ ``to_version`` (default: all) as
+        ``<v>.json`` files; returns the number backfilled."""
+        log_dir = os.path.abspath(log_dir)
+        with self._lock:
+            versions = sorted(
+                v
+                for v in self._tails.get(log_dir, {})
+                if to_version is None or v <= to_version
+            )
+            payloads = {v: self._tails[log_dir][v] for v in versions}
+        n = 0
+        for v in versions:
+            final = os.path.join(log_dir, f"{v:020d}.json")
+            try:
+                self.inner.put_if_absent(final, payloads[v])
+            except CatalogCommitConflict:
+                pass  # another backfiller won with the identical payload
+            n += 1
+            with self._lock:
+                self._tails[log_dir].pop(v, None)
+                self.stats["backfills"] += 1
+        return n
+
+    def publish_hint(self, hint_path: str, value: str) -> None:
+        self.inner.publish_hint(hint_path, value)
 
 
 class FaultInjectingCommitter(CatalogCommitter):

@@ -47,6 +47,27 @@ def _log_versions(log_dir: str) -> list[int]:
     )
 
 
+def _coordinator_tail(log_dir: str) -> "dict[int, bytes]":
+    """UN-BACKFILLED coordinated commits for this log (PROTOCOL.md
+    "Coordinated Commits" ``getCommits`` — round 11): ``{}`` unless the
+    process committer implements the coordinator read API
+    (``get_commits``; :class:`~.catalog.InProcessCommitCoordinator` is
+    the reference). Readers and the writer-state replay merge these
+    over the backfilled ``<v>.json`` prefix, so a lazily-backfilling
+    coordinator's commits are visible to THIS process immediately; a
+    process without the coordinator sees the backfilled prefix — a
+    consistent, merely older snapshot (the spec's allowed staleness).
+    delta_history / CDF / the streaming tailer / log cleanup stay
+    backfilled-prefix views by design (maintenance of un-backfilled
+    versions is the coordinator's job, not the log walker's)."""
+    from .catalog import get_committer
+
+    fn = getattr(get_committer(), "get_commits", None)
+    if fn is None:
+        return {}
+    return fn(os.path.abspath(log_dir))
+
+
 def _checkpoint_version(log_dir: str) -> int | None:
     """Version of the writer-maintained classic checkpoint, or None."""
     lc = os.path.join(log_dir, "_last_checkpoint")
@@ -172,6 +193,21 @@ def _replay_state(log_dir: str, as_of: int | None = None) -> dict:
             for line in fh:
                 if line.strip():
                     _fold(json.loads(line))
+        state["version"] = v
+    # coordinated tables (round 11): fold the coordinator's
+    # un-backfilled tail above the newest backfilled/checkpointed
+    # version — writer verbs and exactly-once txn gates see the true
+    # head even when the coordinator backfills lazily
+    for v, payload in sorted(_coordinator_tail(log_dir).items()):
+        if state["version"] is not None and v <= state["version"]:
+            continue
+        if cp_v is not None and v <= cp_v:
+            continue
+        if as_of is not None and v > as_of:
+            continue
+        for line in payload.decode("utf-8").splitlines():
+            if line.strip():
+                _fold(json.loads(line))
         state["version"] = v
     return state
 
@@ -426,18 +462,73 @@ def _prev_in_commit_ts(log_dir: str, version: int) -> "int | None":
     if version <= 0:
         return None
     p = os.path.join(log_dir, f"{version - 1:020d}.json")
+    lines = None
     try:
         with open(p) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                ci = json.loads(line).get("commitInfo")
-                if ci is not None:
-                    t = ci.get("inCommitTimestamp")
-                    return None if t is None else int(t)
+            lines = fh.read().splitlines()
     except OSError:
-        return None
+        # coordinated tables: the parent may be accepted but not yet
+        # backfilled — the ICT chain MUST still clamp against it
+        # (un-backfilled parents are exactly where clock skew between
+        # commits would otherwise slip through)
+        payload = _coordinator_tail(log_dir).get(version - 1)
+        if payload is None:
+            return None
+        lines = payload.decode("utf-8").splitlines()
+    for line in lines:
+        if not line.strip():
+            continue
+        ci = json.loads(line).get("commitInfo")
+        if ci is not None:
+            t = ci.get("inCommitTimestamp")
+            return None if t is None else int(t)
     return None
+
+
+# PROTOCOL.md "Table Features": a protocol upgrade to minWriterVersion 7
+# (or minReaderVersion 3) must list EVERY feature the prior legacy
+# version implied, not just the features being added — otherwise a
+# feature-aware foreign writer sees e.g. a column-mapped table whose
+# writerFeatures omit columnMapping and writes it without honoring the
+# mapping. The spec's legacy version → implied feature table:
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+
+
+def _implied_writer_features(proto: dict) -> set:
+    """The writer-feature set an upgrade to minWriterVersion 7 must
+    carry forward from ``proto``: the explicit list when the table is
+    already on table features, else the union of every legacy feature
+    implied by its minWriterVersion (e.g. 5 → appendOnly, invariants,
+    checkConstraints, changeDataFeed, generatedColumns, columnMapping).
+    """
+    cur = int(proto.get("minWriterVersion") or 1)
+    if cur >= 7:
+        return set(proto.get("writerFeatures") or [])
+    out: set = set()
+    for v, feats in _LEGACY_WRITER_FEATURES.items():
+        if cur >= v:
+            out.update(feats)
+    return out
+
+
+def _implied_reader_features(proto: dict) -> set:
+    """Reader twin of :func:`_implied_writer_features` for upgrades to
+    minReaderVersion 3 (legacy 2 implies columnMapping)."""
+    cur = int(proto.get("minReaderVersion") or 1)
+    if cur >= 3:
+        return set(proto.get("readerFeatures") or [])
+    out: set = set()
+    for v, feats in _LEGACY_READER_FEATURES.items():
+        if cur >= v:
+            out.update(feats)
+    return out
 
 
 def enable_delta_in_commit_timestamps(path: str) -> int:
@@ -466,11 +557,10 @@ def enable_delta_in_commit_timestamps(path: str) -> int:
     version = state["version"] + 1
     now_ms = int(time.time() * 1000)
     proto = state.get("protocol") or {}
-    wf = set(proto.get("writerFeatures") or [])
-    # a pre-features protocol (minWriterVersion < 7) lists its implied
-    # legacy writer features on upgrade, the same convention the DV
-    # upgrade uses
-    wf |= {"appendOnly", "invariants", "inCommitTimestamp"}
+    # a pre-features protocol (minWriterVersion < 7) lists ALL its
+    # implied legacy writer features on upgrade — a column-mapped table
+    # at legacy version 5 keeps columnMapping in the explicit list
+    wf = _implied_writer_features(proto) | {"inCommitTimestamp"}
     new_proto = {
         "minReaderVersion": proto.get("minReaderVersion", 1),
         "minWriterVersion": 7,
@@ -540,10 +630,7 @@ def enable_delta_coordinated_commits(
     version = state["version"] + 1
     now_ms = int(time.time() * 1000)
     proto = state.get("protocol") or {}
-    wf = set(proto.get("writerFeatures") or [])
-    wf |= {
-        "appendOnly",
-        "invariants",
+    wf = _implied_writer_features(proto) | {
         "inCommitTimestamp",
         "coordinatedCommits-preview",
     }
@@ -1331,17 +1418,20 @@ def delete_delta_rows(
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     if not had_dv_protocol:
+        prior_proto = state.get("protocol") or {}
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": [
-                        "appendOnly",
-                        "invariants",
-                        "deletionVectors",
-                    ],
+                    "readerFeatures": sorted(
+                        _implied_reader_features(prior_proto)
+                        | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        _implied_writer_features(prior_proto)
+                        | {"deletionVectors"}
+                    ),
                 }
             }
         )
@@ -1794,17 +1884,20 @@ def _commit_mor_mask_and_add(
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     if by_file and not state["dv_protocol"]:
+        prior_proto = state.get("protocol") or {}
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": [
-                        "appendOnly",
-                        "invariants",
-                        "deletionVectors",
-                    ],
+                    "readerFeatures": sorted(
+                        _implied_reader_features(prior_proto)
+                        | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        _implied_writer_features(prior_proto)
+                        | {"deletionVectors"}
+                    ),
                 }
             }
         )
@@ -2868,9 +2961,10 @@ def delta_history(spark, path: str) -> DataFrame:
                     continue
                 act = json.loads(line)
                 if "commitInfo" in act:
-                    t = act["commitInfo"].get(
-                        "inCommitTimestamp"
-                    ) or act["commitInfo"].get("timestamp")
+                    # presence test, not truthiness (an ICT of 0 counts)
+                    t = act["commitInfo"].get("inCommitTimestamp")
+                    if t is None:
+                        t = act["commitInfo"].get("timestamp")
                     if t is not None:
                         ts_ms = int(t)
                 if "add" in act:

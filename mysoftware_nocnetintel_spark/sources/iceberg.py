@@ -548,6 +548,19 @@ def _load_meta(meta_dir: str) -> tuple[dict | None, int]:
         return None, 0
     with open(versions[-1]) as fh:
         meta = json.load(fh)
+    if meta.get("format-version", 1) > 2:
+        # round 11: READS of v3 tables go through read_iceberg_snapshot
+        # (deletion vectors handled natively, other v3 features gated
+        # per-feature there); every verb that loads metadata HERE is a
+        # v2-semantics writer/maintainer — committing v2-shaped
+        # snapshots into a v3 table would drop v3 invariants (DV
+        # replace-on-write, row lineage), so refuse loudly.
+        raise NotImplementedError(
+            f"Iceberg format-version {meta['format-version']} table: "
+            "this engine's write/maintenance verbs are format-version 2 "
+            "only (reads are fine — use read_iceberg_snapshot); use the "
+            "iceberg-spark-runtime connector to modify v3 tables"
+        )
     v = int(os.path.basename(versions[-1])[1:].split(".")[0])
     return meta, v
 
@@ -2919,9 +2932,20 @@ def rewrite_iceberg_manifests(path: str, min_manifests: int = 3) -> int:
                 eff = e.get("sequence_number")
                 eff = m_seq if eff is None else eff
                 rec = {
-                    "status": 1,
-                    "snapshot_id": e.get("snapshot_id"),
-                    "sequence_number": eff,  # EXPLICIT: survives the move
+                    # copied (not newly added) entries are EXISTING per
+                    # the spec, so a foreign engine's incremental scan
+                    # of this snapshot doesn't misreport them as new;
+                    # EXISTING forbids inheritance, so snapshot_id and
+                    # sequence_number are written EXPLICITLY (falling
+                    # back to the source manifest's values when the
+                    # entry relied on inheritance)
+                    "status": 0,
+                    "snapshot_id": (
+                        m.get("added_snapshot_id")
+                        if e.get("snapshot_id") is None
+                        else e["snapshot_id"]
+                    ),
+                    "sequence_number": eff,
                     "data_file": e["data_file"],
                 }
                 if e["data_file"].get("content", 0) == 0:
@@ -3198,12 +3222,19 @@ def drop_iceberg_partition(
                 continue
             dropped += hit
             if kept:
-                # surviving entries move to a fresh manifest with their
-                # effective sequence numbers written EXPLICITLY
+                # surviving entries move to a fresh manifest as
+                # EXISTING (status 0 — they are copies, not new adds,
+                # so incremental scans skip them) with their effective
+                # snapshot ids and sequence numbers written EXPLICITLY
+                # (EXISTING entries may not rely on inheritance)
                 recs = [
                     {
-                        "status": 1,
-                        "snapshot_id": e.get("snapshot_id"),
+                        "status": 0,
+                        "snapshot_id": (
+                            m.get("added_snapshot_id")
+                            if e.get("snapshot_id") is None
+                            else e["snapshot_id"]
+                        ),
                         "sequence_number": (
                             m_seq
                             if e.get("sequence_number") is None

@@ -467,7 +467,36 @@ def read_delta_snapshot(
     from glob import glob
 
     log_dir = os.path.join(path, "_delta_log")
-    commits = sorted(glob(os.path.join(log_dir, "[0-9]*.json")))
+    commit_files = sorted(glob(os.path.join(log_dir, "[0-9]*.json")))
+    # coordinated tables (round 11): merge the coordinator's
+    # un-backfilled tail as VIRTUAL commits over the backfilled prefix,
+    # so this process reads the true head even under lazy backfill; a
+    # process without the coordinator sees the backfilled prefix — a
+    # consistent, merely older snapshot
+    from .delta import _coordinator_tail
+
+    file_versions = {
+        int(os.path.basename(c).split(".")[0]) for c in commit_files
+    }
+    commits: list[tuple[int, "str | bytes"]] = sorted(
+        [
+            (int(os.path.basename(c).split(".")[0]), c)
+            for c in commit_files
+        ]
+        + [
+            (v, payload)
+            for v, payload in _coordinator_tail(log_dir).items()
+            if v not in file_versions
+        ]
+    )
+
+    def _commit_lines(src):
+        if isinstance(src, bytes):
+            yield from src.decode("utf-8").splitlines()
+        else:
+            with open(src) as fh:
+                yield from fh
+
     cp_meta_path = os.path.join(log_dir, "_last_checkpoint")
     if not commits and not os.path.exists(cp_meta_path):
         raise FileNotFoundError(f"no Delta log at {log_dir}")
@@ -492,33 +521,36 @@ def read_delta_snapshot(
         resolved = None
         running = None
         latest_ts = None
-        for c in commits:
+        for v, src in commits:
             ts = None
             try:
-                with open(c) as fh:
-                    for line in fh:
-                        if not line.strip():
-                            continue
-                        act = json.loads(line)
-                        if "commitInfo" in act:
-                            # the spec's IN-COMMIT TIMESTAMP is the
-                            # authoritative commit time when present
-                            # (monotone by construction); the informational
-                            # timestamp is the round-8 fallback
-                            t = act["commitInfo"].get(
-                                "inCommitTimestamp"
-                            ) or act["commitInfo"].get("timestamp")
-                            if t is not None:
-                                ts = int(t)
-                        break  # commitInfo leads; one line decides
+                for line in _commit_lines(src):
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "commitInfo" in act:
+                        # the spec's IN-COMMIT TIMESTAMP is the
+                        # authoritative commit time when present
+                        # (monotone by construction); the informational
+                        # timestamp is the round-8 fallback
+                        # presence test, not truthiness: an ICT of
+                        # 0 is a valid (if pathological) chain value
+                        t = act["commitInfo"].get("inCommitTimestamp")
+                        if t is None:
+                            t = act["commitInfo"].get("timestamp")
+                        if t is not None:
+                            ts = int(t)
+                    break  # commitInfo leads; one line decides
             except OSError:
                 pass
             if ts is None:
-                ts = int(os.path.getmtime(c) * 1000)
+                if isinstance(src, bytes):
+                    continue  # virtual commit without commitInfo: no clock
+                ts = int(os.path.getmtime(src) * 1000)
             running = ts if running is None else max(running, ts)
             latest_ts = running
             if running <= as_of_ms:
-                resolved = int(os.path.basename(c).split(".")[0])
+                resolved = v
         if resolved is None:
             raise ValueError(
                 f"no Delta commit at or before timestamp {as_of_ms} "
@@ -549,9 +581,7 @@ def read_delta_snapshot(
         if version is not None and version < cp_version:
             # time travel below the checkpoint: only possible from the full
             # JSON prefix, which vacuum may have removed
-            have = {
-                int(os.path.basename(c).split(".")[0]) for c in commits
-            }
+            have = {v for v, _src in commits}
             if not set(range(version + 1)) <= have:
                 raise NotImplementedError(
                     f"time travel to version {version} is below the last "
@@ -563,26 +593,24 @@ def read_delta_snapshot(
                 log_dir, cp_version, cp_meta
             )
             max_seen = cp_version
-    for c in commits:
-        v = int(os.path.basename(c).split(".")[0])
+    for v, src in commits:
         if v <= max_seen:
             continue  # state already covered by the checkpoint
         if version is not None and v > version:
             continue
         max_seen = max(max_seen, v)
-        with open(c) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                act = json.loads(line)
-                if "protocol" in act:
-                    _delta_check_protocol(act["protocol"])
-                elif "metaData" in act:
-                    table_meta = act["metaData"]
-                elif "add" in act:
-                    live[act["add"]["path"]] = _dv_live_value(act["add"])
-                elif "remove" in act:
-                    live.pop(act["remove"]["path"], None)
+        for line in _commit_lines(src):
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            if "protocol" in act:
+                _delta_check_protocol(act["protocol"])
+            elif "metaData" in act:
+                table_meta = act["metaData"]
+            elif "add" in act:
+                live[act["add"]["path"]] = _dv_live_value(act["add"])
+            elif "remove" in act:
+                live.pop(act["remove"]["path"], None)
     if version is not None and max_seen < version:
         raise ValueError(f"version {version} not found (latest: {max_seen})")
     if partition_filter:
@@ -1542,6 +1570,58 @@ class _DataFile(NamedTuple):
     spec_id: int = 0  # partition spec the entry's manifest was written under
 
 
+class _DVDelete(NamedTuple):
+    """An Iceberg v3 deletion-vector delete entry (round 11): one Puffin
+    ``deletion-vector-v1`` blob masking one data file (at most one DV
+    per data file, per the v3 spec). Travels in the same
+    ``pos_delete_files`` list as v2 parquet delete paths — both decode
+    to the identical (__fp, __pos) mask in
+    :func:`_position_delete_rows`, so the two generations compose."""
+
+    data_path: str  # the masked data file (local path)
+    puffin_path: str  # the Puffin container holding the blob
+    offset: int  # manifest content_offset
+    size: int  # manifest content_size_in_bytes
+
+
+def _check_iceberg_v3_features(meta: dict) -> None:
+    """Narrowed format-version-3 gate (round 11): deletion vectors are
+    read natively (Puffin blobs → the same per-file position masks v2
+    uses); every OTHER v3 feature still fails fast with its own remedy,
+    because misreading it returns WRONG ROWS, not degraded ones — row
+    lineage changes what the lineage columns mean, default values
+    change column values, and the new types have no mapping here."""
+    if "next-row-id" in meta or any(
+        "first-row-id" in s for s in meta.get("snapshots") or []
+    ):
+        raise NotImplementedError(
+            "Iceberg format-version 3 row lineage (next-row-id / "
+            "first-row-id) is not supported by the minimal reader: use "
+            "the iceberg-spark-runtime connector"
+        )
+    for sch in meta.get("schemas") or []:
+        for f in sch.get("fields") or []:
+            if "initial-default" in f or "write-default" in f:
+                raise NotImplementedError(
+                    "Iceberg format-version 3 default values (field "
+                    f"{f.get('name')!r}) are not supported by the "
+                    "minimal reader: use the iceberg-spark-runtime "
+                    "connector"
+                )
+            t = f.get("type")
+            if isinstance(t, str) and (
+                t in ("unknown", "variant", "timestamp_ns", "timestamptz_ns")
+                or t.startswith("geometry")
+                or t.startswith("geography")
+            ):
+                raise NotImplementedError(
+                    f"Iceberg format-version 3 type {t!r} (field "
+                    f"{f.get('name')!r}) is not supported by the "
+                    "minimal reader: use the iceberg-spark-runtime "
+                    "connector"
+                )
+
+
 def _iceberg_snapshot_files(
     path: str, snapshot_id: int | None = None, as_of_ms: int | None = None
 ) -> tuple[list[tuple[str, int]], list[str], list[tuple[str, int, list[str]]], dict]:
@@ -1550,7 +1630,7 @@ def _iceberg_snapshot_files(
     KB-scale work. Returns::
 
         (data_files,      # [_DataFile(path, seq, partition, lower, upper)]
-         pos_delete_files,  # [path]
+         pos_delete_files,  # [path | _DVDelete]  (v2 parquet | v3 DV)
          eq_deletes,      # [(path, sequence_number, [equality column name])]
          snapshot)
 
@@ -1576,17 +1656,15 @@ def _iceberg_snapshot_files(
     with open(versions[-1]) as fh:
         meta = json.load(fh)
     fv = meta.get("format-version", 1)
-    if fv > 2:
-        # fail FAST, never misread: v3 deletion vectors (Puffin blobs),
-        # row lineage, and column default values all change row-level
-        # results — ignoring any of them silently resurrects deleted
-        # rows or nulls defaulted columns. docs/iceberg_v3_scope.md
-        # scopes the intake.
+    if fv == 3:
+        # round-11 narrowing (docs/iceberg_v3_scope.md): deletion
+        # vectors read natively below; row lineage / default values /
+        # new types still fail FAST — never misread
+        _check_iceberg_v3_features(meta)
+    elif fv > 3:
         raise NotImplementedError(
             f"Iceberg format-version {fv} is not supported by the "
-            "minimal reader (v3 deletion vectors / row lineage / "
-            "default values would be silently misread): use the "
-            "iceberg-spark-runtime connector"
+            "minimal reader: use the iceberg-spark-runtime connector"
         )
     snapshots = meta.get("snapshots") or []
     if not snapshots:
@@ -1661,6 +1739,28 @@ def _iceberg_snapshot_files(
             df_rec = e["data_file"]
             fc = df_rec.get("content", 0)
             fmt = df_rec["file_format"].upper()
+            if fmt == "PUFFIN" and fc == 1:
+                # v3 deletion vector: ONE blob inside a Puffin file,
+                # referenced per data file via explicit coordinates
+                ref = df_rec.get("referenced_data_file")
+                off = df_rec.get("content_offset")
+                size = df_rec.get("content_size_in_bytes")
+                if not ref or off is None or size is None:
+                    raise NotImplementedError(
+                        "Iceberg PUFFIN delete entry without "
+                        "referenced_data_file/content_offset/"
+                        "content_size_in_bytes: use the "
+                        "iceberg-spark-runtime connector"
+                    )
+                delete_files.append(
+                    _DVDelete(
+                        _iceberg_local_path(ref),
+                        _iceberg_local_path(df_rec["file_path"]),
+                        int(off),
+                        int(size),
+                    )
+                )
+                continue
             if fmt not in ("PARQUET", "AVRO"):
                 raise NotImplementedError(
                     f"Iceberg {df_rec['file_format']} files "
@@ -1790,12 +1890,50 @@ def _uri_to_path(c):
     return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
-def _position_delete_rows(spark: SparkSession, delete_files: list[str]):
-    """(__fp, __pos) rows of the given position-delete parquet files."""
-    return spark.read.parquet(*delete_files).select(
-        _norm_file_path(F.col("file_path")).alias("__fp"),
-        F.col("pos").cast("long").alias("__pos"),
-    )
+def _position_delete_rows(spark: SparkSession, delete_files: list):
+    """(__fp, __pos) rows of the given position deletes. v2 parquet
+    delete files (str paths) scan distributed; v3 deletion vectors
+    (:class:`_DVDelete`) decode DRIVER-side — the blobs are KB-scale
+    roaring bitmaps the driver's metadata walk already located — and
+    parallelize for the same broadcast anti-join, capped like the Delta
+    DV path so a pathological table can't balloon driver memory. Both
+    kinds compose into ONE mask."""
+    paths = [f for f in delete_files if isinstance(f, str)]
+    dvs = [f for f in delete_files if isinstance(f, _DVDelete)]
+    parts = []
+    if paths:
+        parts.append(
+            spark.read.parquet(*paths).select(
+                _norm_file_path(F.col("file_path")).alias("__fp"),
+                F.col("pos").cast("long").alias("__pos"),
+            )
+        )
+    if dvs:
+        import os
+
+        from .puffin import dv_positions_from_puffin
+
+        rows: list[tuple[str, int]] = []
+        total = 0
+        for d in dvs:
+            positions = dv_positions_from_puffin(
+                d.puffin_path, d.offset, d.size
+            )
+            total += len(positions)
+            if total > _MAX_DV_POSITIONS:
+                raise NotImplementedError(
+                    f"deletion vectors mask more than {_MAX_DV_POSITIONS} "
+                    "positions: use the iceberg-spark-runtime connector"
+                )
+            ap = os.path.abspath(d.data_path)
+            rows.extend((ap, p) for p in positions)
+        parts.append(
+            spark.createDataFrame(rows, "__fp string, __pos long")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def jdbc_reader(

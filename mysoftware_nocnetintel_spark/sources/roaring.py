@@ -215,6 +215,67 @@ def encode_rbm_array(positions: "list[int]") -> bytes:
     return bytes(out)
 
 
+# --- 64-bit Roaring "portable" serialization (RoaringFormatSpec, the
+# 64-bit extension's portable format) — what Iceberg v3 deletion
+# vectors carry inside Puffin ``deletion-vector-v1`` blobs (round 11).
+# Differs from Delta's RoaringBitmapArray above in FRAMING only: an
+# 8-byte little-endian bucket count, then per non-empty bucket
+# (strictly ascending) a 4-byte little-endian high-32-bit key followed
+# by the standard 32-bit portable bitmap — no magic word, sparse keyed
+# buckets instead of a dense index with empty-bitmap gaps. The 32-bit
+# container payloads are byte-identical, so both codecs share
+# _decode_rb32/_encode_rb32 (and the Delta suite's pinned byte vectors
+# cover the container layer for this format too). ---
+
+
+def decode_portable64(buf: bytes) -> list[int]:
+    """Portable-format 64-bit Roaring bitmap → sorted row indexes."""
+    if len(buf) < 8:
+        raise ValueError("portable64 bitmap too short")
+    (n_buckets,) = struct.unpack_from("<q", buf, 0)
+    if n_buckets < 0:
+        raise ValueError(f"portable64 bucket count {n_buckets} negative")
+    pos = 8
+    out: list[int] = []
+    last_hi = -1
+    for _ in range(n_buckets):
+        if pos + 4 > len(buf):
+            raise ValueError("portable64 truncated at bucket key")
+        (hi,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        if hi <= last_hi:
+            raise ValueError(
+                f"portable64 bucket keys not strictly ascending "
+                f"({hi} after {last_hi})"
+            )
+        last_hi = hi
+        vals, pos = _decode_rb32(buf, pos)
+        if not vals:
+            raise ValueError(f"portable64 empty bucket {hi} (forbidden)")
+        out.extend((hi << 32) | v for v in vals)
+    if pos != len(buf):
+        raise ValueError(
+            f"trailing bytes after portable64 bucket ({len(buf) - pos} left)"
+        )
+    return out
+
+
+def encode_portable64(positions: "list[int]") -> bytes:
+    """Sorted (or sortable) 64-bit row indexes → portable-format 64-bit
+    Roaring bitmap (empty buckets omitted, keys ascending, per spec)."""
+    positions = sorted(set(int(p) for p in positions))
+    if positions and positions[0] < 0:
+        raise ValueError("row positions must be non-negative")
+    by_hi: dict[int, list[int]] = {}
+    for p in positions:
+        by_hi.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<q", len(by_hi)))
+    for hi in sorted(by_hi):
+        out += struct.pack("<I", hi)
+        out += _encode_rb32(by_hi[hi])
+    return bytes(out)
+
+
 # --- Deletion-vector file / inline IO (PROTOCOL.md file format v1) ---
 
 _DV_FILE_VERSION = 1

@@ -155,3 +155,85 @@ def test_enable_refuses_foreign_tables(spark, tmp_path):
         fh.write(json.dumps({"metaData": meta}) + "\n")
     with pytest.raises(NotImplementedError, match="another writer"):
         enable_delta_in_commit_timestamps(root)
+
+
+def test_upgrade_lists_legacy_implied_features(spark, tmp_path):
+    """Round-11 advisor fix (PROTOCOL.md "Table Features"): upgrading a
+    legacy minWriterVersion-5 table (column mapping via rename) to
+    table features must list EVERY legacy-implied feature, not just the
+    features being added — a feature-aware foreign writer that saw
+    writerFeatures without columnMapping would write the table without
+    honoring the mapping."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        rename_delta_column,
+    )
+
+    root = str(tmp_path / "cm")
+    write_delta_append(_df(spark, 0, 3), root)
+    rename_delta_column(root, "val", "v2")
+    st = D._replay_state(os.path.join(root, "_delta_log"))
+    assert st["protocol"]["minWriterVersion"] == 5  # legacy: implied list
+    enable_delta_in_commit_timestamps(root)
+    st = D._replay_state(os.path.join(root, "_delta_log"))
+    assert set(st["protocol"]["writerFeatures"]) >= {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "columnMapping",
+        "inCommitTimestamp",
+    }
+    # reads still project physical->logical after the upgrade
+    got = read_delta_snapshot(spark, root)
+    assert set(got.columns) == {"id", "v2"} and got.count() == 3
+
+
+def test_dv_upgrade_keeps_column_mapping_features(spark, tmp_path):
+    """Same spec rule on the MOR-delete upgrade path (minReaderVersion 3
+    + deletionVectors): a column-mapped table keeps columnMapping in
+    BOTH feature lists of the upgraded protocol."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        rename_delta_column,
+    )
+
+    root = str(tmp_path / "cmdv")
+    write_delta_append(_df(spark, 0, 4), root)
+    rename_delta_column(root, "val", "v2")
+    delete_delta_rows(spark, root, "id = 1")
+    st = D._replay_state(os.path.join(root, "_delta_log"))
+    assert set(st["protocol"]["readerFeatures"]) >= {
+        "columnMapping",
+        "deletionVectors",
+    }
+    assert set(st["protocol"]["writerFeatures"]) >= {
+        "columnMapping",
+        "deletionVectors",
+        "appendOnly",
+        "invariants",
+    }
+    got = read_delta_snapshot(spark, root)
+    assert got.count() == 3 and set(got.columns) == {"id", "v2"}
+
+
+def test_ict_of_zero_is_honored_not_skipped(spark, tmp_path):
+    """Presence test, not truthiness (round-11 advisor fix): a
+    pathological ICT of 0 is still the authoritative commit time —
+    `or`-chaining would silently fall back to the informational
+    timestamp."""
+    root = str(tmp_path / "zero")
+    write_delta_append(_df(spark, 0, 2), root)
+    p = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    lines = []
+    with open(p) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            if "commitInfo" in act:
+                act["commitInfo"]["inCommitTimestamp"] = 0
+            lines.append(json.dumps(act))
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    hist = {r["version"]: r for r in delta_history(spark, root).collect()}
+    assert hist[0]["commit_ts_ms"] == 0

@@ -198,3 +198,35 @@ def test_random_lifecycle_with_consolidation(spark, tmp_path, seed):
         assert _rows(read_iceberg_snapshot(spark, path)) == set(
             model.items()
         ), f"seed={seed} step={step} op={op}"
+
+
+def test_consolidated_entries_are_existing_status(spark, tmp_path):
+    """Round-11 advisor fix (Iceberg spec, manifest entry `status`):
+    entries COPIED into a consolidated manifest are EXISTING (0), not
+    ADDED (1) — a foreign engine's incremental/changelog scan of the
+    replace snapshot must not misreport survivors as newly added files.
+    EXISTING forbids inheritance, so snapshot_id and sequence_number
+    stay explicit (and point at the ORIGINAL commits, never the replace
+    snapshot)."""
+    path = str(tmp_path / "ex")
+    write_iceberg_append(_mk(spark, [(1, "a"), (2, "b")]), path)
+    merge_iceberg_rows(spark, path, _mk(spark, [(2, "B"), (3, "c")]), ["id"])
+    merge_iceberg_rows(spark, path, _mk(spark, [(3, "C"), (4, "d")]), ["id"])
+    pre_snaps = {s["snapshot-id"] for s in _meta(path)["snapshots"]}
+    rewrite_iceberg_manifests(path)
+    meta = _meta(path)
+    snap_id = meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
+    _, manifests = read_avro_file(snap["manifest-list"])
+    n_entries = 0
+    for m in manifests:
+        _, entries = read_avro_file(m["manifest_path"])
+        for e in entries:
+            n_entries += 1
+            assert e["status"] == 0, e  # EXISTING, never ADDED
+            assert e["snapshot_id"] in pre_snaps  # explicit + original
+            assert e.get("sequence_number") is not None
+    assert n_entries >= 5
+    assert _rows(read_iceberg_snapshot(spark, path)) == {
+        (1, "a"), (2, "B"), (3, "C"), (4, "d"),
+    }

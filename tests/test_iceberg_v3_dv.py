@@ -1,0 +1,330 @@
+"""Iceberg v3 deletion-vector READ path (round 11 — the first "do" row
+of docs/iceberg_v3_scope.md): Puffin container codec, the
+`deletion-vector-v1` blob layout, the portable-64 roaring framing, and
+the ORACLE-STYLE differential — a v3 table converted from a v2
+position-delete table reads EXACTLY the same rows. The v3 gate narrows:
+DV-bearing v3 tables read natively; row lineage / default values / new
+types / v4 still refuse loudly, and every WRITER verb refuses v3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+from glob import glob
+
+import pytest
+
+from mysoftware_nocnetintel_spark.sources import puffin as P
+from mysoftware_nocnetintel_spark.sources import roaring as R
+from mysoftware_nocnetintel_spark.sources.iceberg import (
+    write_iceberg_append,
+    write_iceberg_position_deletes,
+)
+from mysoftware_nocnetintel_spark.sources.puffin import (
+    convert_iceberg_position_deletes_to_dvs,
+)
+from mysoftware_nocnetintel_spark.sources.readers import read_iceberg_snapshot
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id bigint, val string"
+    )
+
+
+def _rows(df):
+    return {(r.id, r.val) for r in df.collect()}
+
+
+def _meta(path):
+    vs = sorted(
+        glob(os.path.join(path, "metadata", "v*.metadata.json")),
+        key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
+    )
+    with open(vs[-1]) as fh:
+        return json.load(fh), vs[-1]
+
+
+# ------------------------------------------------------------- codec
+
+
+def test_portable64_round_trip_and_framing():
+    cases = [
+        [],
+        [0],
+        [0, 1, 2, 65535, 65536, 100_000],
+        list(range(0, 10_000, 3)),
+        [7, (1 << 32) + 1, (1 << 32) + 2, (5 << 32) + 123456],
+    ]
+    for pos in cases:
+        buf = R.encode_portable64(pos)
+        assert R.decode_portable64(buf) == sorted(set(pos))
+    # framing pins: LE bucket count, LE high key, then the SAME 32-bit
+    # portable payload the Delta codec emits (shared containers)
+    buf = R.encode_portable64([3, 9])
+    (n,) = struct.unpack_from("<q", buf, 0)
+    (hi,) = struct.unpack_from("<I", buf, 8)
+    assert (n, hi) == (1, 0)
+    assert buf[12:] == R.encode_rbm_array([3, 9])[12:]  # skip magic+count
+    # empty buckets are forbidden on read
+    bad = struct.pack("<q", 1) + struct.pack("<I", 0) + R._encode_rb32([])
+    with pytest.raises(ValueError, match="empty bucket"):
+        R.decode_portable64(bad)
+    # non-ascending keys refused
+    two = (
+        struct.pack("<q", 2)
+        + struct.pack("<I", 5)
+        + R.encode_portable64([1])[12:]
+        + struct.pack("<I", 5)
+        + R.encode_portable64([2])[12:]
+    )
+    with pytest.raises(ValueError, match="ascending"):
+        R.decode_portable64(two)
+
+
+def test_dv_blob_layout_and_checks():
+    pos = [1, 2, 100]
+    blob = P.encode_dv_blob(pos)
+    # layout: int32 BE len(magic+vector) | D1 D3 39 64 | vector | CRC BE
+    (combined,) = struct.unpack_from(">i", blob, 0)
+    assert combined == len(blob) - 8
+    assert blob[4:8] == b"\xd1\xd3\x39\x64"
+    # the blob magic IS Delta's RoaringBitmapArray magic, little-endian
+    assert blob[4:8] == struct.pack("<i", 1681511377)
+    (crc,) = struct.unpack_from(">I", blob, len(blob) - 4)
+    assert crc == (zlib.crc32(blob[4:-4]) & 0xFFFFFFFF)
+    assert P.decode_dv_blob(blob) == pos
+    # corrupt one vector byte -> CRC mismatch
+    bad = bytearray(blob)
+    bad[10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        P.decode_dv_blob(bytes(bad))
+    with pytest.raises(ValueError, match="magic"):
+        P.decode_dv_blob(blob[:4] + b"XXXX" + blob[8:])
+    with pytest.raises(ValueError, match="length"):
+        P.decode_dv_blob(blob + b"\x00")
+
+
+def test_puffin_container_round_trip(tmp_path):
+    p = str(tmp_path / "t.puffin")
+    blobs = [
+        {
+            "type": P.DV_BLOB_TYPE,
+            "data": P.encode_dv_blob([1, 5]),
+            "snapshot-id": 42,
+            "sequence-number": 7,
+            "properties": {"referenced-data-file": "a.parquet",
+                           "cardinality": "2"},
+        },
+        {
+            "type": P.DV_BLOB_TYPE,
+            "data": P.encode_dv_blob([0]),
+            "properties": {"referenced-data-file": "b.parquet",
+                           "cardinality": "1"},
+        },
+    ]
+    metas = P.write_puffin_file(p, blobs, properties={"created-by": "test"})
+    foot = P.read_puffin_footer(p)
+    assert foot["properties"] == {"created-by": "test"}
+    assert [b["offset"] for b in foot["blobs"]] == [m["offset"] for m in metas]
+    assert foot["blobs"][0]["offset"] == 4  # first blob right after magic
+    assert foot["blobs"][0]["snapshot-id"] == 42
+    for m, want in zip(metas, ([1, 5], [0])):
+        assert P.dv_positions_from_puffin(p, m["offset"], m["length"]) == want
+    # structural refusals
+    with open(p, "rb") as fh:
+        raw = bytearray(fh.read())
+    bad = str(tmp_path / "bad.puffin")
+    with open(bad, "wb") as fh:
+        fh.write(b"XXXX" + raw[4:])
+    with pytest.raises(ValueError, match="magic"):
+        P.read_puffin_footer(bad)
+    # compressed-footer flag refused (flags live at [-8:-4], byte 0)
+    comp = bytearray(raw)
+    comp[-8] |= 0x01
+    with open(bad, "wb") as fh:
+        fh.write(comp)
+    with pytest.raises(NotImplementedError, match="LZ4"):
+        P.read_puffin_footer(bad)
+
+
+# ------------------------------------------- conversion + differential
+
+
+def test_v3_dv_table_reads_exactly_like_v2(spark, tmp_path):
+    """The oracle-style differential the verdict asks for: the same
+    logical table as (a) v2 + position-delete files and (b) v3 + Puffin
+    deletion vectors returns IDENTICAL rows, across multiple data files
+    and multiple delete commits touching the same file (positions
+    merged into one DV per data file)."""
+    v2 = str(tmp_path / "v2")
+    v3 = str(tmp_path / "v3")
+    from pyspark.sql import functions as F
+
+    for root in (v2, v3):
+        write_iceberg_append(_df(spark, 0, 10), root)
+        write_iceberg_append(_df(spark, 10, 20), root)
+        write_iceberg_position_deletes(spark, root, F.col("id") % 3 == 0)
+        write_iceberg_position_deletes(spark, root, F.col("id") == 1)
+    expect = _rows(read_iceberg_snapshot(spark, v2))
+    assert len(expect) == 12  # 20 - 7 multiples of 3 - id 1
+
+    convert_iceberg_position_deletes_to_dvs(v3)
+    meta, _ = _meta(v3)
+    assert meta["format-version"] == 3
+    got = read_iceberg_snapshot(spark, v3)
+    assert _rows(got) == expect
+    assert got.schema == read_iceberg_snapshot(spark, v2).schema
+
+    # the conversion really did produce PUFFIN DV entries: one blob per
+    # referenced data file, merged across the two delete commits
+    from mysoftware_nocnetintel_spark.sources.avro_lite import read_avro_file
+
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = read_avro_file(snap["manifest-list"])
+    dv_entries = []
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            continue
+        _, entries = read_avro_file(m["manifest_path"])
+        dv_entries.extend(e for e in entries if e.get("status") != 2)
+    assert dv_entries and all(
+        e["data_file"]["file_format"] == "PUFFIN" for e in dv_entries
+    )
+    refs = [e["data_file"]["referenced_data_file"] for e in dv_entries]
+    assert len(refs) == len(set(refs))  # at most ONE DV per data file
+    puffins = {e["data_file"]["file_path"] for e in dv_entries}
+    assert len(puffins) == 1  # one container for the whole commit
+
+
+def test_v3_dv_time_travel_and_empty_delete_convert(spark, tmp_path):
+    root = str(tmp_path / "tt")
+    write_iceberg_append(_df(spark, 0, 5), root)
+    pre_meta, _ = _meta(root)
+    pre_snap = pre_meta["current-snapshot-id"]
+    from pyspark.sql import functions as F
+
+    write_iceberg_position_deletes(spark, root, F.col("id") < 2)
+    convert_iceberg_position_deletes_to_dvs(root)
+    assert {r.id for r in read_iceberg_snapshot(spark, root).collect()} == {
+        2, 3, 4,
+    }
+    # pre-conversion snapshot still reads (v2-era manifests untouched)
+    old = read_iceberg_snapshot(spark, root, snapshot_id=pre_snap)
+    assert {r.id for r in old.collect()} == {0, 1, 2, 3, 4}
+    # converting a table with NO position deletes still bumps cleanly
+    plain = str(tmp_path / "plain")
+    write_iceberg_append(_df(spark, 0, 3), plain)
+    convert_iceberg_position_deletes_to_dvs(plain)
+    meta, _ = _meta(plain)
+    assert meta["format-version"] == 3
+    assert read_iceberg_snapshot(spark, plain).count() == 3
+
+
+# ------------------------------------------------------- gate narrowing
+
+
+def test_v3_gate_refuses_unhandled_features(spark, tmp_path):
+    root = str(tmp_path / "g")
+    write_iceberg_append(_df(spark, 0, 3), root)
+    meta, last = _meta(root)
+    meta_dir = os.path.dirname(last)
+    v = int(os.path.basename(last)[1:].split(".")[0])
+
+    def _bump(m):
+        nonlocal v
+        v += 1
+        with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as fh:
+            json.dump(m, fh)
+
+    # plain v3 (no lineage/defaults/new types) now READS
+    m3 = dict(meta, **{"format-version": 3})
+    _bump(m3)
+    assert read_iceberg_snapshot(spark, root).count() == 3
+
+    # row lineage refused (both spellings)
+    _bump(dict(m3, **{"next-row-id": 100}))
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        read_iceberg_snapshot(spark, root).count()
+    lineage_snaps = [
+        dict(s, **{"first-row-id": 0}) for s in m3["snapshots"]
+    ]
+    _bump(dict(m3, snapshots=lineage_snaps))
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        read_iceberg_snapshot(spark, root).count()
+
+    # default values refused
+    m_def = json.loads(json.dumps(m3))
+    m_def["schemas"][0]["fields"][1]["initial-default"] = "x"
+    _bump(m_def)
+    with pytest.raises(NotImplementedError, match="default values"):
+        read_iceberg_snapshot(spark, root).count()
+
+    # v3-only types refused
+    m_typ = json.loads(json.dumps(m3))
+    m_typ["schemas"][0]["fields"][1]["type"] = "variant"
+    _bump(m_typ)
+    with pytest.raises(NotImplementedError, match="variant"):
+        read_iceberg_snapshot(spark, root).count()
+
+    # v4 refused outright
+    _bump(dict(meta, **{"format-version": 4}))
+    with pytest.raises(NotImplementedError, match="format-version 4"):
+        read_iceberg_snapshot(spark, root).count()
+
+
+def test_writer_verbs_refuse_v3(spark, tmp_path):
+    """Every metadata-loading write/maintenance verb fails closed on a
+    v3 table — committing v2-shaped snapshots would drop v3 invariants."""
+    root = str(tmp_path / "w")
+    write_iceberg_append(_df(spark, 0, 4), root)
+    from pyspark.sql import functions as F
+
+    write_iceberg_position_deletes(spark, root, F.col("id") == 0)
+    convert_iceberg_position_deletes_to_dvs(root)
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        write_iceberg_append(_df(spark, 4, 6), root)
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        write_iceberg_position_deletes(spark, root, F.col("id") == 2)
+    # re-converting is refused by the same gate (idempotence = refusal)
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        convert_iceberg_position_deletes_to_dvs(root)
+
+
+def test_puffin_entry_missing_coordinates_refused(spark, tmp_path):
+    root = str(tmp_path / "m")
+    write_iceberg_append(_df(spark, 0, 4), root)
+    from pyspark.sql import functions as F
+
+    write_iceberg_position_deletes(spark, root, F.col("id") == 0)
+    convert_iceberg_position_deletes_to_dvs(root)
+    # strip the coordinates from the DV manifest -> loud refusal
+    from mysoftware_nocnetintel_spark.sources.avro_lite import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from mysoftware_nocnetintel_spark.sources.puffin import (
+        MANIFEST_ENTRY_SCHEMA_V3_DV,
+    )
+
+    meta, _ = _meta(root)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = read_avro_file(snap["manifest-list"])
+    dv_m = next(m for m in manifests if m.get("content", 0) == 1)
+    _, entries = read_avro_file(dv_m["manifest_path"])
+    for e in entries:
+        e["data_file"]["referenced_data_file"] = None
+    write_avro_file(
+        dv_m["manifest_path"], MANIFEST_ENTRY_SCHEMA_V3_DV, entries
+    )
+    with pytest.raises(NotImplementedError, match="PUFFIN delete entry"):
+        read_iceberg_snapshot(spark, root).count()

@@ -1,6 +1,8 @@
-"""Round-10: Iceberg format-version gate — a v3 table must FAIL FAST,
-never misread (v3 deletion vectors / row lineage / default values all
-change row-level results; docs/iceberg_v3_scope.md scopes the intake).
+"""Round-10 gate, round-11 narrowing: a v3 table is no longer refused
+wholesale — deletion vectors read natively (tests/test_iceberg_v3_dv.py)
+— but every v3 feature that would change row-level results if ignored
+(row lineage, default values, new types) still FAILS FAST, and v4 is
+refused outright. docs/iceberg_v3_scope.md tracks the intake.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ from mysoftware_nocnetintel_spark.sources.iceberg import write_iceberg_append
 from mysoftware_nocnetintel_spark.sources.readers import read_iceberg_snapshot
 
 
-def test_v3_metadata_is_refused_loudly(spark, tmp_path):
+def test_v3_gate_is_per_feature_not_wholesale(spark, tmp_path):
     root = str(tmp_path / "t")
     write_iceberg_append(
         spark.createDataFrame([(1, "a")], "id bigint, val string"), root
@@ -26,9 +28,24 @@ def test_v3_metadata_is_refused_loudly(spark, tmp_path):
     )
     with open(os.path.join(meta_dir, versions[-1])) as fh:
         meta = json.load(fh)
-    meta["format-version"] = 3
-    nxt = f"v{int(versions[-1][1:].split('.')[0]) + 1}.metadata.json"
-    with open(os.path.join(meta_dir, nxt), "w") as fh:
-        json.dump(meta, fh)
-    with pytest.raises(NotImplementedError, match="format-version 3"):
+    v = int(versions[-1][1:].split(".")[0])
+
+    def _bump(m):
+        nonlocal v
+        v += 1
+        with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as fh:
+            json.dump(m, fh)
+
+    # plain v3 (nothing beyond what this reader handles) READS
+    _bump(dict(meta, **{"format-version": 3}))
+    assert read_iceberg_snapshot(spark, root).count() == 1
+
+    # a lineage-bearing v3 table is refused loudly, not misread
+    _bump(dict(meta, **{"format-version": 3, "next-row-id": 5}))
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        read_iceberg_snapshot(spark, root).count()
+
+    # v4 (unknown future) is refused outright
+    _bump(dict(meta, **{"format-version": 4}))
+    with pytest.raises(NotImplementedError, match="format-version 4"):
         read_iceberg_snapshot(spark, root).count()

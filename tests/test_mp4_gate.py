@@ -76,8 +76,10 @@ _FAKE_AV = textwrap.dedent(
 
 
     class _Stream:
-        def __init__(self, fps):
+        def __init__(self, fps, frames):
             self.average_rate = fps
+            # real PyAV exposes the container-declared frame count here
+            self.frames = frames
 
 
     class _Container:
@@ -99,7 +101,7 @@ _FAKE_AV = textwrap.dedent(
                         zlib.decompress(blob[4:]), dtype=np.uint8
                     ).reshape(h, w, 3)
                 )
-            stream = _Stream(fps_x100 / 100.0)
+            stream = _Stream(fps_x100 / 100.0, n)
 
             class _V:
                 video = [stream]
@@ -165,6 +167,7 @@ def test_mp4_routes_through_gate(monkeypatch, tmp_path):
     assert dec is not None
     frames, n_frames, fps = dec
     assert n_frames == len(fr) and fps == 24.0
+    frames = list(frames)  # LAZY single-pass iterator (round-11 contract)
     assert [i for i, _ in frames] == list(range(0, len(fr), 4))
     assert all(
         np.array_equal(img, fr[i]) for i, img in frames

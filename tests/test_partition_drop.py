@@ -314,3 +314,49 @@ def test_delta_drop_translates_mapped_partition_names(spark, tmp_path):
     # the OLD logical name no longer validates
     with pytest.raises(ValueError, match="not partition columns"):
         drop_delta_partition(spark, root, {"day": "d2"})
+
+
+def test_iceberg_drop_survivors_are_existing_status(spark, tmp_path):
+    """Round-11 advisor fix: survivors copied into the drop snapshot's
+    fresh manifest are EXISTING (status 0) with explicit ORIGINAL
+    snapshot ids — a foreign engine's incremental scan of the delete
+    snapshot must not misreport them as newly added files."""
+    import json as _json
+
+    from mysoftware_nocnetintel_spark.sources.avro_lite import (
+        read_avro_file,
+    )
+
+    root = str(tmp_path / "iex")
+    # one file per partition inside a SINGLE manifest, so the drop must
+    # rewrite that manifest and copy the survivor
+    both = spark.createDataFrame(
+        [("d1", 0, "a"), ("d2", 1, "b")], "day string, id bigint, val string"
+    )
+    write_iceberg_append(both, root, partition_by=("day",))
+    vs = sorted(
+        glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )
+    with open(vs[-1]) as f:
+        pre_meta = _json.load(f)
+    pre_snaps = {s["snapshot-id"] for s in pre_meta["snapshots"]}
+    assert drop_iceberg_partition(root, {"day": "d1"}) is not None
+    with open(sorted(
+        glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )[-1]) as f:
+        meta = _json.load(f)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = read_avro_file(snap["manifest-list"])
+    copied = []
+    for m in manifests:
+        _, entries = read_avro_file(m["manifest_path"])
+        copied.extend(e for e in entries if e.get("status") != 2)
+    assert copied, "expected a rewritten manifest carrying the survivor"
+    for e in copied:
+        assert e["status"] == 0, e  # EXISTING, never ADDED
+        assert e["snapshot_id"] in pre_snaps
+        assert e.get("sequence_number") is not None
+    assert _rows(read_iceberg_snapshot(spark, root)) == {("d2", 1)}

@@ -167,3 +167,26 @@ def test_video_near_dup_plan_has_no_cartesian(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sampled_frames_decode_lazily(monkeypatch):
+    """Round-11 advisor fix: video_sampled_frames yields (idx, frame)
+    one at a time — an abandoned iterator decodes only what was pulled,
+    so peak memory inside the Arrow loop is O(frame), not
+    O(n_frames/every_n) materialized RGB frames."""
+    blob = _clip("lazy")
+    calls = []
+    real = V.vpng_decode_frame
+
+    def counting(data, idx):
+        calls.append(idx)
+        return real(data, idx)
+
+    monkeypatch.setattr(V, "vpng_decode_frame", counting)
+    frames, n_frames, fps = V.video_sampled_frames(blob, 4)
+    assert n_frames == N_FRAMES and fps == 24.0
+    assert not isinstance(frames, (list, tuple))  # lazy, not materialized
+    assert calls == []  # nothing decoded before the first pull
+    idx0, img0 = next(iter(frames))
+    assert idx0 == 0 and img0 is not None
+    assert calls == [0]  # exactly the pulled frame
