@@ -212,9 +212,19 @@ def query_ivf_index(
        (qid, qv, cell) probe table; per-query top-k window.
 
     Returns (qid, vec_id, score, rn) — identical to similarity.ivf_topk
-    run with the same centroids (parity test-pinned)."""
-    p = read_ann_params(path)
-    fmt = p.get("table_format", "delta")
+    run with the same centroids (parity test-pinned).
+
+    TORN-VIEW GUARD (round-11 verdict task 6): the sidecar read and the
+    probed cells' FILE LISTINGS both happen driver-side inside this
+    call; a rebalance whose swap+GC lands between them would route with
+    the OLD centroids into a parent cell the GC just emptied. The plans
+    themselves can't tear after build — the snapshot readers pin the
+    live file list at construction and the GC is metadata-only (the
+    parquet stays until vacuum) — so re-reading the sidecar AFTER the
+    build and rebuilding on any change makes every returned plan a
+    consistent view of ONE generation (old or new, never a mix). The
+    serve-during-rebalance fuzz (tests/test_ann_serve_race.py) drives
+    this window with a concurrent reader in both formats."""
     qrows = [
         (r[0], list(r[1]))
         for r in queries.select(query_id, query_vec)
@@ -226,71 +236,92 @@ def query_ivf_index(
             f"serving batch exceeds {_MAX_SERVING_QUERIES} queries; run "
             "similarity.ivf_topk over the corpus for bulk joins"
         )
-    probes = _probe_cells_np(qrows, p["centroids"], nprobe)
-    cells = sorted({c for cs in probes.values() for c in cs})
     from pyspark.sql import types as T
 
     qid_type = queries.schema[query_id].dataType
 
-    scans = []
-    for c in cells:
-        try:
-            scans.append(_read_cell(spark, path, fmt, c))
-        except ValueError:
-            continue  # an empty cell has no files — legal, nothing to scan
-    if not scans:
-        # schema-stable empty result: qid type from the QUERY frame,
-        # vec_id type from the index table when it is readable
-        vec_id_type: T.DataType = T.LongType()
-        try:
-            from ..sources.readers import (
-                read_delta_snapshot,
-                read_iceberg_snapshot,
-            )
+    def _build(p: dict) -> DataFrame:
+        fmt = p.get("table_format", "delta")
+        probes = _probe_cells_np(qrows, p["centroids"], nprobe)
+        cells = sorted({c for cs in probes.values() for c in cs})
+        scans = []
+        for c in cells:
+            try:
+                scans.append(_read_cell(spark, path, fmt, c))
+            except ValueError:
+                continue  # an empty cell has no files — legal
+        if not scans:
+            # schema-stable empty result: qid type from the QUERY frame,
+            # vec_id type from the index table when it is readable
+            vec_id_type: T.DataType = T.LongType()
+            try:
+                from ..sources.readers import (
+                    read_delta_snapshot,
+                    read_iceberg_snapshot,
+                )
 
-            rdr = read_delta_snapshot if fmt == "delta" else read_iceberg_snapshot
-            vec_id_type = rdr(spark, path).schema["vec_id"].dataType
-        except Exception:
-            pass
-        return spark.createDataFrame(
-            [],
+                rdr = (
+                    read_delta_snapshot
+                    if fmt == "delta"
+                    else read_iceberg_snapshot
+                )
+                vec_id_type = rdr(spark, path).schema["vec_id"].dataType
+            except Exception:
+                pass
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(query_id, qid_type),
+                        T.StructField("vec_id", vec_id_type),
+                        T.StructField("score", T.DoubleType()),
+                        T.StructField("rn", T.LongType()),
+                    ]
+                ),
+            )
+        corpus = scans[0]
+        for s in scans[1:]:
+            corpus = corpus.unionByName(s)
+
+        probe_rows = [
+            (qid, qv, c) for qid, qv in qrows for c in probes[qid]
+        ]
+        probe_df = spark.createDataFrame(
+            probe_rows,
             T.StructType(
                 [
                     T.StructField(query_id, qid_type),
-                    T.StructField("vec_id", vec_id_type),
-                    T.StructField("score", T.DoubleType()),
-                    T.StructField("rn", T.LongType()),
+                    T.StructField(query_vec, T.ArrayType(T.DoubleType())),
+                    T.StructField("cell", T.IntegerType()),
                 ]
             ),
         )
-    corpus = scans[0]
-    for s in scans[1:]:
-        corpus = corpus.unionByName(s)
+        scored = corpus.join(
+            F.broadcast(probe_df),
+            corpus["cell"].cast("int") == probe_df["cell"],
+        ).withColumn(
+            "score", _cosine_batch(F.col("embedding"), F.col(query_vec))
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("score").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= k)
+            .select(query_id, "vec_id", "score", "rn")
+        )
 
-    probe_rows = [
-        (qid, qv, c) for qid, qv in qrows for c in probes[qid]
-    ]
-    probe_df = spark.createDataFrame(
-        probe_rows,
-        T.StructType(
-            [
-                T.StructField(query_id, qid_type),
-                T.StructField(query_vec, T.ArrayType(T.DoubleType())),
-                T.StructField("cell", T.IntegerType()),
-            ]
-        ),
-    )
-    scored = corpus.join(
-        F.broadcast(probe_df),
-        corpus["cell"].cast("int") == probe_df["cell"],
-    ).withColumn("score", _cosine_batch(F.col("embedding"), F.col(query_vec)))
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
-        .select(query_id, "vec_id", "score", "rn")
+    for _attempt in range(5):
+        p = read_ann_params(path)
+        plan = _build(p)
+        if read_ann_params(path) == p:
+            return plan
+        # the sidecar swapped mid-build: the probes and the file
+        # listings may straddle generations — rebuild against the head
+    raise RuntimeError(
+        f"index at {path} swapped generations 5 times during one plan "
+        "construction: maintenance is churning faster than serving can "
+        "route; retry when the rebalance settles"
     )
 
 
@@ -358,6 +389,15 @@ def _read_cell_or_none(spark, path, fmt, cell: int):
         return _read_cell(spark, path, fmt, cell)
     except ValueError:
         return None
+
+
+# Observability for the metadata-count fast path (round-11 verdict task
+# 7, the spec_native_fallbacks pattern): an engine-written index table
+# ALWAYS qualifies for metadata counts, so a nonzero fallback counter
+# means some writer path stopped emitting stats and the rebalance
+# silently degraded to full-column scans — visible here instead of only
+# in wall-clock. The first fallback also warns with the table path.
+REBALANCE_STATS: dict[str, int] = {"count_scan_fallbacks": 0}
 
 
 def _metadata_cell_counts(path: str, fmt: str) -> "dict[int, int] | None":
@@ -567,6 +607,17 @@ def rebalance_ivf_index(
         meta_counts = _metadata_cell_counts(path, fmt)
         if meta_counts is not None:
             return meta_counts
+        if REBALANCE_STATS["count_scan_fallbacks"] == 0:
+            import warnings
+
+            warnings.warn(
+                f"rebalance falling back to a full-column count scan at "
+                f"{path} (metadata counts unavailable — a stats-less add "
+                "or live delete files); expected only after vec_id "
+                "retractions",
+                stacklevel=3,
+            )
+        REBALANCE_STATS["count_scan_fallbacks"] += 1
         return {
             int(r["cell"]): int(r["n"])
             for r in _rdr(spark, path)
