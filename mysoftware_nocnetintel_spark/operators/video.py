@@ -318,7 +318,12 @@ def mp4_sampled_frames(data: bytes, every_n: int):
     ``n_frames`` is the container-declared count (``stream.frames``)
     when the demuxer knows it, else None; a MID-STREAM decode failure
     surfaces as a final ``(idx, None)`` entry, which every consumer
-    already treats as a void frame."""
+    already treats as a void frame. A container that opens but decodes
+    ZERO frames yields an empty iterator (consumers produce the same
+    NULL/zero-row passthrough as an outright rejection). The container
+    is closed by the ``with`` inside the generator — on normal
+    exhaustion, and promptly on abandonment via CPython's refcounting
+    (GeneratorExit runs the ``with`` exit)."""
     if not _AV_PRESENT:
         return None
     import io

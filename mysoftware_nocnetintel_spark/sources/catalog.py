@@ -196,6 +196,14 @@ class InProcessCommitCoordinator(CatalogCommitter):
                     f"{os.path.basename(final_path)} was committed by "
                     "another writer while this commit was staged"
                 )
+            if v != head + 1:
+                # Delta versions are dense: accepting a gapped commit
+                # would later fold over missing versions silently — a
+                # coordinator must CAS on exactly head+1
+                raise CatalogCommitConflict(
+                    f"version {v} does not follow the head ({head}): "
+                    "Delta commits are strictly sequential"
+                )
             tail[v] = payload
             self.stats["commits"] += 1
             do_backfill = v % self.backfill_every == 0

@@ -156,6 +156,12 @@ def _replay_state(log_dir: str, as_of: int | None = None) -> dict:
             state["live"].pop(rm["path"], None)
             state["tombstones"][rm["path"]] = rm.get("deletionTimestamp") or 0
 
+    # coordinated tables (round 11): fetch the tail BEFORE listing the
+    # backfilled files — a concurrent backfill can move a version from
+    # the tail to a <v>.json between the two reads, and in this order
+    # the migrating version shows up in BOTH sources (deduped below)
+    # instead of in NEITHER (a torn replay missing a middle commit)
+    tail = _coordinator_tail(log_dir)
     cp_v = _checkpoint_version(log_dir)
     if cp_v is not None and as_of is not None and cp_v > as_of:
         # replay must start from scratch below the checkpoint
@@ -194,17 +200,26 @@ def _replay_state(log_dir: str, as_of: int | None = None) -> dict:
                 if line.strip():
                     _fold(json.loads(line))
         state["version"] = v
-    # coordinated tables (round 11): fold the coordinator's
-    # un-backfilled tail above the newest backfilled/checkpointed
-    # version — writer verbs and exactly-once txn gates see the true
-    # head even when the coordinator backfills lazily
-    for v, payload in sorted(_coordinator_tail(log_dir).items()):
+    # fold the coordinator's un-backfilled tail above the newest
+    # backfilled/checkpointed version — writer verbs and exactly-once
+    # txn gates see the true head even when the coordinator backfills
+    # lazily. A GAP between the folded head and a tail version is a
+    # protocol violation (Delta versions are dense); folding over it
+    # would silently skip a commit's actions, so fail loudly instead.
+    for v, payload in sorted(tail.items()):
         if state["version"] is not None and v <= state["version"]:
             continue
         if cp_v is not None and v <= cp_v:
             continue
         if as_of is not None and v > as_of:
             continue
+        if state["version"] is not None and v > state["version"] + 1:
+            raise ValueError(
+                f"coordinator tail is non-contiguous: version {v} "
+                f"follows {state['version']} (commits "
+                f"{state['version'] + 1}..{v - 1} missing from both the "
+                "log and getCommits)"
+            )
         for line in payload.decode("utf-8").splitlines():
             if line.strip():
                 _fold(json.loads(line))

@@ -539,7 +539,9 @@ def _commit_metadata(meta_dir: str, prev_ver: int, new_meta: dict) -> None:
     )
 
 
-def _load_meta(meta_dir: str) -> tuple[dict | None, int]:
+def _load_meta(
+    meta_dir: str, allow_v3: bool = False
+) -> tuple[dict | None, int]:
     versions = sorted(
         glob(os.path.join(meta_dir, "v*.metadata.json")),
         key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
@@ -548,13 +550,16 @@ def _load_meta(meta_dir: str) -> tuple[dict | None, int]:
         return None, 0
     with open(versions[-1]) as fh:
         meta = json.load(fh)
-    if meta.get("format-version", 1) > 2:
-        # round 11: READS of v3 tables go through read_iceberg_snapshot
-        # (deletion vectors handled natively, other v3 features gated
-        # per-feature there); every verb that loads metadata HERE is a
-        # v2-semantics writer/maintainer — committing v2-shaped
-        # snapshots into a v3 table would drop v3 invariants (DV
-        # replace-on-write, row lineage), so refuse loudly.
+    if meta.get("format-version", 1) > 2 and not allow_v3:
+        # round 11: READS of v3 tables work — read_iceberg_snapshot
+        # handles deletion vectors natively (other v3 features gated
+        # per-feature there), and the read-only inspectors (snapshot
+        # listing/diff, refs, partition specs, row counts, the
+        # streaming tailer) pass allow_v3=True. Every OTHER verb that
+        # loads metadata here is a v2-semantics writer/maintainer —
+        # committing v2-shaped snapshots into a v3 table would drop v3
+        # invariants (DV replace-on-write, row lineage) — so fail
+        # closed by default.
         raise NotImplementedError(
             f"Iceberg format-version {meta['format-version']} table: "
             "this engine's write/maintenance verbs are format-version 2 "
@@ -3058,7 +3063,7 @@ def partition_row_counts(path: str, col: str) -> "dict | None":
     from .avro_lite import read_avro_file
 
     meta_dir = os.path.join(path, "metadata")
-    meta, _ver = _load_meta(meta_dir)
+    meta, _ver = _load_meta(meta_dir, allow_v3=True)
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     spec_keys = {
@@ -4043,7 +4048,7 @@ def resolve_iceberg_ref(path: str, name: str) -> int:
     ``"main"`` always resolves — to its ref entry if one exists, else to
     ``current-snapshot-id`` (the spec makes main implicit when absent)."""
     meta_dir = os.path.join(path, "metadata")
-    meta, _ver = _load_meta(meta_dir)
+    meta, _ver = _load_meta(meta_dir, allow_v3=True)
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     refs = meta.get("refs") or {}
@@ -4062,7 +4067,7 @@ def iceberg_refs(spark, path: str) -> "DataFrame":
     (name, type, pinned snapshot id) plus the implicit ``main`` head when
     no explicit main ref exists. KB-scale driver-side metadata read."""
     meta_dir = os.path.join(path, "metadata")
-    meta, _ver = _load_meta(meta_dir)
+    meta, _ver = _load_meta(meta_dir, allow_v3=True)
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     refs = dict(meta.get("refs") or {})
@@ -4100,7 +4105,7 @@ def read_iceberg_incremental(
     from .readers import _iceberg_snapshot_files
 
     meta_dir = os.path.join(path, "metadata")
-    meta, _ver = _load_meta(meta_dir)
+    meta, _ver = _load_meta(meta_dir, allow_v3=True)
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -4178,7 +4183,7 @@ def iceberg_snapshot_diff(
     from .readers import read_iceberg_snapshot
 
     meta_dir = os.path.join(path, "metadata")
-    meta, _ver = _load_meta(meta_dir)
+    meta, _ver = _load_meta(meta_dir, allow_v3=True)
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -4209,7 +4214,7 @@ def iceberg_snapshots(spark, path: str) -> "DataFrame":
     from .avro_lite import read_avro_file
 
     meta_dir = os.path.join(path, "metadata")
-    meta, _ver = _load_meta(meta_dir)
+    meta, _ver = _load_meta(meta_dir, allow_v3=True)
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     rows = []
@@ -4301,7 +4306,7 @@ def iceberg_partition_specs(spark, path: str) -> "DataFrame":
     shows up by joining ``iceberg_files().spec_id`` against this).
     Driver-side metadata read."""
     meta_dir = os.path.join(path, "metadata")
-    meta, _ver = _load_meta(meta_dir)
+    meta, _ver = _load_meta(meta_dir, allow_v3=True)
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     schemas = meta.get("schemas") or []

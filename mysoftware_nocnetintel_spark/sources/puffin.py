@@ -229,11 +229,19 @@ def convert_iceberg_position_deletes_to_dvs(path: str) -> int:
             "refusing to convert an Iceberg table created by another "
             "writer: use the iceberg-spark-runtime connector"
         )
+    cur_id = meta.get("current-snapshot-id")
     cur = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
+        (
+            s
+            for s in meta.get("snapshots") or []
+            if cur_id not in (None, -1) and s["snapshot-id"] == cur_id
+        ),
+        None,
     )
+    if cur is None:
+        raise ValueError(
+            f"Iceberg table at {path} has no current snapshot to convert"
+        )
     _, manifests = read_avro_file(_iceberg_local_path(cur["manifest-list"]))
 
     import time as _time
@@ -270,6 +278,17 @@ def convert_iceberg_position_deletes_to_dvs(path: str) -> int:
             _iceberg_local_path(e["data_file"]["file_path"])
             for e in pos_here
         )
+
+    if not pos_delete_files:
+        # nothing to rewrite: bump the format version WITHOUT minting a
+        # no-op snapshot — the docstring's contract (callers comparing
+        # snapshot ids must not mis-detect a data change)
+        _commit_metadata(
+            meta_dir,
+            ver,
+            dict(meta, **{"format-version": 3, "last-updated-ms": now_ms}),
+        )
+        return cur["snapshot-id"]
 
     new_rows: list[dict] = []
     if pos_delete_files:

@@ -467,14 +467,18 @@ def read_delta_snapshot(
     from glob import glob
 
     log_dir = os.path.join(path, "_delta_log")
-    commit_files = sorted(glob(os.path.join(log_dir, "[0-9]*.json")))
     # coordinated tables (round 11): merge the coordinator's
     # un-backfilled tail as VIRTUAL commits over the backfilled prefix,
     # so this process reads the true head even under lazy backfill; a
     # process without the coordinator sees the backfilled prefix — a
-    # consistent, merely older snapshot
+    # consistent, merely older snapshot. The tail is fetched BEFORE the
+    # file listing: a concurrent backfill moving a version between the
+    # two reads then lands it in BOTH sources (deduped below), never in
+    # NEITHER (a torn snapshot missing a middle commit).
     from .delta import _coordinator_tail
 
+    tail = _coordinator_tail(log_dir)
+    commit_files = sorted(glob(os.path.join(log_dir, "[0-9]*.json")))
     file_versions = {
         int(os.path.basename(c).split(".")[0]) for c in commit_files
     }
@@ -485,7 +489,7 @@ def read_delta_snapshot(
         ]
         + [
             (v, payload)
-            for v, payload in _coordinator_tail(log_dir).items()
+            for v, payload in tail.items()
             if v not in file_versions
         ]
     )
@@ -545,7 +549,17 @@ def read_delta_snapshot(
                 pass
             if ts is None:
                 if isinstance(src, bytes):
-                    continue  # virtual commit without commitInfo: no clock
+                    # an un-backfilled commit with no commitInfo has NO
+                    # clock at all (file commits fall back to mtime) —
+                    # skipping it would silently resolve to a stale
+                    # version, so refuse loudly (this engine's writer
+                    # always emits commitInfo; only a foreign
+                    # coordinator client can produce this)
+                    raise NotImplementedError(
+                        f"un-backfilled commit {v} carries no commitInfo "
+                        "and cannot be timestamp-resolved: backfill the "
+                        "log or travel by version"
+                    )
                 ts = int(os.path.getmtime(src) * 1000)
             running = ts if running is None else max(running, ts)
             latest_ts = running
@@ -1599,8 +1613,11 @@ def _check_iceberg_v3_features(meta: dict) -> None:
             "first-row-id) is not supported by the minimal reader: use "
             "the iceberg-spark-runtime connector"
         )
-    for sch in meta.get("schemas") or []:
-        for f in sch.get("fields") or []:
+    def _walk_fields(fields) -> None:
+        # RECURSIVE: defaults and v3-only types can hide at any nesting
+        # depth (struct fields, list elements, map keys/values) — a
+        # top-level-only check would misread them instead of refusing
+        for f in fields or []:
             if "initial-default" in f or "write-default" in f:
                 raise NotImplementedError(
                     "Iceberg format-version 3 default values (field "
@@ -1608,18 +1625,33 @@ def _check_iceberg_v3_features(meta: dict) -> None:
                     "minimal reader: use the iceberg-spark-runtime "
                     "connector"
                 )
-            t = f.get("type")
-            if isinstance(t, str) and (
+            _walk_type(f.get("type"), f.get("name"))
+
+    def _walk_type(t, name) -> None:
+        if isinstance(t, str):
+            if (
                 t in ("unknown", "variant", "timestamp_ns", "timestamptz_ns")
                 or t.startswith("geometry")
                 or t.startswith("geography")
             ):
                 raise NotImplementedError(
                     f"Iceberg format-version 3 type {t!r} (field "
-                    f"{f.get('name')!r}) is not supported by the "
-                    "minimal reader: use the iceberg-spark-runtime "
-                    "connector"
+                    f"{name!r}) is not supported by the minimal "
+                    "reader: use the iceberg-spark-runtime connector"
                 )
+            return
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                _walk_fields(t.get("fields"))
+            elif kind == "list":
+                _walk_type(t.get("element"), name)
+            elif kind == "map":
+                _walk_type(t.get("key"), name)
+                _walk_type(t.get("value"), name)
+
+    for sch in meta.get("schemas") or []:
+        _walk_fields(sch.get("fields"))
 
 
 def _iceberg_snapshot_files(

@@ -1491,7 +1491,9 @@ class IcebergTailer(_PinnedOffsetMixin):
             read_iceberg_snapshot,
         )
 
-        meta, _ver = _load_meta(os.path.join(self._path, "metadata"))
+        meta, _ver = _load_meta(
+            os.path.join(self._path, "metadata"), allow_v3=True
+        )
         if meta is None:
             raise FileNotFoundError(f"no Iceberg table at {self._path}")
         latest = meta.get("current-snapshot-id")

@@ -179,3 +179,86 @@ def test_ict_chain_clamps_across_unbackfilled_parent(
                 break
     assert len(icts) == 3
     assert icts == sorted(set(icts)), f"ICT chain regressed: {icts}"
+
+
+def test_mid_migration_version_in_both_sources_dedupes(
+    spark, tmp_path, plain_committer
+):
+    """Round-11 review fix: the tail is fetched BEFORE the file listing,
+    so a backfill racing the reader lands the migrating version in BOTH
+    sources — the dedup (files win) must yield one consistent snapshot,
+    never a double-fold or a missing middle commit."""
+    root = str(tmp_path / "mig")
+    write_delta_append(_df(spark, 0, 2), root)  # v0 file
+    coord = InProcessCommitCoordinator("coord-m", backfill_every=1000)
+    set_committer(coord)
+    enable_delta_coordinated_commits(root, "coord-m")  # v1 tail
+    write_delta_append(_df(spark, 2, 4), root)  # v2 tail
+    log = os.path.join(root, "_delta_log")
+    # simulate the mid-migration state: v1 materialized on disk while
+    # STILL present in the coordinator tail
+    FilesystemCommitter().put_if_absent(
+        os.path.join(log, f"{1:020d}.json"), coord.get_commits(log)[1]
+    )
+    assert 1 in coord.get_commits(log) and os.path.exists(
+        os.path.join(log, f"{1:020d}.json")
+    )
+    st = D._replay_state(log)
+    assert st["version"] == 2
+    assert {r.id for r in read_delta_snapshot(spark, root).collect()} == {
+        0, 1, 2, 3,
+    }
+
+
+def test_gapped_tail_rejected_commit_and_replay(
+    spark, tmp_path, plain_committer
+):
+    """Both gap defenses: the coordinator CAS refuses a commit that is
+    not exactly head+1, and the replay refuses to fold a foreign
+    coordinator's non-contiguous getCommits result over the head."""
+    coord = InProcessCommitCoordinator("coord-g", backfill_every=1000)
+    log = str(tmp_path / "g" / "_delta_log")
+    os.makedirs(log)
+    coord.put_if_absent(
+        os.path.join(log, f"{0:020d}.json"),
+        b'{"commitInfo": {"timestamp": 1}}\n',
+    )
+    with pytest.raises(CatalogCommitConflict, match="sequential"):
+        coord.put_if_absent(
+            os.path.join(log, f"{2:020d}.json"),
+            b'{"commitInfo": {"timestamp": 2}}\n',
+        )
+    # a FOREIGN coordinator returning a gapped tail: replay fails loudly
+    root = str(tmp_path / "t")
+    write_delta_append(_df(spark, 0, 2), root)  # v0 as a file
+
+    class GappedCoordinator(InProcessCommitCoordinator):
+        def get_commits(self, log_dir, start_version=None):
+            return {5: b'{"add": {"path": "x.parquet"}}\n'}
+
+    set_committer(GappedCoordinator("coord-g2"))
+    with pytest.raises(ValueError, match="non-contiguous"):
+        D._replay_state(os.path.join(root, "_delta_log"))
+
+
+def test_unbackfilled_commit_without_commitinfo_refuses_ts_travel(
+    spark, tmp_path, plain_committer
+):
+    """A virtual commit with no commitInfo has no clock (file commits
+    fall back to mtime): timestamp travel refuses loudly instead of
+    silently resolving to a stale version."""
+    root = str(tmp_path / "noci")
+    write_delta_append(_df(spark, 0, 2), root)
+    coord = InProcessCommitCoordinator("coord-n", backfill_every=1000)
+    set_committer(coord)
+    log = os.path.join(root, "_delta_log")
+    coord.put_if_absent(
+        os.path.join(log, f"{1:020d}.json"),
+        b'{"add": {"path": "nope.parquet", "partitionValues": {}}}\n',
+    )
+    import time as _t
+
+    with pytest.raises(NotImplementedError, match="no commitInfo"):
+        read_delta_snapshot(
+            spark, root, as_of_ms=int(_t.time() * 1000) + 10_000
+        ).count()

@@ -328,3 +328,171 @@ def test_puffin_entry_missing_coordinates_refused(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="PUFFIN delete entry"):
         read_iceberg_snapshot(spark, root).count()
+
+
+def test_v3_gate_recurses_into_nested_types(spark, tmp_path):
+    """Round-11 review fix: defaults and v3-only types hiding inside
+    struct/list/map nesting are refused, not misread."""
+    root = str(tmp_path / "nest")
+    write_iceberg_append(_df(spark, 0, 2), root)
+    meta, last = _meta(root)
+    meta_dir = os.path.dirname(last)
+    v = int(os.path.basename(last)[1:].split(".")[0])
+    m3 = dict(meta, **{"format-version": 3})
+
+    def _bump(m):
+        nonlocal v
+        v += 1
+        with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as fh:
+            json.dump(m, fh)
+
+    # variant nested inside a struct
+    m = json.loads(json.dumps(m3))
+    m["schemas"][0]["fields"].append(
+        {
+            "id": 99,
+            "name": "s",
+            "required": False,
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 100, "name": "g", "required": False,
+                     "type": "variant"}
+                ],
+            },
+        }
+    )
+    _bump(m)
+    with pytest.raises(NotImplementedError, match="variant"):
+        read_iceberg_snapshot(spark, root).count()
+    # initial-default nested inside a list<struct>
+    m = json.loads(json.dumps(m3))
+    m["schemas"][0]["fields"].append(
+        {
+            "id": 99,
+            "name": "l",
+            "required": False,
+            "type": {
+                "type": "list",
+                "element-id": 101,
+                "element-required": False,
+                "element": {
+                    "type": "struct",
+                    "fields": [
+                        {"id": 102, "name": "d", "required": False,
+                         "type": "int", "initial-default": 7}
+                    ],
+                },
+            },
+        }
+    )
+    _bump(m)
+    with pytest.raises(NotImplementedError, match="default values"):
+        read_iceberg_snapshot(spark, root).count()
+    # geometry as a map value
+    m = json.loads(json.dumps(m3))
+    m["schemas"][0]["fields"].append(
+        {
+            "id": 99,
+            "name": "m",
+            "required": False,
+            "type": {
+                "type": "map",
+                "key-id": 103,
+                "key": "string",
+                "value-id": 104,
+                "value-required": False,
+                "value": "geometry(srid)",
+            },
+        }
+    )
+    _bump(m)
+    with pytest.raises(NotImplementedError, match="geometry"):
+        read_iceberg_snapshot(spark, root).count()
+
+
+def test_convert_guards_no_snapshot_and_true_noop(spark, tmp_path):
+    """Round-11 review fixes: a snapshot-less table converts with a
+    clean error (no bare StopIteration), and a table with NO position
+    deletes bumps the format version WITHOUT minting a no-op snapshot."""
+    import json as _json
+
+    root = str(tmp_path / "plain2")
+    write_iceberg_append(_df(spark, 0, 3), root)
+    meta, last = _meta(root)
+    pre_snap = meta["current-snapshot-id"]
+    out = convert_iceberg_position_deletes_to_dvs(root)
+    assert out == pre_snap  # NO new snapshot for a delete-less table
+    meta2, _ = _meta(root)
+    assert meta2["format-version"] == 3
+    assert meta2["current-snapshot-id"] == pre_snap
+    assert len(meta2["snapshots"]) == len(meta["snapshots"])
+    assert read_iceberg_snapshot(spark, root).count() == 3
+
+    # snapshot-less metadata: clean ValueError, not StopIteration
+    bare = str(tmp_path / "bare")
+    write_iceberg_append(_df(spark, 0, 1), bare)
+    m, last = _meta(bare)
+    m = dict(m, **{"current-snapshot-id": -1, "snapshots": []})
+    meta_dir = os.path.dirname(last)
+    v = int(os.path.basename(last)[1:].split(".")[0]) + 1
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as fh:
+        _json.dump(m, fh)
+    with pytest.raises(ValueError, match="no current snapshot"):
+        convert_iceberg_position_deletes_to_dvs(bare)
+
+
+def test_readonly_inspectors_work_on_v3(spark, tmp_path):
+    """Round-11 review fix: the read-only metadata verbs (snapshot
+    listing/diff, refs, partition specs, row counts, incremental read)
+    accept a v3 table — only write/maintenance verbs refuse."""
+    from pyspark.sql import functions as F
+
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        iceberg_partition_specs,
+        iceberg_refs,
+        iceberg_snapshot_diff,
+        iceberg_snapshots,
+        partition_row_counts,
+        read_iceberg_incremental,
+        resolve_iceberg_ref,
+    )
+
+    root = str(tmp_path / "ro")
+    write_iceberg_append(_df(spark, 0, 4), root)
+    meta0, _ = _meta(root)
+    first_snap = meta0["current-snapshot-id"]
+    write_iceberg_append(_df(spark, 4, 8), root)
+    write_iceberg_position_deletes(spark, root, F.col("id") == 0)
+    convert_iceberg_position_deletes_to_dvs(root)
+
+    snaps = iceberg_snapshots(spark, root).collect()
+    assert len(snaps) >= 3
+    assert iceberg_refs(spark, root).count() >= 1
+    assert resolve_iceberg_ref(root, "main") == _meta(root)[0][
+        "current-snapshot-id"
+    ]
+    assert iceberg_partition_specs(spark, root).count() >= 1
+    # partitioned v3 twin: DV delete content present -> exact metadata
+    # counts must DECLINE (None), never overcount — but the verb runs
+    part = str(tmp_path / "rop")
+    both = spark.createDataFrame(
+        [("d1", 0, "a"), ("d2", 1, "b")], "day string, id bigint, val string"
+    )
+    from mysoftware_nocnetintel_spark.sources.iceberg import (
+        write_iceberg_append as _wa,
+    )
+
+    _wa(both, part, partition_by=("day",))
+    write_iceberg_position_deletes(spark, part, F.col("id") == 0)
+    convert_iceberg_position_deletes_to_dvs(part)
+    assert partition_row_counts(part, "day") is None
+    # incremental read reaches its own (documented) non-append refusal
+    # on this range — i.e. the v3 gate admits the verb; the range rule,
+    # not the format version, decides
+    with pytest.raises(NotImplementedError, match="not appends"):
+        read_iceberg_incremental(spark, root, first_snap).count()
+    diff = iceberg_snapshot_diff(
+        spark, root, first_snap, _meta(root)[0]["current-snapshot-id"]
+    )
+    assert diff.count() >= 1
