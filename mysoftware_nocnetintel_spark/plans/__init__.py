@@ -36,7 +36,8 @@ _ALL = {
 # permitting); (3) fill the remainder with the queries whose last green
 # signal is oldest. ROUND 11 (per VERDICT r10 task 1, derived from merged
 # CORRECTNESS_r01-r10 latest signals — r10:50 / r9:49 / r8:42 / r7:19):
-# rule (1) admits q159 — the v3 deletion-vector query ADDED this round,
+# rule (1) admits q159/q160 — the v3 deletion-vector read and write
+# queries ADDED this round,
 # never graded; rule (3)-first clears the ENTIRE r7-signal tail in one
 # window — the 19 holdovers q105, q107-q123, q125 (the registry's
 # largest-ever freshness debt, queued since round 7); rule (2) admits
@@ -47,13 +48,15 @@ _ALL = {
 # legacy-implied features), q102/q127 (the Iceberg snapshot walk they
 # ride gained the PUFFIN entry branch + the narrowed v3 gate), and
 # q153 (ann_index rides the same walk through _pin_cell). Rule (3)
-# fills the remaining 23 slots with the head of the r8-signal block in
-# numeric order (q7_approx, q11-q24, q26, q27, q29-q33, q35).
-# Round-12 debt: the r8 tail (q40, q42-q44, q94, q124, q126-q137,
-# q155 — 19 queries), then the r9 block.
+# fills the remaining 22 slots with the head of the r8-signal block in
+# numeric order (q7_approx, q11-q24, q26, q27, q29-q33 — q160's late
+# rule-1 admission displaced q35). Round-12 debt: the r8 tail (q35,
+# q40, q42-q44, q94, q124, q126-q137, q155 — 20 queries), then the r9
+# block.
 _WINDOW = [
     # --- rule 1: never graded (added this round) ---
     "q159_dv_read",
+    "q160_dv_write",
     # --- rule 3 first: the whole r7-signal tail (19) ---
     "q105_seasonal_outliers",
     "q107_decontamination",
@@ -105,7 +108,6 @@ _WINDOW = [
     "q31_token_stats",
     "q32_term_df",
     "q33_quality_scores",
-    "q35_embedding_neardup",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
@@ -165,6 +167,7 @@ _NO_PLAN_CACHE = {
     "q157_partition_drop",  # lands + drops a scratch Delta table per call
     "q158_partition_drop_iceberg",  # same lifecycle, Iceberg format
     "q159_dv_read",  # lands + MOR-deletes + v3-converts a scratch table
+    "q160_dv_write",  # lands + v3-converts + DV-deletes a scratch table
 }
 
 

@@ -17,3 +17,16 @@ WHERE event_id % 4 <> 2
 GROUP BY 1
 ORDER BY 1
 """
+
+# q160: two successive DV deletes (replace discipline) -> both buckets
+# excluded from the recomputed state.
+ORACLES_R11["q160_dv_write"] = """
+SELECT
+  CAST(event_id % 4 AS INTEGER) AS bucket,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM events
+WHERE event_id % 4 NOT IN (2, 3)
+GROUP BY 1
+ORDER BY 1
+"""

@@ -59,6 +59,47 @@ def q159_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q160_dv_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 v3 DV WRITE path, ORACLE-VERIFIED (the scope doc's second
+    "do" row): land events as v2, convert to a plain v3 table, then
+    run TWO successive merge-on-read deletes through
+    ``write_iceberg_dv_deletes`` (bucket 2, then bucket 3) — the second
+    delete REPLACES the first's deletion vectors where files overlap
+    (one DV per data file, positions unioned, the spec's replace
+    discipline) — and aggregate the survivors from a fresh snapshot
+    read. The DuckDB twin recomputes the post-delete state from the
+    source parquet with both buckets excluded, so the replace
+    discipline's row-level semantics are value-hash graded, not just
+    unit-tested."""
+    from ..sources.iceberg import write_iceberg_append
+    from ..sources.puffin import (
+        convert_iceberg_position_deletes_to_dvs,
+        write_iceberg_dv_deletes,
+    )
+    from ..sources.readers import read_iceberg_snapshot
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % F.lit(4)).cast("int").alias("bucket"),
+        "event_id",
+        "value",
+    )
+    path = _scratch_index_path("v3_dv_write", sf_dir)
+    write_iceberg_append(ev, path)
+    convert_iceberg_position_deletes_to_dvs(path)  # plain v3 bump
+    write_iceberg_dv_deletes(spark, path, F.col("bucket") == 2)
+    write_iceberg_dv_deletes(spark, path, F.col("bucket") == 3)
+    return (
+        read_iceberg_snapshot(spark, path)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
 R11_QUERIES = {
     "q159_dv_read": q159_dv_read,
+    "q160_dv_write": q160_dv_write,
 }

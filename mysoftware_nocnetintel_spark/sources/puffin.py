@@ -419,3 +419,272 @@ def _dv_entry_schema() -> dict:
 
 
 MANIFEST_ENTRY_SCHEMA_V3_DV = _dv_entry_schema()
+
+
+# --------------------------------------------------- v3 DV MOR delete
+
+
+def write_iceberg_dv_deletes(spark, path: str, condition) -> "int | None":
+    """Merge-on-read DELETE on a FORMAT-VERSION-3 table via deletion
+    vectors — the v3 twin of ``write_iceberg_position_deletes`` and the
+    second "do" row of docs/iceberg_v3_scope.md (the write path, built
+    once the read path proved the container codec). Marks every
+    currently-live row matching ``condition`` by minting one Puffin
+    ``deletion-vector-v1`` blob per touched data file, following the
+    spec's REPLACE discipline: a file's new DV carries the union of its
+    previous DV's positions and the new ones, and the previous DV entry
+    leaves the metadata in the same commit — at most ONE DV per data
+    file at every snapshot (older snapshots keep their own entries, so
+    time travel is untouched). Returns the new snapshot id, or None
+    when no live row matches (idempotent no-op, like the partition
+    drop).
+
+    Mechanics (all driver-side KB-scale metadata + one KB-scale Puffin
+    write): the shared live scan (existing DVs applied first, so
+    re-deleting dead rows is a no-op) collects the matching (file, pos)
+    coordinates under the same cap as the v2 delete writers; prior
+    delete manifests travel verbatim unless they carry a superseded DV
+    entry, in which case the survivors move to a fresh manifest as
+    EXISTING with explicit ids. Single-writer fail-fast scope: a lost
+    CAS surfaces (the v2 writers' validated-retry ladder can be added
+    when a concurrent-writer deployment needs it). v2 position-delete
+    FILES on a v3 table are a spec violation and refuse loudly."""
+    from pyspark.sql import functions as F  # noqa: F401 (callers' exprs)
+
+    from .avro_lite import read_avro_file, write_avro_file
+    from .iceberg import (
+        MANIFEST_FILE_SCHEMA,
+        _commit_metadata,
+        _default_spec_id,
+        _load_meta,
+        _MAX_DELETE_ROWS,
+        _WRITER_TAG,
+    )
+    from .readers import _iceberg_live_scan, _iceberg_local_path
+
+    meta_dir = os.path.join(path, "metadata")
+    meta, ver = _load_meta(meta_dir, allow_v3=True)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path}")
+    if meta.get("properties", {}).get("writer") != _WRITER_TAG:
+        raise NotImplementedError(
+            "refusing to modify an Iceberg table created by another "
+            "writer: use the iceberg-spark-runtime connector"
+        )
+    if meta.get("format-version", 1) != 3:
+        raise ValueError(
+            "write_iceberg_dv_deletes needs a format-version-3 table: "
+            "use write_iceberg_position_deletes on v2 tables, or "
+            "convert_iceberg_position_deletes_to_dvs first"
+        )
+    cur_id = meta.get("current-snapshot-id")
+    cur = next(
+        (
+            s
+            for s in meta.get("snapshots") or []
+            if cur_id not in (None, -1) and s["snapshot-id"] == cur_id
+        ),
+        None,
+    )
+    if cur is None:
+        raise ValueError(f"Iceberg table at {path} has no current snapshot")
+
+    data = _iceberg_live_scan(spark, path, keep_coords=True)
+    hits = (
+        data.filter(condition)
+        .select("__fp", "__pos")
+        .limit(_MAX_DELETE_ROWS + 1)
+        .collect()
+    )
+    if len(hits) > _MAX_DELETE_ROWS:
+        raise NotImplementedError(
+            f"delete touches more than {_MAX_DELETE_ROWS} rows: use the "
+            "iceberg-spark-runtime connector (distributed delete writes)"
+        )
+    if not hits:
+        return None
+    new_by_file: dict[str, set] = {}
+    for r in hits:
+        new_by_file.setdefault(os.path.abspath(r["__fp"]), set()).add(
+            int(r["__pos"])
+        )
+
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    snap_id = now_ms * 1000 + (ver + 1)
+    seq = meta.get("last-sequence-number", 0) + 1
+
+    # walk the delete manifests: find superseded DV entries for touched
+    # files (their positions merge into the replacement), keep the rest
+    _, manifests = read_avro_file(_iceberg_local_path(cur["manifest-list"]))
+    keep_rows: list[dict] = []
+    staged: list[str] = []
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            keep_rows.append(m)
+            continue
+        m_seq = m.get("sequence_number", 0)
+        m_spec = m.get("partition_spec_id", 0)
+        _, entries = read_avro_file(_iceberg_local_path(m["manifest_path"]))
+        live = [e for e in entries if e.get("status") != 2]
+        superseded, kept = [], []
+        for e in live:
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) == 1 and df_rec[
+                "file_format"
+            ].upper() != "PUFFIN":
+                raise NotImplementedError(
+                    "v2 position-delete FILES on a format-version-3 "
+                    "table (spec violation): rewrite them with "
+                    "convert_iceberg_position_deletes_to_dvs, or use "
+                    "the iceberg-spark-runtime connector"
+                )
+            ref = df_rec.get("referenced_data_file")
+            if ref is not None and os.path.abspath(
+                _iceberg_local_path(ref)
+            ) in new_by_file:
+                superseded.append(e)
+            else:
+                kept.append(e)
+        if not superseded:
+            keep_rows.append(m)
+            continue
+        for e in superseded:
+            df_rec = e["data_file"]
+            prev = dv_positions_from_puffin(
+                _iceberg_local_path(df_rec["file_path"]),
+                int(df_rec["content_offset"]),
+                int(df_rec["content_size_in_bytes"]),
+            )
+            new_by_file[
+                os.path.abspath(
+                    _iceberg_local_path(df_rec["referenced_data_file"])
+                )
+            ].update(prev)
+        if kept:
+            # survivors move as EXISTING with explicit ids (the same
+            # copy rule the drop/consolidation verbs follow)
+            recs = [
+                {
+                    "status": 0,
+                    "snapshot_id": (
+                        m.get("added_snapshot_id")
+                        if e.get("snapshot_id") is None
+                        else e["snapshot_id"]
+                    ),
+                    "sequence_number": (
+                        m_seq
+                        if e.get("sequence_number") is None
+                        else e["sequence_number"]
+                    ),
+                    "data_file": e["data_file"],
+                }
+                for e in kept
+            ]
+            mpath = os.path.join(
+                meta_dir, f"m-{snap_id}-dvkeep{len(keep_rows)}.avro"
+            )
+            write_avro_file(mpath, MANIFEST_ENTRY_SCHEMA_V3_DV, recs)
+            staged.append(mpath)
+            keep_rows.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": m_spec,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            )
+        # else: every entry superseded — the manifest leaves the list
+
+    puffin_path = os.path.join(path, "data", f"dv-{snap_id}.puffin")
+    blob_specs = [
+        {
+            "type": DV_BLOB_TYPE,
+            "data": encode_dv_blob(sorted(new_by_file[fp])),
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "properties": {
+                "referenced-data-file": fp,
+                "cardinality": str(len(new_by_file[fp])),
+            },
+        }
+        for fp in sorted(new_by_file)
+    ]
+    blob_metas = write_puffin_file(puffin_path, blob_specs)
+    staged.append(puffin_path)
+    puffin_size = os.path.getsize(puffin_path)
+    dv_manifest = os.path.join(meta_dir, f"m-{snap_id}-dvs.avro")
+    write_avro_file(
+        dv_manifest,
+        MANIFEST_ENTRY_SCHEMA_V3_DV,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin_path,
+                    "file_format": "PUFFIN",
+                    "record_count": int(bm["properties"]["cardinality"]),
+                    "file_size_in_bytes": puffin_size,
+                    "referenced_data_file": bm["properties"][
+                        "referenced-data-file"
+                    ],
+                    "content_offset": bm["offset"],
+                    "content_size_in_bytes": bm["length"],
+                },
+            }
+            for bm in blob_metas
+        ],
+    )
+    staged.append(dv_manifest)
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    write_avro_file(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [
+            dict(m, sequence_number=m.get("sequence_number", 0))
+            for m in keep_rows
+        ]
+        + [
+            {
+                "manifest_path": dv_manifest,
+                "manifest_length": os.path.getsize(dv_manifest),
+                "partition_spec_id": _default_spec_id(meta),
+                "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    staged.append(mlist)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist,
+        "parent-snapshot-id": cur_id,
+        "summary": {"operation": "delete"},
+    }
+    new_meta = dict(
+        meta,
+        **{
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "snapshots": meta.get("snapshots", []) + [snapshot],
+            "current-snapshot-id": snap_id,
+        },
+    )
+    try:
+        _commit_metadata(meta_dir, ver, new_meta)
+    except Exception:
+        for f in staged:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        raise
+    return snap_id

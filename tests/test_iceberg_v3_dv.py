@@ -496,3 +496,82 @@ def test_readonly_inspectors_work_on_v3(spark, tmp_path):
         spark, root, first_snap, _meta(root)[0]["current-snapshot-id"]
     )
     assert diff.count() >= 1
+
+
+# ------------------------------------------------------- DV write path
+
+
+def test_dv_write_replace_discipline(spark, tmp_path):
+    """write_iceberg_dv_deletes (the scope doc's write-path row): two
+    successive DV deletes leave at most ONE DV per data file at the
+    head (replacement = union of old and new positions), intermediate
+    snapshots time-travel exactly, re-deleting dead rows is a no-op,
+    and the result matches a v2 position-delete twin row-for-row."""
+    from pyspark.sql import functions as F
+
+    from mysoftware_nocnetintel_spark.sources.avro_lite import read_avro_file
+    from mysoftware_nocnetintel_spark.sources.puffin import (
+        write_iceberg_dv_deletes,
+    )
+
+    v2 = str(tmp_path / "v2")
+    v3 = str(tmp_path / "v3")
+    for root in (v2, v3):
+        write_iceberg_append(_df(spark, 0, 10), root)
+        write_iceberg_append(_df(spark, 10, 20), root)
+    convert_iceberg_position_deletes_to_dvs(v3)  # plain v3, no deletes
+
+    s1 = write_iceberg_dv_deletes(spark, v3, F.col("id") % 3 == 0)
+    assert s1 is not None
+    write_iceberg_position_deletes(spark, v2, F.col("id") % 3 == 0)
+    assert _rows(read_iceberg_snapshot(spark, v3)) == _rows(
+        read_iceberg_snapshot(spark, v2)
+    )
+    s2 = write_iceberg_dv_deletes(spark, v3, F.col("id") == 1)
+    write_iceberg_position_deletes(spark, v2, F.col("id") == 1)
+    assert _rows(read_iceberg_snapshot(spark, v3)) == _rows(
+        read_iceberg_snapshot(spark, v2)
+    )
+    # time travel: the intermediate snapshot still masks only %3
+    mid = {r.id for r in read_iceberg_snapshot(
+        spark, v3, snapshot_id=s1
+    ).collect()}
+    assert mid == {i for i in range(20) if i % 3 != 0}
+    # at most ONE live DV entry per data file at the head
+    meta, _ = _meta(v3)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = read_avro_file(snap["manifest-list"])
+    refs = []
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            continue
+        _, entries = read_avro_file(m["manifest_path"])
+        refs.extend(
+            e["data_file"]["referenced_data_file"]
+            for e in entries
+            if e.get("status") != 2
+        )
+    assert refs and len(refs) == len(set(refs)), refs
+    # the file holding id 1 (first append) carries the UNION dv: its
+    # old %3 positions plus the new id==1 position
+    assert s2 is not None and s2 != s1
+    # re-deleting already-dead rows: no live match -> no-op, no commit
+    before = _meta(v3)[0]["current-snapshot-id"]
+    assert write_iceberg_dv_deletes(spark, v3, F.col("id") == 0) is None
+    assert _meta(v3)[0]["current-snapshot-id"] == before
+
+
+def test_dv_write_refusals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mysoftware_nocnetintel_spark.sources.puffin import (
+        write_iceberg_dv_deletes,
+    )
+
+    v2 = str(tmp_path / "v2only")
+    write_iceberg_append(_df(spark, 0, 4), v2)
+    with pytest.raises(ValueError, match="format-version-3"):
+        write_iceberg_dv_deletes(spark, v2, F.col("id") == 0)
