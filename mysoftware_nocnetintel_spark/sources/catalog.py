@@ -178,7 +178,20 @@ class InProcessCommitCoordinator(CatalogCommitter):
             for p in glob.glob(os.path.join(log_dir, "[0-9]*.json"))
             if "checkpoint" not in os.path.basename(p)
         ]
-        return max(vs) if vs else -1
+        head = max(vs) if vs else -1
+        # a checkpointed-then-cleaned log has NO <v>.json at the head:
+        # the checkpoint version is the durable floor (without this, the
+        # strict head+1 CAS would refuse every commit after cleanup)
+        try:
+            import json as _json
+
+            with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+                cp = _json.loads(fh.read() or "{}").get("version")
+            if cp is not None:
+                head = max(head, int(cp))
+        except OSError:
+            pass
+        return head
 
     def put_if_absent(self, final_path: str, payload: bytes) -> None:
         parsed = self._parse_commit(final_path)

@@ -213,11 +213,14 @@ def _replay_state(log_dir: str, as_of: int | None = None) -> dict:
             continue
         if as_of is not None and v > as_of:
             continue
-        if state["version"] is not None and v > state["version"] + 1:
+        expected = 0 if state["version"] is None else state["version"] + 1
+        if v > expected:
+            # also covers the EMPTY prefix (no files, no checkpoint): a
+            # tail-resident log must start at version 0
             raise ValueError(
                 f"coordinator tail is non-contiguous: version {v} "
                 f"follows {state['version']} (commits "
-                f"{state['version'] + 1}..{v - 1} missing from both the "
+                f"{expected}..{v - 1} missing from both the "
                 "log and getCommits)"
             )
         for line in payload.decode("utf-8").splitlines():

@@ -3510,7 +3510,7 @@ def rollback_iceberg_table(path: str, snapshot_id: int) -> int:
     commit; raises if the snapshot does not exist (e.g. already
     expired) or is already current."""
     meta_dir = os.path.join(path, "metadata")
-    meta, ver = _load_meta(meta_dir)
+    meta, ver = _load_meta(meta_dir, allow_v3=True)  # pointer-only verb
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     if meta.get("properties", {}).get("writer") != _WRITER_TAG:
@@ -3553,7 +3553,7 @@ def tag_iceberg_snapshot(
     would un-pin someone else's dataset), as does tagging a snapshot
     that does not exist. Returns the pinned snapshot id."""
     meta_dir = os.path.join(path, "metadata")
-    meta, ver = _load_meta(meta_dir)
+    meta, ver = _load_meta(meta_dir, allow_v3=True)  # pointer-only verb
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     if meta.get("properties", {}).get("writer") != _WRITER_TAG:
@@ -3933,7 +3933,7 @@ def move_iceberg_ref(path: str, name: str, snapshot_id: int) -> int:
     BRANCH ref (that is :func:`publish_iceberg_branch`'s job, with its
     fast-forward ancestry check). Returns ``snapshot_id``."""
     meta_dir = os.path.join(path, "metadata")
-    meta, ver = _load_meta(meta_dir)
+    meta, ver = _load_meta(meta_dir, allow_v3=True)  # pointer-only verb
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     if meta.get("properties", {}).get("writer") != _WRITER_TAG:
@@ -3972,7 +3972,7 @@ def drop_iceberg_ref(path: str, name: str) -> int:
     """Remove a named ref; the snapshot it pinned becomes expirable
     again. Returns the snapshot id the ref pointed at."""
     meta_dir = os.path.join(path, "metadata")
-    meta, ver = _load_meta(meta_dir)
+    meta, ver = _load_meta(meta_dir, allow_v3=True)  # pointer-only verb
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     refs = dict(meta.get("refs") or {})
@@ -4007,7 +4007,7 @@ def publish_iceberg_branch(path: str, name: str, drop: bool = True) -> int:
     branch="audit")`` stages commits invisible to main readers →
     audit queries read ``ref="audit"`` → publish or drop."""
     meta_dir = os.path.join(path, "metadata")
-    meta, ver = _load_meta(meta_dir)
+    meta, ver = _load_meta(meta_dir, allow_v3=True)  # pointer-only verb
     if meta is None:
         raise FileNotFoundError(f"no Iceberg table at {path}")
     refs = dict(meta.get("refs") or {})

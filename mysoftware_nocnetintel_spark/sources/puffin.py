@@ -290,100 +290,26 @@ def convert_iceberg_position_deletes_to_dvs(path: str) -> int:
         )
         return cur["snapshot-id"]
 
-    new_rows: list[dict] = []
-    if pos_delete_files:
-        by_data_file: dict[str, set] = {}
-        for f in sorted(set(pos_delete_files)):
-            t = pq.read_table(f, columns=["file_path", "pos"])
-            for fp, p in zip(
-                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
-            ):
-                by_data_file.setdefault(fp, set()).add(int(p))
-        puffin_path = os.path.join(
-            path, "data", f"dv-{snap_id}.puffin"
-        )
-        blob_specs = [
-            {
-                "type": DV_BLOB_TYPE,
-                "data": encode_dv_blob(sorted(by_data_file[fp])),
-                "snapshot-id": snap_id,
-                "sequence-number": seq,
-                "properties": {
-                    "referenced-data-file": fp,
-                    "cardinality": str(len(by_data_file[fp])),
-                },
-            }
-            for fp in sorted(by_data_file)
-        ]
-        blob_metas = write_puffin_file(puffin_path, blob_specs)
-        puffin_size = os.path.getsize(puffin_path)
-        dv_manifest = os.path.join(meta_dir, f"m-{snap_id}-dvs.avro")
-        write_avro_file(
-            dv_manifest,
-            MANIFEST_ENTRY_SCHEMA_V3_DV,
-            [
-                {
-                    "status": 1,  # the DVs ARE added by this snapshot
-                    "snapshot_id": snap_id,
-                    "data_file": {
-                        "content": 1,  # position deletes (vector form)
-                        "file_path": puffin_path,
-                        "file_format": "PUFFIN",
-                        "record_count": int(
-                            bm["properties"]["cardinality"]
-                        ),
-                        "file_size_in_bytes": puffin_size,
-                        "referenced_data_file": bm["properties"][
-                            "referenced-data-file"
-                        ],
-                        "content_offset": bm["offset"],
-                        "content_size_in_bytes": bm["length"],
-                    },
-                }
-                for bm in blob_metas
-            ],
-        )
-        new_rows.append(
-            {
-                "manifest_path": dv_manifest,
-                "manifest_length": os.path.getsize(dv_manifest),
-                "partition_spec_id": _default_spec_id(meta),
-                "content": 1,
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
-            }
-        )
-
-    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-    write_avro_file(
-        mlist,
-        MANIFEST_FILE_SCHEMA,
-        [
-            dict(m, sequence_number=m.get("sequence_number", 0))
-            for m in keep_rows
-        ]
-        + new_rows,
-    )
-    snapshot = {
-        "snapshot-id": snap_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": mlist,
-        "parent-snapshot-id": meta["current-snapshot-id"],
-        "summary": {"operation": "replace"},
-    }
-    new_meta = dict(
+    by_data_file: dict[str, set] = {}
+    for f in sorted(set(pos_delete_files)):
+        t = pq.read_table(f, columns=["file_path", "pos"])
+        for fp, p in zip(
+            t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+        ):
+            by_data_file.setdefault(fp, set()).add(int(p))
+    return _mint_dv_commit(
+        path,
+        meta_dir,
         meta,
-        **{
-            "format-version": 3,
-            "last-sequence-number": seq,
-            "last-updated-ms": now_ms,
-            "snapshots": meta.get("snapshots", []) + [snapshot],
-            "current-snapshot-id": snap_id,
-        },
+        ver,
+        snap_id,
+        seq,
+        now_ms,
+        by_data_file,
+        keep_rows,
+        "replace",
+        extra_meta={"format-version": 3},
     )
-    _commit_metadata(meta_dir, ver, new_meta)
-    return snap_id
 
 
 def _dv_entry_schema() -> dict:
@@ -421,6 +347,128 @@ def _dv_entry_schema() -> dict:
 MANIFEST_ENTRY_SCHEMA_V3_DV = _dv_entry_schema()
 
 
+def _mint_dv_commit(
+    path: str,
+    meta_dir: str,
+    meta: dict,
+    ver: int,
+    snap_id: int,
+    seq: int,
+    now_ms: int,
+    by_data_file: "dict[str, object]",
+    keep_rows: list[dict],
+    operation: str,
+    extra_meta: "dict | None" = None,
+    staged: "list[str] | None" = None,
+) -> int:
+    """Shared commit tail of the two DV writers (convert + DV delete):
+    mint ONE Puffin file with one ``deletion-vector-v1`` blob per
+    referenced data file, its delete manifest, the manifest list
+    (``keep_rows`` + the new manifest), the snapshot, and the metadata
+    commit. ``extra_meta`` merges into the new metadata (the convert
+    path's format-version bump). On a commit failure every staged file
+    — the caller's ``staged`` plus everything minted here — is removed
+    before the error surfaces."""
+    from .avro_lite import write_avro_file
+    from .iceberg import (
+        MANIFEST_FILE_SCHEMA,
+        _commit_metadata,
+        _default_spec_id,
+    )
+
+    staged = list(staged or [])
+    puffin_path = os.path.join(path, "data", f"dv-{snap_id}.puffin")
+    blob_specs = [
+        {
+            "type": DV_BLOB_TYPE,
+            "data": encode_dv_blob(sorted(by_data_file[fp])),
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "properties": {
+                "referenced-data-file": fp,
+                "cardinality": str(len(set(by_data_file[fp]))),
+            },
+        }
+        for fp in sorted(by_data_file)
+    ]
+    blob_metas = write_puffin_file(puffin_path, blob_specs)
+    staged.append(puffin_path)
+    puffin_size = os.path.getsize(puffin_path)
+    dv_manifest = os.path.join(meta_dir, f"m-{snap_id}-dvs.avro")
+    write_avro_file(
+        dv_manifest,
+        MANIFEST_ENTRY_SCHEMA_V3_DV,
+        [
+            {
+                "status": 1,  # the DVs ARE added by this snapshot
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 1,  # position deletes (vector form)
+                    "file_path": puffin_path,
+                    "file_format": "PUFFIN",
+                    "record_count": int(bm["properties"]["cardinality"]),
+                    "file_size_in_bytes": puffin_size,
+                    "referenced_data_file": bm["properties"][
+                        "referenced-data-file"
+                    ],
+                    "content_offset": bm["offset"],
+                    "content_size_in_bytes": bm["length"],
+                },
+            }
+            for bm in blob_metas
+        ],
+    )
+    staged.append(dv_manifest)
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    write_avro_file(
+        mlist,
+        MANIFEST_FILE_SCHEMA,
+        [
+            dict(m, sequence_number=m.get("sequence_number", 0))
+            for m in keep_rows
+        ]
+        + [
+            {
+                "manifest_path": dv_manifest,
+                "manifest_length": os.path.getsize(dv_manifest),
+                "partition_spec_id": _default_spec_id(meta),
+                "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    staged.append(mlist)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist,
+        "parent-snapshot-id": meta["current-snapshot-id"],
+        "summary": {"operation": operation},
+    }
+    new_meta = dict(
+        meta,
+        **{
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "snapshots": meta.get("snapshots", []) + [snapshot],
+            "current-snapshot-id": snap_id,
+            **(extra_meta or {}),
+        },
+    )
+    try:
+        _commit_metadata(meta_dir, ver, new_meta)
+    except Exception:
+        for f in staged:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        raise
+    return snap_id
+
+
 # --------------------------------------------------- v3 DV MOR delete
 
 
@@ -449,13 +497,8 @@ def write_iceberg_dv_deletes(spark, path: str, condition) -> "int | None":
     CAS surfaces (the v2 writers' validated-retry ladder can be added
     when a concurrent-writer deployment needs it). v2 position-delete
     FILES on a v3 table are a spec violation and refuse loudly."""
-    from pyspark.sql import functions as F  # noqa: F401 (callers' exprs)
-
     from .avro_lite import read_avro_file, write_avro_file
     from .iceberg import (
-        MANIFEST_FILE_SCHEMA,
-        _commit_metadata,
-        _default_spec_id,
         _load_meta,
         _MAX_DELETE_ROWS,
         _WRITER_TAG,
@@ -599,92 +642,16 @@ def write_iceberg_dv_deletes(spark, path: str, condition) -> "int | None":
             )
         # else: every entry superseded — the manifest leaves the list
 
-    puffin_path = os.path.join(path, "data", f"dv-{snap_id}.puffin")
-    blob_specs = [
-        {
-            "type": DV_BLOB_TYPE,
-            "data": encode_dv_blob(sorted(new_by_file[fp])),
-            "snapshot-id": snap_id,
-            "sequence-number": seq,
-            "properties": {
-                "referenced-data-file": fp,
-                "cardinality": str(len(new_by_file[fp])),
-            },
-        }
-        for fp in sorted(new_by_file)
-    ]
-    blob_metas = write_puffin_file(puffin_path, blob_specs)
-    staged.append(puffin_path)
-    puffin_size = os.path.getsize(puffin_path)
-    dv_manifest = os.path.join(meta_dir, f"m-{snap_id}-dvs.avro")
-    write_avro_file(
-        dv_manifest,
-        MANIFEST_ENTRY_SCHEMA_V3_DV,
-        [
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "content": 1,
-                    "file_path": puffin_path,
-                    "file_format": "PUFFIN",
-                    "record_count": int(bm["properties"]["cardinality"]),
-                    "file_size_in_bytes": puffin_size,
-                    "referenced_data_file": bm["properties"][
-                        "referenced-data-file"
-                    ],
-                    "content_offset": bm["offset"],
-                    "content_size_in_bytes": bm["length"],
-                },
-            }
-            for bm in blob_metas
-        ],
-    )
-    staged.append(dv_manifest)
-    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-    write_avro_file(
-        mlist,
-        MANIFEST_FILE_SCHEMA,
-        [
-            dict(m, sequence_number=m.get("sequence_number", 0))
-            for m in keep_rows
-        ]
-        + [
-            {
-                "manifest_path": dv_manifest,
-                "manifest_length": os.path.getsize(dv_manifest),
-                "partition_spec_id": _default_spec_id(meta),
-                "content": 1,
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
-            }
-        ],
-    )
-    staged.append(mlist)
-    snapshot = {
-        "snapshot-id": snap_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": mlist,
-        "parent-snapshot-id": cur_id,
-        "summary": {"operation": "delete"},
-    }
-    new_meta = dict(
+    return _mint_dv_commit(
+        path,
+        meta_dir,
         meta,
-        **{
-            "last-sequence-number": seq,
-            "last-updated-ms": now_ms,
-            "snapshots": meta.get("snapshots", []) + [snapshot],
-            "current-snapshot-id": snap_id,
-        },
+        ver,
+        snap_id,
+        seq,
+        now_ms,
+        new_by_file,
+        keep_rows,
+        "delete",
+        staged=staged,
     )
-    try:
-        _commit_metadata(meta_dir, ver, new_meta)
-    except Exception:
-        for f in staged:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
-        raise
-    return snap_id

@@ -612,6 +612,17 @@ def read_delta_snapshot(
             continue  # state already covered by the checkpoint
         if version is not None and v > version:
             continue
+        if isinstance(src, bytes) and v != max_seen + 1:
+            # a virtual (un-backfilled) commit may only EXTEND the
+            # densely-replayed head — folding over a gap would silently
+            # skip the missing commits' actions (the read-path twin of
+            # _replay_state's contiguity guard; file gaps below a
+            # checkpoint are legitimate and never reach here)
+            raise ValueError(
+                f"coordinator tail is non-contiguous: version {v} "
+                f"follows {max_seen} (commits {max_seen + 1}..{v - 1} "
+                "missing from both the log and getCommits)"
+            )
         max_seen = max(max_seen, v)
         for line in _commit_lines(src):
             if not line.strip():

@@ -239,6 +239,16 @@ def test_gapped_tail_rejected_commit_and_replay(
     set_committer(GappedCoordinator("coord-g2"))
     with pytest.raises(ValueError, match="non-contiguous"):
         D._replay_state(os.path.join(root, "_delta_log"))
+    # the READ path refuses the identical gapped state (review fix: the
+    # guard exists on both sides, not just the writer replay)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        read_delta_snapshot(spark, root).count()
+    # and an all-virtual log whose tail does not start at version 0 is
+    # a gap over the EMPTY prefix — also refused
+    bare = str(tmp_path / "bare")
+    os.makedirs(os.path.join(bare, "_delta_log"))
+    with pytest.raises(ValueError, match="non-contiguous"):
+        D._replay_state(os.path.join(bare, "_delta_log"))
 
 
 def test_unbackfilled_commit_without_commitinfo_refuses_ts_travel(
@@ -262,3 +272,27 @@ def test_unbackfilled_commit_without_commitinfo_refuses_ts_travel(
         read_delta_snapshot(
             spark, root, as_of_ms=int(_t.time() * 1000) + 10_000
         ).count()
+
+
+def test_coordinator_cas_survives_checkpoint_cleanup(
+    spark, tmp_path, plain_committer
+):
+    """Round-11 review fix: the strict head+1 CAS reads the checkpoint
+    version too — a checkpointed-then-cleaned log (no <v>.json left at
+    the head) must keep accepting the next sequential commit."""
+    from mysoftware_nocnetintel_spark.sources.delta import (
+        checkpoint_delta_table,
+        cleanup_delta_log,
+    )
+
+    root = str(tmp_path / "cp")
+    coord = InProcessCommitCoordinator("coord-cp", backfill_every=1)
+    set_committer(coord)
+    for lo in (0, 2, 4):
+        write_delta_append(_df(spark, lo, lo + 2), root)
+    cp_v = checkpoint_delta_table(root)
+    cleanup_delta_log(root)
+    assert _json_versions(root) == []  # every <v>.json <= cp removed
+    v = write_delta_append(_df(spark, 6, 8), root)  # must NOT conflict
+    assert v == cp_v + 1
+    assert read_delta_snapshot(spark, root).count() == 8

@@ -575,3 +575,33 @@ def test_dv_write_refusals(spark, tmp_path):
     write_iceberg_append(_df(spark, 0, 4), v2)
     with pytest.raises(ValueError, match="format-version-3"):
         write_iceberg_dv_deletes(spark, v2, F.col("id") == 0)
+
+
+def test_tailer_with_pin_ref_survives_v3_conversion(spark, tmp_path):
+    """Round-11 review fix: a pinned-ref tailer consuming a table that
+    is CONVERTED to format-version 3 mid-consumption keeps working —
+    poll() reads v3 natively and commit() moves the pin ref through the
+    (pointer-only, now v3-admitting) ref verbs instead of wedging at
+    the offset commit after downstream work was already done."""
+    from pyspark.sql import functions as F
+
+    from mysoftware_nocnetintel_spark.streaming.ops import IcebergTailer
+
+    path = str(tmp_path / "t")
+    write_iceberg_append(_df(spark, 0, 3), path)
+    t = IcebergTailer(
+        spark,
+        path,
+        str(tmp_path / "ckpt"),
+        pin_ref="consumer-x",
+        net_changes=True,  # the conversion range masks rows (delete)
+    )
+    assert {r.id for r in t.poll().collect()} == {0, 1, 2}
+    t.commit()  # pins the ref on the v2 table
+    write_iceberg_append(_df(spark, 3, 5), path)
+    write_iceberg_position_deletes(spark, path, F.col("id") == 0)
+    convert_iceberg_position_deletes_to_dvs(path)  # table is v3 now
+    batch = t.poll()  # delete+replace range -> full-diff consumption
+    assert batch is not None
+    t.commit()  # ref move on a v3 table must succeed (pointer-only)
+    assert t.poll() is None  # caught up on the v3 table
