@@ -605,3 +605,47 @@ def test_tailer_with_pin_ref_survives_v3_conversion(spark, tmp_path):
     assert batch is not None
     t.commit()  # ref move on a v3 table must succeed (pointer-only)
     assert t.poll() is None  # caught up on the v3 table
+
+
+# ------------------------------------------------- property (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_POSITIONS = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=200_000),  # dense low range
+        st.integers(min_value=0, max_value=(1 << 40) - 1),  # multi-bucket
+    ),
+    max_size=400,
+)
+
+
+@given(_POSITIONS)
+@settings(max_examples=200, deadline=None)
+def test_portable64_property_round_trip(positions):
+    assert R.decode_portable64(R.encode_portable64(positions)) == sorted(
+        set(positions)
+    )
+
+
+@given(_POSITIONS)
+@settings(max_examples=200, deadline=None)
+def test_dv_blob_property_round_trip(positions):
+    blob = P.encode_dv_blob(positions)
+    assert P.decode_dv_blob(blob) == sorted(set(positions))
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_dv_blob_decoder_never_misreads_garbage(data):
+    """Arbitrary bytes either decode to a valid position list or raise
+    ValueError/struct.error — never a silent wrong answer or a crash of
+    another kind (the fail-fast posture of every codec here)."""
+    try:
+        out = P.decode_dv_blob(data)
+    except (ValueError, struct.error):
+        return
+    assert out == sorted(set(out)) and all(p >= 0 for p in out)
+    # anything that decodes must re-encode to the same position set
+    assert P.decode_dv_blob(P.encode_dv_blob(out)) == out
