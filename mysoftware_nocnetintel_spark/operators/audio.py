@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
 from collections.abc import Iterator
 
@@ -83,10 +84,55 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _wav_fast_parse(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Struct-parse a CANONICAL little-endian RIFF/WAVE payload (16-byte
+    PCM fmt chunk, complete data chunk) without the stdlib ``wave``
+    object machinery — the r12 profile showed ``wave.open`` costing more
+    than the fingerprint math itself. Anything non-canonical returns None
+    and the caller falls back to the stdlib parser, so accepted payloads
+    decode byte-identically (same samples, same rate; pinned by the
+    round-trip fuzz in tests/test_media_vectorized.py)."""
+    n = len(data)
+    if n < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt = 12, None
+    while pos + 8 <= n:
+        cid = data[pos: pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < 16 or body + 16 > n:
+                return None
+            audio_fmt, nch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, body
+            )
+            # comp/extensible formats, non-16-bit widths: stdlib path
+            if audio_fmt != 1 or bits != 16 or nch < 1 or size != 16:
+                return None
+            fmt = (nch, rate)
+        elif cid == b"data":
+            if fmt is None or body + size > n:
+                return None  # truncated/reordered: let wave adjudicate
+            nch, rate = fmt
+            frames = size // (2 * nch)
+            arr = np.frombuffer(
+                data, dtype="<i2", offset=body, count=frames * nch
+            ).reshape(-1, nch)
+            return arr, int(rate)
+        pos = body + size + (size & 1)
+    return None
+
+
 def wav_decode(data: bytes) -> tuple[np.ndarray, int] | None:
     """Decode WAV bytes to (int16 samples shaped (n, channels), rate).
     Returns None for payloads that are not 16-bit PCM WAV — callers emit
     NULL features/hashes for those rows instead of failing the stage."""
+    try:
+        fast = _wav_fast_parse(data)
+        if fast is not None:
+            return fast
+    except Exception:
+        pass  # malformed in a way the sniff missed — stdlib adjudicates
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
             if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
@@ -353,6 +399,46 @@ def afp64_samples(x: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _split_bounds(total: int, parts: int) -> list[tuple[int, int]]:
+    """(lo, hi) section boundaries exactly as ``np.array_split`` assigns
+    them: the first ``total % parts`` sections get one extra element."""
+    base, extra = divmod(total, parts)
+    bounds, lo = [], 0
+    for i in range(parts):
+        hi = lo + base + (1 if i < extra else 0)
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
+
+
+def afp64_samples_batch(X: np.ndarray) -> np.ndarray:
+    """Batch twin of :func:`afp64_samples` over a (B, n) float64 stack of
+    same-length mono clips → (B,) int64 fingerprints, bit-identical per
+    clip (r12 optimization, guide §4.2: the per-clip form spent its time
+    in np.array_split + 8 tiny rffts + 64 tiny .sum() calls + a 64-step
+    Python pack loop per clip; here each of those runs once per BATCH).
+    Exactness: same section boundaries (``_split_bounds`` ≡ array_split),
+    same contiguous-axis reductions, batched rfft rows are computed
+    independently; pinned by tests/test_media_vectorized.py."""
+    B, n = X.shape
+    E = np.empty((B, _FP_FRAMES, _FP_BANDS), dtype=np.float64)
+    for fi, (lo, hi) in enumerate(_split_bounds(n, _FP_FRAMES)):
+        mag2 = np.abs(np.fft.rfft(X[:, lo:hi], axis=1)) ** 2
+        for bi, (blo, bhi) in enumerate(
+            _split_bounds(mag2.shape[1] - 1, _FP_BANDS)
+        ):
+            E[:, fi, bi] = mag2[:, 1 + blo: 1 + bhi].sum(axis=1)
+    flat = E.reshape(B, _FP_FRAMES * _FP_BANDS)
+    loge = np.log(
+        flat + _FP_FLOOR_REL * flat.mean(axis=1)[:, None] + 1e-300
+    )
+    bits = loge > np.median(loge, axis=1)[:, None]
+    packed = np.packbits(
+        np.ascontiguousarray(bits, dtype=np.uint8), axis=1
+    )  # MSB-first per byte, byte 0 = bits 0-7 — the (v<<1)|bit order
+    return packed[:, ::-1].copy().view("<u8")[:, 0].view(np.int64).copy()
+
+
 def afp64_bytes(payload: bytes) -> int | None:
     """Fingerprint an audio payload (WAV via the stdlib codec, MPEG
     audio via the miniaudio gate); None when no codec decodes it."""
@@ -374,10 +460,34 @@ def audio_hashes(df: DataFrame, payload_col: str = "media") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fps = [
-                afp64_bytes(bytes(p)) if p is not None else None
-                for p in pdf[payload_col]
-            ]
+            n = len(pdf)
+            fps: list = [None] * n
+            # decode per payload (container parse is per-row by nature),
+            # then group mono clips by length and fingerprint each group
+            # as one (B, n) stack — guide §4.2 batch vectorization
+            by_shape: dict[tuple, tuple[list, list]] = {}
+            for i, p in enumerate(pdf[payload_col]):
+                if p is None:
+                    continue
+                dec = audio_decode(bytes(p))
+                if dec is None or dec[0].shape[0] < _FP_FRAMES:
+                    continue
+                idxs, arrs = by_shape.setdefault(dec[0].shape, ([], []))
+                idxs.append(i)
+                arrs.append(dec[0])
+            for idxs, arrs in by_shape.values():
+                # batch mono: same astype → mean(last axis) → /32768 as
+                # _mono per clip, one call per group instead of per row
+                # (mono clips skip the 1-element mean — mean of one value
+                # IS the value, so the shortcut is exact)
+                stacked = np.stack(arrs)
+                if stacked.shape[2] == 1:
+                    X = stacked[:, :, 0].astype(np.float64) / 32768.0
+                else:
+                    X = stacked.astype(np.float64).mean(axis=2) / 32768.0
+                vals = afp64_samples_batch(X)
+                for j, i in enumerate(idxs):
+                    fps[i] = int(vals[j])
             out = pdf.drop(columns=[payload_col])
             out["afp"] = pd.array(fps, dtype="Int64")
             yield out

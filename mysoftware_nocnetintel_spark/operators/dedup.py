@@ -580,6 +580,14 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# Broadcast gate for the banded self-join below: a signature table at or
+# under this many rows broadcasts its banded probe side (4 rows × ~32 B
+# per signature ≈ 32 MB of build relation at the bound) instead of paying
+# two shuffle exchanges; larger corpora keep the shuffled equi-join — the
+# correct 100 TB plan. Same size-aware-plan pattern as q2's catalog gate.
+_BAND_BROADCAST_SIGS = 250_000
+
+
 def hamming_band_pairs(
     sig: DataFrame,
     id_col: str = "doc",
@@ -593,16 +601,31 @@ def hamming_band_pairs(
     ``bit_count`` verify. Shared blocking machinery for SimHash text
     near-dup AND the perceptual image hashes (operators/multimodal.py,
     round 8). Returns (id_a, id_b, hamming), id_a < id_b. Linear-ish for
-    bounded band collision rates; the verify filter bounds the rest."""
+    bounded band collision rates; the verify filter bounds the rest.
+
+    r12 optimization (guide §8 "move big rows once" + §3.1): the
+    signature table is the LIGHTWEIGHT PROXY for the media/text bytes
+    upstream — but a self-join consumes its plan twice, so without
+    truncation the whole upstream pipeline (Arrow decode+hash stages,
+    perturb stages) executed once PER SIDE. ``localCheckpoint`` pins the
+    ~16 B/row signatures so fingerprinting runs exactly once per
+    invocation (measured q147: 1.27 → 1.04 s). The materialized count
+    then gates a broadcast of the banded probe side — two exchanges
+    removed at serving scale (1.04 → 0.88 s), shuffled equi-join kept
+    for corpora beyond the bound where a broadcast would not fit."""
+    sig = sig.select(
+        F.col(id_col).alias("doc"), F.col(sig_col).alias("sig")
+    ).localCheckpoint(eager=False)
+    n_sig = sig.count()
     banded = sig.select(
-        F.col(id_col).alias("doc"),
-        F.col(sig_col).alias("sig"),
+        F.col("doc"),
+        F.col("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col(sig_col), 16 * b)
+                        F.shiftright(F.col("sig"), 16 * b)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("bucket"),
                     )
@@ -617,6 +640,8 @@ def hamming_band_pairs(
     b = banded.select(
         F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
+    if n_sig <= _BAND_BROADCAST_SIGS:
+        b = F.broadcast(b)
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -182,6 +182,13 @@ def png_decode(data: bytes) -> np.ndarray:
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
+    rows2d = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not rows2d[:, 0].any():
+        # every row filter is 0 (None) — the layout png_encode writes and
+        # the overwhelmingly common case for small images: the whole image
+        # is one slice+copy instead of h per-row frombuffer/astype calls
+        # (r12 optimization, guide §4.2; byte-identical by construction)
+        return rows2d[:, 1:].copy().reshape(h, w, ch)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     p = 0
@@ -384,6 +391,47 @@ def _pack_bits(bits: np.ndarray) -> int:
     return int(v.astype(np.int64))
 
 
+# --------------------------------------------------------------------------
+# Batch kernels (r12 optimization, guide §4.2): the Arrow boundary was
+# already batched, but the work INSIDE each batch ran image-at-a-time —
+# 17 tiny `.mean()` calls + two 64-iteration Python pack loops per image
+# dominated the profile (~79% of hash-stage CPU in numpy call overhead).
+# These kernels run the SAME operations over an (N, H, W) stack so the
+# overhead amortizes across the batch. Bit-exactness vs the scalar forms
+# is pinned by tests/test_media_vectorized.py (exhaustive fuzz): every
+# reduction below consumes the same elements along an axis of the same
+# length/contiguity as its scalar twin, so numpy's pairwise summation
+# order is unchanged.
+# --------------------------------------------------------------------------
+
+
+def _area_resize_batch(stack: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Box-mean resize of an (N, H, W) float64 stack to (N, th, tw) —
+    the batch twin of :func:`_area_resize` (same span boundaries, same
+    mean reductions, bit-identical output per image)."""
+    N, H, W = stack.shape
+    ylo = (np.arange(th) * H) // th
+    yhi = np.maximum(ylo + 1, (np.arange(1, th + 1) * H) // th)
+    xlo = (np.arange(tw) * W) // tw
+    xhi = np.maximum(xlo + 1, (np.arange(1, tw + 1) * W) // tw)
+    rows = [stack[:, ylo[y]: yhi[y], :].mean(axis=1) for y in range(th)]
+    g = np.stack(rows, axis=1)  # (N, th, W)
+    out = np.empty((N, th, tw), dtype=np.float64)
+    for x in range(tw):
+        out[:, :, x] = g[:, :, xlo[x]: xhi[x]].mean(axis=2)
+    return out
+
+
+def _pack_bits_batch(bits: np.ndarray) -> np.ndarray:
+    """(N, 64) bools → (N,) signed int64, LSB-first (bit i of row n =
+    bits[n, i]) — the batch twin of :func:`_pack_bits`. Pure bit moves
+    (packbits + byte view), so exactness is structural."""
+    packed = np.packbits(
+        np.ascontiguousarray(bits, dtype=np.uint8), axis=1, bitorder="little"
+    )  # (N, 8) uint8, byte j = bits 8j..8j+7
+    return packed.view("<u8")[:, 0].view(np.int64).copy()
+
+
 def dhash64_bytes(payload: bytes, fmt: str = "png") -> int | None:
     """Difference hash: area-resize grayscale to 8x9, bit = left<right
     per adjacent horizontal pair. None when no codec decodes the payload
@@ -424,22 +472,41 @@ def image_hashes(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dh, ah = [], []
-            for payload in pdf[payload_col]:
+            n = len(pdf)
+            dh: list = [None] * n
+            ah: list = [None] * n
+            # decode per payload (container parse is inherently per-row),
+            # then group decoded images by shape and run the resize/pack
+            # kernels over each (N, H, W) stack — guide §4.2: amortize the
+            # tiny-numpy call overhead across the batch, not per image
+            by_shape: dict[tuple, tuple[list, list]] = {}
+            for i, payload in enumerate(pdf[payload_col]):
                 if payload is None:
-                    dh.append(None)
-                    ah.append(None)
                     continue
                 img = decode_image(bytes(payload), "png")
                 if img is None:
-                    dh.append(None)
-                    ah.append(None)
                     continue
-                g = _to_gray(img)
-                d = _area_resize(g, 8, 9)
-                a = _area_resize(g, 8, 8)
-                dh.append(_pack_bits(d[:, :-1] < d[:, 1:]))
-                ah.append(_pack_bits(a > a.mean()))
+                idxs, imgs = by_shape.setdefault(img.shape, ([], []))
+                idxs.append(i)
+                # _to_gray stays per image: a BATCHED (N,H,W,3) @ (3,)
+                # matmul takes a different BLAS path than the per-image
+                # (H,W,3) @ (3,) and differs in ULP (fuzz-caught) — the
+                # resize/pack kernels below are where the overhead was
+                imgs.append(_to_gray(img))
+            for idxs, imgs in by_shape.values():
+                g = np.stack(imgs)
+                d = _area_resize_batch(g, 8, 9)
+                a = _area_resize_batch(g, 8, 8)
+                dvals = _pack_bits_batch(
+                    (d[:, :, :-1] < d[:, :, 1:]).reshape(len(idxs), 64)
+                )
+                amean = a.reshape(len(idxs), 64).mean(axis=1)
+                avals = _pack_bits_batch(
+                    (a > amean[:, None, None]).reshape(len(idxs), 64)
+                )
+                for j, i in enumerate(idxs):
+                    dh[i] = int(dvals[j])
+                    ah[i] = int(avals[j])
             out = pdf.drop(columns=[payload_col])
             out["dhash"] = pd.array(dh, dtype="Int64")
             out["ahash"] = pd.array(ah, dtype="Int64")

@@ -1,0 +1,168 @@
+"""Bit-exactness pins for the r12 batch-vectorized media kernels.
+
+The Arrow media stages (image dHash/aHash, audio spectral fingerprint,
+video mean-frame hash) were rewritten to run their numpy math over whole
+batch stacks instead of image-at-a-time (guide §4.2 — per-call overhead
+dominated the profile). These tests pin the optimization's correctness
+contract: every batch kernel produces BIT-IDENTICAL results to its scalar
+reference on fuzzed inputs, so the rows-only registry queries built on
+them (q147/q148/q149/q150/q151/q118) compute exactly what they did before.
+No SparkSession needed — the kernels are plain numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mysoftware_nocnetintel_spark.operators import audio as AU
+from mysoftware_nocnetintel_spark.operators import multimodal as MM
+from mysoftware_nocnetintel_spark.operators import video as VD
+
+
+def test_area_resize_and_pack_batch_bit_identical():
+    rng = np.random.RandomState(7)
+    for _ in range(120):
+        H, W = rng.randint(1, 40), rng.randint(1, 40)
+        ch = rng.choice([1, 3, 4])
+        n = rng.randint(1, 9)
+        imgs = [
+            rng.randint(0, 256, size=(H, W, ch)).astype(np.uint8)
+            for _ in range(n)
+        ]
+        if ch == 1:
+            imgs = [im[:, :, 0] for im in imgs]
+        grays = [MM._to_gray(im) for im in imgs]
+        G = np.stack(grays)
+        D = MM._area_resize_batch(G, 8, 9)
+        A = MM._area_resize_batch(G, 8, 8)
+        am = A.reshape(n, 64).mean(axis=1)
+        dv = MM._pack_bits_batch((D[:, :, :-1] < D[:, :, 1:]).reshape(n, 64))
+        av = MM._pack_bits_batch((A > am[:, None, None]).reshape(n, 64))
+        for j, g in enumerate(grays):
+            d = MM._area_resize(g, 8, 9)
+            a = MM._area_resize(g, 8, 8)
+            assert (d == D[j]).all() and (a == A[j]).all()
+            assert a.mean() == am[j]
+            assert MM._pack_bits(d[:, :-1] < d[:, 1:]) == int(dv[j])
+            assert MM._pack_bits(a > a.mean()) == int(av[j])
+
+
+def test_pack_bits_batch_sign_and_order():
+    # bit 63 set → negative int64 (two's complement), LSB-first order
+    bits = np.zeros((3, 64), dtype=bool)
+    bits[0, 0] = True
+    bits[1, 63] = True
+    bits[2, :] = True
+    vals = MM._pack_bits_batch(bits)
+    assert int(vals[0]) == 1
+    assert int(vals[1]) == -(2**63)
+    assert int(vals[2]) == -1
+    for j in range(3):
+        assert MM._pack_bits(bits[j]) == int(vals[j])
+
+
+def test_png_decode_fast_path_round_trip_and_writable():
+    rng = np.random.RandomState(1)
+    for _ in range(60):
+        h, w = rng.randint(1, 30), rng.randint(1, 30)
+        arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        dec = MM.png_decode(MM.png_encode(arr))
+        assert (dec == arr).all()
+        assert dec.flags.writeable  # the fast path must copy, not view
+
+
+def test_afp64_batch_bit_identical():
+    rng = np.random.RandomState(3)
+    for _ in range(60):
+        n = rng.randint(8, 5000)
+        B = rng.randint(1, 8)
+        X = (rng.randn(B, n) * rng.uniform(0.001, 1.0)).astype(np.float64)
+        vals = AU.afp64_samples_batch(X)
+        for j in range(B):
+            assert AU.afp64_samples(X[j]) == int(vals[j])
+
+
+def test_split_bounds_matches_array_split():
+    rng = np.random.RandomState(11)
+    for _ in range(200):
+        total = rng.randint(1, 500)
+        parts = rng.randint(1, 17)
+        x = np.arange(total)
+        ref = [(int(s[0]), int(s[-1]) + 1) if len(s) else None
+               for s in np.array_split(x, parts)]
+        got = AU._split_bounds(total, parts)
+        for (lo, hi), r in zip(got, ref):
+            if r is None:
+                assert lo == hi
+            else:
+                assert (lo, hi) == r
+
+
+def test_wav_fast_parse_matches_wave_module():
+    rng = np.random.RandomState(9)
+    for _ in range(60):
+        n = rng.randint(8, 4000)
+        ch = int(rng.choice([1, 2]))
+        rate = int(rng.choice([4000, 8000, 44100]))
+        samples = (rng.randn(n, ch) * 10000).astype(np.int16)
+        data = AU.wav_encode(samples, rate)
+        fast = AU._wav_fast_parse(data)
+        assert fast is not None
+        assert fast[1] == rate and (fast[0] == samples).all()
+    # non-canonical payloads defer to the stdlib parser (None, not wrong)
+    assert AU._wav_fast_parse(b"garbage") is None
+    assert AU._wav_fast_parse(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+    data = AU.wav_encode(np.zeros((100, 1), dtype=np.int16), 4000)
+    assert AU._wav_fast_parse(data[:-10]) is None  # truncated data chunk
+
+
+def test_audio_hashes_group_math_matches_scalar_fp():
+    wavs = [
+        AU.wav_encode(AU._synth_samples(f"clip {i}", 4000, 0.5), 4000)
+        for i in range(50)
+    ]
+    by_shape: dict = {}
+    for i, w in enumerate(wavs):
+        dec = AU.audio_decode(w)
+        idxs, arrs = by_shape.setdefault(dec[0].shape, ([], []))
+        idxs.append(i)
+        arrs.append(dec[0])
+    got = {}
+    for idxs, arrs in by_shape.values():
+        stacked = np.stack(arrs)
+        if stacked.shape[2] == 1:
+            X = stacked[:, :, 0].astype(np.float64) / 32768.0
+        else:
+            X = stacked.astype(np.float64).mean(axis=2) / 32768.0
+        vals = AU.afp64_samples_batch(X)
+        for j, i in enumerate(idxs):
+            got[i] = int(vals[j])
+    for i, w in enumerate(wavs):
+        assert AU.afp64_bytes(w) == got[i]
+
+
+def test_video_batch_tail_matches_vhash64_bytes():
+    rng = np.random.RandomState(5)
+    for trial in range(12):
+        size = int(rng.choice([8, 16, 24]))
+        nf = int(rng.choice([4, 12, 20]))
+        clips = [
+            VD.vpng_encode(VD._synth_frames(f"k{trial}-{i}", nf, size), fps=24.0)
+            for i in range(5)
+        ]
+        means = []
+        for c in clips:
+            frames, _n, _f = VD.video_sampled_frames(c, 4)
+            acc, cnt = None, 0
+            for _i, img in frames:
+                g = VD._to_gray(img).astype(np.float64)
+                acc = g if acc is None else acc + g
+                cnt += 1
+            means.append(acc / cnt)
+        D = MM._area_resize_batch(np.stack(means), 8, 9)
+        vals = MM._pack_bits_batch(
+            (D[:, :, :-1] < D[:, :, 1:]).reshape(len(clips), 64)
+        )
+        for j, c in enumerate(clips):
+            assert VD.vhash64_bytes(c, 4) == int(vals[j])
