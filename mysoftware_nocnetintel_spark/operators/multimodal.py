@@ -139,7 +139,13 @@ def png_encode(arr: np.ndarray) -> bytes:
 
     h, w, _ = arr.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    # one vectorized filter-byte prepend instead of h per-row joins (r12
+    # optimization — the per-row generator dominated the encode profile);
+    # byte-identical: filter 0 then the row's RGB bytes, row-major
+    raw_arr = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw_arr[:, 0] = 0
+    raw_arr[:, 1:] = arr.reshape(h, w * 3)
+    raw = raw_arr.tobytes()
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -136,11 +136,12 @@ def _seed_img(key: str, size: int) -> np.ndarray:
 def _synth_frames(key: str, n_frames: int, size: int) -> list[np.ndarray]:
     a = _seed_img(key + "/a", size).astype(np.float64)
     b = _seed_img(key + "/b", size).astype(np.float64)
-    out = []
-    for k in range(n_frames):
-        t = k / max(1, n_frames - 1)
-        out.append(((1 - t) * a + t * b).astype(np.uint8))
-    return out
+    # one broadcast crossfade over all frames (r12 optimization) — same
+    # elementwise (1-t)·a + t·b per frame as the former per-frame loop,
+    # bit-identical (pinned by tests/test_media_vectorized.py)
+    t = (np.arange(n_frames) / max(1, n_frames - 1))[:, None, None, None]
+    frames = ((1 - t) * a + t * b).astype(np.uint8)
+    return list(frames)
 
 
 def attach_vpng_media(

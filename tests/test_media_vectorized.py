@@ -142,6 +142,87 @@ def test_audio_hashes_group_math_matches_scalar_fp():
         assert AU.afp64_bytes(w) == got[i]
 
 
+def test_wav_encode_matches_stdlib_wave_writer():
+    import io
+    import wave
+
+    def ref(samples, rate):
+        arr = np.asarray(samples, dtype=np.int16)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(arr.shape[1])
+            w.setsampwidth(2)
+            w.setframerate(int(rate))
+            w.writeframes(arr.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.RandomState(2)
+    for _ in range(40):
+        n, ch = rng.randint(1, 3000), int(rng.choice([1, 2, 3]))
+        rate = int(rng.choice([4000, 8000, 44100]))
+        s = (rng.randn(n, ch) * 9000).astype(np.int16)
+        assert AU.wav_encode(s, rate) == ref(s, rate)
+        assert AU.wav_encode(s[:, 0], rate) == ref(s[:, 0], rate)
+
+
+def test_png_encode_matches_per_row_reference():
+    import struct
+    import zlib
+
+    def ref(arr):
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        h, w, _ = arr.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        return (
+            MM._PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(4)
+    for _ in range(40):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert MM.png_encode(arr) == ref(arr)
+
+
+def test_synth_samples_batch_bit_identical():
+    keys = [f"clip {i} text" for i in range(60)]
+    for rate, seconds in [(4000, 0.5), (8000, 0.25)]:
+        batch = AU._synth_samples_batch(keys, rate, seconds)
+        for j, k in enumerate(keys):
+            assert (AU._synth_samples(k, rate, seconds) == batch[j]).all()
+
+
+def test_synth_frames_crossfade_bit_identical():
+    def ref(key, n_frames, size):
+        a = VD._seed_img(key + "/a", size).astype(np.float64)
+        b = VD._seed_img(key + "/b", size).astype(np.float64)
+        out = []
+        for k in range(n_frames):
+            t = k / max(1, n_frames - 1)
+            out.append(((1 - t) * a + t * b).astype(np.uint8))
+        return out
+
+    for i, (nf, size) in enumerate([(1, 8), (4, 16), (12, 16), (20, 8)]):
+        got = VD._synth_frames(f"key{i}", nf, size)
+        exp = ref(f"key{i}", nf, size)
+        assert len(got) == len(exp)
+        for r, g in zip(exp, got):
+            assert (r == g).all()
+
+
 def test_video_batch_tail_matches_vhash64_bytes():
     rng = np.random.RandomState(5)
     for trial in range(12):
