@@ -225,12 +225,16 @@ def query_ivf_index(
     consistent view of ONE generation (old or new, never a mix). The
     serve-during-rebalance fuzz (tests/test_ann_serve_race.py) drives
     this window with a concurrent reader in both formats."""
-    qrows = [
-        (r[0], list(r[1]))
-        for r in queries.select(query_id, query_vec)
+    # Arrow fetch, not collect() — same rows/order/bits, without the
+    # per-row pickle cost (see similarity.ivf_centroids)
+    _qtbl = (
+        queries.select(query_id, query_vec)
         .limit(_MAX_SERVING_QUERIES + 1)
-        .collect()
-    ]
+        .toArrow()
+    )
+    qrows = list(
+        zip(_qtbl.column(0).to_pylist(), _qtbl.column(1).to_pylist())
+    )
     if len(qrows) > _MAX_SERVING_QUERIES:
         raise ValueError(
             f"serving batch exceeds {_MAX_SERVING_QUERIES} queries; run "

@@ -139,6 +139,7 @@ _PLAN_CACHE: dict = {}
 # end-to-end recompute (see the wrapper comment below).
 _NO_PLAN_CACHE = {
     "q37_minhash_neardup",
+    "q38_simhash_neardup",  # r12: hamming_band_pairs checkpoints signatures
     "q48_ann_ivf",
     "q49_forecast_score",
     "q51_dispatch_plan",
