@@ -402,6 +402,9 @@ def _read_cell_or_none(spark, path, fmt, cell: int):
 # silently degraded to full-column scans — visible here instead of only
 # in wall-clock. The first fallback also warns with the table path.
 REBALANCE_STATS: dict[str, int] = {"count_scan_fallbacks": 0}
+# table paths whose count-scan fallback has already warned once (the
+# warning is per table; the counter above is the process-wide total)
+_WARNED_FALLBACK_PATHS: set[str] = set()
 
 
 def _metadata_cell_counts(path: str, fmt: str) -> "dict[int, int] | None":
@@ -611,7 +614,12 @@ def rebalance_ivf_index(
         meta_counts = _metadata_cell_counts(path, fmt)
         if meta_counts is not None:
             return meta_counts
-        if REBALANCE_STATS["count_scan_fallbacks"] == 0:
+        # first-fallback warning keyed PER TABLE PATH (r11 advisor: the
+        # process-global counter suppressed the diagnostic for every
+        # other table after the first fallback anywhere); the global
+        # counter still totals every fallback for tests/observability
+        if path not in _WARNED_FALLBACK_PATHS:
+            _WARNED_FALLBACK_PATHS.add(path)
             import warnings
 
             warnings.warn(

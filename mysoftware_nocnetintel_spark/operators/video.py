@@ -342,10 +342,19 @@ def mp4_sampled_frames(data: bytes, every_n: int):
 
     try:
         c = _av.open(io.BytesIO(data))
+    except Exception:
+        return None
+    try:
         stream = c.streams.video[0]
         fps = float(stream.average_rate) if stream.average_rate else 0.0
         n_frames = getattr(stream, "frames", 0) or None
     except Exception:
+        # r11 advisor: close the container explicitly on the probe
+        # failure path instead of relying on refcounting/GC
+        try:
+            c.close()
+        except Exception:
+            pass
         return None
 
     def _gen():

@@ -189,7 +189,10 @@ class InProcessCommitCoordinator(CatalogCommitter):
                 cp = _json.loads(fh.read() or "{}").get("version")
             if cp is not None:
                 head = max(head, int(cp))
-        except OSError:
+        except (OSError, ValueError):
+            # ValueError covers corrupt _last_checkpoint JSON (r11
+            # advisor: JSONDecodeError escaping here surfaced as an
+            # unexpected exception type out of the CAS path)
             pass
         return head
 

@@ -205,19 +205,16 @@ def convert_iceberg_position_deletes_to_dvs(path: str) -> int:
 
     Scope (docs/iceberg_v3_scope.md): migration seed + reader-
     conformance fixture builder. NOT a spec-complete v3 writer — row
-    lineage is absent, and after the bump every OTHER writer verb of
-    this engine refuses the table (v2-only verbs, gated in
-    ``_load_meta``)."""
+    lineage (``next-row-id`` / per-file ``first-row-id``) is absent
+    even though v3 makes it mandatory, so a SPEC-STRICT foreign engine
+    may refuse the emitted metadata; consume it with this engine's
+    reader (whose lineage gate tests presence, not requirement). After
+    the bump every OTHER writer verb of this engine refuses the table
+    (v2-only verbs, gated in ``_load_meta``)."""
     import pyarrow.parquet as pq
 
-    from .avro_lite import read_avro_file, write_avro_file
-    from .iceberg import (
-        MANIFEST_FILE_SCHEMA,
-        _commit_metadata,
-        _default_spec_id,
-        _load_meta,
-        _WRITER_TAG,
-    )
+    from .avro_lite import read_avro_file
+    from .iceberg import _commit_metadata, _load_meta, _WRITER_TAG
     from .readers import _iceberg_local_path
 
     meta_dir = os.path.join(path, "metadata")

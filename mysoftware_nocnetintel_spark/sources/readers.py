@@ -544,7 +544,12 @@ def read_delta_snapshot(
                             t = act["commitInfo"].get("timestamp")
                         if t is not None:
                             ts = int(t)
-                    break  # commitInfo leads; one line decides
+                        # at most one commitInfo per commit; this
+                        # engine's writer emits it first, but a foreign
+                        # coordinator client may order actions freely —
+                        # scan the whole payload before concluding the
+                        # commit is clock-less (r11 advisor)
+                        break
             except OSError:
                 pass
             if ts is None:
