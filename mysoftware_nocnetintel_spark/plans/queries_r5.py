@@ -130,22 +130,28 @@ def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residual is Spark orchestration, not work: the same gram build is
     # 0.31 s of single-core Python for ALL 5000 docs, so at cluster scale
     # the narrow stage is compute-trivial and embarrassingly parallel).
-    # Partition count scales with input BYTES (~1 task/MB, min 2): more
-    # Python tasks than data at KB-scale just buys per-task overhead.
+    # Partition count scales with ROW COUNT (~1250 docs/task, min 2), not
+    # file bytes (r12 fix, guide §2.2/§6): the text column decompresses
+    # ~10× from its parquet footprint and the per-doc gram hashing is the
+    # CPU term, so the old ~1-task/MB rule handed sf1's 40k-doc train
+    # side (≈3 s of single-core Python) to TWO tasks while 30 cores
+    # idled (measured: q107 sf1 exec ~3.4 s → ~1.1 s). The parquet
+    # footer read is a KB-scale driver metadata fetch; at cluster scale
+    # rows/1250 exceeds core count and the parallelism cap binds.
     import os as _os
 
     try:
-        _docs_mb = max(
-            _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
-            >> 20,
-            1,
-        )
-    except OSError:
-        _docs_mb = 64
+        import pyarrow.parquet as _pq
+
+        _docs_rows = _pq.ParquetFile(
+            _os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+    except Exception:
+        _docs_rows = 80_000  # unknown: assume enough to use every core
     _parallelism = spark.sparkContext.defaultParallelism
 
     def grams_of(pred, frac):
-        nparts = max(2, min(int(_docs_mb * frac) + 1, _parallelism))
+        nparts = max(2, min(int(_docs_rows * frac / 1250) + 1, _parallelism))
         side = (
             docs.select("doc_id", "lang", bucket.alias("b"), "text")
             .filter(pred)
@@ -181,13 +187,17 @@ def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hashlib import blake2b as _b2d
 
         test_set: set = set()
-        for r in (
+        # Arrow fetch, not collect() — same rows, without the per-row
+        # pickle cost (r12; see similarity.ivf_centroids)
+        for text in (
             docs.select("doc_id", bucket.alias("b"), "text")
             .filter(F.col("b") >= "e6")
             .select("text")
-            .collect()
+            .toArrow()
+            .column(0)
+            .to_pylist()
         ):
-            toks = _re.findall(r"[a-z0-9]+", (r.text or "").lower())
+            toks = _re.findall(r"[a-z0-9]+", (text or "").lower())
             for i in range(len(toks) - 7):
                 test_set.add(
                     int.from_bytes(
@@ -235,7 +245,7 @@ def q107_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out, columns=["doc_id", "lang", "n_shared"]
                     )
 
-        nparts = max(2, min(int(_docs_mb * 0.8) + 1, _parallelism))
+        nparts = max(2, min(int(_docs_rows * 0.8 / 1250) + 1, _parallelism))
         per_doc = (
             docs.select("doc_id", "lang", bucket.alias("b"), "text")
             .filter(F.col("b") < "cd")
