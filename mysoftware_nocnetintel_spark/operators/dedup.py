@@ -609,10 +609,13 @@ def hamming_band_pairs(
     truncation the whole upstream pipeline (Arrow decode+hash stages,
     perturb stages) executed once PER SIDE. ``localCheckpoint`` pins the
     ~16 B/row signatures so fingerprinting runs exactly once per
-    invocation (measured q147: 1.27 → 1.04 s). The materialized count
-    then gates a broadcast of the banded probe side — two exchanges
-    removed at serving scale (1.04 → 0.88 s), shuffled equi-join kept
-    for corpora beyond the bound where a broadcast would not fit."""
+    invocation (measured q147: 1.27 → 1.04 s; the q38 plan text shrinks
+    70 KB → 4 KB). The materialized count then gates an explicit
+    broadcast of the banded probe side — measured 1.04 → 0.88 s vs the
+    un-hinted plan at serving scale, and the strategy becomes
+    deterministic instead of riding Catalyst's size estimates through
+    an opaque Python stage; shuffled equi-join kept for corpora beyond
+    the bound where a broadcast would not fit."""
     sig = sig.select(
         F.col(id_col).alias("doc"), F.col(sig_col).alias("sig")
     ).localCheckpoint(eager=False)
