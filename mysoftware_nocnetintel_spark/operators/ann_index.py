@@ -127,6 +127,14 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
     )
+    # NOTE (r12, measured then REVERTED): repartition("cell") before this
+    # write collapses 16 cells × 16 tasks = 256 tiny files to ~1 file per
+    # cell and cut the 8-query serve ~3.6 → ~1.1 s — but the table's file
+    # order feeds rebalance_ivf_index's limit()-sampled k-means re-fit,
+    # so changing the layout changes post-split sub-centroids and breaks
+    # the serve-during-rebalance stability fuzz (legitimately different
+    # generations, not torn views). A future round can land it together
+    # with an order-insensitive split sample. See OPTIMIZATION_r12.md.
     return _write_table(assigned, path, table_format, partition_by=("cell",))
 
 
@@ -248,13 +256,38 @@ def query_ivf_index(
         fmt = p.get("table_format", "delta")
         probes = _probe_cells_np(qrows, p["centroids"], nprobe)
         cells = sorted({c for cs in probes.values() for c in cs})
-        scans = []
-        for c in cells:
-            try:
-                scans.append(_read_cell(spark, path, fmt, c))
-            except ValueError:
-                continue  # an empty cell has no files — legal
-        if not scans:
+        # ONE snapshot read with a membership partition filter covering
+        # every probed cell (r12, guide §1.2 "remove passes"): the old
+        # per-cell loop replayed the table's log/manifests once PER CELL
+        # and unioned up to n_cells scans — at 8 queries × nprobe 4 that
+        # was ~16 log replays per statement, pure driver latency. Same
+        # rows (union of the probed cells' live rows), same pruning
+        # guarantee (never-probed cells are never opened).
+        corpus = None
+        try:
+            if fmt == "delta":
+                from ..sources.readers import read_delta_snapshot
+
+                corpus = read_delta_snapshot(
+                    spark,
+                    path,
+                    partition_filter={
+                        "cell": frozenset(str(c) for c in cells)
+                    },
+                )
+            elif fmt == "iceberg":
+                from ..sources.readers import read_iceberg_snapshot
+
+                corpus = read_iceberg_snapshot(
+                    spark,
+                    path,
+                    partition_filter={"cell": frozenset(cells)},
+                )
+            else:  # pragma: no cover
+                raise RuntimeError(f"unknown table_format {fmt!r}")
+        except ValueError:
+            corpus = None  # none of the probed cells has files — legal
+        if corpus is None:
             # schema-stable empty result: qid type from the QUERY frame,
             # vec_id type from the index table when it is readable
             vec_id_type: T.DataType = T.LongType()
@@ -283,10 +316,6 @@ def query_ivf_index(
                     ]
                 ),
             )
-        corpus = scans[0]
-        for s in scans[1:]:
-            corpus = corpus.unionByName(s)
-
         probe_rows = [
             (qid, qv, c) for qid, qv in qrows for c in probes[qid]
         ]

@@ -112,6 +112,15 @@ _DELTA_READER_FEATURES = {"v2Checkpoint", "columnMapping", "deletionVectors"}
 _MAX_DV_POSITIONS = 5_000_000
 
 
+def _pf_match(actual, expected) -> bool:
+    """``partition_filter`` value match: a set/frozenset/list/tuple means
+    MEMBERSHIP (several partitions in one snapshot read — the ANN serving
+    path); a scalar means equality, exactly as before."""
+    if isinstance(expected, (set, frozenset, list, tuple)):
+        return actual in expected
+    return actual == expected
+
+
 def _dv_live_value(add: dict) -> dict:
     """Normalize an add action (JSON or checkpoint-parquet row) into the
     live-set entry: partitionValues + deletionVector descriptor (None
@@ -433,9 +442,12 @@ def read_delta_snapshot(
     exact partition-column matches (log values are strings) drops
     non-matching files from the file list BEFORE any distributed scan is
     planned, so excluded partitions cost zero I/O (they are never even
-    opened — the test proves it with a corrupt excluded file). Predicates
-    on non-partition columns belong in a normal ``.filter`` downstream
-    (parquet row-group pushdown applies there).
+    opened — the test proves it with a corrupt excluded file). A value
+    may also be a set/frozenset/list/tuple, matched by MEMBERSHIP — one
+    snapshot read covering several partitions (r12: the ANN serving path
+    reads all probed cells through one log replay instead of one per
+    cell). Predicates on non-partition columns belong in a normal
+    ``.filter`` downstream (parquet row-group pushdown applies there).
 
     Checkpointed logs are supported for CLASSIC parquet checkpoints (single
     file or multi-part, per PROTOCOL.md "Checkpoints") AND V2 UUID-named
@@ -685,7 +697,10 @@ def read_delta_snapshot(
         live = {
             rel: e
             for rel, e in live.items()
-            if all(e["pv"].get(k) == v for k, v in partition_filter.items())
+            if all(
+                _pf_match(e["pv"].get(k), v)
+                for k, v in partition_filter.items()
+            )
         }
         if not live:
             raise ValueError(
@@ -992,7 +1007,8 @@ def _iceberg_live_scan(
             e
             for e in data_files
             if all(
-                k not in _pv(e.partition) or _pv(e.partition).get(k) == v
+                k not in _pv(e.partition)
+                or _pf_match(_pv(e.partition).get(k), v)
                 for k, v in partition_filter.items()
             )
         ]
