@@ -127,15 +127,22 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
     )
-    # NOTE (r12, measured then REVERTED): repartition("cell") before this
-    # write collapses 16 cells × 16 tasks = 256 tiny files to ~1 file per
-    # cell and cut the 8-query serve ~3.6 → ~1.1 s — but the table's file
-    # order feeds rebalance_ivf_index's limit()-sampled k-means re-fit,
-    # so changing the layout changes post-split sub-centroids and breaks
-    # the serve-during-rebalance stability fuzz (legitimately different
-    # generations, not torn views). A future round can land it together
-    # with an order-insensitive split sample. See OPTIMIZATION_r12.md.
-    return _write_table(assigned, path, table_format, partition_by=("cell",))
+    # CELL-CLUSTERED LAYOUT (r13, measured in r12 then blocked): hash-
+    # repartition by the partition column so each cell's rows land in ONE
+    # write task → ~1 file per cell instead of (cells × write tasks) tiny
+    # files (16×16=256 at the defaults). Serving latency is file-count-
+    # bound at this scale (every probed cell's files are opened per
+    # statement); the r12 A/B measured the 8-query serve ~3.6 → ~1.1 s.
+    # Unblocked by the order-insensitive rebalance split sample above
+    # (rebalance_ivf_index) — maintenance generations no longer depend on
+    # file order. Task count follows spark.sql.shuffle.partitions (scale-
+    # configurable); at cluster scale a giant cell stays one task's
+    # write, split into bounded files by spark.sql.files.maxRecordsPerFile
+    # and by AQE skew handling in batch (AQE-on) deployments.
+    return _write_table(
+        assigned.repartition("cell"), path, table_format,
+        partition_by=("cell",),
+    )
 
 
 def append_to_ivf_index(
@@ -263,6 +270,8 @@ def query_ivf_index(
         # was ~16 log replays per statement, pure driver latency. Same
         # rows (union of the probed cells' live rows), same pruning
         # guarantee (never-probed cells are never opened).
+        from ..sources.readers import NoMatchingFilesError
+
         corpus = None
         try:
             if fmt == "delta":
@@ -285,8 +294,13 @@ def query_ivf_index(
                 )
             else:  # pragma: no cover
                 raise RuntimeError(f"unknown table_format {fmt!r}")
-        except ValueError:
-            corpus = None  # none of the probed cells has files — legal
+        except NoMatchingFilesError:
+            # none of the probed cells has files — a legal empty slice.
+            # Any OTHER ValueError (bad filter keys on a foreign/corrupt
+            # table, missing version) propagates: silently serving an
+            # empty result for a broken table would hide the breakage
+            # (r12 advisor).
+            corpus = None
         if corpus is None:
             # schema-stable empty result: qid type from the QUERY frame,
             # vec_id type from the index table when it is readable
@@ -417,10 +431,13 @@ def _delete_cells(
 
 def _read_cell_or_none(spark, path, fmt, cell: int):
     """A cell's rows, or None when the cell has no files (legal: an
-    empty sub-cell, or a partition fully GC'd)."""
+    empty sub-cell, or a partition fully GC'd). Other ValueErrors are
+    genuine table problems and propagate (r12 advisor)."""
+    from ..sources.readers import NoMatchingFilesError
+
     try:
         return _read_cell(spark, path, fmt, cell)
-    except ValueError:
+    except NoMatchingFilesError:
         return None
 
 
@@ -718,12 +735,19 @@ def rebalance_ivf_index(
         cell_df = _read_cell(spark, path, fmt, parent).select(
             "vec_id", "embedding"
         )
+        # ORDER-INSENSITIVE split sample (r13): the re-fit trains on the
+        # cap rows with the lowest (xxhash64(vec_id), vec_id) — a
+        # deterministic function of the cell's row SET. The old plain
+        # limit() sampled in file order, which coupled post-split
+        # generations to the table's write layout and blocked the
+        # cell-clustered build layout (OPTIMIZATION_r12.md §6).
         subs = ivf_centroids(
             cell_df,
             "embedding",
             split_factor,
             seed=int(p.get("seed", 42)) + 7919 * (parent + 1),
             as_list=True,
+            hash_sample_col="vec_id",
         )
         pairs = [(base + j, list(vec)) for j, (_, vec) in enumerate(subs)]
         assigned = ivf_assign(cell_df, pairs, "embedding").select(

@@ -580,12 +580,43 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-# Broadcast gate for the banded self-join below: a signature table at or
-# under this many rows broadcasts its banded probe side (4 rows × ~32 B
-# per signature ≈ 32 MB of build relation at the bound) instead of paying
-# two shuffle exchanges; larger corpora keep the shuffled equi-join — the
-# correct 100 TB plan. Same size-aware-plan pattern as q2's catalog gate.
-_BAND_BROADCAST_SIGS = 250_000
+# Broadcast-build-relation budget for the signature-gate joins below: a
+# banded probe side whose ESTIMATED build size fits under this many bytes
+# broadcasts instead of paying two shuffle exchanges; larger corpora keep
+# the shuffled equi-join — the correct 100 TB plan. The estimate is
+# derived from the MEASURED row count and id width of the checkpointed
+# proxy (r12 advisor: the old fixed 250k-row gate under-counted the
+# per-row UnsafeRow + doc-id + HashedRelation overhead 3-5×, and doc-id
+# length is caller-controlled). Same size-aware-plan pattern as q2's
+# catalog gate.
+_BAND_BROADCAST_BYTES = 32 * 1024 * 1024
+
+
+def _proxy_stats(df: DataFrame, id_col: str = "doc") -> tuple[int, float]:
+    """(row count, avg id payload bytes) of a materialized signature
+    proxy, in ONE job. Non-string ids are fixed 8-byte words; string ids
+    are measured (they are caller-controlled and can dominate the build
+    relation)."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[id_col].dataType, T.StringType):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.octet_length(F.col(id_col))).alias("idb"),
+        ).collect()[0]
+        return int(r["n"]), float(r["idb"] or 8.0)
+    return df.count(), 8.0
+
+
+def _fits_broadcast(
+    n_rows: int, id_bytes: float, payload_bytes: float, fanout: int = 1
+) -> bool:
+    """Conservative build-relation estimate vs the broadcast budget:
+    ~24 B UnsafeRow header/padding + id + payload per row, ×2 for the
+    HashedRelation map overhead, ×``fanout`` rows emitted per input row
+    (the band explode)."""
+    per_row = 2.0 * (24.0 + id_bytes + payload_bytes)
+    return n_rows * fanout * per_row <= _BAND_BROADCAST_BYTES
 
 
 def hamming_band_pairs(
@@ -615,11 +646,18 @@ def hamming_band_pairs(
     un-hinted plan at serving scale, and the strategy becomes
     deterministic instead of riding Catalyst's size estimates through
     an opaque Python stage; shuffled equi-join kept for corpora beyond
-    the bound where a broadcast would not fit."""
+    the bound where a broadcast would not fit.
+
+    Fault-tolerance note (r12 advisor): ``localCheckpoint`` truncates
+    lineage, so the pair plan is NOT recomputable if an executor holding
+    checkpoint blocks is lost — the job fails and retries whole. The
+    right trade for serving statements (the block lives minutes); long
+    batch jobs that need replayability should persist the signature
+    table (reliable checkpoint / write+read) upstream instead."""
     sig = sig.select(
         F.col(id_col).alias("doc"), F.col(sig_col).alias("sig")
     ).localCheckpoint(eager=False)
-    n_sig = sig.count()
+    n_sig, _id_bytes = _proxy_stats(sig, "doc")
     banded = sig.select(
         F.col("doc"),
         F.col("sig"),
@@ -643,7 +681,8 @@ def hamming_band_pairs(
     b = banded.select(
         F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    if n_sig <= _BAND_BROADCAST_SIGS:
+    # banded row payload: sig + band + bucket (3 longs)
+    if _fits_broadcast(n_sig, _id_bytes, payload_bytes=24.0, fanout=4):
         b = F.broadcast(b)
     return (
         a.join(b, ["band", "bucket"])

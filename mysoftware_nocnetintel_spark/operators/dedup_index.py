@@ -192,9 +192,36 @@ def dedup_against_minhash_index(
     num_hashes, bands = p["num_hashes"], p["bands"]
     rows_per_band = num_hashes // bands
 
+    # FINGERPRINT ONCE (r13, the q147/guide-§8 proxy pattern): the batch
+    # signature table feeds FIVE join inputs below (banded vs-index left,
+    # banded vs-batch both sides, and the __sig_a/__sig_b verify lookups)
+    # — without truncation the whole shingle+MinHash pipeline over the
+    # batch text re-executes once per consumer. ``localCheckpoint`` pins
+    # the (doc, 32×8 B sig) proxy so the batch text is shingled exactly
+    # once per gate call; the measured count then gates explicit
+    # broadcasts of the batch-derived sides (a checkpointed plan carries
+    # no size estimate, so Catalyst would otherwise fall back to
+    # sort-merge) — under the budget the INDEX side is never shuffled at
+    # all (the 100 TB posture: the historical index dwarfs any ingest
+    # batch). Lineage-truncation trade documented at
+    # dedup.hamming_band_pairs.
+    from .dedup import _fits_broadcast, _proxy_stats
+
     batch_sigs = minhash_signatures(
         batch_df, id_col, text_col, num_hashes, p["shingle_k"]
+    ).localCheckpoint(eager=False)
+    n_batch, id_bytes = _proxy_stats(batch_sigs, "doc")
+    # banded rows: band + bucket payload; sig rows: the hash array
+    bcast_band = _fits_broadcast(
+        n_batch, id_bytes, payload_bytes=16.0, fanout=bands
     )
+    bcast_sigs = _fits_broadcast(
+        n_batch, id_bytes, payload_bytes=16.0 + 8.0 * num_hashes
+    )
+
+    def _hint(df, ok):
+        return F.broadcast(df) if ok else df
+
     index_sigs = _read_table(spark, path, p.get("table_format", "delta"))
 
     b_band = sig_band_rows(batch_sigs, bands, rows_per_band)
@@ -202,7 +229,8 @@ def dedup_against_minhash_index(
 
     # batch vs index: every (batch_doc, index_doc) sharing >= 1 bucket
     cand_i = (
-        b_band.select(F.col("doc").alias("doc"), "band", "bucket")
+        _hint(b_band.select(F.col("doc").alias("doc"), "band", "bucket"),
+              bcast_band)
         .join(
             i_band.select(F.col("doc").alias("dup_of"), "band", "bucket"),
             ["band", "bucket"],
@@ -214,7 +242,12 @@ def dedup_against_minhash_index(
     cand_b = (
         b_band.select(F.col("doc").alias("doc"), "band", "bucket")
         .join(
-            b_band.select(F.col("doc").alias("dup_of"), "band", "bucket"),
+            _hint(
+                b_band.select(
+                    F.col("doc").alias("dup_of"), "band", "bucket"
+                ),
+                bcast_band,
+            ),
             ["band", "bucket"],
         )
         .filter(F.col("dup_of") < F.col("doc"))
@@ -222,17 +255,27 @@ def dedup_against_minhash_index(
         .distinct()
     )
 
-    def verify(cand: DataFrame, other_sigs: DataFrame, source: str) -> DataFrame:
+    def verify(
+        cand: DataFrame, other_sigs: DataFrame, other_bcast: bool,
+        source: str,
+    ) -> DataFrame:
         return (
             cand.join(
-                batch_sigs.select(
-                    F.col("doc"), F.col("sig").alias("__sig_a")
+                _hint(
+                    batch_sigs.select(
+                        F.col("doc"), F.col("sig").alias("__sig_a")
+                    ),
+                    bcast_sigs,
                 ),
                 "doc",
             )
             .join(
-                other_sigs.select(
-                    F.col("doc").alias("dup_of"), F.col("sig").alias("__sig_b")
+                _hint(
+                    other_sigs.select(
+                        F.col("doc").alias("dup_of"),
+                        F.col("sig").alias("__sig_b"),
+                    ),
+                    other_bcast,
                 ),
                 "dup_of",
             )
@@ -247,6 +290,6 @@ def dedup_against_minhash_index(
             .filter(F.col("est_jaccard") >= F.lit(threshold))
         )
 
-    return verify(cand_i, index_sigs, "index").unionByName(
-        verify(cand_b, batch_sigs, "batch")
+    return verify(cand_i, index_sigs, False, "index").unionByName(
+        verify(cand_b, batch_sigs, bcast_sigs, "batch")
     )

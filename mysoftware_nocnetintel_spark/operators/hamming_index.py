@@ -168,25 +168,43 @@ def dedup_against_hamming_index(
             f"index at {path} holds {p['family']!r} signatures; "
             f"refusing to gate {family!r}"
         )
-    b = _banded(
-        batch_sigs.select(
-            F.col("doc"), F.col("sig").cast("bigint").alias("sig")
-        ).where(F.col("sig").isNotNull())
-    )
+    # FINGERPRINT ONCE (r13, the q147/guide-§8 proxy pattern): the banded
+    # batch side feeds THREE join inputs (vs-index left, vs-batch both
+    # sides), and batch_sigs is typically the output of an expensive
+    # Arrow decode+hash pipeline over the new media — without truncation
+    # that whole pipeline executes once PER CONSUMER. localCheckpoint
+    # pins the 16 B/row (doc, sig) proxy so the media is decoded exactly
+    # once per gate call; the measured count then gates an explicit
+    # broadcast of the banded batch side — under the budget the INDEX
+    # side is never shuffled at all (the 100 TB posture: the historical
+    # index dwarfs any ingest batch), past it the shuffled equi-join
+    # stands. Lineage-truncation trade documented at
+    # dedup.hamming_band_pairs.
+    from .dedup import _fits_broadcast, _proxy_stats
+
+    sigs = batch_sigs.select(
+        F.col("doc"), F.col("sig").cast("bigint").alias("sig")
+    ).where(F.col("sig").isNotNull()).localCheckpoint(eager=False)
+    n_batch, id_bytes = _proxy_stats(sigs, "doc")
+    bcast = _fits_broadcast(n_batch, id_bytes, payload_bytes=24.0, fanout=4)
+    b = _banded(sigs)
     i = _banded(_read_table(spark, path, p.get("table_format", "delta")))
 
-    def pairs(left, right, source, keep_one):
-        cand = left.select(
+    def pairs(left, right, source, keep_one, bcast_left, bcast_right):
+        lhs = left.select(
             F.col("doc"), F.col("sig").alias("__sa"), "band", "bucket"
-        ).join(
-            right.select(
-                F.col("doc").alias("dup_of"),
-                F.col("sig").alias("__sb"),
-                "band",
-                "bucket",
-            ),
-            ["band", "bucket"],
         )
+        rhs = right.select(
+            F.col("doc").alias("dup_of"),
+            F.col("sig").alias("__sb"),
+            "band",
+            "bucket",
+        )
+        if bcast_left:
+            lhs = F.broadcast(lhs)
+        if bcast_right:
+            rhs = F.broadcast(rhs)
+        cand = lhs.join(rhs, ["band", "bucket"])
         if keep_one:
             cand = cand.filter(F.col("dup_of") < F.col("doc"))
         return (
@@ -200,6 +218,9 @@ def dedup_against_hamming_index(
             .distinct()
         )
 
-    return pairs(b, i, "index", keep_one=False).unionByName(
-        pairs(b, b, "batch", keep_one=True)
+    return pairs(
+        b, i, "index", keep_one=False, bcast_left=bcast, bcast_right=False
+    ).unionByName(
+        pairs(b, b, "batch", keep_one=True, bcast_left=False,
+              bcast_right=bcast)
     )

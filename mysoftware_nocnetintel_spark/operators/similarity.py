@@ -269,6 +269,7 @@ def ivf_centroids(
     method: str = "sample",
     train_sample: int | None = None,
     as_list: bool = False,
+    hash_sample_col: str | None = None,
 ) -> DataFrame | list:
     """KMeans cell centroids → DataFrame(cell, centroid).
 
@@ -279,7 +280,17 @@ def ivf_centroids(
     the index build is ONE bounded collect instead of 20 distributed jobs.
     ``method="mllib"`` runs distributed MLlib KMeans over the full corpus —
     use when the corpus is too skewed for sampling or you want exact
-    full-data centroids and can afford the iterative jobs."""
+    full-data centroids and can afford the iterative jobs.
+
+    ``hash_sample_col`` (r13): when set to an id column, the training
+    sample is the ``cap`` rows with the LOWEST ``(xxhash64(id), id)`` —
+    a deterministic function of the row SET, independent of file layout
+    and partition order, where the default ``limit(cap)`` takes whatever
+    rows the scan yields first (file-order-sensitive). The persisted-ANN
+    rebalance re-fit uses this so maintenance generations don't change
+    when the index table's write layout does (the r12 blocker for the
+    cell-clustered layout). One TakeOrdered pass instead of a plain
+    limit — same bounded driver collect."""
     spark = corpus.sparkSession
     if method == "sample":
         # FAISS's training heuristic: ~256 vectors per centroid is enough;
@@ -289,10 +300,18 @@ def ivf_centroids(
         # array<double> rows measured 0.41 s of pure driver transfer per
         # build at sf0.1 vs ~0.03 s via toArrow (r12 optimization; same
         # rows, same order, same float64 bits — guide §6 Arrow-for-driver)
-        sample = (
-            corpus.select(F.col(vec_col)).limit(cap).toArrow()
-            .column(0).to_pylist()
-        )
+        if hash_sample_col is None:
+            sel = corpus.select(F.col(vec_col)).limit(cap)
+        else:
+            sel = (
+                corpus.orderBy(
+                    F.xxhash64(F.col(hash_sample_col)),
+                    F.col(hash_sample_col),
+                )
+                .select(F.col(vec_col))
+                .limit(cap)
+            )
+        sample = sel.toArrow().column(0).to_pylist()
         centers = _np_kmeans(np.asarray(sample, dtype=np.float64), n_cells, seed)
         centers = [c.tolist() for c in centers]
     elif method == "mllib":

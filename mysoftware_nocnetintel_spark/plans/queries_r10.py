@@ -451,9 +451,18 @@ def q154_text_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.embed import hashed_embeddings
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # EMBED ONCE (r13, guide §8 proxy pattern): build_ivf_index consumes
+    # its input twice (the centroid-sample fetch and the assign+write
+    # pass), so without truncation the two-shuffle hashing-trick pipeline
+    # over the full corpus executes once per pass. localCheckpoint pins
+    # the (vec_id, 64×8 B) vectors so the corpus text is embedded exactly
+    # once per invocation. Sample-identical: the checkpoint materializes
+    # the same partitions in the same order the plan would produce, so
+    # the bounded limit() fetch sees the same rows (output byte-pinned
+    # vs the un-checkpointed form at 3 SFs before landing).
     emb = hashed_embeddings(docs, dim=64).select(
         F.col("doc").alias("vec_id"), "embedding"
-    )
+    ).localCheckpoint(eager=False)
     path = _scratch_index_path("semsearch", sf_dir)
     AI.build_ivf_index(emb, path, n_cells=16)
 

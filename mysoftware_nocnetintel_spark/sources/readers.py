@@ -112,6 +112,15 @@ _DELTA_READER_FEATURES = {"v2Checkpoint", "columnMapping", "deletionVectors"}
 _MAX_DV_POSITIONS = 5_000_000
 
 
+class NoMatchingFilesError(ValueError):
+    """``partition_filter`` matched ZERO live files — a LEGAL empty slice
+    (a never-written or fully-GC'd partition), distinct from genuine
+    table problems (bad filter keys, missing versions), which stay plain
+    ``ValueError``. Callers that treat "empty partition" as an empty
+    result (the ANN serving path) catch THIS type only, so a corrupt or
+    foreign table still fails loudly (r12 advisor)."""
+
+
 def _pf_match(actual, expected) -> bool:
     """``partition_filter`` value match: a set/frozenset/list/tuple means
     MEMBERSHIP (several partitions in one snapshot read — the ANN serving
@@ -703,7 +712,7 @@ def read_delta_snapshot(
             )
         }
         if not live:
-            raise ValueError(
+            raise NoMatchingFilesError(
                 f"no files match partition_filter {partition_filter}"
             )
     if not live:
@@ -1013,7 +1022,7 @@ def _iceberg_live_scan(
             )
         ]
         if not data_files:
-            raise ValueError(
+            raise NoMatchingFilesError(
                 f"no files match partition_filter {partition_filter}"
             )
     if scan_filter and data_files:
