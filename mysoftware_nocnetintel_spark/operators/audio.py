@@ -64,6 +64,12 @@ AUDIO_META = T.StructType(
 _FP_FRAMES = 8
 _FP_BANDS = 8
 _FP_FLOOR_REL = 1e-3
+# max clips stacked into one vectorized kernel call (r12 advisor): the
+# batch kernels are fastest well before the whole 10k-row Arrow batch is
+# one array, and an unbounded (B, n) float64 stack of multi-second clips
+# peaks at multiple GB of task memory. 256 ≈ the measured knee, same
+# rationale as _synth_samples_batch's 128-clip chunks.
+_GROUP_CHUNK_CLIPS = 256
 
 
 # --------------------------------------------------------------------------
@@ -107,11 +113,21 @@ def _wav_fast_parse(data: bytes) -> tuple[np.ndarray, int] | None:
     n = len(data)
     if n < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
+    # the declared RIFF container size must cover every chunk consumed
+    # (r12 advisor): a payload whose RIFF size UNDERSTATES the chunk
+    # extents used to decode fully here while the stdlib fallback (which
+    # bounds inner reads by the outer size) truncates and fails to None
+    # — the same malformed bytes must yield the same verdict on both
+    # paths, so size-inconsistent payloads go to the stdlib arbiter.
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    riff_end = 8 + riff_size
     pos, fmt = 12, None
     while pos + 8 <= n:
         cid = data[pos: pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
+        if body + size > riff_end:
+            return None  # chunk extends past the declared container
         if cid == b"fmt ":
             if size < 16 or body + 16 > n:
                 return None
@@ -533,18 +549,40 @@ def audio_hashes(df: DataFrame, payload_col: str = "media") -> DataFrame:
                 idxs.append(i)
                 arrs.append(dec[0])
             for idxs, arrs in by_shape.values():
-                # batch mono: same astype → mean(last axis) → /32768 as
-                # _mono per clip, one call per group instead of per row
-                # (mono clips skip the 1-element mean — mean of one value
-                # IS the value, so the shortcut is exact)
-                stacked = np.stack(arrs)
-                if stacked.shape[2] == 1:
-                    X = stacked[:, :, 0].astype(np.float64) / 32768.0
-                else:
-                    X = stacked.astype(np.float64).mean(axis=2) / 32768.0
-                vals = afp64_samples_batch(X)
-                for j, i in enumerate(idxs):
-                    fps[i] = int(vals[j])
+                # bounded chunks per group (r12 advisor): a 10k-row Arrow
+                # batch of multi-second clips stacked into ONE (B, n)
+                # float64 array peaks at multiple GB per task; chunking
+                # mirrors _synth_samples_batch's clip bound. Per-clip
+                # math in afp64_samples_batch is row-independent, so
+                # chunking is bit-identical (pinned by the vectorized-
+                # media tests).
+                for clo in range(0, len(idxs), _GROUP_CHUNK_CLIPS):
+                    c_idxs = idxs[clo: clo + _GROUP_CHUNK_CLIPS]
+                    c_arrs = arrs[clo: clo + _GROUP_CHUNK_CLIPS]
+                    if c_arrs[0].shape[1] == 1:
+                        # fused mono fill (r13, VERDICT #7): write each
+                        # clip's int16 column straight into the float64
+                        # stack (exact widening per element) and divide
+                        # in place — drops the intermediate (B, n) int16
+                        # stack + separate astype pass of the old
+                        # np.stack path; same bits (int16→f64 exact,
+                        # /2^15 exact).
+                        X = np.empty(
+                            (len(c_arrs), c_arrs[0].shape[0]), np.float64
+                        )
+                        for j, a in enumerate(c_arrs):
+                            X[j] = a[:, 0]
+                        X /= 32768.0
+                    else:
+                        # multichannel: same astype → mean(last axis) →
+                        # /32768 as _mono per clip
+                        X = (
+                            np.stack(c_arrs).astype(np.float64).mean(axis=2)
+                            / 32768.0
+                        )
+                    vals = afp64_samples_batch(X)
+                    for j, i in enumerate(c_idxs):
+                        fps[i] = int(vals[j])
             out = pdf.drop(columns=[payload_col])
             out["afp"] = pd.array(fps, dtype="Int64")
             yield out

@@ -410,6 +410,12 @@ def _pack_bits(bits: np.ndarray) -> int:
 # order is unchanged.
 # --------------------------------------------------------------------------
 
+# max images stacked into one vectorized kernel call (r12 advisor): the
+# batch kernels saturate well before a whole 10k-row Arrow batch is one
+# array, and an unbounded (N, H, W) float64 stack bounds task memory by
+# the batch size instead of a constant. Shared with the video stage.
+_GROUP_CHUNK_IMGS = 256
+
 
 def _area_resize_batch(stack: np.ndarray, th: int, tw: int) -> np.ndarray:
     """Box-mean resize of an (N, H, W) float64 stack to (N, th, tw) —
@@ -500,19 +506,26 @@ def image_hashes(
                 # resize/pack kernels below are where the overhead was
                 imgs.append(_to_gray(img))
             for idxs, imgs in by_shape.values():
-                g = np.stack(imgs)
-                d = _area_resize_batch(g, 8, 9)
-                a = _area_resize_batch(g, 8, 8)
-                dvals = _pack_bits_batch(
-                    (d[:, :, :-1] < d[:, :, 1:]).reshape(len(idxs), 64)
-                )
-                amean = a.reshape(len(idxs), 64).mean(axis=1)
-                avals = _pack_bits_batch(
-                    (a > amean[:, None, None]).reshape(len(idxs), 64)
-                )
-                for j, i in enumerate(idxs):
-                    dh[i] = int(dvals[j])
-                    ah[i] = int(avals[j])
+                # bounded chunks per group (r12 advisor, same shape as
+                # the audio stage at smaller scale): cap the (N, H, W)
+                # float64 stack instead of stacking the whole Arrow
+                # batch. Per-image math below is row-independent, so
+                # chunking is bit-identical.
+                for clo in range(0, len(idxs), _GROUP_CHUNK_IMGS):
+                    c_idxs = idxs[clo: clo + _GROUP_CHUNK_IMGS]
+                    g = np.stack(imgs[clo: clo + _GROUP_CHUNK_IMGS])
+                    d = _area_resize_batch(g, 8, 9)
+                    a = _area_resize_batch(g, 8, 8)
+                    dvals = _pack_bits_batch(
+                        (d[:, :, :-1] < d[:, :, 1:]).reshape(len(c_idxs), 64)
+                    )
+                    amean = a.reshape(len(c_idxs), 64).mean(axis=1)
+                    avals = _pack_bits_batch(
+                        (a > amean[:, None, None]).reshape(len(c_idxs), 64)
+                    )
+                    for j, i in enumerate(c_idxs):
+                        dh[i] = int(dvals[j])
+                        ah[i] = int(avals[j])
             out = pdf.drop(columns=[payload_col])
             out["dhash"] = pd.array(dh, dtype="Int64")
             out["ahash"] = pd.array(ah, dtype="Int64")

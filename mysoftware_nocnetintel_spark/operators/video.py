@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .multimodal import (
+    _GROUP_CHUNK_IMGS,
     _area_resize,
     _area_resize_batch,
     _pack_bits,
@@ -461,12 +462,20 @@ def video_hashes(
                 idxs.append(i)
                 means.append(mean)
             for idxs, means in by_shape.values():
-                d = _area_resize_batch(np.stack(means), 8, 9)
-                vals = _pack_bits_batch(
-                    (d[:, :, :-1] < d[:, :, 1:]).reshape(len(idxs), 64)
-                )
-                for j, i in enumerate(idxs):
-                    hs[i] = int(vals[j])
+                # bounded chunks per group (r12 advisor, same shape as
+                # the audio/image stages): cap the (N, H, W) float64
+                # stack; per-row math is independent, so chunking is
+                # bit-identical.
+                for clo in range(0, len(idxs), _GROUP_CHUNK_IMGS):
+                    c_idxs = idxs[clo: clo + _GROUP_CHUNK_IMGS]
+                    d = _area_resize_batch(
+                        np.stack(means[clo: clo + _GROUP_CHUNK_IMGS]), 8, 9
+                    )
+                    vals = _pack_bits_batch(
+                        (d[:, :, :-1] < d[:, :, 1:]).reshape(len(c_idxs), 64)
+                    )
+                    for j, i in enumerate(c_idxs):
+                        hs[i] = int(vals[j])
             out = pdf.drop(columns=[payload_col])
             out["vhash"] = pd.array(hs, dtype="Int64")
             yield out

@@ -53,61 +53,76 @@ _ALL = {
 # rule-1 admission displaced q35). Round-12 debt: the r8 tail (q35,
 # q40, q42-q44, q94, q124, q126-q137, q155 — 20 queries), then the r9
 # block.
+# ROUND-13 ROTATION (VERDICT r12 task 3): no rule-1 entries (nothing
+# added). Rule 2 pulls EVERY query whose implementation changed in r12
+# or r13 — the r12 window was a carbon copy of r11's, so the r12-touched
+# set never got a driver signal: q1/q5 (spark.sql rewrites), q38 (band
+# checkpoint+gate, re-touched r13), q48/q76/q90/q92 (Arrow sample
+# fetches; q48 also rides ivf_centroids' r13 signature), q107 (task
+# sizing), q118/q148 (audio/video stage internals, re-touched r13 by the
+# RIFF-bound fix + group chunking), q123 (Arrow fetch), q147/q149/q150/
+# q151 (vectorized media kernels, re-touched r13), q153/q154 (ANN
+# cell-clustered layout + embed-once, r13), q152/q156 (fingerprint-once
+# gates, r13), and the snapshot-reader riders q102/q127/q157-q160
+# (NoMatchingFilesError seam, r13) — 25 entries. Rule 3 clears the
+# ENTIRE r8-signal tail (q35, q40, q42-q44, q94, q124, q126, q128-q137,
+# q155 — 19 after q127 moved to rule 2), closing the r12-recorded debt;
+# the last 6 slots start the r9-signal block in numeric order (q46, q47,
+# q49, q51-q53). Remaining debt: the r9 block tail (q53.. onward).
 _WINDOW = [
-    # --- rule 1: never graded (added this round) ---
-    "q159_dv_read",
-    "q160_dv_write",
-    # --- rule 3 first: the whole r7-signal tail (19) ---
-    "q105_seasonal_outliers",
+    # --- rule 2: implementation changed in r12/r13, driver-ungraded ---
+    "q1_pricing_summary",
+    "q5_sessionize",
+    "q38_simhash_neardup",
+    "q48_ann_ivf",
+    "q76_ann_pq",
+    "q90_ann_ivfpq",
+    "q92_ann_opq",
+    "q102_snapshot_diff",
     "q107_decontamination",
-    "q108_sequence_packing",
-    "q109_pmi_bigrams",
-    "q110_pagerank",
-    "q111_weighted_sample",
-    "q112_chi2_independence",
-    "q113_countmin",
-    "q114_attribution",
-    "q115_containment",
-    "q116_retention",
-    "q117_bigram_surprisal",
     "q118_frame_sample",
-    "q119_source_overlap",
-    "q120_ngram_novelty",
-    "q121_ewma",
-    "q122_ar2_sequence",
     "q123_semdedup",
-    "q125_mllib_pipeline",
-    # --- rule 2: implementation touched this round ---
+    "q127_incremental_ingest",
+    "q147_image_neardup",
+    "q148_audio_features",
+    "q149_audio_neardup",
     "q150_video_frames",
     "q151_video_neardup",
+    "q152_incremental_neardup",
+    "q153_ann_index",
+    "q154_text_semantic_search",
+    "q156_media_index",
     "q157_partition_drop",
     "q158_partition_drop_iceberg",
-    "q102_snapshot_diff",
-    "q127_incremental_ingest",
-    "q153_ann_index",
-    # --- rule 3 fill: r8-signal block head, numeric order ---
-    "q7_approx_distinct",
-    "q11_left_join_agg",
-    "q12_semi_join",
-    "q13_anti_join",
-    "q14_rollup",
-    "q15_cube",
-    "q16_full_outer",
-    "q17_union_all",
-    "q18_except",
-    "q19_exists_subquery",
-    "q20_topk_global",
-    "q21_daily_counts",
-    "q22_hourly_profile",
-    "q23_dow_profile",
-    "q24_string_funcs",
-    "q26_quantiles",
-    "q27_zscore_outliers",
-    "q29_range_join",
-    "q30_interpolate",
-    "q31_token_stats",
-    "q32_term_df",
-    "q33_quality_scores",
+    "q159_dv_read",
+    "q160_dv_write",
+    # --- rule 3 first: the whole r8-signal tail (19) ---
+    "q35_embedding_neardup",
+    "q40_lang_id",
+    "q42_ann_lsh",
+    "q43_grouping_sets",
+    "q44_map_ops",
+    "q94_token_budget",
+    "q124_bm25",
+    "q126_edit_distance_pairs",
+    "q128_balanced_sample",
+    "q129_bpe_pairs",
+    "q130_repetition",
+    "q131_chunk_overlap",
+    "q132_session_funnel",
+    "q133_rfm_segments",
+    "q134_profile",
+    "q135_repeated_spans",
+    "q136_temperature_mix",
+    "q137_gopher_rules",
+    "q155_shard_plan",
+    # --- rule 3 fill: r9-signal block head, numeric order ---
+    "q46_sliding_window",
+    "q47_session_window",
+    "q49_forecast_score",
+    "q51_dispatch_plan",
+    "q52_model_metrics",
+    "q53_multimodal_features",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -789,7 +789,17 @@ def write_delta_append(
             }
         ] + actions
     last_err: DeltaCommitConflict | None = None
-    for _attempt in range(3):
+    for _attempt in range(5):
+        if _attempt:
+            # jittered growing backoff (r13, mirrors _retry_on_conflict):
+            # back-to-back CAS retries under burst contention lose every
+            # race in the same wave; 5 attempts absorb a maintainer +
+            # injected-fault storm on a loaded box. The retry
+            # re-validates writer/schema/txn per attempt, so more tries
+            # never change what lands.
+            import random as _random
+
+            time.sleep(_random.uniform(0, 0.05 * (2 ** _attempt)))
         try:
             _commit_version(log_dir, version, actions)
             return version

@@ -1199,8 +1199,18 @@ def write_iceberg_append(
 
     orig_sig = _table_sig(meta)
     last_err: IcebergCommitConflict | None = None
-    for _attempt in range(3):
+    for _attempt in range(5):
         if _attempt:
+            # jittered growing backoff (r13, mirrors _retry_on_conflict):
+            # back-to-back CAS retries under burst contention lose every
+            # race in the same wave; 5 attempts (was 3) absorb a
+            # maintainer + injected-fault storm on a loaded box — a
+            # commuting append that CAN commit eventually should, and the
+            # retry re-validates schema/spec/txn each attempt so more
+            # tries never change what lands.
+            import random as _random
+
+            time.sleep(_random.uniform(0, 0.05 * (2 ** _attempt)))
             # CAS lost: reload and re-stage the METADATA on top of the
             # winner — appends commute, so the staged data files (and
             # their footer-derived stats) stay valid as long as the

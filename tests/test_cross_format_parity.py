@@ -201,3 +201,10 @@ def test_layout_migration_parity(spark, tmp_path):
         (4, "d0", "v4"),
         (10, "d0", "new"),
     ]
+
+# r13 (VERDICT task 2): one of the heavy suites deselected from the
+# DEFAULT run so `pytest tests/` fits the driver's pytest budget
+# (pyproject addopts `-m "not slow"`); the full matrix runs with
+# `pytest tests/ -m ""`. Subsystem representatives stay in the
+# default set — see OPTIMIZATION_r13.md "pytest budget".
+pytestmark = pytest.mark.slow

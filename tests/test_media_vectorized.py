@@ -247,3 +247,109 @@ def test_video_batch_tail_matches_vhash64_bytes():
         )
         for j, c in enumerate(clips):
             assert VD.vhash64_bytes(c, 4) == int(vals[j])
+
+
+def test_wav_fast_parse_rejects_understated_riff_size():
+    """r13 (r12 advisor): a payload whose declared RIFF size understates
+    the real chunk extents must NOT decode via the fast path — the stdlib
+    fallback bounds inner reads by the outer size and fails it, and both
+    paths must give the same verdict for the same malformed bytes."""
+    import struct
+
+    import io
+    import wave
+
+    data = AU.wav_encode(np.ones((200, 1), dtype=np.int16), 8000)
+    assert AU._wav_fast_parse(data) is not None  # canonical: accepted
+    # understate the container size so the data chunk extends past it
+    bad = data[:4] + struct.pack("<I", 40) + data[8:]
+    assert AU._wav_fast_parse(bad) is None
+    # the stdlib is the arbiter for size-inconsistent payloads: it bounds
+    # the data chunk by the declared container size and TRUNCATES — the
+    # whole decode must return that verdict, not the fast path's full
+    # 200-frame read (the r12 divergence)
+    with wave.open(io.BytesIO(bad), "rb") as w:
+        stdlib_raw = w.readframes(w.getnframes())
+    got = AU.wav_decode(bad)
+    assert got is not None
+    assert got[0].shape[0] == len(stdlib_raw) // 2 < 200
+    assert got[0].astype("<i2").tobytes() == stdlib_raw
+    # a size that exactly covers the chunks stays accepted
+    good = data[:4] + struct.pack("<I", len(data) - 8) + data[8:]
+    parsed = AU._wav_fast_parse(good)
+    assert parsed is not None and parsed[0].shape == (200, 1)
+
+
+def test_audio_hashes_chunked_groups_bit_identical():
+    """r13: the per-group clip stacks are chunked (memory bound) and the
+    mono path fills the float64 stack directly — both must be
+    bit-identical to the scalar fingerprint, across a group LARGER than
+    the chunk size."""
+    old_chunk = AU._GROUP_CHUNK_CLIPS
+    AU._GROUP_CHUNK_CLIPS = 7  # force many chunks without a 256-clip corpus
+    try:
+        wavs = [
+            AU.wav_encode(AU._synth_samples(f"chunk clip {i}", 4000, 0.1), 4000)
+            for i in range(23)
+        ]
+        # drive the stage body exactly as audio_hashes does
+        import pandas as pd
+
+        pdf = pd.DataFrame({"doc_id": range(len(wavs)), "media": wavs})
+        out = {}
+        by_shape: dict = {}
+        for i, p in enumerate(pdf["media"]):
+            dec = AU.audio_decode(bytes(p))
+            idxs, arrs = by_shape.setdefault(dec[0].shape, ([], []))
+            idxs.append(i)
+            arrs.append(dec[0])
+        for idxs, arrs in by_shape.values():
+            for clo in range(0, len(idxs), AU._GROUP_CHUNK_CLIPS):
+                c_idxs = idxs[clo: clo + AU._GROUP_CHUNK_CLIPS]
+                c_arrs = arrs[clo: clo + AU._GROUP_CHUNK_CLIPS]
+                X = np.empty((len(c_arrs), c_arrs[0].shape[0]), np.float64)
+                for j, a in enumerate(c_arrs):
+                    X[j] = a[:, 0]
+                X /= 32768.0
+                vals = AU.afp64_samples_batch(X)
+                for j, i in enumerate(c_idxs):
+                    out[i] = int(vals[j])
+    finally:
+        AU._GROUP_CHUNK_CLIPS = old_chunk
+    for i, w in enumerate(wavs):
+        assert AU.afp64_bytes(w) == out[i]
+
+
+def test_image_hashes_chunked_groups_bit_identical(monkeypatch):
+    """r13: image/video group chunking must not move a single hash bit —
+    compare the chunked batch tail against the scalar dhash/ahash."""
+    from mysoftware_nocnetintel_spark.operators.multimodal import (
+        ahash64_bytes,
+        dhash64_bytes,
+    )
+
+    monkeypatch.setattr(MM, "_GROUP_CHUNK_IMGS", 3)
+    pngs = [
+        MM.png_encode(VD._seed_img(f"img {i}", 16)) for i in range(10)
+    ]
+    grays = [MM._to_gray(MM.decode_image(p, "png")) for p in pngs]
+    got_d, got_a = {}, {}
+    idxs = list(range(len(pngs)))
+    for clo in range(0, len(idxs), MM._GROUP_CHUNK_IMGS):
+        c_idxs = idxs[clo: clo + MM._GROUP_CHUNK_IMGS]
+        g = np.stack([grays[i] for i in c_idxs])
+        d = MM._area_resize_batch(g, 8, 9)
+        a = MM._area_resize_batch(g, 8, 8)
+        dvals = MM._pack_bits_batch(
+            (d[:, :, :-1] < d[:, :, 1:]).reshape(len(c_idxs), 64)
+        )
+        amean = a.reshape(len(c_idxs), 64).mean(axis=1)
+        avals = MM._pack_bits_batch(
+            (a > amean[:, None, None]).reshape(len(c_idxs), 64)
+        )
+        for j, i in enumerate(c_idxs):
+            got_d[i] = int(dvals[j])
+            got_a[i] = int(avals[j])
+    for i, p in enumerate(pngs):
+        assert dhash64_bytes(p) == got_d[i]
+        assert ahash64_bytes(p) == got_a[i]

@@ -66,3 +66,10 @@ def test_cache_cleared_on_disable(spark, sf_dir):
     enable_plan_cache(False)
     assert not P._PLAN_CACHE
     clear_plan_cache()
+
+# r13 (VERDICT task 2): one of the heavy suites deselected from the
+# DEFAULT run so `pytest tests/` fits the driver's pytest budget
+# (pyproject addopts `-m "not slow"`); the full matrix runs with
+# `pytest tests/ -m ""`. Subsystem representatives stay in the
+# default set — see OPTIMIZATION_r13.md "pytest budget".
+pytestmark = pytest.mark.slow
